@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local pre-flight of the driver's DuckDB oracle compare (dev tool only —
+NOT part of the library). Mimics the driver: run Verify's parquet dumps
+against each oracle_sql.json entry replayed in DuckDB over the same
+testdata tables; sort columns by name; compare values.
+
+Usage: python3 tools/preflight.py <sfDir> <verifyOutDir> [key ...]
+"""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse float noise far below the rounding we mandate
+        return round(v, 9)
+    if isinstance(v, int):
+        return float(v) if abs(v) < 2**52 else v
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return str(v)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for key, sql in sorted(oracle.items()):
+        if only and key not in only:
+            continue
+        try:
+            duck = con.execute(sql).fetchdf()
+            spark = duckdb.connect().execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"FAIL {key}: exec error: {e}")
+            n_bad += 1
+            continue
+        dcols, scols = sorted(duck.columns), sorted(spark.columns)
+        if dcols != scols:
+            print(f"FAIL {key}: columns duck={dcols} spark={scols}")
+            n_bad += 1
+            continue
+        drows = [tuple(norm(v) for v in r) for r in duck[dcols].itertuples(index=False)]
+        srows = [tuple(norm(v) for v in r) for r in spark[dcols].itertuples(index=False)]
+        if drows == srows:
+            print(f"OK   {key} ({len(drows)} rows)")
+            n_ok += 1
+        else:
+            n_bad += 1
+            if len(drows) != len(srows):
+                print(f"FAIL {key}: rowcount duck={len(drows)} spark={len(srows)}")
+            else:
+                diffs = [(i, d, s) for i, (d, s) in enumerate(zip(drows, srows)) if d != s]
+                print(f"FAIL {key}: {len(diffs)} differing rows; first: {diffs[:3]}")
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
