@@ -11,7 +11,10 @@ import graft.operators._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    AggQueries)
+    CoreQueries,
+    AggQueries,
+    JoinQueries,
+    SetSortQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

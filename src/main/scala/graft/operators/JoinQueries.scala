@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** SURVEY.md §2.3 — joins.
+  *
+  * Scale posture: dimension joins (nation, region, customer-at-small-SF)
+  * broadcast — no shuffle of the fact side; fact-fact joins shuffle on the
+  * equi keys and rely on AQE for skew splitting. The theta join is kept
+  * bounded on both sides because a BNLJ is quadratic no matter the engine.
+  * The as-of join re-partitions ONCE by key and sorts within partitions —
+  * the same shape a 1000-executor run wants (no per-row lookups, no
+  * driver-side state).
+  */
+object JoinQueries extends QueryPack {
+
+  private def joinInner(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** Same semantics as an equi join but with the 25-row nation dim pinned
+    * broadcast — the plan must show BroadcastHashJoin, no Exchange on the
+    * probe side.
+    */
+  private def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+      .orderBy(col("c_custkey"))
+
+  /** events.user_id domain ⊂ custkey, so most customers have no events —
+    * real null-extension on the right.
+    */
+  private def joinLeft(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.events(s, dir), col("c_custkey") === col("user_id"), "left")
+      .select(col("c_custkey"), col("event_id"))
+      .orderBy(asc("c_custkey"), asc_nulls_first("event_id"))
+
+  /** Full outer over two overlapping-but-distinct customer slices so both
+    * sides contribute unmatched rows deterministically.
+    */
+  private def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val evens = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("even_key"), col("c_acctbal").as("even_bal"))
+    val thirds = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("third_key"), col("c_acctbal").as("third_bal"))
+    evens.join(thirds, col("even_key") === col("third_key"), "full")
+      .select(
+        coalesce(col("even_key"), col("third_key")).as("k"),
+        col("even_key").isNotNull.as("in_even"),
+        col("third_key").isNotNull.as("in_third"))
+      .orderBy(col("k"))
+  }
+
+  private def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.events(s, dir), col("c_custkey") === col("user_id"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.events(s, dir), col("c_custkey") === col("user_id"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private def joinCross(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select(col("r_name"))
+      .crossJoin(Tables.nation(s, dir).select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Pure non-equi (value-band + id-order) join between two fixed event
+    * slices → BroadcastNestedLoopJoin. Slices are bounded by absolute ids
+    * so the quadratic term does not grow with SF.
+    */
+  private def joinThetaRange(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val a = e.filter(col("event_id") < 500)
+      .select(col("event_id").as("a_id"), col("value").as("a_value"))
+    val b = e.filter(col("event_id") >= 500 && col("event_id") < 1000)
+      .select(col("event_id").as("b_id"), col("value").as("b_value"))
+    a.join(b, col("a_value") < col("b_value") && col("b_value") - col("a_value") < lit(1.0))
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** As-of join: each purchase → latest click with click.ts <= purchase.ts
+    * by the same user (inner: purchases with no prior click drop out).
+    *
+    * Spark has no native as-of join, so this is the distributed plan shape
+    * for one: tag both streams, union (shuffle-free), ONE hash Exchange on
+    * user_id, per-partition sort by (ts, tag, id), and a running
+    * `last(click, ignoreNulls)` carry-forward — O(n log n) per partition,
+    * no point lookups, works identically on 1000 executors. Ties at equal
+    * ts resolve click-before-purchase (tag order), matching DuckDB's
+    * `ASOF JOIN ... ON p.ts >= c.ts` inclusive semantics; `ts` stays an
+    * exact ns BIGINT throughout so no truncation can skew the comparison.
+    */
+  private def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click",
+        last(when(col("tag") === 0, struct(col("ts").as("cts"), col("event_id").as("cid"))),
+          ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("last_click").isNotNull)
+      .select(
+        col("event_id").as("p_id"),
+        col("user_id"),
+        col("last_click.cid").as("click_id"),
+        expr("(ts - last_click.cts) DIV 1000000000").as("gap_s"))
+      .orderBy(col("p_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner"       -> (joinInner _),
+    "join_broadcast"   -> (joinBroadcast _),
+    "join_left"        -> (joinLeft _),
+    "join_full"        -> (joinFull _),
+    "join_semi"        -> (joinSemi _),
+    "join_anti"        -> (joinAnti _),
+    "join_cross"       -> (joinCross _),
+    "join_theta_range" -> (joinThetaRange _),
+    "join_asof"        -> (joinAsof _))
+
+  val oracle: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT c_custkey, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey, event_id
+        |FROM customer LEFT JOIN events ON c_custkey = user_id
+        |ORDER BY c_custkey ASC, event_id ASC NULLS FIRST""".stripMargin,
+    "join_full" ->
+      """SELECT coalesce(e.even_key, t.third_key) AS k,
+        |  e.even_key IS NOT NULL AS in_even,
+        |  t.third_key IS NOT NULL AS in_third
+        |FROM (SELECT c_custkey AS even_key, c_acctbal AS even_bal FROM customer WHERE c_custkey % 2 = 0) e
+        |FULL JOIN (SELECT c_custkey AS third_key, c_acctbal AS third_bal FROM customer WHERE c_custkey % 3 = 0) t
+        |  ON e.even_key = t.third_key
+        |ORDER BY k""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_theta_range" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM (SELECT * FROM events WHERE event_id < 500) a
+        |JOIN (SELECT * FROM events WHERE event_id >= 500 AND event_id < 1000) b
+        |  ON a.value < b.value AND b.value - a.value < 1.0
+        |ORDER BY a_id, b_id""".stripMargin,
+    "join_asof" ->
+      """SELECT p.event_id AS p_id, p.user_id, c.event_id AS click_id,
+        |  (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS gap_s
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p_id""".stripMargin)
+}
