@@ -14,6 +14,7 @@ object SparkEntry {
     CoreQueries,
     AggQueries,
     JoinQueries,
+    WindowQueries,
     SetSortQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -57,11 +57,64 @@ object AggQueries extends QueryPack {
       .filter(col("n_orders") >= 12)
       .orderBy(col("o_custkey"))
 
+  /** region→nation hierarchy with subtotals at each level + grand total.
+    * Group-key nulls produced by the rollup are ordered NULLS FIRST
+    * explicitly on both sides (engine defaults differ).
+    */
+  private def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(sum("c_acctbal") * 100).cast("long").as("sum_bal_c"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  private def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity") * 100).cast("long").as("sum_qty_c"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+        col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(sum("c_acctbal") * 100).cast("long").as("sum_bal_c"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** Pivot with the value list pinned (no discovery pass — at scale that
+    * extra distinct scan is pure waste); counts coalesced to 0 to match
+    * the conditional-aggregation oracle form.
+    */
+  private def aggPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted.select(
+      col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_groupby"  -> (aggGroupBy _),
-    "agg_global"   -> (aggGlobal _),
-    "agg_distinct" -> (aggDistinct _),
-    "agg_having"   -> (aggHaving _))
+    "agg_groupby"       -> (aggGroupBy _),
+    "agg_global"        -> (aggGlobal _),
+    "agg_distinct"      -> (aggDistinct _),
+    "agg_having"        -> (aggHaving _),
+    "agg_rollup"        -> (aggRollup _),
+    "agg_cube"          -> (aggCube _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_pivot"         -> (aggPivot _))
 
   val oracle: Map[String, String] = Map(
     "agg_groupby" ->
@@ -98,5 +151,40 @@ object AggQueries extends QueryPack {
         |FROM orders
         |GROUP BY o_custkey
         |HAVING count(*) >= 12
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r_name, n_name,
+        |  count(*) AS n_cust,
+        |  CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS sum_bal_c
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_c
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT r_name, n_name,
+        |  count(*) AS n_cust,
+        |  CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS sum_bal_c
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)
 }

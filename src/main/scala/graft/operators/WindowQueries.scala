@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * All windows partition by a real key (nation / user / event_type), so at
+  * scale each executes as ONE hash Exchange on the partition key + an
+  * in-partition sort — no global sort, no driver state. Determinism: every
+  * window ordering carries a unique-key tiebreaker wherever the function's
+  * result depends on order within ties (row_number, ntile, frames), per
+  * SURVEY.md §7.5.
+  */
+object WindowQueries extends QueryPack {
+
+  /** rank/dense_rank keep tie semantics (ordered by acctbal alone);
+    * row_number gets a custkey tiebreaker to stay deterministic.
+    */
+  private def winRank(s: SparkSession, dir: String): DataFrame = {
+    val byBal    = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"))
+    val byBalKey = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, dir)
+      .select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(byBalKey).as("rn"),
+        rank().over(byBal).as("rnk"),
+        dense_rank().over(byBal).as("drnk"))
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  /** Top-3 per nation — the rank≤k pattern. At scale this beats a global
+    * sort: partial top-k per partition, then k rows per group shuffle.
+    */
+  private def winTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  /** Running totals are order-defined, so both engines add in the same
+    * sequence; cents-scaling still guards the emit (SURVEY.md §7.5).
+    */
+  private def winRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w) * 100).cast("long").as("run_total_c"),
+        count(lit(1)).over(w).as("run_n"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Centered ±2-row moving average per user — sensor-smoothing shape. */
+  private def winSlidingRows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 2)
+    Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        round(avg("value").over(w), 4).as("smooth_value"),
+        count(lit(1)).over(w).as("frame_n"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Value-range frame: tied order values share one frame, so no
+    * tiebreaker is needed for determinism.
+    */
+  private def winRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val frame = "OVER (PARTITION BY event_type ORDER BY value RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW)"
+    Tables.events(s, dir)
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        expr(s"CAST(round(sum(value) $frame * 100) AS BIGINT)").as("band_sum_c"),
+        expr(s"count(*) $frame").as("band_n"))
+      .orderBy(col("event_id"))
+  }
+
+  private def winLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        lag("event_id", 1).over(w).as("prev_id"),
+        lead("event_id", 1).over(w).as("next_id"),
+        expr("(ts - lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) DIV 1000000000").as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  /** ntile/percent_rank/cume_dist — pure rational functions of rank and
+    * partition size, so unrounded doubles still match bit-for-bit.
+    */
+  private def winAnalytic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  private def winFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"), asc("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, dir)
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        first("c_acctbal").over(w).as("best_bal"),
+        last("c_acctbal").over(w).as("worst_bal"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank"           -> (winRank _),
+    "win_topk_per_group" -> (winTopkPerGroup _),
+    "win_running"        -> (winRunning _),
+    "win_sliding_rows"   -> (winSlidingRows _),
+    "win_range_frame"    -> (winRangeFrame _),
+    "win_lag_lead"       -> (winLagLead _),
+    "win_analytic"       -> (winAnalytic _),
+    "win_first_last"     -> (winFirstLast _))
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+        |  rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+        |FROM customer
+        |ORDER BY c_nationkey, rn""".stripMargin,
+    "win_topk_per_group" ->
+      """SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3
+        |ORDER BY c_nationkey, rn""".stripMargin,
+    "win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(o_totalprice) OVER w * 100) AS BIGINT) AS run_total_c,
+        |  count(*) OVER w AS run_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_sliding_rows" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER w, 4) AS smooth_value,
+        |  count(*) OVER w AS frame_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+    "win_range_frame" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(round(sum(value) OVER w * 100) AS BIGINT) AS band_sum_c,
+        |  count(*) OVER w AS band_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |             RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id, 1) OVER w AS prev_id,
+        |  lead(event_id, 1) OVER w AS next_id,
+        |  (epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER w) // 1000000000 AS gap_s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "win_analytic" ->
+      """SELECT c_nationkey, c_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "win_first_last" ->
+      """SELECT c_nationkey, c_custkey,
+        |  first_value(c_acctbal) OVER w AS best_bal,
+        |  last_value(c_acctbal) OVER w AS worst_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin)
+}
