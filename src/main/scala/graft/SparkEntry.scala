@@ -15,7 +15,9 @@ object SparkEntry {
     AggQueries,
     JoinQueries,
     WindowQueries,
-    SetSortQueries)
+    SetSortQueries,
+    FunctionQueries,
+    EventTimeQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

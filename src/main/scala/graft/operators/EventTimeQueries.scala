@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** SURVEY.md §2.8 — event-time operators, batch-verified. The streaming
+  * twins (withWatermark + window/session_window over readStream) live in
+  * graft.streaming; the oracle checks the batch semantics here.
+  *
+  * Window starts are emitted as epoch SECONDS (BIGINT): events.ts is ns in
+  * parquet and Spark reads µs, so any raw-timestamp emit would drift
+  * against DuckDB's ns view (SURVEY.md §7.5.4). All bucket math lands on
+  * integer seconds where both engines agree exactly.
+  */
+object EventTimeQueries extends QueryPack {
+
+  /** 1-hour tumbling windows via Spark's `window()` — per event_type
+    * counts + cent-scaled value sums.
+    */
+  private def evtTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsTs(s, dir)
+      .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value") * 100).cast("long").as("sum_value_c"))
+      .select(
+        unix_timestamp(col("w.start")).as("wstart_s"),
+        col("event_type"), col("n"), col("sum_value_c"))
+      .orderBy(col("wstart_s"), col("event_type"))
+
+  /** 1-hour windows sliding every 30 min — each event lands in exactly 2
+    * windows. Oracle replays the same assignment with integer epoch math.
+    */
+  private def evtSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsTs(s, dir)
+      .groupBy(window(col("ts_utc"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_timestamp(col("w.start")).as("wstart_s"),
+        col("event_type"), col("n"))
+      .orderBy(col("wstart_s"), col("event_type"))
+
+  /** Per-user sessions with a 30-min inactivity gap, as gaps-and-islands:
+    * session-start flag via lag, running sum numbers the sessions — the
+    * portable twin of `session_window` (SURVEY.md §7.4). All boundary math
+    * on exact ns longs.
+    */
+  private def evtSession(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapNs = 30L * 60 * 1000000000L
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byTs))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("(max(ts) - min(ts)) DIV 1000000000").as("duration_s"),
+        expr("min(ts) DIV 1000000000").as("start_s"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_tumbling" -> (evtTumbling _),
+    "evt_sliding"  -> (evtSliding _),
+    "evt_session"  -> (evtSession _))
+
+  val oracle: Map[String, String] = Map(
+    "evt_tumbling" ->
+      """SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS wstart_s,
+        |  event_type,
+        |  count(*) AS n,
+        |  CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c
+        |FROM events
+        |GROUP BY wstart_s, event_type
+        |ORDER BY wstart_s, event_type""".stripMargin,
+    "evt_sliding" ->
+      """SELECT wstart_s, event_type, count(*) AS n FROM (
+        |  SELECT unnest([b30, b30 - 1800]) AS wstart_s, event_type FROM (
+        |    SELECT (epoch_ns(ts) // 1000000000) // 1800 * 1800 AS b30, event_type
+        |    FROM events) t1) t2
+        |GROUP BY wstart_s, event_type
+        |ORDER BY wstart_s, event_type""".stripMargin,
+    "evt_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, tns,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id,
+        |  count(*) AS n_events,
+        |  (max(tns) - min(tns)) // 1000000000 AS duration_s,
+        |  min(tns) // 1000000000 AS start_s
+        |FROM numbered
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
+}

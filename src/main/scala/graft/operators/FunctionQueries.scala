@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** SURVEY.md §2.7 — scalar function packs + the generator (UDTF) surface.
+  *
+  * Everything here is built-in `org.apache.spark.sql.functions` — zero
+  * UDFs — so the whole pack stays inside whole-stage codegen and Catalyst
+  * can push/prune/fold around every expression. Transcendental outputs are
+  * rounded (libm vs DuckDB math can drift a ulp); date outputs are emitted
+  * as strings or epoch ints to stay parquet-canonical across engines.
+  */
+object FunctionQueries extends QueryPack {
+
+  private def fnString(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 4).as("name4"),
+        upper(col("p_name")).as("name_up"),
+        lower(col("p_type")).as("type_lo"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("name_trim"),
+        regexp_replace(col("p_name"), " ", "_").as("name_us"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).cast("int").as("brand_no"),
+        instr(col("p_name"), "e").cast("long").as("e_pos"))
+      .orderBy(col("p_partkey"))
+
+  private def fnDate(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).as("days_since"),
+        date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("due_date"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+
+  private def fnMath(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        round(abs(col("value") - 100.0), 2).as("abs_dev"),
+        floor(col("value")).cast("long").as("flr"),
+        ceil(col("value")).cast("long").as("cl"),
+        round(sqrt(col("value")), 6).as("sq"),
+        round(pow(col("value"), 2), 4).as("p2"),
+        round(log(col("value") + lit(1.0)), 6).as("ln1p"),
+        round(log10(col("value") + lit(1.0)), 6).as("lg"),
+        round(col("value") % 7.0, 2).as("m7"),
+        signum(col("value") - 100.0).cast("int").as("sgn"),
+        round(sin(radians(col("value"))), 6).as("sn"),
+        round(cos(radians(col("value"))), 6).as("cs"),
+        round(atan2(col("value"), lit(100.0)), 6).as("at2"),
+        round(degrees(atan2(col("value"), lit(100.0))), 4).as("at2d"))
+      .orderBy(col("event_id"))
+
+  private def fnConditional(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 150000, "high")
+          .when(col("o_totalprice") > 50000, "mid")
+          .otherwise("low").as("tier"),
+        expr("if(o_orderstatus = 'O', 'open', 'closed')").as("state"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
+        least(col("o_custkey"), lit(500L)).as("capped_cust"),
+        coalesce(expr("nullif(o_orderstatus, 'P')"), lit("pending")).as("status_nn"))
+      .orderBy(col("o_orderkey"))
+
+  /** Array functions + higher-order lambdas (transform/filter/aggregate) —
+    * the UDF-free path for per-row collection math (SURVEY.md §7.4).
+    */
+  private def fnArray(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(words).cast("long").as("n_tokens"),
+        array_contains(words, "the").as("has_the"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        slice(sort_array(words), 1, 3).as("first3_sorted"),
+        size(filter(words, w => length(w) > 5)).cast("long").as("n_long"),
+        aggregate(transform(words, w => length(w)), lit(0), (acc, x) => acc + x).cast("long").as("total_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def fnJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"),
+        get_json_object(col("props"), "$.missing").isNull.as("no_miss"))
+      .orderBy(col("event_id"))
+
+  /** Generator/UDTF surface: explode one row into many. Filter drops the
+    * empty token produced by the documents' trailing space.
+    */
+  private def explodeWordcount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(100)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string"         -> (fnString _),
+    "fn_date"           -> (fnDate _),
+    "fn_math"           -> (fnMath _),
+    "fn_conditional"    -> (fnConditional _),
+    "fn_array"          -> (fnArray _),
+    "fn_json"           -> (fnJson _),
+    "explode_wordcount" -> (explodeWordcount _))
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  substring(p_name, 1, 4) AS name4,
+        |  upper(p_name) AS name_up,
+        |  lower(p_type) AS type_lo,
+        |  length(p_name) AS name_len,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  trim('  ' || p_name || '  ') AS name_trim,
+        |  replace(p_name, ' ', '_') AS name_us,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INTEGER) AS brand_no,
+        |  strpos(p_name, 'e') AS e_pos
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+        |  isodow(o_orderdate) AS isodow,
+        |  dayofyear(o_orderdate) AS doy,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT event_id,
+        |  round(abs(value - 100.0), 2) AS abs_dev,
+        |  CAST(floor(value) AS BIGINT) AS flr,
+        |  CAST(ceil(value) AS BIGINT) AS cl,
+        |  round(sqrt(value), 6) AS sq,
+        |  round(pow(value, 2), 4) AS p2,
+        |  round(ln(value + 1.0), 6) AS ln1p,
+        |  round(log10(value + 1.0), 6) AS lg,
+        |  round(fmod(value, 7.0), 2) AS m7,
+        |  CAST(sign(value - 100.0) AS INTEGER) AS sgn,
+        |  round(sin(radians(value)), 6) AS sn,
+        |  round(cos(radians(value)), 6) AS cs,
+        |  round(atan2(value, 100.0), 6) AS at2,
+        |  round(degrees(atan2(value, 100.0)), 4) AS at2d
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 150000 THEN 'high'
+        |       WHEN o_totalprice > 50000 THEN 'mid'
+        |       ELSE 'low' END AS tier,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'closed' END AS state,
+        |  greatest(o_totalprice, 100000.0) AS floor_price,
+        |  least(o_custkey, 500) AS capped_cust,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_nn
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  list_contains(string_split(text, ' '), 'the') AS has_the,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  list_slice(list_sort(string_split(text, ' ')), 1, 3) AS first3_sorted,
+        |  len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS n_long,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS total_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  json_extract_string(props, '$.missing') IS NULL AS no_miss
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "explode_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY n DESC, word ASC
+        |LIMIT 100""".stripMargin)
+}

@@ -25,9 +25,9 @@ object WindowQueries extends QueryPack {
     Tables.customer(s, dir)
       .select(
         col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
-        row_number().over(byBalKey).as("rn"),
-        rank().over(byBal).as("rnk"),
-        dense_rank().over(byBal).as("drnk"))
+        row_number().over(byBalKey).cast("long").as("rn"),
+        rank().over(byBal).cast("long").as("rnk"),
+        dense_rank().over(byBal).cast("long").as("drnk"))
       .orderBy(col("c_nationkey"), col("rn"))
   }
 
@@ -101,7 +101,7 @@ object WindowQueries extends QueryPack {
     Tables.customer(s, dir)
       .select(
         col("c_nationkey"), col("c_custkey"),
-        ntile(4).over(w).as("quartile"),
+        ntile(4).over(w).cast("long").as("quartile"),
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"))
       .orderBy(col("c_nationkey"), col("c_custkey"))
