@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** SURVEY.md §2.9 — LLM-training-data pipeline operators over the
+  * `documents` and `embeddings` tables: dedup, similarity search, text
+  * analysis. The oracle-checked forms here are the exact variants; the
+  * sketch/LSH scale twins live in `graft.pipeline` (non-oracle, tested by
+  * scalatest) because sketches can never hash-match a different engine.
+  *
+  * Float determinism: all vector math is done in DOUBLE with an explicit
+  * left-fold (`aggregate` in Spark, `list_reduce` in DuckDB) so both
+  * engines execute the identical sequence of IEEE operations — results
+  * match bit-for-bit before rounding (SURVEY.md §7.4).
+  */
+object PipelineQueries extends QueryPack {
+
+  /** Exact dedup keeps min doc_id per identical text — dropDuplicates'
+    * survivor choice is partition-order-dependent, a groupBy is not.
+    * At 100 TB this is the same one-shuffle hash aggregate.
+    */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct word tokens per doc for a bounded doc slice. */
+  private def tokens(s: SparkSession, dir: String, maxDoc: Int): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < maxDoc)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+      .filter(col("word") =!= "")
+
+  /** Exact word-set Jaccard ≥ 0.8 pairs among doc_id < 300: explode →
+    * self-join on word → |∩| / |∪|. Jaccard is a ratio of ints, so the
+    * double division is bit-identical across engines. The MinHash-LSH
+    * scale twin (graft.pipeline.MinHashDedup) replaces the quadratic
+    * word self-join at 100 TB.
+    */
+  private def dedupNearJaccard(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(s, dir, 300)
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    val inter = tok.select(col("doc_id").as("a_id"), col("word"))
+      .join(tok.select(col("doc_id").as("b_id"), col("word")), "word")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_words").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_words").as("nb")), "b_id")
+      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Left-fold dot product over double-cast elements — the op sequence
+    * DuckDB's list_reduce replays exactly.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-10 against the probe vector (vec_id = 0).
+    * This is the correctness baseline; the bucketed ANN scale path is
+    * graft.pipeline.CosineANN. One broadcast of a 64-float probe, one
+    * scan, one TakeOrderedAndProject — no shuffle of the embedding table.
+    */
+  private def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    emb.crossJoin(broadcast(probe))
+      .withColumn("cos",
+        dot(col("embedding"), col("probe")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("probe"), col("probe")))))
+      .select(col("vec_id"), round(col("cos"), 4).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** Per-label centroid L2 norm — clustering-shaped reassembly via
+    * posexplode → per-(label, position) mean → norm over positions.
+    */
+  private def simLabelCentroid(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val comps = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+    val norms = comps.groupBy("label")
+      .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+    val counts = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    norms.join(counts, "label")
+      .select(col("label").cast("long").as("label"), col("n_vecs"), col("centroid_norm"))
+      .orderBy(col("label"))
+  }
+
+  private def textLangStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  /** Top (doc, term) pairs by TF-IDF. idf = ln(N / df) over identical
+    * double operands in both engines; rounded at emit.
+    */
+  private def textTfidfTop(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .select(col("doc_id"), col("word"), col("tfidf"))
+      .orderBy(desc("tfidf"), asc("doc_id"), asc("word"))
+      .limit(100)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"        -> (dedupExact _),
+    "dedup_near_jaccard" -> (dedupNearJaccard _),
+    "sim_cosine_topk"    -> (simCosineTopk _),
+    "sim_label_centroid" -> (simLabelCentroid _),
+    "text_lang_stats"    -> (textLangStats _),
+    "text_tfidf_top"     -> (textTfidfTop _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_id""".stripMargin,
+    "dedup_near_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 300
+        |), tok2 AS (SELECT * FROM tok WHERE word <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS n_words FROM tok2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM tok2 a JOIN tok2 b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id,
+        |  round(n_inter / (sa.n_words + sb.n_words - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE n_inter / (sa.n_words + sb.n_words - n_inter) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "sim_cosine_topk" ->
+      """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(list_zip(embedding, p), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x)
+        |    / (sqrt(list_reduce(list_transform(list_zip(embedding, embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x))
+        |       * sqrt(list_reduce(list_transform(list_zip(p, p), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x))) AS cos
+        |  FROM embeddings, probe)
+        |SELECT vec_id, round(cos, 4) AS sim
+        |FROM scored
+        |ORDER BY sim DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "sim_label_centroid" ->
+      """WITH comps AS (
+        |  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), means AS (
+        |  SELECT label, pos, avg(v) AS m FROM comps GROUP BY label, pos
+        |), norms AS (
+        |  SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm
+        |  FROM means GROUP BY label
+        |), counts AS (
+        |  SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+        |)
+        |SELECT CAST(norms.label AS BIGINT) AS label, n_vecs, centroid_norm
+        |FROM norms JOIN counts ON norms.label = counts.label
+        |ORDER BY label""".stripMargin,
+    "text_lang_stats" ->
+      """SELECT lang,
+        |  count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "text_tfidf_top" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), tok2 AS (SELECT * FROM tok WHERE word <> ''),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok2 GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tok2) GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.word AS word, round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+        |FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+        |ORDER BY tfidf DESC, doc_id ASC, word ASC
+        |LIMIT 100""".stripMargin)
+}
