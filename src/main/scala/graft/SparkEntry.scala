@@ -18,7 +18,9 @@ object SparkEntry {
     SetSortQueries,
     FunctionQueries,
     EventTimeQueries,
-    PipelineQueries)
+    PipelineQueries,
+    DedupQueries,
+    TextAnalysisQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Near-duplicate detection beyond exact/Jaccard (SURVEY.md §2.9 + the
+  * training-data-pipeline mandate): MinHash+LSH, SimHash, character
+  * n-gram Jaccard, and embedding-cosine near-dup — all as oracle-checked
+  * queries.
+  *
+  * Hashing is MD5 (identical hex in every engine), so signatures,
+  * buckets, and fingerprints are portable — no engine-private hash
+  * functions anywhere. Doc slices are bounded by absolute ids so the
+  * quadratic verify stage cannot grow with SF; at 100 TB the LSH bucket
+  * join IS the scale path (candidates only), while the brute-force
+  * variants exist as correctness baselines.
+  */
+object DedupQueries extends QueryPack {
+
+  private val K = 8          // minhash signature length
+  private val BANDS = 4      // 2 rows per band
+
+  private def tokDistinct(s: SparkSession, dir: String, maxDoc: Int): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < maxDoc)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+      .filter(col("word") =!= "")
+
+  /** MinHash signature → banded LSH buckets → candidate pairs → exact
+    * Jaccard confirm ≥ 0.8. The only pairwise work happens on LSH
+    * candidates, which is what makes this shape viable at 100 TB.
+    */
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokDistinct(s, dir, 300)
+    val seeds = explode(sequence(lit(0), lit(K - 1))).as("k")
+    val mh = tok.select(col("doc_id"), col("word"), seeds)
+      .groupBy(col("doc_id"), col("k"))
+      .agg(min(md5(concat(col("word"), lit("#"), col("k").cast("string")))).as("mh"))
+    val buckets = mh
+      .groupBy(col("doc_id"), (col("k") / 2).cast("int").as("band"))
+      .agg(concat(
+        max(when(col("k") % 2 === 0, col("mh"))),
+        max(when(col("k") % 2 === 1, col("mh")))).as("bucket"))
+    val cand = buckets.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+      .join(buckets.select(col("doc_id").as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("a_id"), col("word")), "a_id")
+      .join(tok.select(col("doc_id").as("b_id"), col("word").as("word_b")), "b_id")
+      .filter(col("word") === col("word_b"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_words").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_words").as("nb")), "b_id")
+      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** 16-bit SimHash from the first 4 MD5 hex nibbles per word,
+    * tf-weighted; near-dup = Hamming distance ≤ 1 on doc_id < 300.
+    */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("wh", conv(substring(md5(col("word").cast("binary")), 1, 4), 16, 10).cast("long"))
+    val bits = words
+      .select(col("doc_id"), col("wh"), explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("contrib", expr("2 * ((wh DIV CAST(pow(2, j) AS BIGINT)) % 2) - 1"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum("contrib").as("s"))
+    val fp = bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L)).as("fp"))
+    fp.select(col("doc_id").as("a_id"), col("fp").as("fp_a"))
+      .join(fp.select(col("doc_id").as("b_id"), col("fp").as("fp_b")),
+        col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= 1)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Character-3-gram Jaccard ≥ 0.8 on doc_id < 150 — catches
+    * near-identical strings that word-level Jaccard misses.
+    */
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 3)").as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = grams.select(col("doc_id").as("a_id"), col("gram"))
+      .join(grams.select(col("doc_id").as("b_id"), col("gram")), "gram")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_grams").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("nb")), "b_id")
+      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs (vec_id < 300, cos ≥ 0.40 — the
+    * testdata's embeddings are unclustered, max pairwise ≈ 0.46).
+    * Same bit-exact double left-fold as sim_cosine_topk.
+    */
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val dotAB = aggregate(zip_with(col("ea"), col("eb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s0, x) => s0 + x)
+    val dotAA = aggregate(zip_with(col("ea"), col("ea"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s0, x) => s0 + x)
+    val dotBB = aggregate(zip_with(col("eb"), col("eb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s0, x) => s0 + x)
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", dotAB / (sqrt(dotAA) * sqrt(dotBB)))
+      .filter(col("cos") >= 0.40)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash"     -> (dedupSimhash _),
+    "dedup_ngram"       -> (dedupNgram _),
+    "dedup_embedding"   -> (dedupEmbedding _))
+
+  private val jaccardTail =
+    """|SELECT i.a_id, i.b_id,
+       |  round(i.n_inter / (sa.%N% + sb.%N% - i.n_inter), 4) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.a_id
+       |JOIN sizes sb ON sb.doc_id = i.b_id
+       |WHERE i.n_inter / (sa.%N% + sb.%N% - i.n_inter) >= %T%
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      ("""WITH tok0 AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 300
+        |), tok AS (SELECT * FROM tok0 WHERE word <> ''),
+        |mh AS (
+        |  SELECT doc_id, k, min(md5(word || '#' || CAST(k AS VARCHAR))) AS mh
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 8)) AS k) seeds
+        |  GROUP BY doc_id, k),
+        |buckets AS (
+        |  SELECT doc_id, CAST(k // 2 AS INTEGER) AS band,
+        |    max(CASE WHEN k % 2 = 0 THEN mh END) || max(CASE WHEN k % 2 = 1 THEN mh END) AS bucket
+        |  FROM mh GROUP BY doc_id, k // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n_words FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN tok ta ON ta.doc_id = c.a_id
+        |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.word = ta.word
+        |  GROUP BY c.a_id, c.b_id)
+        |""" + jaccardTail).stripMargin
+        .replace("%N%", "n_words").replace("%T%", "0.8"),
+    "dedup_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, word,
+        |    ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(word), 4, 1)) - 1)) AS wh
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents WHERE doc_id < 300) t
+        |  WHERE word <> ''
+        |), bits AS (
+        |  SELECT doc_id, j, sum(2 * ((wh // CAST(pow(2, j) AS BIGINT)) % 2) - 1) AS s
+        |  FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+        |  GROUP BY doc_id, j
+        |), fp AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS fp
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_ngram" ->
+      ("""WITH grams AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 3) AS gram
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) idx
+        |  WHERE doc_id < 150 AND i <= length(text) - 2
+        |), sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |""" + jaccardTail).stripMargin
+        .replace("%N%", "n_grams").replace("%T%", "0.8"),
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+        |), scored AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_reduce(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x)
+        |    / (sqrt(list_reduce(list_transform(list_zip(a.embedding, a.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x))
+        |       * sqrt(list_reduce(list_transform(list_zip(b.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, round(cos, 4) AS cos_sim
+        |FROM scored
+        |WHERE cos >= 0.40
+        |ORDER BY a_id, b_id""".stripMargin)
+}

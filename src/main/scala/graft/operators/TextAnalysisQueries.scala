@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Text-analysis operators for the training-data pipeline mandate:
+  * language-ID (stopword n-gram heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting
+  * (rolling hash). All single-scan, shuffle-free per-row expressions —
+  * the ideal 100 TB shape — with oracle checks on the documents table.
+  *
+  * Scores stay in rational arithmetic (int ratios) so cross-engine
+  * doubles match exactly; the fingerprint uses MD5 nibbles + a modular
+  * left-fold, portable to any engine with md5().
+  */
+object TextAnalysisQueries extends QueryPack {
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def words: Column = split(col("text"), " ")
+
+  private def hitCount(lang: String): Column =
+    size(filter(words, w => stopwords(lang).map(sw => w === sw).reduce(_ || _)))
+      .cast("long")
+
+  /** Stopword-hit language ID with a deterministic priority tiebreak.
+    * (The synthetic corpus is English-like words regardless of its lang
+    * column, so this checks the operator, not corpus truth.)
+    */
+  private def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        hitCount("en").as("n_en"), hitCount("de").as("n_de"),
+        hitCount("es").as("n_es"), hitCount("fr").as("n_fr"))
+    scored
+      .withColumn("best", greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr")))
+      .withColumn("pred_lang",
+        when(col("best") === 0, "unknown")
+          .when(col("n_en") === col("best"), "en")
+          .when(col("n_de") === col("best"), "de")
+          .when(col("n_es") === col("best"), "es")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("labeled_lang"), col("pred_lang"),
+        col("n_en"), col("n_de"), col("n_es"), col("n_fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Length / punctuation / stopword-ratio quality heuristics; the
+    * composite score is a pure rational expression (no transcendentals)
+    * so it is bit-identical across engines.
+    */
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("n_tokens", size(filter(words, w => w =!= "")).cast("long"))
+      .withColumn("n_stop", hitCount("en"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("long"))
+      .withColumn("avg_word_len",
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens")))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / 20.0, lit(1.0)) * (lit(1.0) - col("stop_ratio") / 2.0))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
+        round(col("avg_word_len"), 4).as("avg_word_len"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(col("quality_score"), 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Whitespace tokens vs a BPE-ish regex segmentation (letter runs,
+    * digit runs, single other chars) — the usual pre-tokenizer split.
+    */
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(words, w => w =!= "")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe_tokens"),
+        round(length(col("text")).cast("double") / lit(4.0), 2).as("est_llm_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Order-sensitive rolling fingerprint: fold words through
+    * h = (h * 31 + wh) mod 1e9+7, where wh is the word's first 4 MD5
+    * nibbles — distinguishes docs with equal word sets but different
+    * order (which set-based Jaccard cannot).
+    */
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        aggregate(
+          filter(words, w => w =!= ""),
+          lit(0L),
+          (acc, w) => (acc * 31L + conv(substring(md5(w.cast("binary")), 1, 4), 16, 10).cast("long")) % 1000000007L)
+          .as("fingerprint"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid"      -> (textLangid _),
+    "text_quality"     -> (textQuality _),
+    "text_tokens"      -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  private def duckHits(langList: String): String =
+    s"len(list_filter(string_split(text, ' '), w -> list_contains([$langList], w)))"
+
+  private val hitsEn = duckHits("'the','and','of','to','in'")
+  private val hitsDe = duckHits("'der','die','und','das','ist'")
+  private val hitsEs = duckHits("'el','la','de','que','los'")
+  private val hitsFr = duckHits("'le','la','et','les','des'")
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    $hitsEn AS n_en, $hitsDe AS n_de, $hitsEs AS n_es, $hitsFr AS n_fr
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN greatest(n_en, n_de, n_es, n_fr) = 0 THEN 'unknown'
+        |       WHEN n_en = greatest(n_en, n_de, n_es, n_fr) THEN 'en'
+        |       WHEN n_de = greatest(n_en, n_de, n_es, n_fr) THEN 'de'
+        |       WHEN n_es = greatest(n_en, n_de, n_es, n_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  n_en, n_de, n_es, n_fr
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+        |    $hitsEn AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / len(list_filter(string_split(text, ' '), w -> w <> '')) AS awl,
+        |    CAST($hitsEn AS DOUBLE)
+        |      / len(list_filter(string_split(text, ' '), w -> w <> '')) AS sr
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_stop, n_punct,
+        |  round(awl, 4) AS avg_word_len,
+        |  round(sr, 4) AS stop_ratio,
+        |  round(least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * (1.0 - sr / 2.0), 4) AS quality_score
+        |FROM base
+        |ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+        |  round(CAST(length(text) AS DOUBLE) / 4.0, 2) AS est_llm_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+        |        w -> ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+        |            + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+        |            + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)))),
+        |    (acc, wh) -> (acc * 31 + wh) % 1000000007) AS fingerprint,
+        |  md5(text) AS text_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)
+}
