@@ -1,0 +1,57 @@
+package graft
+
+/** Every declared query must execute on sf0.001, produce a stable schema,
+  * and be paired 1:1 with oracle SQL (SparkEntry contract).
+  */
+class QueriesSmokeSpec extends SparkSpec {
+
+  test("oracleSql keys exactly match queries keys") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
+  test("no duplicate keys across packs") {
+    // Map construction would silently drop duplicates; sizes must add up.
+    val expected = Seq(
+      graft.operators.CoreQueries, graft.operators.AggQueries,
+      graft.operators.JoinQueries, graft.operators.WindowQueries,
+      graft.operators.SetSortQueries, graft.operators.FunctionQueries,
+      graft.operators.EventTimeQueries, graft.operators.PipelineQueries,
+      graft.operators.DedupQueries, graft.operators.TextAnalysisQueries)
+      .map(_.queries.size).sum
+    assert(SparkEntry.queries.size == expected)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name executes on sf0.001 with a non-empty schema") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("dedup_exact finds the duplicate texts at sf0.1 (8 dups known)") {
+    val df = SparkEntry.queries("dedup_exact")(spark, "/root/testdata/sf0.1")
+    val dups = df.filter(org.apache.spark.sql.functions.col("n_copies") > 1).count()
+    assert(dups > 0 && dups <= 8)
+  }
+
+  test("sim_cosine_topk puts the probe itself first with sim 1.0") {
+    val rows = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.head.getLong(0) == 0L)
+    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("join_asof: every matched click precedes or equals its purchase") {
+    SparkEntry.queries("join_asof")(spark, sf).collect()
+      .foreach(r => assert(r.getLong(3) >= 0, s"negative gap for ${r.getLong(0)}"))
+  }
+
+  test("evt_session durations are non-negative and bounded by the month") {
+    SparkEntry.queries("evt_session")(spark, sf).collect()
+      .foreach { r =>
+        val d = r.getLong(3)
+        assert(d >= 0 && d < 32L * 24 * 3600)
+      }
+  }
+}
