@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-path deduplication APIs (the oracle-checked twins live in
+  * graft.operators.{PipelineQueries,DedupQueries}; these are the forms
+  * you run at 100 TB).
+  *
+  * Differences from the oracle twins, deliberately:
+  *  - hashing is xxhash64 (codegen'd, ~10× md5 throughput) — fine when
+  *    the result only has to be self-consistent, not cross-engine;
+  *  - MinHash signatures are built in ONE pass with array expressions
+  *    (no explode → K-row blowup, no per-seed shuffle);
+  *  - the only shuffles are groupBy(band, bucket) over candidates —
+  *    never a token×token self-join.
+  */
+object Dedup {
+
+  /** Exact dedup, deterministic survivor (min id). One hash shuffle on
+    * a 64-bit text hash instead of the full text — at 100 TB the shuffle
+    * carries 8-byte keys, with an exact confirm inside each group.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("h"), col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("h", textCol)
+
+  /** K minhashes in a single projection: distinct tokens → per-seed
+    * hash → array_min. No explode, no extra shuffle.
+    */
+  def minhashSignature(textCol: Column, k: Int): Column = {
+    val tokens = array_distinct(split(textCol, "\\s+"))
+    val sig = (0 until k).map { seed =>
+      array_min(transform(tokens, t => xxhash64(t, lit(seed))))
+    }
+    array(sig: _*)
+  }
+
+  /** Banded LSH candidate pairs: docs sharing any band bucket.
+    * rowsPerBand * bands must equal the signature length.
+    */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "signature length must divide into bands")
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("doc_id"),
+      minhashSignature(col(textCol), k).as("sig"))
+    val buckets = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bucket")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** End-to-end near-dup: LSH candidates + exact Jaccard confirm.
+    * The confirm joins token sets ONLY for candidate pairs.
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+    val cand = lshCandidates(df, idCol, textCol, k, bands)
+    val toks = df.select(col(idCol).as("doc_id"),
+      array_distinct(split(col(textCol), "\\s+")).as("toks"))
+    cand
+      .join(toks.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
+      .join(toks.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
+      .withColumn("jac",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
+  /** 64-bit per-bit-majority SimHash. One explode on (token × bit) and
+    * two hash aggregations — at 100 TB, partial aggregation collapses the
+    * (id, bit) pairs map-side so the shuffle is ≤ 64 rows per doc.
+    * Returns (idCol, simhash BIGINT).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(63))).as("j"))
+      .withColumn("bit", expr("shiftright(h, CAST(j AS INT)) & CAST(1 AS BIGINT)"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(when(col("bit") === 1L, 1L).otherwise(-1L)).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L)).as("simhash"))
+
+  /** Hamming-distance pairs over simhash fingerprints, blocked by the
+    * top `prefixBits` bits so the pairwise comparison never goes
+    * all-against-all (near-identical docs share the high bits with
+    * probability 1 - d/64 per bit).
+    */
+  def simhashPairs(fp: DataFrame, idCol: String, maxHamming: Int,
+                   prefixBits: Int = 12): DataFrame = {
+    val blocked = fp.withColumn("block", expr(s"shiftrightunsigned(simhash, ${64 - prefixBits})"))
+    blocked.select(col(idCol).as("a_id"), col("simhash").as("fa"), col("block"))
+      .join(blocked.select(col(idCol).as("b_id"), col("simhash").as("fb"), col("block")),
+        Seq("block"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, Sketches}
+
+class PipelineLibSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("Dedup.exact keeps one survivor per distinct text") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(out.count() == docs.select("text").distinct().count())
+    assert(out.agg(sum("n_copies")).head.getLong(0) == docs.count())
+  }
+
+  test("Dedup.nearDuplicates finds every exact duplicate pair (recall on sure things)") {
+    // exact duplicate texts must collide in every band, so LSH recall on
+    // jaccard=1.0 pairs is 1 by construction
+    val d = Tables.documents(spark, "/root/testdata/sf0.1")
+    val exactPairs = d.select(col("text"), col("doc_id").as("a"))
+      .join(d.select(col("text"), col("doc_id").as("b")), "text")
+      .filter(col("a") < col("b"))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "sf0.1 is documented to contain duplicate texts")
+    val found = Dedup.nearDuplicates(d, "doc_id", "text", threshold = 0.99)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(found),
+      s"missing ${exactPairs.diff(found)}")
+  }
+
+  test("Dedup.simhash: identical texts get identical fingerprints") {
+    val fp = Dedup.simhash(docs.limit(50), "doc_id", "text")
+    assert(fp.count() == 50)
+    val joined = fp.join(docs.select("doc_id", "text"), "doc_id")
+      .groupBy("text").agg(countDistinct("simhash").as("n"))
+    assert(joined.filter(col("n") > 1).count() == 0)
+  }
+
+  test("Similarity.bruteTopK matches the oracle query's top-10") {
+    val probe = emb.filter(col("vec_id") === 0)
+    val brute = Similarity.bruteTopK(emb, probe, 10).collect().map(_.getLong(0))
+    val oracle = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(brute.sameElements(oracle))
+  }
+
+  test("Similarity.annTopK returns the probe itself and real neighbors") {
+    val probe = emb.filter(col("vec_id") === 0)
+    val ann = Similarity.annTopK(emb, probe, 10, bits = 6, probeHamming = 2).collect()
+    assert(ann.nonEmpty)
+    assert(ann.head.getLong(0) == 0L, "probe must be its own nearest neighbor")
+    // every ANN result must appear in the brute-force full ranking with
+    // the same cosine
+    val bruteAll = Similarity.bruteTopK(emb, probe, 2000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach(r => assert(math.abs(bruteAll(r.getLong(0)) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("Similarity.labelCentroids returns one 64-dim centroid per label") {
+    val c = Similarity.labelCentroids(emb).collect()
+    assert(c.length == emb.select("label").distinct().count())
+    c.foreach(r => assert(r.getSeq[Double](1).length == 64))
+  }
+
+  test("Multimodal decode round-trips header metadata through mapPartitions") {
+    val media = Multimodal.syntheticMedia(spark, 40)
+    val decoded = Multimodal.decodeImages(media).collect()
+    assert(decoded.length == 30) // 10 of 40 are audio
+    decoded.foreach { d =>
+      assert(d.width == 8 + (d.media_id % 5) && d.height == 6 + (d.media_id % 3))
+      assert(d.n_bytes == 12L + d.width * d.height * d.channels)
+      assert(d.mean_px >= 0 && d.mean_px <= 255)
+    }
+  }
+
+  test("Multimodal.sampleFrames slices payloads without decoding") {
+    val media = Multimodal.syntheticMedia(spark, 5)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, everyNth = 2)
+    assert(frames.count() > 0)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame"))
+  }
+
+  test("Sketches.approxDistinct is within rsd of exact") {
+    val approx = Sketches.approxDistinct(
+      Tables.lineitem(spark, sf), Seq("l_returnflag"), "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05)
+    }
+  }
+}
