@@ -1,0 +1,102 @@
+package graft.marine
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Race segmentation, maneuver detection, summaries, replay export
+  * (SURVEY.md §2.10). Input is the wide aligned channel table from
+  * `Channels.align`: (ts seconds, lat, lon, sog, hdg, twa, tws, ...).
+  */
+object Races {
+
+  /** Split a day into races: gaps-and-islands sessionization on the
+    * sample clock — a new race starts after `gapSeconds` of silence
+    * (same machinery as evt_session; SURVEY.md §2.10 race_split).
+    */
+  def split(samples: DataFrame, gapSeconds: Double = 1800): DataFrame = {
+    val w = Window.orderBy("ts")
+    samples
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_race",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("race_id",
+        sum("new_race").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ts", "new_race")
+  }
+
+  /** Tacks/gybes: the true-wind angle changes sign between consecutive
+    * samples (bow or stern through the wind). Emits one row per maneuver
+    * with entry/exit speeds and the speed-rebuild cost.
+    *
+    * kind: tack when |TWA| < 90 on both sides (bow through wind),
+    * gybe when |TWA| > 90 on both sides, else mixed.
+    */
+  def maneuvers(races: DataFrame): DataFrame = {
+    val w = Window.partitionBy("race_id").orderBy("ts")
+    races
+      .withColumn("prev_twa", lag("twa", 1).over(w))
+      .withColumn("prev_sog", lag("sog", 1).over(w))
+      .filter(col("prev_twa").isNotNull &&
+        signum(col("twa")) =!= signum(col("prev_twa")) &&
+        abs(col("twa")) > 5 && abs(col("prev_twa")) > 5)
+      .select(
+        col("race_id"),
+        col("ts").as("maneuver_ts"),
+        when(abs(col("twa")) < 90 && abs(col("prev_twa")) < 90, "tack")
+          .when(abs(col("twa")) > 90 && abs(col("prev_twa")) > 90, "gybe")
+          .otherwise("mixed").as("kind"),
+        col("prev_twa"), col("twa"),
+        col("prev_sog").as("entry_sog"),
+        col("sog").as("exit_sog"),
+        (col("prev_sog") - col("sog")).as("speed_loss"))
+  }
+
+  /** Per-race summary statistics (SURVEY.md §2.10 race_stats): duration,
+    * distance (haversine between consecutive fixes), speed and wind
+    * ranges, maneuver count.
+    */
+  def stats(races: DataFrame): DataFrame = {
+    val w = Window.partitionBy("race_id").orderBy("ts")
+    val withDist = races
+      .withColumn("leg_m",
+        Derived.haversineM(lag("lat", 1).over(w), lag("lon", 1).over(w),
+          col("lat"), col("lon")))
+    val m = maneuvers(races).groupBy("race_id")
+      .agg(count(lit(1)).as("n_maneuvers"))
+    withDist.groupBy("race_id")
+      .agg(
+        count(lit(1)).as("n_samples"),
+        (max("ts") - min("ts")).as("duration_s"),
+        round(sum("leg_m"), 1).as("distance_m"),
+        round(max("sog"), 2).as("max_sog"),
+        round(avg("sog"), 2).as("avg_sog"),
+        round(min("tws"), 2).as("min_tws"),
+        round(max("tws"), 2).as("max_tws"))
+      .join(m, Seq("race_id"), "left")
+      .withColumn("n_maneuvers", coalesce(col("n_maneuvers"), lit(0L)))
+      .orderBy("race_id")
+  }
+
+  /** Replay JSON export (SURVEY.md §2.10 replay_export): one nested doc
+    * per race — meta + ordered sample array — ready for
+    * `.write.json(...)`. sort_array on (ts, struct) keeps the sample
+    * order deterministic without a per-group sort shuffle.
+    */
+  def replayDocs(races: DataFrame, channels: Seq[String]): DataFrame = {
+    val sampleStruct = struct((col("ts") +: channels.map(col)): _*)
+    races
+      .groupBy("race_id")
+      .agg(
+        min("ts").as("start_ts"),
+        max("ts").as("end_ts"),
+        count(lit(1)).as("n_samples"),
+        array_sort(collect_list(sampleStruct)).as("samples"))
+      .select(
+        struct(col("race_id"), col("start_ts"), col("end_ts"), col("n_samples")).as("meta"),
+        col("samples"))
+      .orderBy(col("meta.race_id"))
+  }
+
+}
