@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event-time operators
+  * (SURVEY.md §2.8/§7.6). Same logical shapes as EventTimeQueries —
+  * window(), session_window(), dedup — but incremental over an unbounded
+  * stream with watermark-bounded state. Deliberately outside the DuckDB
+  * oracle (batch twins carry the correctness check); verified by
+  * MemoryStream tests.
+  *
+  * A typed event row for streaming demos. */
+case class StreamEvent(event_id: Long, ts: java.sql.Timestamp,
+                       user_id: Long, event_type: String, value: Double)
+
+/** Running per-user session state for the stateful operator demo. */
+case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+object EventStreams {
+
+  /** 1-hour tumbling counts per event_type; 10-min watermark bounds
+    * state: windows older than (max event time − 10 min) finalize and
+    * evict. Append mode → only closed windows are emitted, exactly-once
+    * per window.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Event-time sessions with a 30-min gap via session_window — the
+    * streaming-native form of evt_session's gaps-and-islands.
+    */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Exactly-once dedup on event_id with watermark-bounded state —
+    * duplicates arriving within the watermark horizon are dropped.
+    */
+  def dedupedWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful operator: running per-user totals via
+    * flatMapGroupsWithState — the escape hatch when built-in windows
+    * can't express the state machine (SURVEY.md §2.8).
+    */
+  def runningUserTotals(events: Dataset[StreamEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[StreamEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val next = rows.foldLeft(prev)((acc, e) =>
+            UserRunning(user, acc.n_events + 1, acc.sum_value + e.value))
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventStreams, StreamEvent}
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumbling window stream finalizes closed windows exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    input.addData(
+      StreamEvent(1, ts(5), 1, "click", 1.0),
+      StreamEvent(2, ts(20), 1, "click", 2.0),
+      StreamEvent(3, ts(59), 2, "view", 3.0))
+    // next hour's event pushes the watermark past the 10:00 window
+    input.addData(StreamEvent(4, Timestamp.valueOf("2024-01-01 11:30:00"), 1, "click", 4.0))
+    runToMemory(EventStreams.tumblingCounts(input.toDF()), "tumbling")
+    val out = spark.table("tumbling").collect()
+    assert(out.exists(r => r.getLong(2) == 2 && r.getString(1) == "click"),
+      s"10:00 click window should close with 2 events: ${out.mkString(";")}")
+  }
+
+  test("session_window stream groups within-gap events per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    input.addData(
+      StreamEvent(1, ts(0), 7, "click", 1.0),
+      StreamEvent(2, ts(10), 7, "click", 1.0),  // same session (10 < 30 gap)
+      StreamEvent(3, ts(55), 7, "click", 1.0))  // new session
+    input.addData(StreamEvent(4, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "view", 1.0))
+    runToMemory(EventStreams.sessions(input.toDF()), "sessions")
+    val out = spark.table("sessions").filter(col("user_id") === 7).collect()
+    assert(out.length == 2, s"expected 2 closed sessions: ${out.mkString(";")}")
+    assert(out.map(_.getLong(3)).sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    input.addData(
+      StreamEvent(1, ts(0), 1, "click", 1.0),
+      StreamEvent(1, ts(1), 1, "click", 1.0), // duplicate id
+      StreamEvent(2, ts(2), 1, "view", 1.0))
+    runToMemory(EventStreams.dedupedWithinWatermark(input.toDF()), "deduped")
+    assert(spark.table("deduped").count() == 2)
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("running").outputMode("append").start()
+    input.addData(StreamEvent(1, ts(0), 1, "click", 10.0))
+    q.processAllAvailable()
+    input.addData(StreamEvent(2, ts(1), 1, "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("running").orderBy("n_events").collect()
+    assert(rows.last.getLong(1) == 2 && rows.last.getDouble(2) == 15.0,
+      s"state must accumulate across batches: ${rows.mkString(";")}")
+  }
+}
