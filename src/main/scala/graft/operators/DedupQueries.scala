@@ -30,34 +30,33 @@ object DedupQueries extends QueryPack {
   /** MinHash signature → banded LSH buckets → candidate pairs → exact
     * Jaccard confirm ≥ 0.8. The only pairwise work happens on LSH
     * candidates, which is what makes this shape viable at 100 TB.
+    *
+    * The signature is built in ONE scan with array expressions (per-seed
+    * transform + array_min) — no (doc × word × seed) explode, no
+    * signature shuffles; the oracle replays the identical md5-min per
+    * seed relationally and lands on the same buckets.
     */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val tok = tokDistinct(s, dir, 300)
-    val seeds = explode(sequence(lit(0), lit(K - 1))).as("k")
-    val mh = tok.select(col("doc_id"), col("word"), seeds)
-      .groupBy(col("doc_id"), col("k"))
-      .agg(min(md5(concat(col("word"), lit("#"), col("k").cast("string")))).as("mh"))
-    val buckets = mh
-      .groupBy(col("doc_id"), (col("k") / 2).cast("int").as("band"))
-      .agg(concat(
-        max(when(col("k") % 2 === 0, col("mh"))),
-        max(when(col("k") % 2 === 1, col("mh")))).as("bucket"))
-    val cand = buckets.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
-      .join(buckets.select(col("doc_id").as("b_id"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
+    val toks = filter(array_distinct(split(col("text"), " ")), w => w =!= "")
+    val sig = (0 until K).map { k =>
+      array_min(transform(toks, w => md5(concat(w, lit("#"), lit(k.toString)))))
+    }
+    val bucketCols = (0 until BANDS).map(b => concat(sig(2 * b), sig(2 * b + 1)))
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), toks.as("toks"),
+        posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+    val cand = docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
+        col("band"), col("bucket"))
+      .join(docs.select(col("doc_id").as("b_id"), col("toks").as("tb"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
-    val inter = cand
-      .join(tok.select(col("doc_id").as("a_id"), col("word")), "a_id")
-      .join(tok.select(col("doc_id").as("b_id"), col("word").as("word_b")), "b_id")
-      .filter(col("word") === col("word_b"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_words").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_words").as("nb")), "b_id")
-      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .select(col("a_id"), col("b_id"), col("ta"), col("tb"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("n_inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac",
+        col("n_inter") / (size(col("ta")) + size(col("tb")) - col("n_inter")))
       .filter(col("jac") >= 0.8)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
@@ -118,17 +117,19 @@ object DedupQueries extends QueryPack {
     * Same bit-exact double left-fold as sim_cosine_topk.
     */
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    // self-norms are per-vector, so compute them ONCE before the pairwise
+    // join (n folds) instead of per pair (n² folds) — identical doubles,
+    // ~n× less flops; only the cross dot product stays pairwise
+    val selfDot = aggregate(zip_with(col("embedding"), col("embedding"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s0, x) => s0 + x)
     val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      .select(col("vec_id"), col("embedding"), sqrt(selfDot).as("norm"))
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("norm").as("nb"))
     val dotAB = aggregate(zip_with(col("ea"), col("eb"),
       (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s0, x) => s0 + x)
-    val dotAA = aggregate(zip_with(col("ea"), col("ea"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s0, x) => s0 + x)
-    val dotBB = aggregate(zip_with(col("eb"), col("eb"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s0, x) => s0 + x)
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", dotAB / (sqrt(dotAA) * sqrt(dotBB)))
+      .withColumn("cos", dotAB / (col("na") * col("nb")))
       .filter(col("cos") >= 0.40)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("a_id"), col("b_id"))
