@@ -1,0 +1,75 @@
+package graft
+
+/** Physical-plan assertions (SURVEY.md §4): these are the properties that
+  * decide 100 TB viability, enforced as tests so a regression in plan
+  * shape fails CI, not just the benchmark.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("scan_projection_pushdown reads only the 2 projected columns") {
+    val p = plan("scan_projection_pushdown")
+    assert(p.contains("ReadSchema"), p.take(400))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan must prune unused columns: $readSchema")
+  }
+
+  test("filter_pred pushes predicates into the parquet scan") {
+    val p = plan("filter_pred")
+    assert(p.contains("PushedFilters: ["), p.take(400))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("o_totalprice") || pushed.contains("o_custkey"),
+      s"expected pushed comparison filters: $pushed")
+  }
+
+  test("agg_groupby pushes the shipdate filter and aggregates partially") {
+    val p = plan("agg_groupby")
+    assert(p.contains("HashAggregate"), "hash aggregation expected")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_shipdate")),
+      "shipdate filter must reach the scan")
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin (no shuffle of the probe side)") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("join_asof plans exactly one Exchange for the window carry-forward") {
+    val p = plan("join_asof")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // union of two scans + one hashpartitioning Exchange on user_id +
+    // the final sort's rangepartitioning
+    assert(p.contains("hashpartitioning(user_id"),
+      s"as-of must repartition once by key: ${p.take(800)}")
+  }
+
+  test("limit_topk plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("dim joins in agg_rollup broadcast both nation and region") {
+    val p = plan("agg_rollup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("whole-stage codegen covers the scalar function packs (no UDF opacity)") {
+    Seq("fn_string", "fn_math", "fn_conditional", "project_expr").foreach { q =>
+      val p = plan(q)
+      // codegen spans print as "WholeStageCodegen" or the "*(n)" prefix
+      assert(p.contains("WholeStageCodegen") || p.contains("*("),
+        s"$q fell out of codegen: ${p.take(300)}")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q must not use UDFs")
+    }
+  }
+}
