@@ -120,14 +120,12 @@ object DedupQueries extends QueryPack {
     // self-norms are per-vector, so compute them ONCE before the pairwise
     // join (n folds) instead of per pair (n² folds) — identical doubles,
     // ~n× less flops; only the cross dot product stays pairwise
-    val selfDot = aggregate(zip_with(col("embedding"), col("embedding"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s0, x) => s0 + x)
+    val selfDot = graft.functions.GraftFunctions.vectorDot(col("embedding"), col("embedding"))
     val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
       .select(col("vec_id"), col("embedding"), sqrt(selfDot).as("norm"))
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("norm").as("na"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("norm").as("nb"))
-    val dotAB = aggregate(zip_with(col("ea"), col("eb"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s0, x) => s0 + x)
+    val dotAB = graft.functions.GraftFunctions.vectorDot(col("ea"), col("eb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos", dotAB / (col("na") * col("nb")))
       .filter(col("cos") >= 0.40)

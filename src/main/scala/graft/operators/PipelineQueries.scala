@@ -58,13 +58,12 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Left-fold dot product over double-cast elements — the op sequence
-    * DuckDB's list_reduce replays exactly.
+  /** Native codegen'd dot product (graft.functions.VectorDot): fused
+    * loop, left-to-right accumulation — the exact op sequence DuckDB's
+    * list_reduce replays, so results stay bit-identical cross-engine.
     */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.vectorDot(a, b)
 
   /** Brute-force cosine top-10 against the probe vector (vec_id = 0).
     * This is the correctness baseline; the bucketed ANN scale path is
