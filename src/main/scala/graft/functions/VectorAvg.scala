@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF surface (SURVEY.md §2.7): element-wise mean of
+  * Array[Float] vectors via `Aggregator` — the type-safe custom
+  * aggregate extension point. The buffer is (running sums, count);
+  * merge is associative+commutative so Spark can combine partials
+  * map-side exactly like a built-in aggregate.
+  */
+object VectorAvg extends Aggregator[Array[Float], (Array[Double], Long), Array[Double]] {
+
+  override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+
+  override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
+    if (v == null) b
+    else {
+      val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+      var i = 0
+      while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
+      (sums, b._2 + 1)
+    }
+  }
+
+  override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+    if (a._1.isEmpty) b
+    else if (b._1.isEmpty) a
+    else {
+      var i = 0
+      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+  }
+
+  override def finish(r: (Array[Double], Long)): Array[Double] =
+    if (r._2 == 0) Array.empty[Double] else r._1.map(_ / r._2)
+
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+    ExpressionEncoder[(Array[Double], Long)]()
+  override def outputEncoder: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Interchange sources/sinks (SURVEY.md §2.1 oracle-N rows): CSV in/out,
+  * JSON export, binary-file ingest for multimodal payloads. Thin,
+  * explicit wrappers — schema always declared on read (schema inference
+  * is a full extra scan at 100 TB).
+  */
+object Sources {
+
+  /** Schema-explicit CSV read — never infer (inference = one full scan
+    * before the real one).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  /** Line-delimited JSON export — the reference's output format. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Whole-file binary ingest (images/audio/video as opaque payloads):
+    * (path, modificationTime, length, content) rows — feed to
+    * graft.pipeline.Multimodal decoders.
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.functions.VectorAvg
+import graft.pipeline.Skew
+import graft.sources.Sources
+
+class SourcesAndAggSpec extends SparkSpec {
+
+  test("CSV round-trip preserves rows and schema-declared types") {
+    val tmp = Files.createTempDirectory("csv").toString + "/docs"
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    Sources.writeCsv(docs, tmp)
+    val back = Sources.readCsv(spark, tmp, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.schema == docs.schema)
+    assert(back.agg(sum("n_chars")).head.getLong(0) ==
+      docs.agg(sum("n_chars")).head.getLong(0))
+  }
+
+  test("JSON sink writes replay docs that read back intact") {
+    val tmp = Files.createTempDirectory("json").toString + "/replay"
+    val logPath = NmeaFixture.write(Files.createTempDirectory("nmea3").toString)
+    val docs = graft.marine.Marine.replayFromLog(spark, logPath)
+    Sources.writeJson(docs, tmp)
+    val back = Sources.readJson(spark, tmp, docs.schema)
+    assert(back.count() == 2)
+    assert(back.select(col("meta.n_samples")).collect().map(_.getLong(0)).sum == 15)
+  }
+
+  test("binaryFile source reads whole files as payload rows") {
+    val dir = Files.createTempDirectory("bin")
+    Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("b.bin"), Array[Byte](4, 5))
+    val df = Sources.readBinaryFiles(spark, dir.toString, "*.bin")
+    val rows = df.select("length", "content").collect()
+    assert(rows.map(_.getLong(0)).sorted.sameElements(Array(2L, 3L)))
+  }
+
+  test("VectorAvg aggregator computes per-label centroids like the relational path") {
+    import spark.implicits._
+    val byAgg = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(VectorAvg.toColumn.name("centroid"))
+      .collect().toMap
+    // compare against the posexplode-based relational centroid
+    val relational = graft.pipeline.Similarity
+      .labelCentroids(Tables.embeddings(spark, sf))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(byAgg.keySet == relational.keySet)
+    byAgg.foreach { case (label, c) =>
+      val rc = relational(label)
+      assert(c.length == rc.length)
+      c.zip(rc).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
+  test("salted aggregation matches the direct groupBy on a skewed column") {
+    val events = Tables.events(spark, sf)
+    val direct = events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(events, "event_type", col("event_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("salted join matches the plain join") {
+    val events = Tables.events(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = events.join(dim, "user_id").count()
+    val salted = Skew.saltedJoin(events, dim, "user_id", col("event_id")).count()
+    assert(salted == plain)
+  }
+}
