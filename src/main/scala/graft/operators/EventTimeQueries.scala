@@ -95,8 +95,8 @@ object EventTimeQueries extends QueryPack {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), numbered AS (
         |  SELECT user_id, tns,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
-        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged
         |)
         |SELECT user_id, session_id,

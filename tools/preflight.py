@@ -15,19 +15,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    """Bit-exact normalization: floats compare by IEEE bits (the driver's
+    hash compare gives no tolerance), ints by value regardless of width.
+    """
     if v is None:
         return None
     if isinstance(v, bool):
         return v
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # collapse float noise far below the rounding we mandate
-        return round(v, 9)
+        return ("f", "nan") if math.isnan(v) else ("f", v.hex())
     if isinstance(v, int):
-        return float(v) if abs(v) < 2**52 else v
+        return ("i", v)
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
+    try:
+        import numpy as np
+        if isinstance(v, np.ndarray):
+            return tuple(norm(x) for x in v.tolist())
+        if isinstance(v, np.floating):
+            return norm(float(v))
+        if isinstance(v, np.integer):
+            return ("i", int(v))
+    except ImportError:
+        pass
     return str(v)
 
 
