@@ -108,6 +108,20 @@ object Nmea {
         f(4).as("unit"),
         (f(5) === "A").as("valid_flag"))
 
+  /** VWR — relative wind (older alternative to MWV): angle 0-180 +
+    * L/R side, speed in knots/m-s/km-h. Normalised to the MWV shape:
+    * signed wind_angle (starboard positive).
+    */
+  def vwr(parsed: DataFrame): DataFrame =
+    parsed.filter(col("stype") === "VWR")
+      .select(
+        col("raw"),
+        when(f(2) === "L", -f(1).cast("double"))
+          .otherwise(f(1).cast("double")).as("wind_angle"),
+        f(3).cast("double").as("wind_speed_kn"),
+        f(5).cast("double").as("wind_speed_ms"),
+        f(7).cast("double").as("wind_speed_kmh"))
+
   /** DPT — depth below transducer + offset. */
   def dpt(parsed: DataFrame): DataFrame =
     parsed.filter(col("stype") === "DPT")

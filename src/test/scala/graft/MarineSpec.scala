@@ -31,7 +31,10 @@ object NmeaFixture {
         sentence(f"IIVHW,208.0,T,194.9,M,${5.2 + (i % 2) * 0.2}%.1f,N,9.6,K"),
         // alternate tacks: AWA flips side every 5 fixes
         sentence(f"IIMWV,${if ((i / 5) % 2 == 0) 42.0 else 318.0}%.1f,R,11.3,N,A"),
-        sentence(f"IIDPT,${12.7 + i * 0.1}%.1f,0.0"))
+        sentence(f"IIDPT,${12.7 + i * 0.1}%.1f,0.0"),
+        sentence(f"GPGGA,$t,$lat%.4f,N,$lon%.4f,W,1,08,1.0,4.2,M,,,,"),
+        sentence(f"IIHDG,195.2,,,16.1,E"),
+        sentence(f"IIVWR,042.0,R,11.3,N,5.8,M,20.9,K"))
     }
     val race1 = (0 until 10).flatMap(i => fix(i, 14, 43, 26 + i))
     val race2 = (0 until 5).flatMap(i => fix(10 + i, 15, 30, i))
@@ -58,9 +61,9 @@ class MarineSpec extends SparkSpec {
   test("checksum: valid sentences pass, corrupted and truncated are rejected") {
     val all = Nmea.parseAll(
       spark.read.text(logPath).withColumn("line_no", monotonically_increasing_id()))
-    assert(all.count() == 62)                      // 15 fixes × 4 + 2 bad
+    assert(all.count() == 107)                     // 15 fixes × 7 + 2 bad
     assert(all.filter(!col("valid")).count() == 2) // exactly the 2 bad lines
-    assert(parsed.count() == 60)
+    assert(parsed.count() == 105)
   }
 
   test("coordinate conversion: 4739.1234,N → 47.65206°") {
@@ -81,6 +84,12 @@ class MarineSpec extends SparkSpec {
     assert(dpt.getDouble(1) > 12.0)
     val mwv = Nmea.mwv(parsed).head()
     assert(mwv.getString(2) == "R" && mwv.getDouble(3) == 11.3)
+    val gga = Nmea.gga(parsed).head()
+    assert(gga.getInt(4) == 1 && gga.getInt(5) == 8 && gga.getDouble(7) == 4.2)
+    val hdg = Nmea.hdg(parsed).head()
+    assert(hdg.getDouble(1) == 195.2 && hdg.getDouble(2) == 16.1) // E variation positive
+    val vwr = Nmea.vwr(parsed).head()
+    assert(vwr.getDouble(1) == 42.0 && vwr.getDouble(2) == 11.3)
   }
 
   test("wide table aligns channels onto the RMC clock with carry-forward") {
