@@ -16,9 +16,12 @@ object VectorAvg extends Aggregator[Array[Float], (Array[Double], Long), Array[D
   override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
     if (v == null) b
     else {
-      val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+      // grow the buffer to the widest vector seen so ragged inputs sum
+      // every component instead of silently dropping tails
+      val sums = if (b._1.length >= v.length) b._1
+        else java.util.Arrays.copyOf(b._1, v.length)
       var i = 0
-      while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
+      while (i < v.length) { sums(i) += v(i); i += 1 }
       (sums, b._2 + 1)
     }
   }
@@ -27,9 +30,11 @@ object VectorAvg extends Aggregator[Array[Float], (Array[Double], Long), Array[D
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      // partials from different partitions may have different widths
+      val (wide, narrow) = if (a._1.length >= b._1.length) (a._1, b._1) else (b._1, a._1)
       var i = 0
-      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
-      (a._1, a._2 + b._2)
+      while (i < narrow.length) { wide(i) += narrow(i); i += 1 }
+      (wide, a._2 + b._2)
     }
   }
 

@@ -67,8 +67,9 @@ case class VectorDot(left: Expression, right: Expression)
 }
 
 /** Cosine similarity as one fused loop (dot + both norms in a single
-  * pass over the arrays). NaN-free: returns null via division only if a
-  * norm is zero — callers filter if needed.
+  * pass over the arrays). A zero-norm input (zero or empty vector)
+  * yields NaN, matching the SQL 0/0 semantics of the oracle twin —
+  * rankers must filter NaN (see Similarity.annTopK / IvfIndex.topK).
   */
 case class VectorCosine(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * A sailboat log interleaves sensor sentences at different rates; the
   * analysis wants one row per instant with every channel populated. That
-  * is an as-of join of N sparse channels onto one clock — implemented as
-  * the same union + window carry-forward plan as join_asof (SURVEY.md
-  * §7.4): one Exchange on the (constant) boat key, one in-partition sort,
-  * then last(ignoreNulls) per channel. No per-channel joins, no driver
-  * state, scales to any number of channels.
+  * is an as-of join of N sparse channels onto one clock — the same union
+  * + window carry-forward plan as join_asof (SURVEY.md §7.4), with no
+  * per-channel joins and no driver state.
+  *
+  * `align` uses an UNPARTITIONED window: a single log is one totally-
+  * ordered sequence, so it serialises through one task by construction —
+  * correct for one boat-day, NOT the fleet-scale path. At scale use
+  * `alignByKey(boat_id)`: the Exchange hashes on the boat key and each
+  * boat's log aligns independently in parallel.
   */
 object Channels {
 

@@ -25,7 +25,9 @@ object Nmea {
   /** Like `parse` but keeps invalid rows with valid=false for auditing. */
   def parseAll(lines: DataFrame): DataFrame = {
     val line = trim(col("value"))
-    val wellFormed = line.rlike("^\\$[A-Z]{5},[^*]*\\*[0-9A-Fa-f]{2}$")
+    // accept standard 5-char addresses AND proprietary/other lengths
+    // ($PMTK001-style) — validity is the checksum, not the address width
+    val wellFormed = line.rlike("^\\$[A-Z0-9]{3,10},[^*]*\\*[0-9A-Fa-f]{2}$")
     val body = regexp_extract(line, "^\\$([^*]*)\\*", 1)
     val declared = upper(regexp_extract(line, "\\*([0-9A-Fa-f]{2})$", 1))
     // XOR-fold the body bytes; ascii() + bitwise xor stays codegen'd
@@ -38,7 +40,7 @@ object Nmea {
         wellFormed.and(declared === computed).as("valid") :+
         substring(line, 2, 2).as("talker") :+
         substring(line, 4, 3).as("stype") :+
-        split(regexp_extract(line, "^\\$[A-Z]{5},([^*]*)\\*", 1), ",").as("fields"): _*)
+        split(regexp_extract(line, "^\\$[A-Z0-9]{3,10},([^*]*)\\*", 1), ",").as("fields"): _*)
   }
 
   /** `ddmm.mmmm` + hemisphere → signed decimal degrees.

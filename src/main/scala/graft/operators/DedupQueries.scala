@@ -92,7 +92,7 @@ object DedupQueries extends QueryPack {
     */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(s, dir)
-      .filter(col("doc_id") < 150)
+      .filter(col("doc_id") < 150 && length(col("text")) >= 3)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
       .select(col("doc_id"), expr("substring(text, i, 3)").as("gram"))
@@ -201,9 +201,8 @@ object DedupQueries extends QueryPack {
     "dedup_ngram" ->
       ("""WITH grams AS (
         |  SELECT DISTINCT doc_id, substr(text, i, 3) AS gram
-        |  FROM documents
-        |  CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) idx
-        |  WHERE doc_id < 150 AND i <= length(text) - 2
+  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 1, 1))) AS i
+        |        FROM documents WHERE doc_id < 150 AND length(text) >= 3) t
         |), sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter

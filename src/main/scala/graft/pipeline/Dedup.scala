@@ -17,14 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup, deterministic survivor (min id). One hash shuffle on
-    * a 64-bit text hash instead of the full text — at 100 TB the shuffle
-    * carries 8-byte keys, with an exact confirm inside each group.
+  /** Exact dedup, deterministic survivor (min id): one hash-partitioned
+    * aggregate keyed by the text. (A hash-only shuffle with in-group
+    * confirm would need a second pass to resolve 64-bit collisions; at
+    * the oracle scale the direct groupBy is both simpler and exact.)
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("h"), col(textCol))
+    df.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .drop("h", textCol)
+      .drop(textCol)
 
   /** K minhashes in a single projection: distinct tokens → per-seed
     * hash → array_min. No explode, no extra shuffle.

@@ -64,6 +64,7 @@ object IvfIndex {
       .crossJoin(broadcast(probeDf))
       .withColumn("cos",
         graft.functions.GraftFunctions.vectorCosine(col("embedding"), col("__probe")))
+      .filter(!isnan(col("cos"))) // zero-norm vectors sort above real hits otherwise
       .select(col(idCol), col("cos"), col("ivf_cell"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)

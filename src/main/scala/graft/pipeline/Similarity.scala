@@ -72,6 +72,7 @@ object Similarity {
     bucketed.crossJoin(probeB)
       .filter(bit_count(col("bucket").bitwiseXOR(col("pbucket"))) <= probeHamming)
       .withColumn("cos", cosine(col("embedding"), col("__probe")))
+      .filter(!isnan(col("cos"))) // zero-norm vectors must not outrank real hits
       .select(col(idCol), col("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)

@@ -25,7 +25,9 @@ object Sketches {
       .agg(percentile_approx(col(valueCol),
         array(probs.map(lit): _*), lit(10000)).as("quantiles"))
 
-  /** Frequent-items sketch per group (count-min style built-in). */
-  def topFrequent(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+  /** Global frequent-items sketch (freqItems is whole-dataset by
+    * design; group first and call per slice for a keyed variant).
+    */
+  def topFrequent(df: DataFrame, valueCol: String): DataFrame =
     df.stat.freqItems(Array(valueCol), 0.01)
 }

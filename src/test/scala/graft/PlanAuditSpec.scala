@@ -42,14 +42,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
 
-  test("join_asof plans exactly one Exchange for the window carry-forward") {
+  test("join_asof plans exactly one hash Exchange for the carry-forward") {
     val p = plan("join_asof")
-    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
-      p.linesIterator.count(_.trim.startsWith("Exchange"))
-    // union of two scans + one hashpartitioning Exchange on user_id +
-    // the final sort's rangepartitioning
     assert(p.contains("hashpartitioning(user_id"),
-      s"as-of must repartition once by key: ${p.take(800)}")
+      s"as-of must repartition by key: ${p.take(800)}")
+    // exactly ONE hash Exchange (the window's); the only other Exchange
+    // allowed is the final ORDER BY's rangepartitioning. AQE's toString
+    // repeats the plan under "== Initial Plan ==" — count the final only.
+    val finalSection = p.split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(hashExchanges == 1,
+      s"expected a single hash Exchange, got $hashExchanges: ${finalSection.take(800)}")
   }
 
   test("limit_topk plans TakeOrderedAndProject, not a global sort") {
