@@ -152,9 +152,12 @@ object GraftFunctions {
 }
 
 /** Config-time extension: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
-  * injects the native functions into every session of a deployment.
+  * injects the native functions + optimizer rules into every session of
+  * a deployment.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => SimplifySelfCosine)
+  }
 }
