@@ -23,6 +23,18 @@ object Marine {
     Nmea.parse(
       spark.read.text(path).withColumn("line_no", monotonically_increasing_id()))
 
+  /** Epoch-seconds clock from an RMC row's date (ddmmyy, field 9) +
+    * time (hhmmss.ss, field 1) — a full instant, so multi-day logs keep
+    * real gaps (seconds-since-midnight alone would wrap at each day and
+    * hide them from race splitting).
+    */
+  private def rmcEpochSeconds: org.apache.spark.sql.Column = {
+    val date = element_at(col("fields"), 9)
+    unix_timestamp(to_date(concat(lit("20"), substring(date, 5, 2), lit("-"),
+      substring(date, 3, 2), lit("-"), substring(date, 1, 2)))).cast("double") +
+      Nmea.utcSeconds(element_at(col("fields"), 1))
+  }
+
   /** Full wide table: clocked long-form channels → aligned + derived
     * true wind and VMG, one row per clock tick.
     */
@@ -31,7 +43,7 @@ object Marine {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val clocked = parsed
       .withColumn("ts",
-        last(when(col("stype") === "RMC", Nmea.utcSeconds(element_at(col("fields"), 1))),
+        last(when(col("stype") === "RMC", rmcEpochSeconds),
           ignoreNulls = true).over(byLine))
       .filter(col("ts").isNotNull)
 
@@ -39,7 +51,11 @@ object Marine {
       df.select(col("ts"), expr(stackExpr)).select("ts", "channel", "value")
 
     val rmcRows = longRows(
-      Nmea.rmc(clocked).withColumn("ts", col("utc_s")),
+      clocked.filter(col("stype") === "RMC")
+        .withColumn("lat", Nmea.coord(element_at(col("fields"), 3), element_at(col("fields"), 4)))
+        .withColumn("lon", Nmea.coord(element_at(col("fields"), 5), element_at(col("fields"), 6)))
+        .withColumn("sog_kn", element_at(col("fields"), 7).cast("double"))
+        .withColumn("cog_deg", element_at(col("fields"), 8).cast("double")),
       "stack(4, 'lat', lat, 'lon', lon, 'sog', sog_kn, 'cog', cog_deg) AS (channel, value)")
     val vhwRows = longRows(
       clocked.filter(col("stype") === "VHW")
