@@ -47,48 +47,45 @@ object Marine {
           ignoreNulls = true).over(byLine))
       .filter(col("ts").isNotNull)
 
-    def longRows(df: DataFrame, stackExpr: String): DataFrame =
-      df.select(col("ts"), expr(stackExpr)).select("ts", "channel", "value")
-
-    val rmcRows = longRows(
-      clocked.filter(col("stype") === "RMC")
-        .withColumn("lat", Nmea.coord(element_at(col("fields"), 3), element_at(col("fields"), 4)))
-        .withColumn("lon", Nmea.coord(element_at(col("fields"), 5), element_at(col("fields"), 6)))
-        .withColumn("sog_kn", element_at(col("fields"), 7).cast("double"))
-        .withColumn("cog_deg", element_at(col("fields"), 8).cast("double")),
-      "stack(4, 'lat', lat, 'lon', lon, 'sog', sog_kn, 'cog', cog_deg) AS (channel, value)")
-    val vhwRows = longRows(
-      clocked.filter(col("stype") === "VHW")
-        .withColumn("hdg_true", element_at(col("fields"), 1).cast("double"))
-        .withColumn("stw", element_at(col("fields"), 5).cast("double")),
-      "stack(2, 'hdg', hdg_true, 'stw', stw) AS (channel, value)")
-    val mwvRows = longRows(
-      clocked.filter(col("stype") === "MWV" && element_at(col("fields"), 2) === "R")
-        .withColumn("awa", element_at(col("fields"), 1).cast("double"))
-        .withColumn("aws", element_at(col("fields"), 3).cast("double")),
-      "stack(2, 'awa', awa, 'aws', aws) AS (channel, value)")
-    val dptRows = longRows(
-      clocked.filter(col("stype") === "DPT")
-        .withColumn("depth", element_at(col("fields"), 1).cast("double")),
-      "stack(1, 'depth', depth) AS (channel, value)")
+    // Sparse wide extraction: each sentence row contributes only its own
+    // channels (null elsewhere). One scan, no stack/union blow-up — the
+    // serial alignment window below then runs over TICKS (one row per
+    // RMC instant), not over (rows × channels), which is the ~10× lever
+    // on single-log throughput.
+    def f(i: Int) = element_at(col("fields"), i)
+    val isRmc = col("stype") === "RMC"
+    val isVhw = col("stype") === "VHW"
+    val isMwvR = col("stype") === "MWV" && f(2) === "R"
+    val isDpt = col("stype") === "DPT"
+    val sparse = clocked.select(
+      col("ts"), col("line_no"),
+      when(isRmc, Nmea.coord(f(3), f(4))).as("lat"),
+      when(isRmc, Nmea.coord(f(5), f(6))).as("lon"),
+      when(isRmc, f(7).cast("double")).as("sog"),
+      when(isRmc, f(8).cast("double")).as("cog"),
+      when(isVhw, f(1).cast("double")).as("hdg"),
+      when(isVhw, f(5).cast("double")).as("stw"),
+      when(isMwvR, f(1).cast("double")).as("awa"),
+      when(isMwvR, f(3).cast("double")).as("aws"),
+      when(isDpt, f(1).cast("double")).as("depth"))
 
     val names = Seq("lat", "lon", "sog", "cog", "hdg", "stw", "awa", "aws", "depth")
-    val aligned = Channels.align(
-      rmcRows.unionByName(vhwRows).unionByName(mwvRows).unionByName(dptRows), names)
-
-    // One row per instant: several sentences share an RMC clock tick, and
-    // the carry-forward is cumulative over (ts, channel) order, so the row
-    // with the greatest channel name in each tick holds the final state.
-    val oneRow = aligned
-      .withColumn("__chan", col("channel"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("ts").orderBy(col("__chan").desc)))
-      .filter(col("rn") === 1).drop("rn", "__chan")
+    // per tick: last non-null value in log order per channel
+    val perTick = sparse.groupBy("ts").agg(
+      names.map(n =>
+        expr(s"max_by($n, IF($n IS NOT NULL, line_no, NULL))").as(n)).head,
+      names.map(n =>
+        expr(s"max_by($n, IF($n IS NOT NULL, line_no, NULL))").as(n)).tail: _*)
+    // carry the latest value of every channel forward across ticks
+    val byTs = Window.orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val oneRow = names.foldLeft(perTick) { (df, n) =>
+      df.withColumn(n, last(col(n), ignoreNulls = true).over(byTs))
+    }
 
     // signed AWA convention: sentences give 0-360; fold to [-180, 180]
     val signedAwa = when(col("awa") > 180, col("awa") - 360).otherwise(col("awa"))
     oneRow
-      .drop("channel", "value")
       .withColumn("awa_signed", signedAwa)
       .withColumn("tws", round(Derived.tws(col("aws"), col("awa_signed"), col("stw")), 6))
       .withColumn("twa", round(Derived.twa(col("aws"), col("awa_signed"), col("stw")), 6))
