@@ -64,20 +64,28 @@ object DedupQueries extends QueryPack {
 
   /** 16-bit SimHash from the first 4 MD5 hex nibbles per word,
     * tf-weighted; near-dup = Hamming distance ≤ 1 on doc_id < 300.
+    *
+    * The fingerprint is computed per row with array expressions: the
+    * word-hash array is materialised once (one md5 per word), then the
+    * 16 per-bit majority sums fold over it — no (word × bit) explode and
+    * no two-level aggregation shuffle.
     */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
+    val whs = transform(
+      filter(split(col("text"), " "), w => w =!= ""),
+      w => conv(substring(md5(w.cast("binary")), 1, 4), 16, 10).cast("long"))
+    val fpExpr = aggregate(
+      sequence(lit(0), lit(15)),
+      lit(0L),
+      (acc, j) => {
+        val bitSum = aggregate(col("__whs"), lit(0L),
+          (s0, wh) => s0 + (wh.divide(pow(lit(2), j)).cast("long") % 2L) * 2L - 1L)
+        acc + when(bitSum > 0, pow(lit(2), j).cast("long")).otherwise(0L)
+      })
+    val fp = Tables.documents(s, dir)
       .filter(col("doc_id") < 300)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .withColumn("wh", conv(substring(md5(col("word").cast("binary")), 1, 4), 16, 10).cast("long"))
-    val bits = words
-      .select(col("doc_id"), col("wh"), explode(sequence(lit(0), lit(15))).as("j"))
-      .withColumn("contrib", expr("2 * ((wh DIV CAST(pow(2, j) AS BIGINT)) % 2) - 1"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum("contrib").as("s"))
-    val fp = bits.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L)).as("fp"))
+      .select(col("doc_id"), whs.as("__whs"))
+      .select(col("doc_id"), fpExpr.as("fp"))
     fp.select(col("doc_id").as("a_id"), col("fp").as("fp_a"))
       .join(fp.select(col("doc_id").as("b_id"), col("fp").as("fp_b")),
         col("a_id") < col("b_id"))
@@ -89,24 +97,25 @@ object DedupQueries extends QueryPack {
 
   /** Character-3-gram Jaccard ≥ 0.8 on doc_id < 150 — catches
     * near-identical strings that word-level Jaccard misses.
+    *
+    * The gram set is built per row with array expressions (transform over
+    * a position sequence + array_distinct) — no explode, no distinct
+    * shuffle, no gram self-join; the bounded pairwise stage uses
+    * array_intersect directly.
     */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
+    val gramSet = array_distinct(transform(
+      sequence(lit(1), length(col("text")) - 2),
+      i => expr("text").substr(i, lit(3))))
+    val docs = Tables.documents(s, dir)
       .filter(col("doc_id") < 150 && length(col("text")) >= 3)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
-      .select(col("doc_id"), expr("substring(text, i, 3)").as("gram"))
-      .distinct()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val inter = grams.select(col("doc_id").as("a_id"), col("gram"))
-      .join(grams.select(col("doc_id").as("b_id"), col("gram")), "gram")
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_grams").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("nb")), "b_id")
-      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .select(col("doc_id"), gramSet.as("grams"))
+    val a = docs.select(col("doc_id").as("a_id"), col("grams").as("ga"))
+    val b = docs.select(col("doc_id").as("b_id"), col("grams").as("gb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jac",
+        col("n_inter") / (size(col("ga")) + size(col("gb")) - col("n_inter")))
       .filter(col("jac") >= 0.8)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
