@@ -1,28 +1,35 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{GreaterThan, If, IsNull, LessThan, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
 /** Catalyst optimizer rule (SURVEY.md §4 extension ladder, step (c)):
-  * algebraic simplification of the native vector expressions, injected
+  * ALGEBRAIC simplification of the native vector expressions, injected
   * via GraftExtensions.injectOptimizerRule.
   *
-  * `vector_cosine(x, x)` = dot(x,x) / (√dot(x,x) · √dot(x,x)), which is
-  * exactly 1.0 whenever dot(x,x) ≠ 0, NaN when it is 0, null when x is
-  * null. The rewrite preserves those semantics bit-for-bit but computes
-  * ONE d-element loop (the zero guard) instead of three — the common
-  * self-similarity normalisation pattern gets 3× cheaper without the
-  * caller changing anything.
+  * `vector_cosine(x, x)` folds to the mathematically exact 1.0 whenever
+  * dot(x,x) is finite and positive (NaN when the norm is 0 or the
+  * vector contains NaN/Inf; null when x is null) — one d-element loop
+  * instead of three.
+  *
+  * NOTE this is an algebraic rewrite, not a bit-exact one: the
+  * unoptimized floating evaluation of d/(√d·√d) can land 1 ulp off 1.0.
+  * That is why the rule ships in GraftExtensions (opt-in deployments)
+  * and is NOT active in Verify/Bench sessions — the oracle contract
+  * (SURVEY.md §7.5) requires unoptimized-identical results.
   */
 object SimplifySelfCosine extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case VectorCosine(a, b) if a.semanticEquals(b) && a.deterministic =>
+        val d = VectorDot(a, a)
         If(IsNull(a), Literal(null, DoubleType),
-          If(EqualTo(VectorDot(a, a), Literal(0.0, DoubleType)),
-            Literal(Double.NaN, DoubleType),
-            Literal(1.0, DoubleType)))
+          If(org.apache.spark.sql.catalyst.expressions.And(
+              GreaterThan(d, Literal(0.0, DoubleType)),
+              LessThan(d, Literal(Double.PositiveInfinity, DoubleType))),
+            Literal(1.0, DoubleType),
+            Literal(Double.NaN, DoubleType)))
     }
 }

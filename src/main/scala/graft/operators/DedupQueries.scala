@@ -65,27 +65,27 @@ object DedupQueries extends QueryPack {
   /** 16-bit SimHash from the first 4 MD5 hex nibbles per word,
     * tf-weighted; near-dup = Hamming distance ≤ 1 on doc_id < 300.
     *
-    * The fingerprint is computed per row with array expressions: the
-    * word-hash array is materialised once (one md5 per word), then the
-    * 16 per-bit majority sums fold over it — no (word × bit) explode and
-    * no two-level aggregation shuffle.
+    * One md5 per word (explode), then a SINGLE aggregation computing all
+    * 16 per-bit majority sums inline — no (word × bit) explode and no
+    * second aggregation level. (A pure array-expression fold looks
+    * cheaper but CollapseProject inlines the word-hash array into each
+    * of the 16 bit folds, recomputing md5 16× per word.) Docs with no
+    * non-empty words produce no rows, matching the oracle's explode
+    * semantics.
     */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val whs = transform(
-      filter(split(col("text"), " "), w => w =!= ""),
-      w => conv(substring(md5(w.cast("binary")), 1, 4), 16, 10).cast("long"))
-    val fpExpr = aggregate(
-      sequence(lit(0), lit(15)),
-      lit(0L),
-      (acc, j) => {
-        val bitSum = aggregate(col("__whs"), lit(0L),
-          (s0, wh) => s0 + (wh.divide(pow(lit(2), j)).cast("long") % 2L) * 2L - 1L)
-        acc + when(bitSum > 0, pow(lit(2), j).cast("long")).otherwise(0L)
-      })
-    val fp = Tables.documents(s, dir)
+    val words = Tables.documents(s, dir)
       .filter(col("doc_id") < 300)
-      .select(col("doc_id"), whs.as("__whs"))
-      .select(col("doc_id"), fpExpr.as("fp"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("wh", conv(substring(md5(col("word").cast("binary")), 1, 4), 16, 10).cast("long"))
+    val bitSums = (0 until 16).map(j =>
+      sum(expr(s"2 * ((wh DIV ${1L << j}) % 2) - 1")).as(s"s$j"))
+    val fp = words.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("fp"))
     fp.select(col("doc_id").as("a_id"), col("fp").as("fp_a"))
       .join(fp.select(col("doc_id").as("b_id"), col("fp").as("fp_b")),
         col("a_id") < col("b_id"))

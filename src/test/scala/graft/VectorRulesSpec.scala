@@ -9,10 +9,20 @@ class VectorRulesSpec extends SparkSpec {
   // injectOptimizerRule is config-time and getOrCreate reuses the shared
   // test session, so the rule is exercised via the public runtime hook;
   // GraftExtensions wiring itself is applied to a bare extensions object.
+  private var saved: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = Nil
+
   override def beforeAll(): Unit = {
     super.beforeAll()
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ SimplifySelfCosine
+    saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ SimplifySelfCosine
+  }
+
+  // the session is a process-wide singleton — leaking the rewrite would
+  // change what later suites measure
+  override def afterAll(): Unit = {
+    spark.experimental.extraOptimizations = saved
+    super.afterAll()
   }
 
   test("GraftExtensions wires functions and rules without error") {
