@@ -35,11 +35,33 @@ object Marine {
       Nmea.utcSeconds(element_at(col("fields"), 1))
   }
 
-  /** Full wide table: clocked long-form channels → aligned + derived
-    * true wind and VMG, one row per clock tick.
+  /** Read a DIRECTORY of per-boat logs: one file per boat, boat id from
+    * the file name. Every window downstream partitions by boat_id, so
+    * the fleet aligns in parallel — the multi-boat scale path.
     */
-  def wideTable(parsed: DataFrame): DataFrame = {
-    val byLine = Window.orderBy("line_no")
+  def readFleet(spark: SparkSession, dir: String): DataFrame =
+    Nmea.parse(
+      spark.read.text(dir)
+        .withColumn("boat_id",
+          regexp_extract(input_file_name(), "([^/]+)\\.nmea$", 1))
+        .withColumn("line_no", monotonically_increasing_id()))
+
+  /** Full wide table: clocked long-form channels → aligned + derived
+    * true wind and VMG, one row per clock tick. Single-log form
+    * (one totally-ordered sequence → unpartitioned windows).
+    */
+  def wideTable(parsed: DataFrame): DataFrame =
+    wideTableImpl(parsed, keys = Nil)
+
+  /** Keyed form: all windows/aggregations partition by `keys` (e.g.
+    * boat_id), so each boat's log processes independently in parallel.
+    */
+  def wideTableByKey(parsed: DataFrame, keys: Seq[String]): DataFrame =
+    wideTableImpl(parsed, keys)
+
+  private def wideTableImpl(parsed: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val byLine = Window.partitionBy(keyCols: _*).orderBy("line_no")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val clocked = parsed
       .withColumn("ts",
@@ -58,7 +80,7 @@ object Marine {
     val isMwvR = col("stype") === "MWV" && f(2) === "R"
     val isDpt = col("stype") === "DPT"
     val sparse = clocked.select(
-      col("ts"), col("line_no"),
+      keyCols ++ Seq(col("ts"), col("line_no"),
       when(isRmc, Nmea.coord(f(3), f(4))).as("lat"),
       when(isRmc, Nmea.coord(f(5), f(6))).as("lon"),
       when(isRmc, f(7).cast("double")).as("sog"),
@@ -67,17 +89,17 @@ object Marine {
       when(isVhw, f(5).cast("double")).as("stw"),
       when(isMwvR, f(1).cast("double")).as("awa"),
       when(isMwvR, f(3).cast("double")).as("aws"),
-      when(isDpt, f(1).cast("double")).as("depth"))
+      when(isDpt, f(1).cast("double")).as("depth")): _*)
 
     val names = Seq("lat", "lon", "sog", "cog", "hdg", "stw", "awa", "aws", "depth")
     // per tick: last non-null value in log order per channel
-    val perTick = sparse.groupBy("ts").agg(
+    val perTick = sparse.groupBy(keyCols :+ col("ts"): _*).agg(
       names.map(n =>
         expr(s"max_by($n, IF($n IS NOT NULL, line_no, NULL))").as(n)).head,
       names.map(n =>
         expr(s"max_by($n, IF($n IS NOT NULL, line_no, NULL))").as(n)).tail: _*)
     // carry the latest value of every channel forward across ticks
-    val byTs = Window.orderBy("ts")
+    val byTs = Window.partitionBy(keyCols: _*).orderBy("ts")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val oneRow = names.foldLeft(perTick) { (df, n) =>
       df.withColumn(n, last(col(n), ignoreNulls = true).over(byTs))
@@ -91,7 +113,7 @@ object Marine {
       .withColumn("twa", round(Derived.twa(col("aws"), col("awa_signed"), col("stw")), 6))
       .withColumn("twd", round(Derived.twd(col("hdg"), col("twa")), 6))
       .withColumn("vmg", round(Derived.vmg(col("sog"), col("twa")), 6))
-      .orderBy("ts")
+      .orderBy(keyCols :+ col("ts"): _*)
   }
 
   /** Full pipeline: log path → per-race replay docs, ready for

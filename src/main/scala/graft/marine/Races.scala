@@ -14,8 +14,16 @@ object Races {
     * sample clock — a new race starts after `gapSeconds` of silence
     * (same machinery as evt_session; SURVEY.md §2.10 race_split).
     */
-  def split(samples: DataFrame, gapSeconds: Double = 1800): DataFrame = {
-    val w = Window.orderBy("ts")
+  def split(samples: DataFrame, gapSeconds: Double = 1800): DataFrame =
+    splitByKey(samples, Nil, gapSeconds)
+
+  /** Keyed variant: sessions computed independently per key (boat) —
+    * the windows hash-partition on the key, so a fleet splits in
+    * parallel.
+    */
+  def splitByKey(samples: DataFrame, keys: Seq[String],
+                 gapSeconds: Double = 1800): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("ts")
     samples
       .withColumn("prev_ts", lag("ts", 1).over(w))
       .withColumn("new_race",
