@@ -39,12 +39,17 @@ object Marine {
     * the file name. Every window downstream partitions by boat_id, so
     * the fleet aligns in parallel — the multi-boat scale path.
     */
-  def readFleet(spark: SparkSession, dir: String): DataFrame =
+  def readFleet(spark: SparkSession, dir: String): DataFrame = {
+    // fall back to the whole file name when the *.nmea pattern misses —
+    // an empty extract would silently merge unmatched files into one key
+    val stem = regexp_extract(input_file_name(), "([^/]+)\\.nmea$", 1)
     Nmea.parse(
       spark.read.text(dir)
         .withColumn("boat_id",
-          regexp_extract(input_file_name(), "([^/]+)\\.nmea$", 1))
+          when(stem === "", regexp_extract(input_file_name(), "([^/]+)$", 1))
+            .otherwise(stem))
         .withColumn("line_no", monotonically_increasing_id()))
+  }
 
   /** Full wide table: clocked long-form channels → aligned + derived
     * true wind and VMG, one row per clock tick. Single-log form

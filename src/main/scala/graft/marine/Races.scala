@@ -41,8 +41,13 @@ object Races {
     * kind: tack when |TWA| < 90 on both sides (bow through wind),
     * gybe when |TWA| > 90 on both sides, else mixed.
     */
-  def maneuvers(races: DataFrame): DataFrame = {
-    val w = Window.partitionBy("race_id").orderBy("ts")
+  def maneuvers(races: DataFrame): DataFrame = maneuversByKey(races, Nil)
+
+  /** Keyed variant — fleet data must partition by (boat, race): race_ids
+    * restart at 1 per boat, so race_id alone collides across boats.
+    */
+  def maneuversByKey(races: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy((keys :+ "race_id").map(col): _*).orderBy("ts")
     races
       .withColumn("prev_twa", lag("twa", 1).over(w))
       .withColumn("prev_sog", lag("sog", 1).over(w))
@@ -50,7 +55,7 @@ object Races {
         signum(col("twa")) =!= signum(col("prev_twa")) &&
         abs(col("twa")) > 5 && abs(col("prev_twa")) > 5)
       .select(
-        col("race_id"),
+        (keys.map(col) :+ col("race_id")) ++ Seq(
         col("ts").as("maneuver_ts"),
         when(abs(col("twa")) < 90 && abs(col("prev_twa")) < 90, "tack")
           .when(abs(col("twa")) > 90 && abs(col("prev_twa")) > 90, "gybe")
@@ -58,22 +63,25 @@ object Races {
         col("prev_twa"), col("twa"),
         col("prev_sog").as("entry_sog"),
         col("sog").as("exit_sog"),
-        (col("prev_sog") - col("sog")).as("speed_loss"))
+        (col("prev_sog") - col("sog")).as("speed_loss")): _*)
   }
 
   /** Per-race summary statistics (SURVEY.md §2.10 race_stats): duration,
     * distance (haversine between consecutive fixes), speed and wind
     * ranges, maneuver count.
     */
-  def stats(races: DataFrame): DataFrame = {
-    val w = Window.partitionBy("race_id").orderBy("ts")
+  def stats(races: DataFrame): DataFrame = statsByKey(races, Nil)
+
+  def statsByKey(races: DataFrame, keys: Seq[String]): DataFrame = {
+    val grp = keys :+ "race_id"
+    val w = Window.partitionBy(grp.map(col): _*).orderBy("ts")
     val withDist = races
       .withColumn("leg_m",
         Derived.haversineM(lag("lat", 1).over(w), lag("lon", 1).over(w),
           col("lat"), col("lon")))
-    val m = maneuvers(races).groupBy("race_id")
+    val m = maneuversByKey(races, keys).groupBy(grp.map(col): _*)
       .agg(count(lit(1)).as("n_maneuvers"))
-    withDist.groupBy("race_id")
+    withDist.groupBy(grp.map(col): _*)
       .agg(
         count(lit(1)).as("n_samples"),
         (max("ts") - min("ts")).as("duration_s"),
@@ -82,9 +90,9 @@ object Races {
         round(avg("sog"), 2).as("avg_sog"),
         round(min("tws"), 2).as("min_tws"),
         round(max("tws"), 2).as("max_tws"))
-      .join(m, Seq("race_id"), "left")
+      .join(m, grp, "left")
       .withColumn("n_maneuvers", coalesce(col("n_maneuvers"), lit(0L)))
-      .orderBy("race_id")
+      .orderBy(grp.map(col): _*)
   }
 
   /** Replay JSON export (SURVEY.md §2.10 replay_export): one nested doc
@@ -92,19 +100,24 @@ object Races {
     * `.write.json(...)`. sort_array on (ts, struct) keeps the sample
     * order deterministic without a per-group sort shuffle.
     */
-  def replayDocs(races: DataFrame, channels: Seq[String]): DataFrame = {
+  def replayDocs(races: DataFrame, channels: Seq[String]): DataFrame =
+    replayDocsByKey(races, Nil, channels)
+
+  def replayDocsByKey(races: DataFrame, keys: Seq[String],
+                      channels: Seq[String]): DataFrame = {
+    val grp = keys :+ "race_id"
     val sampleStruct = struct((col("ts") +: channels.map(col)): _*)
     races
-      .groupBy("race_id")
+      .groupBy(grp.map(col): _*)
       .agg(
         min("ts").as("start_ts"),
         max("ts").as("end_ts"),
         count(lit(1)).as("n_samples"),
         array_sort(collect_list(sampleStruct)).as("samples"))
       .select(
-        struct(col("race_id"), col("start_ts"), col("end_ts"), col("n_samples")).as("meta"),
+        struct((grp.map(col) ++ Seq(col("start_ts"), col("end_ts"), col("n_samples"))): _*).as("meta"),
         col("samples"))
-      .orderBy(col("meta.race_id"))
+      .orderBy(grp.map(k => col(s"meta.$k")): _*)
   }
 
 }

@@ -31,7 +31,10 @@ object Dedup {
     * hash → array_min. No explode, no extra shuffle.
     */
   def minhashSignature(textCol: Column, k: Int): Column = {
-    val tokens = array_distinct(split(textCol, "\\s+"))
+    // leading/double whitespace makes split emit "" — drop it so the
+    // signature hashes real tokens only (and matches MinHashAgg fed
+    // with filtered tokens)
+    val tokens = filter(array_distinct(split(textCol, "\\s+")), t => t =!= "")
     val sig = (0 until k).map { seed =>
       array_min(transform(tokens, t => xxhash64(t, lit(seed))))
     }
@@ -66,7 +69,7 @@ object Dedup {
                      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     val cand = lshCandidates(df, idCol, textCol, k, bands)
     val toks = df.select(col(idCol).as("doc_id"),
-      array_distinct(split(col(textCol), "\\s+")).as("toks"))
+      filter(array_distinct(split(col(textCol), "\\s+")), t => t =!= "").as("toks"))
     cand
       .join(toks.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
       .join(toks.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")

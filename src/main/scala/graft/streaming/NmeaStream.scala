@@ -23,20 +23,23 @@ object NmeaStream {
       .text(dir)
     // streaming sources forbid monotonically_increasing_id; sentence
     // order within a micro-batch is not needed for per-minute aggregates
-    Nmea.parseAll(lines.withColumn("line_no", lit(0L)))
-      .filter(col("valid"))
+    Nmea.parse(lines.withColumn("line_no", lit(0L)))
   }
 
-  /** Per-minute speed/depth stats over the RMC/DPT stream, keyed by
-    * processing-assigned event time (RMC UTC seconds folded onto a
-    * reference date — live logs are "today" by definition).
+  /** Per-minute speed stats over the RMC stream. Event time comes from
+    * the sentence's own date+time fields (same as the batch clock), so a
+    * stream crossing UTC midnight keeps monotone event time instead of
+    * wrapping 24 h behind the watermark.
     */
   def minuteStats(parsed: DataFrame): DataFrame = {
     val f = (i: Int) => element_at(col("fields"), i)
+    val date = f(9)
+    val epoch = unix_timestamp(to_date(concat(lit("20"), substring(date, 5, 2), lit("-"),
+      substring(date, 3, 2), lit("-"), substring(date, 1, 2)))) +
+      Nmea.utcSeconds(f(1)).cast("long")
     val rmc = parsed.filter(col("stype") === "RMC")
       .select(
-        to_timestamp(lit("2024-01-01 00:00:00")).cast("long")
-          .plus(Nmea.utcSeconds(f(1)).cast("long")).cast("timestamp").as("ts"),
+        epoch.cast("timestamp").as("ts"),
         f(7).cast("double").as("sog"))
     rmc
       .withWatermark("ts", "2 minutes")

@@ -9,7 +9,9 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * stateful-op surface).
   *
   * Tracks a running per-user event count + value sum in a ValueState
-  * with a processing-time TTL, emitting the updated totals per batch.
+  * (no TTL here — pass a TTLConfig with TimeMode.ProcessingTime to
+  * bound idle state in a long-running deployment), emitting the updated
+  * totals per batch.
   */
 class RunningTotalsProcessor
   extends StatefulProcessor[Long, StreamEvent, UserRunning] {

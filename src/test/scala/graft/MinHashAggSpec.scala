@@ -47,7 +47,7 @@ class MinHashAggSpec extends SparkSpec {
       .agg(countDistinct(col("sig").cast("string")).as("n"))
     assert(byText.filter(col("n") > 1).count() == 0)
     val plan = sigs.queryExecution.executedPlan.toString()
-    assert(plan.contains("partial_minhash_sig") || plan.contains("partial"),
-      s"sketch must combine map-side: ${plan.take(400)}")
+    assert(plan.contains("partial_minhash_sig"),
+      s"sketch must combine map-side: ${plan.take(600)}")
   }
 }
