@@ -89,7 +89,9 @@ object FunctionQueries extends QueryPack {
         size(words).cast("long").as("n_tokens"),
         array_contains(words, "the").as("has_the"),
         size(array_distinct(words)).cast("long").as("n_distinct"),
-        slice(sort_array(words), 1, 3).as("first3_sorted"),
+        // joined to a string: the driver's pandas compare sorts rows by
+        // every column and list cells are unhashable there (round-1 fail)
+        concat_ws(",", slice(sort_array(words), 1, 3)).as("first3_sorted"),
         size(filter(words, w => length(w) > 5)).cast("long").as("n_long"),
         aggregate(transform(words, w => length(w)), lit(0), (acc, x) => acc + x).cast("long").as("total_chars"))
       .orderBy(col("doc_id"))
@@ -187,7 +189,7 @@ object FunctionQueries extends QueryPack {
         |  len(string_split(text, ' ')) AS n_tokens,
         |  list_contains(string_split(text, ' '), 'the') AS has_the,
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
-        |  list_slice(list_sort(string_split(text, ' ')), 1, 3) AS first3_sorted,
+        |  array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 3), ',') AS first3_sorted,
         |  len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS n_long,
         |  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS total_chars
         |FROM documents

@@ -66,6 +66,17 @@ def main():
             print(f"FAIL {key}: columns duck={dcols} spark={scols}")
             n_bad += 1
             continue
+        # The driver sorts rows with pandas sort_values over every column
+        # before hashing; list/array cells are unhashable there and crash
+        # the compare (fn_array, round 1). Reject them outright.
+        bad_cols = [c for df in (duck, spark) for c in df.columns
+                    if len(df) and isinstance(df[c].iloc[0], (list, tuple))
+                    or len(df) and type(df[c].iloc[0]).__name__ == "ndarray"]
+        if bad_cols:
+            print(f"FAIL {key}: list-typed output columns {sorted(set(bad_cols))} "
+                  "(unhashable in the driver's pandas sort)")
+            n_bad += 1
+            continue
         drows = [tuple(norm(v) for v in r) for r in duck[dcols].itertuples(index=False)]
         srows = [tuple(norm(v) for v in r) for r in spark[dcols].itertuples(index=False)]
         if drows == srows:
