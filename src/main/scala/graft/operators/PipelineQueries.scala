@@ -32,7 +32,10 @@ object PipelineQueries extends QueryPack {
   private def tokens(s: SparkSession, dir: String, maxDoc: Int): DataFrame =
     Tables.documents(s, dir)
       .filter(col("doc_id") < maxDoc)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+      // explode_outer ≡ explode here (split never yields null/empty
+      // arrays) but avoids InferFiltersFromGenerate re-evaluating the
+      // array expression in a non-codegen Filter (measured ~5× cost)
+      .select(col("doc_id"), explode_outer(array_distinct(split(col("text"), " "))).as("word"))
       .filter(col("word") =!= "")
 
   /** Exact word-set Jaccard ≥ 0.8 pairs among doc_id < 300: explode →
@@ -115,7 +118,7 @@ object PipelineQueries extends QueryPack {
   private def textTfidfTop(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
     val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = tok.select(col("doc_id"), col("word")).distinct()

@@ -52,7 +52,7 @@ object Dedup {
       minhashSignature(col(textCol), k).as("sig"))
     val buckets = sig.select(
       col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
+      posexplode_outer(array((0 until bands).map(b =>
         hash(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bucket")))
     buckets.as("a")
       .join(buckets.as("b"),
@@ -86,10 +86,10 @@ object Dedup {
     * Returns (idCol, simhash BIGINT).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("tok"))
+    df.select(col(idCol), explode_outer(split(col(textCol), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("h", xxhash64(col("tok")))
-      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(63))).as("j"))
+      .select(col(idCol), col("h"), explode_outer(sequence(lit(0), lit(63))).as("j"))
       .withColumn("bit", expr("shiftright(h, CAST(j AS INT)) & CAST(1 AS BIGINT)"))
       .groupBy(col(idCol), col("j"))
       .agg(sum(when(col("bit") === 1L, 1L).otherwise(-1L)).as("s"))

@@ -32,7 +32,7 @@ object Skew {
                  saltSrc: Column, buckets: Int = 16): DataFrame = {
     val saltedFact = fact.withColumn("__salt", pmod(hash(saltSrc), lit(buckets)))
     val repDim = dim.withColumn("__salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
+      explode_outer(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
   }
 }
