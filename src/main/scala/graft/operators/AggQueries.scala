@@ -106,6 +106,35 @@ object AggQueries extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Statistical moments + bivariate stats per group. Both engines use
+    * streaming one-pass moment merges whose float results can drift a
+    * ulp with partition order, so every output is rounded (§7.5).
+    */
+  private def aggStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(var_samp(col("value")), 4).as("variance"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("cv"),
+        round(corr(col("value"), col("user_id").cast("double")), 4).as("cr"))
+      .orderBy(col("event_type"))
+
+  /** Exact quartiles per group via the exact `percentile` aggregate
+    * (collects the group — fine for bounded group counts; the 100 TB
+    * twin is approx_percentile, excluded from the oracle because its
+    * sketch cannot hash-match DuckDB's).
+    */
+  private def aggMedian(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.25)), 4).as("q25"),
+        round(percentile(col("value"), lit(0.5)), 4).as("q50"),
+        round(percentile(col("value"), lit(0.75)), 4).as("q75"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_groupby"       -> (aggGroupBy _),
     "agg_global"        -> (aggGlobal _),
@@ -114,7 +143,9 @@ object AggQueries extends QueryPack {
     "agg_rollup"        -> (aggRollup _),
     "agg_cube"          -> (aggCube _),
     "agg_grouping_sets" -> (aggGroupingSets _),
-    "agg_pivot"         -> (aggPivot _))
+    "agg_pivot"         -> (aggPivot _),
+    "agg_stats"         -> (aggStats _),
+    "agg_median"        -> (aggMedian _))
 
   val oracle: Map[String, String] = Map(
     "agg_groupby" ->
@@ -186,5 +217,22 @@ object AggQueries extends QueryPack {
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
         |FROM events
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    "agg_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(stddev_samp(value), 4) AS sd,
+        |  round(var_samp(value), 4) AS variance,
+        |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cv,
+        |  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS cr
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "agg_median" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 4) AS q25,
+        |  round(quantile_cont(value, 0.5), 4) AS q50,
+        |  round(quantile_cont(value, 0.75), 4) AS q75
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 }

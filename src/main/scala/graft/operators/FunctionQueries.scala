@@ -120,6 +120,19 @@ object FunctionQueries extends QueryPack {
       .orderBy(desc("n"), asc("word"))
       .limit(100)
 
+  /** Bitwise ops — all-integer, so exact cross-engine by construction. */
+  private def fnBitwise(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("b_and"),
+        col("event_id").bitwiseOR(lit(4096L)).as("b_or"),
+        col("event_id").bitwiseXOR(col("user_id")).as("b_xor"),
+        shiftleft(col("event_id"), 3).as("shl"),
+        shiftright(col("event_id"), 2).as("shr"),
+        bit_count(col("event_id")).cast("long").as("nbits"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string"         -> (fnString _),
     "fn_date"           -> (fnDate _),
@@ -127,6 +140,7 @@ object FunctionQueries extends QueryPack {
     "fn_conditional"    -> (fnConditional _),
     "fn_array"          -> (fnArray _),
     "fn_json"           -> (fnJson _),
+    "fn_bitwise"        -> (fnBitwise _),
     "explode_wordcount" -> (explodeWordcount _))
 
   val oracle: Map[String, String] = Map(
@@ -201,6 +215,16 @@ object FunctionQueries extends QueryPack {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         |  json_extract_string(props, '$.missing') IS NULL AS no_miss
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT event_id,
+        |  event_id & 255 AS b_and,
+        |  event_id | 4096 AS b_or,
+        |  xor(event_id, user_id) AS b_xor,
+        |  event_id << 3 AS shl,
+        |  event_id >> 2 AS shr,
+        |  CAST(bit_count(event_id) AS BIGINT) AS nbits
         |FROM events
         |ORDER BY event_id""".stripMargin,
     "explode_wordcount" ->
