@@ -60,6 +60,53 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").count() == 2)
   }
 
+  test("stream-stream inner join matches purchases to in-band clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamEvent]
+    val purchases = MemoryStream[StreamEvent]
+    clicks.addData(
+      StreamEvent(1, ts(0), 7, "click", 0.0),
+      StreamEvent(2, ts(5), 8, "click", 0.0))
+    purchases.addData(
+      StreamEvent(10, ts(30), 7, "purchase", 99.0), // click 30 min before → match
+      StreamEvent(11, ts(31), 9, "purchase", 49.0)) // user 9 never clicked
+    runToMemory(
+      EventStreams.clickPurchaseJoin(clicks.toDF(), purchases.toDF()), "ssjoin")
+    val out = spark.table("ssjoin").collect()
+    assert(out.length == 1, s"only user 7's purchase has an in-band click: ${out.mkString(";")}")
+    assert(out.head.getAs[Long]("purchase_id") == 10 &&
+      out.head.getAs[Long]("click_id") == 1)
+  }
+
+  test("stream-stream left-outer join emits unmatched purchase after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamEvent]
+    val purchases = MemoryStream[StreamEvent]
+    val q = EventStreams.clickPurchaseJoinOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssouter").outputMode("append").start()
+    clicks.addData(StreamEvent(1, ts(0), 7, "click", 0.0))
+    purchases.addData(StreamEvent(10, ts(30), 9, "purchase", 49.0)) // no click ever
+    q.processAllAvailable()
+    // push both watermarks far past 10:30 + 1h band + 10 min delay so the
+    // unmatched purchase's state is provably complete and must emit
+    val far = Timestamp.valueOf("2024-01-01 13:00:00")
+    clicks.addData(StreamEvent(2, far, 1, "click", 0.0))
+    purchases.addData(StreamEvent(11, far, 1, "purchase", 1.0))
+    q.processAllAvailable()
+    // one more empty-ish batch lets the eviction-driven output surface
+    clicks.addData(StreamEvent(3, Timestamp.valueOf("2024-01-01 14:00:00"), 2, "click", 0.0))
+    purchases.addData(StreamEvent(12, Timestamp.valueOf("2024-01-01 14:00:00"), 2, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val unmatched = spark.table("ssouter")
+      .filter(col("purchase_id") === 10).collect()
+    assert(unmatched.length == 1, "unmatched purchase must emit exactly once")
+    assert(unmatched.head.isNullAt(unmatched.head.fieldIndex("click_id")),
+      "unmatched purchase joins to null click columns")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
