@@ -121,8 +121,10 @@ object PipelineQueries extends QueryPack {
       .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
     val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val df = tok.select(col("doc_id"), col("word")).distinct()
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // df from tf, not from a second distinct over the raw tokens: tf is
+    // already one row per (doc, word), so counting rows per word IS the
+    // document frequency — one less full-width shuffle of the explode
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "word")
       .crossJoin(broadcast(n))
