@@ -65,6 +65,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
   }
 
+  test("explode queries carry no inferred generator filter re-evaluating the array") {
+    // InferFiltersFromGenerate duplicates the exploded array expression
+    // into a non-codegen Filter (size(...)>0 AND isnotnull(...)), which
+    // cost ~5× on the gram/token pipelines in round 2; the operators use
+    // explode_outer/posexplode_outer to sidestep it. Guard the plans.
+    Seq("dedup_ngram", "dedup_minhash_lsh", "dedup_near_jaccard",
+        "text_tfidf_top", "explode_wordcount").foreach { q =>
+      val p = plan(q)
+      // the harmful signature is `size(<array expr>) > 0` (paired with
+      // isnotnull(<array expr>)) — a bare isnotnull(size(...)) inferred
+      // from downstream constraints costs one eval per input row and is
+      // acceptable
+      val badFilter = p.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("size(") && l.contains("> 0") &&
+          (l.contains("array_distinct") || l.contains("split(") || l.contains("transform(")))
+      assert(!badFilter,
+        s"$q regressed to an inferred generator filter over the array expression: ${p.take(600)}")
+    }
+  }
+
   test("whole-stage codegen covers the scalar function packs (no UDF opacity)") {
     Seq("fn_string", "fn_math", "fn_conditional", "project_expr").foreach { q =>
       val p = plan(q)
