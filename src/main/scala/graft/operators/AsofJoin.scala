@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Reusable backward as-of join (SURVEY.md §2.3 `join_asof`, §2.10
+  * `channel_align`): each left row picks up the latest right row with
+  * `right.ts <= left.ts` within the same key.
+  *
+  * Spark has no native as-of join, and the naive formulations do not
+  * scale: a range theta-join degenerates to a nested-loop, and a
+  * per-left-row subquery is quadratic. This shape is the scalable one —
+  * tag both inputs, union them (no shuffle), ONE hash Exchange on the
+  * key, a per-partition sort by (ts, tag, tiebreak), and a running
+  * `last(payload, ignoreNulls)` carry-forward. O(n log n) per partition,
+  * no point lookups, identical on 1000 executors; ties at equal ts
+  * resolve right-before-left (tag order), i.e. inclusive `>=` semantics
+  * like DuckDB's ASOF JOIN.
+  */
+object AsofJoin {
+
+  /** @param left      rows to enrich (all columns preserved)
+    * @param right     rows providing the carried payload
+    * @param key       equality keys present in both inputs
+    * @param leftTs    left event-time column (orderable; ns longs work)
+    * @param rightTs   right event-time column
+    * @param tieBreak  extra right-side order columns for determinism when
+    *                  several right rows share one (key, ts)
+    * @return left columns + `asof_<payload>` columns (null when no right
+    *         row precedes the left row) + `asof_ts`
+    */
+  def backward(left: DataFrame, right: DataFrame, key: Seq[String],
+               leftTs: String, rightTs: String,
+               tieBreak: Seq[String] = Nil): DataFrame = {
+    val rPayload = right.columns.filterNot(c => key.contains(c) || c == rightTs)
+    val lPayload = left.columns.filterNot(c => key.contains(c) || c == leftTs)
+    val payloadStruct = struct(
+      col(rightTs).as("asof_ts") +: rPayload.map(c => col(c).as(s"asof_$c")): _*)
+    val payloadType = StructType(
+      right.select(payloadStruct).schema.head.dataType.asInstanceOf[StructType].fields)
+
+    // identical schemas for the union: each side carries the other's
+    // columns as typed nulls
+    val rTagged = right.select(
+      key.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__tag"), payloadStruct.as("__r")) ++
+        tieBreak.map(col) ++
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      key.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__tag"),
+          lit(null).cast(payloadType).as("__r")) ++
+        tieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        lPayload.map(col): _*)
+
+    // ties between several RIGHT rows at one (key, ts) resolve by
+    // tieBreak; ties among LEFT rows need no order — they don't update
+    // the carry, so any interleaving yields the same carried value
+    val ordering: Seq[Column] =
+      col("__ts") +: col("__tag") +: tieBreak.map(col)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rTagged.unionByName(lTagged)
+      .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(
+        key.map(col) ++ Seq(col("__ts").as(leftTs)) ++ lPayload.map(col) ++
+          (payloadType.fieldNames.toSeq.map(f => col(s"__carried.$f").as(f))): _*)
+  }
+}

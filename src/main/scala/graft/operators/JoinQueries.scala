@@ -106,22 +106,17 @@ object JoinQueries extends QueryPack {
   private def joinAsof(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"))
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
     val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("tag"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(purchases)
-      .withColumn("last_click",
-        last(when(col("tag") === 0, struct(col("ts").as("cts"), col("event_id").as("cid"))),
-          ignoreNulls = true).over(w))
-      .filter(col("tag") === 1 && col("last_click").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        tieBreak = Seq("click_id"))
+      .filter(col("asof_ts").isNotNull)
       .select(
-        col("event_id").as("p_id"),
+        col("p_id"),
         col("user_id"),
-        col("last_click.cid").as("click_id"),
-        expr("(ts - last_click.cts) DIV 1000000000").as("gap_s"))
+        col("asof_click_id").as("click_id"),
+        expr("(ts - asof_ts) DIV 1000000000").as("gap_s"))
       .orderBy(col("p_id"))
   }
 

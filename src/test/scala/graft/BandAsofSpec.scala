@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+import graft.pipeline.BandJoin
+
+/** Library as-of and band joins: semantics vs brute-force oracles built
+  * from cross joins on small data, plus the plan property that makes
+  * BandJoin the at-scale shape (equi-join, not nested-loop).
+  */
+class BandAsofSpec extends SparkSpec {
+
+  test("AsofJoin.backward picks the latest right row at or before each left ts") {
+    import spark.implicits._
+    val quotes = Seq( // key, ts, px
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 20L, 2.5), ("B", 5L, 9.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq( // key, ts, qty
+      ("A", 9L, 100L), ("A", 10L, 200L), ("A", 25L, 300L), ("B", 5L, 400L),
+      ("C", 7L, 500L))
+      .toDF("sym", "tts", "qty")
+
+    val got = AsofJoin.backward(trades, quotes, Seq("sym"), "tts", "qts",
+        tieBreak = Seq("px"))
+      .select("sym", "tts", "qty", "asof_ts", "asof_px")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+
+    assert(got == Set(
+      ("A", 9L, 100L, None, None),               // nothing at or before 9
+      ("A", 10L, 200L, Some(10L), Some(1.0)),    // inclusive >= match
+      ("A", 25L, 300L, Some(20L), Some(2.5)),    // latest ts; px tiebreak max-last
+      ("B", 5L, 400L, Some(5L), Some(9.0)),
+      ("C", 7L, 500L, None, None)),              // key with no right rows
+      s"unexpected as-of result: $got")
+  }
+
+  test("AsofJoin.backward matches a brute-force oracle on real events") {
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+
+    val got = AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        tieBreak = Seq("event_id"))
+      .select(col("p_id"), col("asof_event_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+
+    // brute force: max (ts, event_id) click at or before each purchase
+    val brute = purchases.as("p")
+      .join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") && col("c.ts") <= col("p.ts"),
+        "left")
+      .groupBy(col("p_id"))
+      .agg(max(struct(col("c.ts"), col("c.event_id"))).as("best"))
+      .select(col("p_id"), col("best.event_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+
+    assert(got == brute, "as-of join must agree with the brute-force oracle")
+  }
+
+  test("BandJoin.absBand matches the naive theta join and avoids nested loops") {
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val band = 3600L * 1000000000L // 1 h in ns
+
+    val banded = BandJoin.absBand(
+      e.select(col("user_id"), col("ts"), col("event_id").as("a_id")),
+      e.select(col("user_id"), col("ts"), col("event_id").as("b_id")),
+      Seq("user_id"), "ts", "ts", band)
+      .filter(col("a_id") < col("b_id"))
+    val gotPairs = banded.select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val naive = e.select(col("user_id"), col("ts").as("ta"), col("event_id").as("a_id"))
+      .join(e.select(col("user_id"), col("ts").as("tb"), col("event_id").as("b_id")),
+        Seq("user_id"))
+      .filter(col("a_id") < col("b_id") && abs(col("ta") - col("tb")) <= band)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(gotPairs == naive, s"band join must equal the theta join " +
+      s"(got ${gotPairs.size}, want ${naive.size})")
+    assert(gotPairs.nonEmpty, "fixture should produce in-band pairs")
+
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band join must plan as an equi-join: ${plan.take(400)}")
+  }
+}
