@@ -10,10 +10,11 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(
+  private[graft] val packs: Seq[QueryPack] = Seq(
     CoreQueries,
     AggQueries,
     JoinQueries,
+    SubqueryQueries,
     WindowQueries,
     SetSortQueries,
     FunctionQueries,

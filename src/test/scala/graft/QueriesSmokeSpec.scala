@@ -11,13 +11,9 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("no duplicate keys across packs") {
     // Map construction would silently drop duplicates; sizes must add up.
-    val expected = Seq(
-      graft.operators.CoreQueries, graft.operators.AggQueries,
-      graft.operators.JoinQueries, graft.operators.WindowQueries,
-      graft.operators.SetSortQueries, graft.operators.FunctionQueries,
-      graft.operators.EventTimeQueries, graft.operators.PipelineQueries,
-      graft.operators.DedupQueries, graft.operators.TextAnalysisQueries)
-      .map(_.queries.size).sum
+    // Reads SparkEntry's own pack list so a newly registered pack can't
+    // drift from this check.
+    val expected = SparkEntry.packs.map(_.queries.size).sum
     assert(SparkEntry.queries.size == expected)
   }
 
