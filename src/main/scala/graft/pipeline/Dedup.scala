@@ -113,4 +113,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** Connected components over near-dup pairs by iterative hash-min
+    * label propagation: every node repeatedly takes the minimum label
+    * among itself and its neighbors until fixpoint — O(component
+    * diameter) rounds, each one an equi-join + groupBy (all shuffles on
+    * the id key, no driver-side graph). Near-dup components are shallow
+    * (stars/short chains), so this converges in a handful of rounds at
+    * any scale. `localCheckpoint` truncates the lineage each round so
+    * the plan does not double per iteration.
+    *
+    * @param pairs undirected edges (aCol, bCol)
+    * @return (id, cluster_id) where cluster_id = min id in the component
+    */
+  def clusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+               maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("__old"))
+        .localCheckpoint(true)
+      converged = next.filter(col("label") =!= col("__old")).isEmpty
+      labels = next.select("id", "label")
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Canonical survivors: drop every doc that belongs to a cluster but is
+    * not its minimum-id member. Docs in no pair survive untouched.
+    */
+  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val losers = clusters(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
 }

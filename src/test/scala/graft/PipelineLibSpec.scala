@@ -37,6 +37,28 @@ class PipelineLibSpec extends SparkSpec {
     assert(joined.filter(col("n") > 1).count() == 0)
   }
 
+  test("Dedup.clusters propagates min labels across chains and components") {
+    import spark.implicits._
+    // component {0..4} as a worst-case path + star {10,11,12} + pair {20,21}
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(got(_) == 0L), s"path must collapse to 0: $got")
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+  }
+
+  test("Dedup.survivors keeps one doc per near-dup cluster plus untouched docs") {
+    import spark.implicits._
+    val pairs = Seq((1L, 3L), (3L, 7L), (100L, 101L)).toDF("a_id", "b_id")
+    val kept = Dedup.survivors(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- Set(3L, 7L, 101L),
+      "exactly the non-minimum cluster members are dropped")
+  }
+
   test("Similarity.bruteTopK matches the oracle query's top-10") {
     val probe = emb.filter(col("vec_id") === 0)
     val brute = Similarity.bruteTopK(emb, probe, 10).collect().map(_.getLong(0))
