@@ -159,5 +159,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => SimplifySelfCosine)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
