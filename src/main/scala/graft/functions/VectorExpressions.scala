@@ -151,14 +151,27 @@ object GraftFunctions {
   private[functions] def all = registrations
 }
 
-/** Config-time extension: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
-  * injects the native functions + optimizer rules into every session of
-  * a deployment.
+/** Config-time extension with only BIT-EXACT additions — native
+  * functions and result-identical plan rewrites. Safe anywhere,
+  * including oracle-compared sessions:
+  * `--conf spark.sql.extensions=graft.functions.GraftExactExtensions`.
+  */
+class GraftExactExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+  }
+}
+
+/** Full extension: everything in GraftExactExtensions plus ALGEBRAIC
+  * rewrites (SimplifySelfCosine) whose floating results can differ in
+  * the last ulp from the unoptimized plan. Use in deployments that
+  * favor speed over bit-replay; never in Verify/Bench sessions
+  * (SURVEY.md §8 invariant 3).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    GraftFunctions.all.foreach(ext.injectFunction)
+    new GraftExactExtensions().apply(ext)
     ext.injectOptimizerRule(_ => SimplifySelfCosine)
-    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

@@ -43,23 +43,26 @@ object AsofJoin {
 
     // identical schemas for the union: each side carries the other's
     // columns as typed nulls
+    // tieBreak columns ride under internal aliases so a name shared with
+    // a left payload column cannot produce duplicate columns in the union
+    val tbAlias = tieBreak.zipWithIndex.map { case (c, i) => c -> s"__tb$i" }
     val rTagged = right.select(
       key.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__tag"), payloadStruct.as("__r")) ++
-        tieBreak.map(col) ++
+        tbAlias.map { case (c, a) => col(c).as(a) } ++
         lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val lTagged = left.select(
       key.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__tag"),
           lit(null).cast(payloadType).as("__r")) ++
-        tieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        tbAlias.map { case (c, a) => lit(null).cast(right.schema(c).dataType).as(a) } ++
         lPayload.map(col): _*)
 
     // ties between several RIGHT rows at one (key, ts) resolve by
     // tieBreak; ties among LEFT rows need no order — they don't update
     // the carry, so any interleaving yields the same carried value
     val ordering: Seq[Column] =
-      col("__ts") +: col("__tag") +: tieBreak.map(col)
+      col("__ts") +: col("__tag") +: tbAlias.map { case (_, a) => col(a) }
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

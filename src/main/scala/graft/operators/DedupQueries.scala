@@ -21,15 +21,6 @@ object DedupQueries extends QueryPack {
   private val K = 8          // minhash signature length
   private val BANDS = 4      // 2 rows per band
 
-  private def tokDistinct(s: SparkSession, dir: String, maxDoc: Int): DataFrame =
-    Tables.documents(s, dir)
-      .filter(col("doc_id") < maxDoc)
-      // explode_outer: identical here (split yields ≥1 element, never
-      // null) but avoids InferFiltersFromGenerate duplicating the array
-      // expression into a non-codegen Filter — measured ~5× slowdown
-      .select(col("doc_id"), explode_outer(array_distinct(split(col("text"), " "))).as("word"))
-      .filter(col("word") =!= "")
-
   /** MinHash signature → banded LSH buckets → candidate pairs → exact
     * Jaccard confirm ≥ 0.8. The only pairwise work happens on LSH
     * candidates, which is what makes this shape viable at 100 TB.

@@ -32,12 +32,19 @@ object BandJoin {
     val r0 = collisions.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
     val rTsName = if (collisions.contains(rTs)) s"r_$rTs" else rTs
 
-    val rBinned = r0.withColumn("__bucket", floor(col(rTsName) / band))
+    // exact integer floor division — `floor(col / band)` would divide as
+    // doubles, and ns-scale longs (~1.7e18) exceed double's 2^53 exact
+    // range, so boundary rows could land one bucket off and silently
+    // drop in-band pairs. (x - pmod(x, band)) DIV band is sign-correct
+    // and exact, matching graft.plans.BandJoinRewrite.
+    def bucketOf(c: String) =
+      expr(s"($c - pmod($c, ${band}L)) DIV ${band}L")
+    val rBinned = r0.withColumn("__bucket", bucketOf(rTsName))
     // each left row probes its own and both adjacent buckets; any match
     // within ±band lives in one of the three
     val lBinned = left
       .withColumn("__probe", explode_outer(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("__bucket", floor(col(lTs) / band) + col("__probe"))
+      .withColumn("__bucket", bucketOf(lTs) + col("__probe"))
       .drop("__probe")
 
     lBinned

@@ -127,7 +127,7 @@ object Dedup {
     * @return (id, cluster_id) where cluster_id = min id in the component
     */
   def clusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-               maxIter: Int = 20): DataFrame = {
+               maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -148,6 +148,14 @@ object Dedup {
       labels = next.select("id", "label")
       i += 1
     }
+    // returning partially-propagated labels would silently split
+    // clusters (and survivors() would keep several "canonical" docs per
+    // component) — refuse instead; the min label moves one hop per
+    // round, so maxIter bounds the component diameter we accept
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge in $maxIter rounds — a component " +
+          s"has diameter > $maxIter; raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

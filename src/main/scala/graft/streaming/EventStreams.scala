@@ -58,25 +58,17 @@ object EventStreams {
     * instead of holding both streams' state forever (the 100 TB/day
     * streaming posture; without the band Spark must keep every row).
     */
-  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", "10 minutes")
-    val p = purchases
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"), col("value"))
-      .withWatermark("purchase_ts", "10 minutes")
-    p.join(c,
-      col("p_user") === col("c_user") &&
-        col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
-  }
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    bandJoin(clicks, purchases, "inner")
 
   /** Left-outer twin: purchases with no prior click still emit (null
     * click columns) once the watermark proves no match can arrive.
     */
-  def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    bandJoin(clicks, purchases, "left_outer")
+
+  private def bandJoin(clicks: DataFrame, purchases: DataFrame,
+                       joinType: String): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -89,7 +81,7 @@ object EventStreams {
       col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
-      "left_outer")
+      joinType)
   }
 
   /** Custom stateful operator: running per-user totals via

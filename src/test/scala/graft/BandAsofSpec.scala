@@ -35,6 +35,20 @@ class BandAsofSpec extends SparkSpec {
       s"unexpected as-of result: $got")
   }
 
+  test("AsofJoin.backward tolerates a tieBreak name shared by both inputs") {
+    import spark.implicits._
+    val right = Seq(("A", 10L, 5L, 1.0), ("A", 10L, 9L, 2.0))
+      .toDF("sym", "qts", "seq", "px")
+    val left = Seq(("A", 11L, 77L)).toDF("sym", "tts", "seq")
+    val out = AsofJoin.backward(left, right, Seq("sym"), "tts", "qts",
+        tieBreak = Seq("seq"))
+      .select("sym", "tts", "seq", "asof_px", "asof_seq").collect()
+    assert(out.length == 1)
+    // left's own seq survives; the carried payload is the max-tiebreak row
+    assert(out.head.getLong(2) == 77L && out.head.getDouble(3) == 2.0 &&
+      out.head.getLong(4) == 9L)
+  }
+
   test("AsofJoin.backward matches a brute-force oracle on real events") {
     val e = Tables.events(spark, sf)
     val clicks = e.filter(col("event_type") === "click")

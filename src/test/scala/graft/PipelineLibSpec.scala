@@ -49,6 +49,14 @@ class PipelineLibSpec extends SparkSpec {
     assert(got(20L) == 20L && got(21L) == 20L)
   }
 
+  test("Dedup.clusters refuses to return partially-propagated labels") {
+    import spark.implicits._
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.clusters(chain, maxIter = 1).collect()
+    }
+  }
+
   test("Dedup.survivors keeps one doc per near-dup cluster plus untouched docs") {
     import spark.implicits._
     val pairs = Seq((1L, 3L), (3L, 7L), (100L, 101L)).toDF("a_id", "b_id")

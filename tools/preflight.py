@@ -68,10 +68,12 @@ def main():
             continue
         # The driver sorts rows with pandas sort_values over every column
         # before hashing; list/array cells are unhashable there and crash
-        # the compare (fn_array, round 1). Reject them outright.
+        # the compare (fn_array, round 1). Reject them outright — checking
+        # every row, since a null first row would mask a later list cell.
+        def is_listy(v):
+            return isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
         bad_cols = [c for df in (duck, spark) for c in df.columns
-                    if len(df) and isinstance(df[c].iloc[0], (list, tuple))
-                    or len(df) and type(df[c].iloc[0]).__name__ == "ndarray"]
+                    if len(df) and df[c].map(is_listy).any()]
         if bad_cols:
             print(f"FAIL {key}: list-typed output columns {sorted(set(bad_cols))} "
                   "(unhashable in the driver's pandas sort)")
