@@ -1,0 +1,182 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, GraftColumnShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.rdd.RDD
+
+/** Native as-of join — the full extension ladder step (c): a custom
+  * `LogicalPlan` node, a `SparkStrategy`, and a physical operator
+  * (SURVEY.md §4). Unlike the composed form (`graft.operators.AsofJoin`:
+  * union + window), this plans as ONE hash Exchange + sort per side and
+  * a single streaming merge per partition: the union never materializes
+  * both inputs into one sorted run, the right payload is never carried
+  * through a window buffer, and memory is O(1) per partition beyond the
+  * sorters. Semantics: each left row picks up the latest right row with
+  * `right.ts <= left.ts` within the same key (inclusive, right-before-
+  * left on ties — DuckDB ASOF JOIN semantics), left-outer.
+  */
+case class AsofJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute,
+    rightTieBreak: Seq[Attribute]) extends BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length)
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, rk, lts, rts, tb) =>
+      AsofMergeJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical merge: requires both children hash-clustered on the keys and
+  * sorted by (keys, ts[, tieBreak]) — EnsureRequirements inserts the
+  * Exchange/Sort pair per side — then zips partitions and merges with
+  * two cursors. Right rows behind the current left key are discarded
+  * (sorted inputs: they can never match again); the newest in-horizon
+  * right row is kept as the carry (copied — Tungsten rows are reused).
+  */
+case class AsofMergeJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute,
+    rightTieBreak: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  private def asc(e: Expression) = SortOrder(e, Ascending, NullsFirst, Seq.empty)
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(asc) :+ asc(leftTs),
+    (rightKeys.map(asc) :+ asc(rightTs)) ++ rightTieBreak.map(asc))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTsA = leftTs
+    val rTsA = rightTs
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+    val rWidth = rOut.size
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      val lTsEval = BindReferences.bindReference(lTsA: Expression, lOut)
+      val rTsEval = BindReferences.bindReference(rTsA: Expression, rOut)
+      val nullRight = new GenericInternalRow(rWidth)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _          // lookahead (not yet consumed)
+        private var carried: InternalRow = _        // copied newest in-horizon right row
+        private var carriedKey: UnsafeRow = _       // copied key of the carry
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          val lTsV = lTsEval.eval(lRow)
+          // advance the right cursor: discard keys behind us, absorb
+          // in-horizon rows of our key into the carry, stop at the first
+          // row beyond (key, ts)
+          var advancing = true
+          while (advancing) {
+            if (rHead == null && rIter.hasNext) rHead = rIter.next()
+            if (rHead == null) advancing = false
+            else {
+              val cmp = keyOrd.compare(rKeyProj(rHead), lKey)
+              if (cmp < 0) rHead = null // dead key: left only moves forward
+              else if (cmp > 0) advancing = false
+              else {
+                val rTsV = rTsEval.eval(rHead)
+                if (rTsV == null) rHead = null // null ts matches nothing
+                else if (lTsV != null && tsOrd.asInstanceOf[Ordering[Any]].compare(rTsV, lTsV) <= 0) {
+                  carried = rHead.copy()
+                  carriedKey = lKey.copy()
+                  rHead = null
+                } else advancing = false // right is ahead of this left row
+              }
+            }
+          }
+          val matched = lTsV != null && carried != null && carriedKey != null &&
+            keyOrd.compare(carriedKey, lKey) == 0
+          joined(lRow, if (matched) carried else nullRight)
+        }
+      }
+    }
+  }
+}
+
+/** Public API over the native operator. */
+object AsofMergeJoin {
+
+  /** Register the strategy once per session (idempotent). */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        AsofJoinStrategy +: spark.experimental.extraStrategies
+
+  /** Backward as-of join with the same surface as
+    * `graft.operators.AsofJoin.backward`: left columns + `asof_ts` +
+    * `asof_<payload>` columns (null when no right row precedes).
+    * Right-side columns are re-aliased (fresh expression ids), so
+    * self-joins work.
+    */
+  def backward(left: DataFrame, right: DataFrame, key: Seq[String],
+               leftTs: String, rightTs: String,
+               tieBreak: Seq[String] = Nil): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val rPayload = right.columns.filterNot(c => key.contains(c) || c == rightTs)
+    val rSel = right.select(
+      key.zipWithIndex.map { case (c, i) => col(c).as(s"__rk$i") } ++
+        Seq(col(rightTs).as("asof_ts")) ++
+        rPayload.map(c => col(c).as(s"asof_$c")): _*)
+
+    val lPlan = GraftColumnShim.analyzed(left)
+    val rPlan = GraftColumnShim.analyzed(rSel)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+
+    val node = AsofJoinNode(
+      lPlan, rPlan,
+      key.map(attr(lPlan, _)),
+      key.indices.map(i => attr(rPlan, s"__rk$i")),
+      attr(lPlan, leftTs), attr(rPlan, "asof_ts"),
+      tieBreak.map(c => attr(rPlan, s"asof_$c")))
+    GraftColumnShim.ofRows(spark, node)
+      .drop(key.indices.map(i => s"__rk$i"): _*)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+import graft.plans.AsofMergeJoin
+
+/** The native as-of operator (custom LogicalPlan + Strategy + physical
+  * merge) must agree exactly with the composed union+window operator on
+  * real data, and plan as a single merge with one Exchange+Sort per side.
+  */
+class AsofMergeJoinSpec extends SparkSpec {
+
+  test("native as-of picks latest right row at or before each left ts") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 20L, 2.5), ("B", 5L, 9.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", 9L, 100L), ("A", 10L, 200L), ("A", 25L, 300L), ("B", 5L, 400L),
+      ("C", 7L, 500L))
+      .toDF("sym", "tts", "qty")
+    val got = AsofMergeJoin.backward(trades, quotes, Seq("sym"), "tts", "qts",
+        tieBreak = Seq("px"))
+      .select("sym", "tts", "qty", "asof_ts", "asof_px")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(got == Set(
+      ("A", 9L, 100L, None, None),
+      ("A", 10L, 200L, Some(10L), Some(1.0)),
+      ("A", 25L, 300L, Some(20L), Some(2.5)),
+      ("B", 5L, 400L, Some(5L), Some(9.0)),
+      ("C", 7L, 500L, None, None)), s"unexpected native as-of result: $got")
+  }
+
+  test("native as-of agrees exactly with the composed operator on real events") {
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("p_id"), col("asof_ts"), col("asof_event_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+
+    val native = rows(AsofMergeJoin.backward(purchases, clicks,
+      Seq("user_id"), "ts", "ts", tieBreak = Seq("event_id")))
+    val composed = rows(AsofJoin.backward(purchases, clicks,
+      Seq("user_id"), "ts", "ts", tieBreak = Seq("event_id")))
+    assert(native.nonEmpty && native == composed,
+      s"native ${native.size} rows vs composed ${composed.size}")
+  }
+
+  test("native as-of plans one merge node with one Exchange+Sort per side") {
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    val df = AsofMergeJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.contains("AsofMergeJoin"), finalSection.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(finalSection).size == 2,
+      s"expected exactly two hash Exchanges: ${finalSection.take(800)}")
+  }
+}
