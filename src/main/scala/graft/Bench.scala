@@ -41,8 +41,9 @@ object Bench {
     }
     // several timed passes, keep each query's minimum: single-JVM timings
     // jitter ±30% from GC/JIT recompilation, and the min is the honest
-    // steady-state cost of the plan (classic benchmark hygiene)
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    // steady-state cost of the plan (classic benchmark hygiene). Default
+    // 2 keeps total wall close to a single-pass run's envelope.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
     val passes = (1 to iters).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
