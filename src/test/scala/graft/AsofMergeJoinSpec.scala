@@ -51,6 +51,42 @@ class AsofMergeJoinSpec extends SparkSpec {
       s"native ${native.size} rows vs composed ${composed.size}")
   }
 
+  test("property: native == composed == brute force on random inputs") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus: duplicate (key, ts) pairs on
+    // both sides, keys missing from either side, ties, empty-ish keys
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val lefts = Seq.fill(30 + rnd.nextInt(50))(
+        (rnd.nextInt(nKeys + 2).toLong, rnd.nextInt(40).toLong))
+        .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+      val rights = Seq.fill(30 + rnd.nextInt(50))(
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong))
+        .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong + 1000) }
+      val lDf = lefts.toDF("k", "lts", "l_id").repartition(4)
+      val rDf = rights.toDF("k", "rts", "r_id").repartition(3)
+
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("l_id", "asof_ts", "asof_r_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+
+      val native = canon(graft.plans.AsofMergeJoin.backward(
+        lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")))
+      val composed = canon(AsofJoin.backward(
+        lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")))
+      // brute force: max (rts, r_id) right row with rts <= lts per left row
+      val brute = lefts.map { case (k, lts, lid) =>
+        val best = rights.filter(r => r._1 == k && r._2 <= lts)
+          .sortBy(r => (r._2, r._3)).lastOption
+        (lid, best.map(_._2), best.map(_._3))
+      }.map { case (a, b, c) => (a, b.map(_.asInstanceOf[Any]), c.map(_.asInstanceOf[Any])) }.toSet
+
+      assert(native == brute, s"round $round: native disagrees with brute force")
+      assert(composed == brute, s"round $round: composed disagrees with brute force")
+    }
+  }
+
   test("native as-of plans one merge node with one Exchange+Sort per side") {
     val e = Tables.events(spark, sf)
     val clicks = e.filter(col("event_type") === "click")
