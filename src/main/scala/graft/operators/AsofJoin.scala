@@ -36,8 +36,11 @@ object AsofJoin {
                tieBreak: Seq[String] = Nil): DataFrame = {
     val rPayload = right.columns.filterNot(c => key.contains(c) || c == rightTs)
     val lPayload = left.columns.filterNot(c => key.contains(c) || c == leftTs)
-    val payloadStruct = struct(
-      col(rightTs).as("asof_ts") +: rPayload.map(c => col(c).as(s"asof_$c")): _*)
+    // a right row with null ts can never satisfy right.ts <= left.ts
+    // (SQL three-valued comparison) — null out its payload so the
+    // ignoreNulls carry skips it instead of matching it
+    val payloadStruct = when(col(rightTs).isNotNull,
+      struct(col(rightTs).as("asof_ts") +: rPayload.map(c => col(c).as(s"asof_$c")): _*))
     val payloadType = StructType(
       right.select(payloadStruct).schema.head.dataType.asInstanceOf[StructType].fields)
 

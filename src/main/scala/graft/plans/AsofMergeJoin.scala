@@ -27,6 +27,12 @@ case class AsofJoinNode(
     leftTs: Attribute, rightTs: Attribute,
     rightTieBreak: Seq[Attribute]) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length)
+  // mismatched types would hash-partition the two sides incompatibly and
+  // misread UnsafeRow fields — silent wrong results; fail loudly instead
+  require(leftKeys.zip(rightKeys).forall { case (l, r) => l.dataType == r.dataType },
+    s"as-of key types must match: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of ts types must match: ${leftTs.dataType} vs ${rightTs.dataType}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -106,6 +112,7 @@ case class AsofMergeJoinExec(
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
           val lTsV = lTsEval.eval(lRow)
+          var absorbed = false
           // advance the right cursor: discard keys behind us, absorb
           // in-horizon rows of our key into the carry, stop at the first
           // row beyond (key, ts)
@@ -121,14 +128,17 @@ case class AsofMergeJoinExec(
                 val rTsV = rTsEval.eval(rHead)
                 if (rTsV == null) rHead = null // null ts matches nothing
                 else if (lTsV != null && tsOrd.asInstanceOf[Ordering[Any]].compare(rTsV, lTsV) <= 0) {
-                  carried = rHead.copy()
-                  carriedKey = lKey.copy()
+                  carried = rHead.copy() // Tungsten rows are reused — copy
+                  absorbed = true
                   rHead = null
                 } else advancing = false // right is ahead of this left row
               }
             }
           }
-          val matched = lTsV != null && carried != null && carriedKey != null &&
+          // key copy hoisted out of the absorb loop: lKey is constant for
+          // this left row, one copy covers every absorbed right row
+          if (absorbed) carriedKey = lKey.copy()
+          val matched = lTsV != null && carried != null &&
             keyOrd.compare(carriedKey, lKey) == 0
           joined(lRow, if (matched) carried else nullRight)
         }
@@ -158,16 +168,20 @@ object AsofMergeJoin {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val rPayload = right.columns.filterNot(c => key.contains(c) || c == rightTs)
+    // tieBreak columns ride under their own aliases (as in the composed
+    // operator) so tie-breaking on a key or the ts column also works
     val rSel = right.select(
       key.zipWithIndex.map { case (c, i) => col(c).as(s"__rk$i") } ++
         Seq(col(rightTs).as("asof_ts")) ++
-        rPayload.map(c => col(c).as(s"asof_$c")): _*)
+        rPayload.map(c => col(c).as(s"asof_$c")) ++
+        tieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }: _*)
 
     val lPlan = GraftColumnShim.analyzed(left)
     val rPlan = GraftColumnShim.analyzed(rSel)
+    // case-insensitive like Spark's default column resolution
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
+      plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
 
     val node = AsofJoinNode(
@@ -175,8 +189,9 @@ object AsofMergeJoin {
       key.map(attr(lPlan, _)),
       key.indices.map(i => attr(rPlan, s"__rk$i")),
       attr(lPlan, leftTs), attr(rPlan, "asof_ts"),
-      tieBreak.map(c => attr(rPlan, s"asof_$c")))
+      tieBreak.indices.map(i => attr(rPlan, s"__tb$i")))
     GraftColumnShim.ofRows(spark, node)
-      .drop(key.indices.map(i => s"__rk$i"): _*)
+      .drop(key.indices.map(i => s"__rk$i") ++
+        tieBreak.indices.map(i => s"__tb$i"): _*)
   }
 }

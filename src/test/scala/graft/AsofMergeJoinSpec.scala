@@ -58,12 +58,14 @@ class AsofMergeJoinSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     for (round <- 1 to 5) {
       val nKeys = 1 + rnd.nextInt(6)
-      val lefts = Seq.fill(30 + rnd.nextInt(50))(
-        (rnd.nextInt(nKeys + 2).toLong, rnd.nextInt(40).toLong))
-        .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
-      val rights = Seq.fill(30 + rnd.nextInt(50))(
-        (rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong))
-        .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong + 1000) }
+      // ~10% null timestamps on both sides: SQL three-valued comparison
+      // means a null ts can neither match nor be matched
+      def ts(): Option[Long] =
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(40).toLong)
+      val lefts = Seq.fill(30 + rnd.nextInt(50))((rnd.nextInt(nKeys + 2).toLong, ts()))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rights = Seq.fill(30 + rnd.nextInt(50))((rnd.nextInt(nKeys).toLong, ts()))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 1000) }
       val lDf = lefts.toDF("k", "lts", "l_id").repartition(4)
       val rDf = rights.toDF("k", "rts", "r_id").repartition(3)
 
@@ -75,11 +77,14 @@ class AsofMergeJoinSpec extends SparkSpec {
         lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")))
       val composed = canon(AsofJoin.backward(
         lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")))
-      // brute force: max (rts, r_id) right row with rts <= lts per left row
+      // brute force: max (rts, r_id) right row with rts <= lts per left
+      // row; null ts on either side never matches
       val brute = lefts.map { case (k, lts, lid) =>
-        val best = rights.filter(r => r._1 == k && r._2 <= lts)
-          .sortBy(r => (r._2, r._3)).lastOption
-        (lid, best.map(_._2), best.map(_._3))
+        val best = lts.map(l => rights
+            .filter(r => r._1 == k && r._2.exists(_ <= l))
+            .sortBy(r => (r._2.get, r._3)).lastOption)
+          .getOrElse(None)
+        (lid, best.flatMap(_._2), best.map(_._3))
       }.map { case (a, b, c) => (a, b.map(_.asInstanceOf[Any]), c.map(_.asInstanceOf[Any])) }.toSet
 
       assert(native == brute, s"round $round: native disagrees with brute force")

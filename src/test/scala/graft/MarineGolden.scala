@@ -73,9 +73,13 @@ class MarineGoldenFilesSpec extends SparkSpec {
         case (`name`, d) => d
       }.get
       val got = MarineGolden.render(df)
-      val want = new String(
-        Files.readAllBytes(Paths.get(MarineGolden.resourceDir, s"$name.golden.json")),
-        "UTF-8")
+      // classpath first (cwd-independent); file fallback covers the
+      // regenerate-then-test flow before resources are recopied
+      val want = Option(getClass.getResourceAsStream(s"/nmea/$name.golden.json"))
+        .map(is => try new String(is.readAllBytes(), "UTF-8") finally is.close())
+        .getOrElse(new String(
+          Files.readAllBytes(Paths.get(MarineGolden.resourceDir, s"$name.golden.json")),
+          "UTF-8"))
       assert(got == want,
         s"$name drifted from its golden file — if intentional, regenerate " +
           s"""with sbt "Test/runMain graft.MarineGoldenWriter"""")
