@@ -31,6 +31,17 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Columnar interchange beyond parquet: ORC keeps the same pushdown /
+    * pruning story (PushedFilters + ReadSchema in the scan) with a
+    * different on-disk ecosystem. (Avro is not bundled in this image's
+    * jars, so parquet/ORC are the columnar pair.)
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Whole-file binary ingest (images/audio/video as opaque payloads):
     * (path, modificationTime, length, content) rows — feed to
     * graft.pipeline.Multimodal decoders.

@@ -29,6 +29,21 @@ class SourcesAndAggSpec extends SparkSpec {
     assert(back.select(col("meta.n_samples")).collect().map(_.getLong(0)).sum == 15)
   }
 
+  test("ORC round-trip preserves rows and pushes filters into the scan") {
+    val tmp = Files.createTempDirectory("orc").toString + "/li"
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    Sources.writeOrc(li, tmp)
+    val back = Sources.readOrc(spark, tmp)
+    assert(back.count() == li.count())
+    val filtered = back.filter(col("l_quantity") > 25.0).select("l_orderkey")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"ORC scan must push the filter: ${plan.take(400)}")
+    assert(filtered.count() ==
+      li.filter(col("l_quantity") > 25.0).count())
+  }
+
   test("binaryFile source reads whole files as payload rows") {
     val dir = Files.createTempDirectory("bin")
     Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
