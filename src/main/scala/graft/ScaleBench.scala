@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom smoke: the heavy operators on a ~10× sf0.1 corpus
+  * (6M lineitem / 1M events / 50k documents / 20k embeddings), built
+  * once under /tmp by replicating the driver tables with remapped ids
+  * — UNBOUNDED runs (full corpus, no doc_id slices), because the scale
+  * question is whether the shapes survive growth, not whether a capped
+  * slice stays capped. Prints one JSON line of seconds per operator.
+  *
+  *   sbt "runMain graft.ScaleBench"           # 10× (default)
+  *   SPARK_GRAFT_SCALE=30 sbt "runMain ..."   # 30×
+  */
+object ScaleBench {
+
+  private def replicate(spark: SparkSession, src: String, name: String,
+                        copies: Int, idCols: Seq[String], out: String): DataFrame = {
+    val base = spark.read.parquet(s"$src/$name.parquet")
+    val offset = 10000000L
+    val df = spark.range(copies).crossJoin(base)
+      .select(base.columns.map {
+        case c if idCols.contains(c) => (col(c) + col("id") * offset).as(c)
+        case c => col(c)
+      }: _*)
+    df.write.mode("overwrite").parquet(s"$out/$name")
+    spark.read.parquet(s"$out/$name")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = s"/tmp/graft_scale_x$copies"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val lineitem = replicate(spark, src, "lineitem", copies, Seq("l_orderkey"), out)
+    val events = replicate(spark, src, "events", copies, Seq("event_id", "user_id"), out)
+    val documents = replicate(spark, src, "documents", copies, Seq("doc_id"), out)
+    val embeddings = replicate(spark, src, "embeddings", copies, Seq("vec_id"), out)
+
+    def t(label: String)(f: => Long): (String, Double, Long) = {
+      f // warm
+      val t0 = System.nanoTime(); val n = f
+      (label, (System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val results = Seq(
+      t("agg_q1_6m") {
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))).count()
+      },
+      t("window_running_1m") {
+        events.withColumn("rs",
+          sum("value").over(Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))).count()
+      },
+      t("asof_composed_1m") {
+        operators.AsofJoin.backward(
+          events.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id").as("p_id")),
+          events.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          Seq("user_id"), "ts", "ts", tieBreak = Seq("event_id")).count()
+      },
+      t("asof_native_1m") {
+        plans.AsofMergeJoin.backward(
+          events.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id").as("p_id")),
+          events.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          Seq("user_id"), "ts", "ts", tieBreak = Seq("event_id")).count()
+      },
+      t("band_join_1m") {
+        pipeline.BandJoin.absBand(
+          events.select(col("user_id"), col("ts"), col("event_id").as("a_id")),
+          events.select(col("user_id"), col("ts"), col("event_id").as("b_id")),
+          Seq("user_id"), "ts", "ts", 60L * 1000000000L).count()
+      },
+      // dedup at scale returns CLUSTERS/SURVIVORS, never the all-pairs
+      // list: this corpus is so duplicated that pairs are quadratic
+      // (2× corpus → 11M pairs from 10k docs; 10× would be ~300M)
+      t("lsh_clusters_50k_docs") {
+        pipeline.Dedup.lshClusters(documents, "doc_id", "text").count()
+      },
+      t("lsh_survivors_50k_docs") {
+        pipeline.Dedup.lshSurvivors(documents, "doc_id", "text").count()
+      },
+      // the pair list as the product stays viable on a bounded slice
+      t("minhash_pairs_5k_slice") {
+        pipeline.Dedup.nearDuplicates(
+          documents.filter(col("doc_id") < 5000), "doc_id", "text", 0.8, 16, 4).count()
+      },
+      t("ann_lsh_topk_20k") {
+        val probe = embeddings.filter(col("vec_id") === 0)
+        pipeline.Similarity.annTopK(embeddings, probe, 10).count()
+      })
+
+    val qs = results.map { case (k, s, n) => s""""$k":{"sec":$s,"rows":$n}""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"ops":$qs}""")
+    spark.stop()
+  }
+}

@@ -169,4 +169,44 @@ object Dedup {
       .select(col("id"))
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
+
+  /** Near-dup CLUSTERS without pairwise enumeration — the shape that
+    * survives heavily-duplicated corpora. All-pairs output is quadratic
+    * in cluster size (a 1 000-copy document alone contributes ~500 000
+    * pairs; measured: 2× the sf0.1 corpus → 11M pairs from 10 000
+    * docs), so when the product is dedup rather than the pair list
+    * itself, link each doc to the MINIMUM doc id of every LSH bucket it
+    * lands in — O(docs × bands) star edges, one window min per bucket,
+    * no self-join — and run hash-min components over those. Docs
+    * sharing any band bucket land in one cluster (the same transitive
+    * closure the pairwise graph yields via shared buckets).
+    */
+  def lshClusters(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("doc_id"),
+      minhashSignature(col(textCol), k).as("sig"))
+    val buckets = sig.select(
+      col("doc_id"),
+      posexplode_outer(array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bucket")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val edges = buckets
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("a_id"), col("rep").as("b_id"))
+      .distinct()
+    clusters(edges)
+  }
+
+  /** Survivors via [[lshClusters]]: one doc per near-dup cluster plus
+    * all unclustered docs — linear end-to-end.
+    */
+  def lshSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, bands: Int = 4): DataFrame = {
+    val losers = lshClusters(docs, idCol, textCol, k, bands)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
 }

@@ -67,6 +67,18 @@ class PipelineLibSpec extends SparkSpec {
       "exactly the non-minimum cluster members are dropped")
   }
 
+  test("Dedup.lshClusters groups every exact duplicate without pair enumeration") {
+    val clusters = Dedup.lshClusters(docs, "doc_id", "text")
+    // identical texts have identical signatures → identical buckets →
+    // one cluster; so survivors can never exceed the distinct-text count
+    val survivors = Dedup.lshSurvivors(docs, "doc_id", "text")
+    assert(survivors.count() <= docs.select("text").distinct().count())
+    // clusters only contain docs that actually share a bucket
+    val labeled = clusters.groupBy("cluster_id").count()
+    assert(labeled.agg(max("count")).head.getLong(0) >= 2,
+      "the corpus has near-dups, so some cluster must have >= 2 members")
+  }
+
   test("Similarity.bruteTopK matches the oracle query's top-10") {
     val probe = emb.filter(col("vec_id") === 0)
     val brute = Similarity.bruteTopK(emb, probe, 10).collect().map(_.getLong(0))
