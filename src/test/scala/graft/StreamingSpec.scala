@@ -107,6 +107,38 @@ class StreamingSpec extends SparkSpec {
       "unmatched purchase joins to null click columns")
   }
 
+  test("stateful stream recovers its state from the checkpoint across restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // the memory sink is not fault-tolerant (recovery is refused); the
+    // parquet sink is, and is also the production shape
+    val out = java.nio.file.Files.createTempDirectory("graft-out").toString
+    val input = MemoryStream[StreamEvent]
+
+    def start() = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData(StreamEvent(1, ts(0), 1, "click", 10.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint: offsets and per-user state must
+    // be restored, so the next batch continues the count at 2, not 1
+    val q2 = start()
+    input.addData(StreamEvent(2, ts(1), 1, "click", 5.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(out).orderBy("n_events").collect()
+    assert(rows.nonEmpty && rows.last.getLong(1) == 2 && rows.last.getDouble(2) == 15.0,
+      s"restarted query must resume from checkpointed state: ${rows.mkString(";")}")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
