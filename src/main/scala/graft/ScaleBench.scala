@@ -18,15 +18,19 @@ object ScaleBench {
 
   private def replicate(spark: SparkSession, src: String, name: String,
                         copies: Int, idCols: Seq[String], out: String): DataFrame = {
-    val base = spark.read.parquet(s"$src/$name.parquet")
-    val offset = 10000000L
-    val df = spark.range(copies).crossJoin(base)
-      .select(base.columns.map {
-        case c if idCols.contains(c) => (col(c) + col("id") * offset).as(c)
-        case c => col(c)
-      }: _*)
-    df.write.mode("overwrite").parquet(s"$out/$name")
-    spark.read.parquet(s"$out/$name")
+    val target = s"$out/$name"
+    // the output path is keyed by the copies count — reuse across runs
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_SUCCESS"))) {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val offset = 10000000L
+      spark.range(copies).crossJoin(base)
+        .select(base.columns.map {
+          case c if idCols.contains(c) => (col(c) + col("id") * offset).as(c)
+          case c => col(c)
+        }: _*)
+        .write.mode("overwrite").parquet(target)
+    }
+    spark.read.parquet(target)
   }
 
   def main(args: Array[String]): Unit = {

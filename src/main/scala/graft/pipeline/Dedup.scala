@@ -44,16 +44,29 @@ object Dedup {
   /** Banded LSH candidate pairs: docs sharing any band bucket.
     * rowsPerBand * bands must equal the signature length.
     */
-  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-                    k: Int = 16, bands: Int = 4): DataFrame = {
-    require(k % bands == 0, "signature length must divide into bands")
+  /** (doc_id, band, bucket) rows — the shared banding for every LSH
+    * consumer. Buckets are xxhash64 of the band slice: 64-bit, so false
+    * bucket collisions between unrelated docs are ~n²/2⁶⁵ (a 32-bit
+    * bucket id would already collide at ~10⁵ docs — tolerable where a
+    * Jaccard confirm follows, fatal where bucket co-membership feeds
+    * clustering directly).
+    */
+  private def bandBuckets(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0 && k / bands > 0,
+      s"signature length $k must divide into $bands non-empty bands")
     val rows = k / bands
     val sig = df.select(col(idCol).as("doc_id"),
       minhashSignature(col(textCol), k).as("sig"))
-    val buckets = sig.select(
+    sig.select(
       col("doc_id"),
       posexplode_outer(array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bucket")))
+        xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bucket")))
+  }
+
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 16, bands: Int = 4): DataFrame = {
+    val buckets = bandBuckets(df, idCol, textCol, k, bands)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -157,25 +170,33 @@ object Dedup {
     }
     // returning partially-propagated labels would silently split
     // clusters (and survivors() would keep several "canonical" docs per
-    // component) — refuse instead; the min label moves one hop per
-    // round, so maxIter bounds the component diameter we accept
+    // component) — refuse instead; with pointer jumping the label
+    // reaches the component minimum in O(log diameter) rounds, so
+    // maxIter=50 accepts any realistic graph and non-convergence
+    // signals something pathological, not merely a deep chain
     if (!converged)
       throw new IllegalStateException(
-        s"Dedup.clusters did not converge in $maxIter rounds — a component " +
-          s"has diameter > $maxIter; raise maxIter")
+        s"Dedup.clusters did not converge in $maxIter rounds (covers " +
+          s"component diameters up to ~2^$maxIter) — the edge graph is " +
+          "pathological; inspect it before raising maxIter")
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Drop every doc that is a non-minimum member of its cluster. */
+  private def keepSurvivors(docs: DataFrame, idCol: String,
+                            clustered: DataFrame): DataFrame = {
+    val losers = clustered
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
   /** Canonical survivors: drop every doc that belongs to a cluster but is
     * not its minimum-id member. Docs in no pair survive untouched.
     */
   def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
-                aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
-    val losers = clusters(pairs, aCol, bCol)
-      .filter(col("id") =!= col("cluster_id"))
-      .select(col("id"))
-    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
-  }
+                aCol: String = "a_id", bCol: String = "b_id"): DataFrame =
+    keepSurvivors(docs, idCol, clusters(pairs, aCol, bCol))
 
   /** Near-dup CLUSTERS without pairwise enumeration — the shape that
     * survives heavily-duplicated corpora. All-pairs output is quadratic
@@ -183,23 +204,22 @@ object Dedup {
     * pairs; measured: 2× the sf0.1 corpus → 11M pairs from 10 000
     * docs), so when the product is dedup rather than the pair list
     * itself, link each doc to the MINIMUM doc id of every LSH bucket it
-    * lands in — O(docs × bands) star edges, one window min per bucket,
-    * no self-join — and run hash-min components over those. Docs
-    * sharing any band bucket land in one cluster (the same transitive
-    * closure the pairwise graph yields via shared buckets).
+    * lands in — O(docs × bands) star edges — and run hash-min
+    * components over those. Docs sharing any band bucket land in one
+    * cluster (the same transitive closure the pairwise graph yields via
+    * shared buckets). The per-bucket minimum is a groupBy (map-side
+    * partial min), NOT a window: a window would buffer the hottest
+    * bucket — a 10⁸-copy boilerplate text — in a single task.
     */
   def lshClusters(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = k / bands
-    val sig = df.select(col(idCol).as("doc_id"),
-      minhashSignature(col(textCol), k).as("sig"))
-    val buckets = sig.select(
-      col("doc_id"),
-      posexplode_outer(array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bucket")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val edges = buckets
-      .withColumn("rep", min(col("doc_id")).over(w))
+    // materialized once: both the rep aggregate and the join-back
+    // consume the buckets, and recomputing them re-runs the whole
+    // k-minhash signature scan (measured +50% on 50k docs)
+    val buckets = bandBuckets(df, idCol, textCol, k, bands).localCheckpoint(true)
+    val reps = buckets.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("rep"))
+    val edges = buckets.join(reps, Seq("band", "bucket"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("a_id"), col("rep").as("b_id"))
       .distinct()
@@ -210,10 +230,6 @@ object Dedup {
     * all unclustered docs — linear end-to-end.
     */
   def lshSurvivors(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 16, bands: Int = 4): DataFrame = {
-    val losers = lshClusters(docs, idCol, textCol, k, bands)
-      .filter(col("id") =!= col("cluster_id"))
-      .select(col("id"))
-    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
-  }
+                   k: Int = 16, bands: Int = 4): DataFrame =
+    keepSurvivors(docs, idCol, lshClusters(docs, idCol, textCol, k, bands))
 }

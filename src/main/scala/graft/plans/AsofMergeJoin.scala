@@ -104,34 +104,43 @@ case class AsofMergeJoinExec(
       val lTsOrdinal = lOut.indexWhere(_.exprId == lTsA.exprId)
       val rTsOrdinal = rOut.indexWhere(_.exprId == rTsA.exprId)
       abstract class TsCmp {
-        def lNull(l: InternalRow): Boolean
+        /** latch the left row's ts once per left row; true if it's null */
+        def setLeft(l: InternalRow): Boolean
         def rNull(r: InternalRow): Boolean
-        /** right.ts <= left.ts, both known non-null */
-        def rLeL(r: InternalRow, l: InternalRow): Boolean
+        /** right.ts <= latched left ts, both known non-null */
+        def rLeL(r: InternalRow): Boolean
       }
       import org.apache.spark.sql.types._
       val tsCmp: TsCmp = tsType match {
         case LongType | TimestampType | TimestampNTZType => new TsCmp {
-          def lNull(l: InternalRow) = l.isNullAt(lTsOrdinal)
+          private var lv = 0L
+          def setLeft(l: InternalRow) = {
+            val n = l.isNullAt(lTsOrdinal)
+            if (!n) lv = l.getLong(lTsOrdinal)
+            n
+          }
           def rNull(r: InternalRow) = r.isNullAt(rTsOrdinal)
-          def rLeL(r: InternalRow, l: InternalRow) =
-            r.getLong(rTsOrdinal) <= l.getLong(lTsOrdinal)
+          def rLeL(r: InternalRow) = r.getLong(rTsOrdinal) <= lv
         }
         case IntegerType | DateType => new TsCmp {
-          def lNull(l: InternalRow) = l.isNullAt(lTsOrdinal)
+          private var lv = 0
+          def setLeft(l: InternalRow) = {
+            val n = l.isNullAt(lTsOrdinal)
+            if (!n) lv = l.getInt(lTsOrdinal)
+            n
+          }
           def rNull(r: InternalRow) = r.isNullAt(rTsOrdinal)
-          def rLeL(r: InternalRow, l: InternalRow) =
-            r.getInt(rTsOrdinal) <= l.getInt(lTsOrdinal)
+          def rLeL(r: InternalRow) = r.getInt(rTsOrdinal) <= lv
         }
         case _ => new TsCmp {
           private val lEval = BindReferences.bindReference(lTsA: Expression, lOut)
           private val rEval = BindReferences.bindReference(rTsA: Expression, rOut)
           private val ord =
             TypeUtils.getInterpretedOrdering(tsType).asInstanceOf[Ordering[Any]]
-          def lNull(l: InternalRow) = lEval.eval(l) == null
+          private var lv: Any = _
+          def setLeft(l: InternalRow) = { lv = lEval.eval(l); lv == null }
           def rNull(r: InternalRow) = rEval.eval(r) == null
-          def rLeL(r: InternalRow, l: InternalRow) =
-            ord.compare(rEval.eval(r), lEval.eval(l)) <= 0
+          def rLeL(r: InternalRow) = ord.compare(rEval.eval(r), lv) <= 0
         }
       }
 
@@ -145,7 +154,7 @@ case class AsofMergeJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
-          val lTsNull = tsCmp.lNull(lRow)
+          val lTsNull = tsCmp.setLeft(lRow)
           var absorbed = false
           // advance the right cursor: discard keys behind us, absorb
           // in-horizon rows of our key into the carry, stop at the first
@@ -160,7 +169,7 @@ case class AsofMergeJoinExec(
               else if (cmp > 0) advancing = false
               else {
                 if (tsCmp.rNull(rHead)) rHead = null // null ts matches nothing
-                else if (!lTsNull && tsCmp.rLeL(rHead, lRow)) {
+                else if (!lTsNull && tsCmp.rLeL(rHead)) {
                   carried = rHead.copy() // Tungsten rows are reused — copy
                   absorbed = true
                   rHead = null
