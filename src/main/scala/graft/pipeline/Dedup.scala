@@ -41,9 +41,24 @@ object Dedup {
     array(sig: _*)
   }
 
-  /** Banded LSH candidate pairs: docs sharing any band bucket.
-    * rowsPerBand * bands must equal the signature length.
+  /** Bottom-k MinHash (Broder 1997's single-permutation form): ONE
+    * xxhash64 per token instead of k — the signature is the k smallest
+    * token hashes, ascending, padded with Long.MaxValue for docs with
+    * fewer than k tokens. Order-invariant (a sort over the hash set),
+    * and identical sets sign identically, so LSH banding works the
+    * same way; high-Jaccard sets share most of their bottom-k. At
+    * 100 TB the hashing is the dominant signature cost, so one hash
+    * per token is the scale choice. (A binned one-permutation variant
+    * with rotation densification was measured SLOWER here: its k²
+    * cross-bin coalesce duplicates the bin expressions under
+    * interpreted higher-order-function eval.)
     */
+  def minhashSignatureBottomK(textCol: Column, k: Int): Column = {
+    val tokens = filter(array_distinct(split(textCol, "\\s+")), t => t =!= "")
+    val hashes = transform(tokens, t => xxhash64(t))
+    slice(concat(array_sort(hashes), array_repeat(lit(Long.MaxValue), k)), 1, k)
+  }
+
   /** (doc_id, band, bucket) rows — the shared banding for every LSH
     * consumer. Buckets are xxhash64 of the band slice: 64-bit, so false
     * bucket collisions between unrelated docs are ~n²/2⁶⁵ (a 32-bit
@@ -52,21 +67,26 @@ object Dedup {
     * clustering directly).
     */
   private def bandBuckets(df: DataFrame, idCol: String, textCol: String,
-                          k: Int, bands: Int): DataFrame = {
+                          k: Int, bands: Int,
+                          signature: (Column, Int) => Column): DataFrame = {
     require(bands > 0 && k % bands == 0 && k / bands > 0,
       s"signature length $k must divide into $bands non-empty bands")
     val rows = k / bands
     val sig = df.select(col(idCol).as("doc_id"),
-      minhashSignature(col(textCol), k).as("sig"))
+      signature(col(textCol), k).as("sig"))
     sig.select(
       col("doc_id"),
       posexplode_outer(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bucket")))
   }
 
+  /** Banded LSH candidate pairs: docs sharing any band bucket.
+    * rowsPerBand * bands must equal the signature length.
+    */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-                    k: Int = 16, bands: Int = 4): DataFrame = {
-    val buckets = bandBuckets(df, idCol, textCol, k, bands)
+                    k: Int = 16, bands: Int = 4,
+                    signature: (Column, Int) => Column = minhashSignature): DataFrame = {
+    val buckets = bandBuckets(df, idCol, textCol, k, bands, signature)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -212,11 +232,13 @@ object Dedup {
     * bucket — a 10⁸-copy boilerplate text — in a single task.
     */
   def lshClusters(df: DataFrame, idCol: String, textCol: String,
-                  k: Int = 16, bands: Int = 4): DataFrame = {
+                  k: Int = 16, bands: Int = 4,
+                  signature: (Column, Int) => Column = minhashSignature): DataFrame = {
     // materialized once: both the rep aggregate and the join-back
     // consume the buckets, and recomputing them re-runs the whole
     // k-minhash signature scan (measured +50% on 50k docs)
-    val buckets = bandBuckets(df, idCol, textCol, k, bands).localCheckpoint(true)
+    val buckets =
+      bandBuckets(df, idCol, textCol, k, bands, signature).localCheckpoint(true)
     val reps = buckets.groupBy(col("band"), col("bucket"))
       .agg(min(col("doc_id")).as("rep"))
     val edges = buckets.join(reps, Seq("band", "bucket"))
@@ -230,6 +252,8 @@ object Dedup {
     * all unclustered docs — linear end-to-end.
     */
   def lshSurvivors(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 16, bands: Int = 4): DataFrame =
-    keepSurvivors(docs, idCol, lshClusters(docs, idCol, textCol, k, bands))
+                   k: Int = 16, bands: Int = 4,
+                   signature: (Column, Int) => Column = minhashSignature): DataFrame =
+    keepSurvivors(docs, idCol,
+      lshClusters(docs, idCol, textCol, k, bands, signature))
 }

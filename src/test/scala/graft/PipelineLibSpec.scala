@@ -67,6 +67,31 @@ class PipelineLibSpec extends SparkSpec {
       "exactly the non-minimum cluster members are dropped")
   }
 
+  test("bottom-k minhash: order-invariant, padded, and duplicate-preserving") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta  gamma beta alpha"),  // same token set, different order/spacing
+      (3L, "alpha beta gamma delta"),   // exact duplicate of 1
+      (4L, "zeta"))                     // 1 token, 15 of 16 bins empty
+      .toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"),
+        Dedup.minhashSignatureBottomK(col("text"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1) == sigs(2), "signature must depend only on the token set")
+    assert(sigs(1) == sigs(3), "identical texts must sign identically")
+    assert(sigs.values.forall(s => s.length == 16 && !s.contains(null)),
+      "padding must fill every position")
+    assert(sigs(4).toSet == Set(sigs(4).head, Long.MaxValue),
+      "a 1-token doc is its hash plus MaxValue padding")
+
+    // end-to-end: clusters built on the bottom-k signature still group the dups
+    val clustered = Dedup.lshClusters(df, "doc_id", "text",
+      signature = Dedup.minhashSignatureBottomK)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustered(1) == clustered(3) && clustered(1) == clustered(2))
+  }
+
   test("Dedup.lshClusters groups every exact duplicate without pair enumeration") {
     val clusters = Dedup.lshClusters(docs, "doc_id", "text")
     // identical texts have identical signatures → identical buckets →
