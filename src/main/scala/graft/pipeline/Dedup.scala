@@ -85,7 +85,7 @@ object Dedup {
     */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 16, bands: Int = 4,
-                    signature: (Column, Int) => Column = minhashSignature): DataFrame = {
+                    signature: (Column, Int) => Column = minhashSignatureBottomK): DataFrame = {
     val buckets = bandBuckets(df, idCol, textCol, k, bands, signature)
     buckets.as("a")
       .join(buckets.as("b"),
@@ -233,7 +233,7 @@ object Dedup {
     */
   def lshClusters(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 16, bands: Int = 4,
-                  signature: (Column, Int) => Column = minhashSignature): DataFrame = {
+                  signature: (Column, Int) => Column = minhashSignatureBottomK): DataFrame = {
     // materialized once: both the rep aggregate and the join-back
     // consume the buckets, and recomputing them re-runs the whole
     // k-minhash signature scan (measured +50% on 50k docs)
@@ -253,7 +253,7 @@ object Dedup {
     */
   def lshSurvivors(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, bands: Int = 4,
-                   signature: (Column, Int) => Column = minhashSignature): DataFrame =
+                   signature: (Column, Int) => Column = minhashSignatureBottomK): DataFrame =
     keepSurvivors(docs, idCol,
       lshClusters(docs, idCol, textCol, k, bands, signature))
 }
