@@ -25,23 +25,31 @@ object DedupQueries extends QueryPack {
     * Jaccard confirm ≥ 0.8. The only pairwise work happens on LSH
     * candidates, which is what makes this shape viable at 100 TB.
     *
-    * The signature is built in ONE scan with array expressions (per-seed
-    * transform + array_min) — no (doc × word × seed) explode, no
-    * signature shuffles; the oracle replays the identical md5-min per
-    * seed relationally and lands on the same buckets.
+    * The 8 signature components come from TWO md5 digests per word —
+    * md5(w) and md5('#'+w), each sliced into four 8-hex chunks — not
+    * eight per-seed digests: the digests are materialized as their own
+    * projection (CollapseProject refuses to inline a non-cheap alias
+    * referenced 4×), so the chunk-min components only run cheap
+    * substrings. The oracle replays the identical chunk-min per
+    * component relationally and lands on the same buckets.
     */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val toks = filter(array_distinct(split(col("text"), " ")), w => w =!= "")
-    val sig = (0 until K).map { k =>
-      array_min(transform(toks, w => md5(concat(w, lit("#"), lit(k.toString)))))
-    }
-    val bucketCols = (0 until BANDS).map(b => concat(sig(2 * b), sig(2 * b + 1)))
-    val docs = Tables.documents(s, dir)
+    val hashed = Tables.documents(s, dir)
       .filter(col("doc_id") < 300)
       .select(col("doc_id"), toks.as("toks"),
+        transform(toks, w => md5(w.cast("binary"))).as("h0"),
+        transform(toks, w => md5(concat(lit("#"), w).cast("binary"))).as("h1"))
+    val sig = (0 until K).map { k =>
+      val h = if (k < 4) col("h0") else col("h1")
+      array_min(transform(h, d => substring(d, (k % 4) * 8 + 1, 8)))
+    }
+    val bucketCols = (0 until BANDS).map(b => concat(sig(2 * b), sig(2 * b + 1)))
+    val docs = hashed
+      .select(col("doc_id"), col("toks"),
         // posexplode_outer: array(...) is fixed-length-4 non-null, so
         // identical — but plain posexplode triggers an inferred filter
-        // that re-evaluates all 16 md5-min signature expressions
+        // that re-evaluates all 8 chunk-min signature expressions
         posexplode_outer(array(bucketCols: _*)).as(Seq("band", "bucket")))
     val cand = docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
         col("band"), col("bucket"))
@@ -169,7 +177,9 @@ object DedupQueries extends QueryPack {
         |  FROM documents WHERE doc_id < 300
         |), tok AS (SELECT * FROM tok0 WHERE word <> ''),
         |mh AS (
-        |  SELECT doc_id, k, min(md5(word || '#' || CAST(k AS VARCHAR))) AS mh
+        |  SELECT doc_id, k,
+        |    min(substr(CASE WHEN k < 4 THEN md5(word) ELSE md5('#' || word) END,
+        |               (k % 4) * 8 + 1, 8)) AS mh
         |  FROM tok CROSS JOIN (SELECT unnest(range(0, 8)) AS k) seeds
         |  GROUP BY doc_id, k),
         |buckets AS (
