@@ -99,9 +99,8 @@ object ScaleBench {
       t("lsh_survivors_50k_docs") {
         pipeline.Dedup.lshSurvivors(documents, "doc_id", "text").count()
       },
-      t("lsh_clusters_bottomk_50k") {
-        pipeline.Dedup.lshClusters(documents, "doc_id", "text",
-          signature = pipeline.Dedup.minhashSignatureBottomK).count()
+      t("lsh_clusters_fast_50k") {
+        pipeline.Dedup.lshClustersFast(documents, "doc_id", "text").count()
       },
       // the pair list as the product stays viable on a bounded slice
       t("minhash_pairs_5k_slice") {

@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Distinct non-empty whitespace tokens — THE tokenization for every
+    * signature and for the Jaccard confirm (one definition, so the
+    * LSH-candidate/confirm contract cannot desynchronize).
+    */
+  private def tokensOf(textCol: Column): Column =
+    filter(array_distinct(split(textCol, "\\s+")), t => t =!= "")
+
   /** Exact dedup, deterministic survivor (min id): one hash-partitioned
     * aggregate keyed by the text. (A hash-only shuffle with in-group
     * confirm would need a second pass to resolve 64-bit collisions; at
@@ -31,30 +38,28 @@ object Dedup {
     * hash → array_min. No explode, no extra shuffle.
     */
   def minhashSignature(textCol: Column, k: Int): Column = {
-    // leading/double whitespace makes split emit "" — drop it so the
-    // signature hashes real tokens only (and matches MinHashAgg fed
-    // with filtered tokens)
-    val tokens = filter(array_distinct(split(textCol, "\\s+")), t => t =!= "")
+    // matches MinHashAgg fed with filtered tokens
+    val tokens = tokensOf(textCol)
     val sig = (0 until k).map { seed =>
       array_min(transform(tokens, t => xxhash64(t, lit(seed))))
     }
     array(sig: _*)
   }
 
-  /** Bottom-k MinHash (Broder 1997's single-permutation form): ONE
-    * xxhash64 per token instead of k — the signature is the k smallest
-    * token hashes, ascending, padded with Long.MaxValue for docs with
-    * fewer than k tokens. Order-invariant (a sort over the hash set),
-    * and identical sets sign identically, so LSH banding works the
-    * same way; high-Jaccard sets share most of their bottom-k. At
-    * 100 TB the hashing is the dominant signature cost, so one hash
-    * per token is the scale choice. (A binned one-permutation variant
-    * with rotation densification was measured SLOWER here: its k²
-    * cross-bin coalesce duplicates the bin expressions under
-    * interpreted higher-order-function eval.)
+  /** Bottom-k sketch (Broder 1997): the k smallest token hashes,
+    * ascending, MaxValue-padded. ONE hash per token; good for pairwise
+    * Jaccard ESTIMATION (|bottom-k(A) ∩ bottom-k(B)| / k over the union
+    * sketch).
+    *
+    * NOT an input for positional LSH banding: inserting one token whose
+    * hash lands low shifts every later position, so a Jaccard≈0.94 pair
+    * can share ZERO band slices (deterministically), and the MaxValue
+    * padding makes every doc with < k·(bands−1)/bands tokens share its
+    * tail bands with every other short doc. Use
+    * [[bandBucketsFast]]/the per-component schemes for banding.
     */
   def minhashSignatureBottomK(textCol: Column, k: Int): Column = {
-    val tokens = filter(array_distinct(split(textCol, "\\s+")), t => t =!= "")
+    val tokens = tokensOf(textCol)
     val hashes = transform(tokens, t => xxhash64(t))
     slice(concat(array_sort(hashes), array_repeat(lit(Long.MaxValue), k)), 1, k)
   }
@@ -66,18 +71,41 @@ object Dedup {
     * Jaccard confirm follows, fatal where bucket co-membership feeds
     * clustering directly).
     */
-  private def bandBuckets(df: DataFrame, idCol: String, textCol: String,
-                          k: Int, bands: Int,
-                          signature: (Column, Int) => Column): DataFrame = {
+  private def bandBucketsFromSig(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     require(bands > 0 && k % bands == 0 && k / bands > 0,
       s"signature length $k must divide into $bands non-empty bands")
     val rows = k / bands
-    val sig = df.select(col(idCol).as("doc_id"),
-      signature(col(textCol), k).as("sig"))
     sig.select(
       col("doc_id"),
       posexplode_outer(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bucket")))
+  }
+
+  private def bandBuckets(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, bands: Int,
+                          signature: (Column, Int) => Column): DataFrame =
+    bandBucketsFromSig(
+      df.select(col(idCol).as("doc_id"), signature(col(textCol), k).as("sig")),
+      k, bands)
+
+  /** Fast per-component banding: ONE string hash per token, then k
+    * cheap 8-byte re-hashes (`xxhash64(baseHash, component)`) — each
+    * signature component stays an independent per-component minimum, so
+    * banding keeps the classic minhash collision guarantees (which the
+    * bottom-k sketch does NOT — see [[minhashSignatureBottomK]]).
+    * Built in two projections so the base hash array is materialized
+    * once: CollapseProject refuses to inline a non-cheap alias
+    * referenced k times, which is exactly what keeps the string hashing
+    * single-pass.
+    */
+  private def fastBandBuckets(df: DataFrame, idCol: String, textCol: String,
+                              k: Int, bands: Int): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      transform(tokensOf(col(textCol)), t => xxhash64(t)).as("__h"))
+    val sig = base.select(col("doc_id"),
+      array((0 until k).map(j =>
+        array_min(transform(col("__h"), h => xxhash64(h, lit(j))))): _*).as("sig"))
+    bandBucketsFromSig(sig, k, bands)
   }
 
   /** Banded LSH candidate pairs: docs sharing any band bucket.
@@ -85,7 +113,7 @@ object Dedup {
     */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 16, bands: Int = 4,
-                    signature: (Column, Int) => Column = minhashSignatureBottomK): DataFrame = {
+                    signature: (Column, Int) => Column = minhashSignature): DataFrame = {
     val buckets = bandBuckets(df, idCol, textCol, k, bands, signature)
     buckets.as("a")
       .join(buckets.as("b"),
@@ -101,8 +129,7 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     val cand = lshCandidates(df, idCol, textCol, k, bands)
-    val toks = df.select(col(idCol).as("doc_id"),
-      filter(array_distinct(split(col(textCol), "\\s+")), t => t =!= "").as("toks"))
+    val toks = df.select(col(idCol).as("doc_id"), tokensOf(col(textCol)).as("toks"))
     cand
       .join(toks.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
       .join(toks.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
@@ -231,14 +258,11 @@ object Dedup {
     * partial min), NOT a window: a window would buffer the hottest
     * bucket — a 10⁸-copy boilerplate text — in a single task.
     */
-  def lshClusters(df: DataFrame, idCol: String, textCol: String,
-                  k: Int = 16, bands: Int = 4,
-                  signature: (Column, Int) => Column = minhashSignatureBottomK): DataFrame = {
+  private def clustersFromBuckets(buckets0: DataFrame): DataFrame = {
     // materialized once: both the rep aggregate and the join-back
     // consume the buckets, and recomputing them re-runs the whole
-    // k-minhash signature scan (measured +50% on 50k docs)
-    val buckets =
-      bandBuckets(df, idCol, textCol, k, bands, signature).localCheckpoint(true)
+    // signature scan (measured +50% on 50k docs)
+    val buckets = buckets0.localCheckpoint(true)
     val reps = buckets.groupBy(col("band"), col("bucket"))
       .agg(min(col("doc_id")).as("rep"))
     val edges = buckets.join(reps, Seq("band", "bucket"))
@@ -248,12 +272,31 @@ object Dedup {
     clusters(edges)
   }
 
+  def lshClusters(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 16, bands: Int = 4,
+                  signature: (Column, Int) => Column = minhashSignature): DataFrame =
+    clustersFromBuckets(bandBuckets(df, idCol, textCol, k, bands, signature))
+
+  /** [[lshClusters]] on the single-string-hash banding
+    * ([[fastBandBuckets]]): same collision guarantees as the k-hash
+    * form, ~3× cheaper signatures — the scale default when the corpus
+    * is large enough for hashing to dominate.
+    */
+  def lshClustersFast(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16, bands: Int = 4): DataFrame =
+    clustersFromBuckets(fastBandBuckets(df, idCol, textCol, k, bands))
+
   /** Survivors via [[lshClusters]]: one doc per near-dup cluster plus
     * all unclustered docs — linear end-to-end.
     */
   def lshSurvivors(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, bands: Int = 4,
-                   signature: (Column, Int) => Column = minhashSignatureBottomK): DataFrame =
+                   signature: (Column, Int) => Column = minhashSignature): DataFrame =
     keepSurvivors(docs, idCol,
       lshClusters(docs, idCol, textCol, k, bands, signature))
+
+  /** Survivors via [[lshClustersFast]]. */
+  def lshSurvivorsFast(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16, bands: Int = 4): DataFrame =
+    keepSurvivors(docs, idCol, lshClustersFast(docs, idCol, textCol, k, bands))
 }

@@ -67,13 +67,13 @@ class PipelineLibSpec extends SparkSpec {
       "exactly the non-minimum cluster members are dropped")
   }
 
-  test("bottom-k minhash: order-invariant, padded, and duplicate-preserving") {
+  test("bottom-k sketch: order-invariant, padded, duplicate-preserving") {
     import spark.implicits._
     val df = Seq(
       (1L, "alpha beta gamma delta"),
       (2L, "delta  gamma beta alpha"),  // same token set, different order/spacing
       (3L, "alpha beta gamma delta"),   // exact duplicate of 1
-      (4L, "zeta"))                     // 1 token, 15 of 16 bins empty
+      (4L, "zeta"))                     // 1 token → 15 padded positions
       .toDF("doc_id", "text")
     val sigs = df.select(col("doc_id"),
         Dedup.minhashSignatureBottomK(col("text"), 16).as("sig"))
@@ -84,12 +84,42 @@ class PipelineLibSpec extends SparkSpec {
       "padding must fill every position")
     assert(sigs(4).toSet == Set(sigs(4).head, Long.MaxValue),
       "a 1-token doc is its hash plus MaxValue padding")
+  }
 
-    // end-to-end: clusters built on the bottom-k signature still group the dups
-    val clustered = Dedup.lshClusters(df, "doc_id", "text",
-      signature = Dedup.minhashSignatureBottomK)
+  test("fast LSH clustering groups dups but never unrelated short docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta  gamma beta alpha"),  // same token set → same signature
+      (3L, "alpha beta gamma delta"),   // exact duplicate of 1
+      (4L, "zeta"),                     // short and unrelated: must stay apart
+      (5L, "omega psi"))                // short and unrelated: must stay apart
+      .toDF("doc_id", "text")
+    val clustered = Dedup.lshClustersFast(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(clustered(1) == clustered(3) && clustered(1) == clustered(2))
+    assert(clustered(1) == clustered(2) && clustered(1) == clustered(3))
+    // the bottom-k padding bug merged all short docs into one cluster;
+    // per-component signatures must not
+    assert(clustered.get(4L).forall(_ != clustered(1)))
+    assert(clustered.get(5L).forall(c => c != clustered(1) && !clustered.get(4L).contains(c)))
+  }
+
+  test("fast LSH banding keeps near-dup recall under single-token insertion") {
+    import spark.implicits._
+    // B = A plus one extra token — jaccard 20/21 ≈ 0.95. Positional
+    // bottom-k banding missed such pairs deterministically whenever the
+    // new token hashed low; per-component banding must surface them.
+    val a = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val cases = (0 until 10).map(j => (j, a, s"$a extra$j"))
+    val df = cases.flatMap { case (j, ta, tb) =>
+      Seq((j * 2L, ta, j), (j * 2L + 1, tb, j))
+    }.toDF("doc_id", "text", "grp")
+    val cand = Dedup.lshCandidates(df, "doc_id", "text",
+      signature = (c, k) => Dedup.minhashSignature(c, k))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPairs = (0 until 10).map(j => (j * 2L, j * 2L + 1)).toSet
+    val hit = wantPairs.count(cand.contains)
+    assert(hit >= 8, s"k-hash banding should catch nearly all 0.95-jaccard pairs, hit $hit/10")
   }
 
   test("Dedup.lshClusters groups every exact duplicate without pair enumeration") {
