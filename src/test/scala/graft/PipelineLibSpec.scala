@@ -104,6 +104,16 @@ class PipelineLibSpec extends SparkSpec {
     assert(clustered.get(5L).forall(c => c != clustered(1) && !clustered.get(4L).contains(c)))
   }
 
+  test("fast LSH banding materializes the base hash array exactly once") {
+    // the fast path relies on CollapseProject refusing to inline a
+    // non-cheap alias referenced k times; if that heuristic changes,
+    // __h would be inlined and the token strings re-hashed k times
+    val clustered = Dedup.lshClustersFast(docs.limit(50), "doc_id", "text")
+    val plan = clustered.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__h"),
+      s"base hash column must stay materialized, not inlined: ${plan.take(400)}")
+  }
+
   test("fast LSH banding keeps near-dup recall under single-token insertion") {
     import spark.implicits._
     // B = A plus one extra token — jaccard 20/21 ≈ 0.95. Positional
