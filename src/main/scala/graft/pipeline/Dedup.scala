@@ -98,7 +98,7 @@ object Dedup {
     * referenced k times, which is exactly what keeps the string hashing
     * single-pass.
     */
-  private def fastBandBuckets(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def fastBandBuckets(df: DataFrame, idCol: String, textCol: String,
                               k: Int, bands: Int): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"),
       transform(tokensOf(col(textCol)), t => xxhash64(t)).as("__h"))

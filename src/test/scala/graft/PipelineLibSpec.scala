@@ -107,9 +107,11 @@ class PipelineLibSpec extends SparkSpec {
   test("fast LSH banding materializes the base hash array exactly once") {
     // the fast path relies on CollapseProject refusing to inline a
     // non-cheap alias referenced k times; if that heuristic changes,
-    // __h would be inlined and the token strings re-hashed k times
-    val clustered = Dedup.lshClustersFast(docs.limit(50), "doc_id", "text")
-    val plan = clustered.queryExecution.optimizedPlan.toString
+    // __h would be inlined and the token strings re-hashed k times.
+    // Checked on the banding stage itself — lshClustersFast checkpoints,
+    // which truncates the visible lineage.
+    val buckets = Dedup.fastBandBuckets(docs.limit(50), "doc_id", "text", 16, 4)
+    val plan = buckets.queryExecution.optimizedPlan.toString
     assert(plan.contains("__h"),
       s"base hash column must stay materialized, not inlined: ${plan.take(400)}")
   }
