@@ -74,6 +74,24 @@ class BandAsofSpec extends SparkSpec {
     assert(got == brute, "as-of join must agree with the brute-force oracle")
   }
 
+  test("BandJoin.absBand is exact across negative timestamps (floor-div signs)") {
+    import spark.implicits._
+    // pairs straddling zero and bucket boundaries: truncating division
+    // would misbucket negatives and drop in-band pairs
+    val l = Seq((1L, -25L, 1L), (1L, -10L, 2L), (1L, 3L, 3L), (1L, 19L, 4L))
+      .toDF("k", "ts", "a_id")
+    val r = Seq((1L, -30L, 11L), (1L, -1L, 12L), (1L, 9L, 13L))
+      .toDF("k", "ts", "b_id")
+    val got = pipeline.BandJoin.absBand(l, r, Seq("k"), "ts", "ts", 10L)
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = (for {
+      (_, lt, a) <- Seq((1L, -25L, 1L), (1L, -10L, 2L), (1L, 3L, 3L), (1L, 19L, 4L))
+      (_, rt, b) <- Seq((1L, -30L, 11L), (1L, -1L, 12L), (1L, 9L, 13L))
+      if math.abs(lt - rt) <= 10
+    } yield (a, b)).toSet
+    assert(got == naive, s"got $got want $naive")
+  }
+
   test("BandJoin.absBand matches the naive theta join and avoids nested loops") {
     val e = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"))
