@@ -32,6 +32,22 @@ class AsofMergeJoinSpec extends SparkSpec {
       ("C", 7L, 500L, None, None)), s"unexpected native as-of result: $got")
   }
 
+  test("native as-of supports composite keys") {
+    import spark.implicits._
+    val quotes = Seq(("A", 1L, 10L, 1.0), ("A", 2L, 10L, 2.0), ("B", 1L, 5L, 9.0))
+      .toDF("sym", "venue", "qts", "px")
+    val trades = Seq(("A", 1L, 11L, 100L), ("A", 2L, 11L, 200L), ("B", 2L, 11L, 300L))
+      .toDF("sym", "venue", "tts", "qty")
+    val got = AsofMergeJoin.backward(trades, quotes, Seq("sym", "venue"), "tts", "qts")
+      .select("sym", "venue", "qty", "asof_px")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), Option(r.get(3)))).toSet
+    assert(got == Set(
+      ("A", 1L, 100L, Some(1.0)),   // (A,1) matches only venue-1 quote
+      ("A", 2L, 200L, Some(2.0)),
+      ("B", 2L, 300L, None)),       // (B,2) has no quote despite B having one at venue 1
+      s"composite keys must not cross-match: $got")
+  }
+
   test("native as-of agrees exactly with the composed operator on real events") {
     val e = Tables.events(spark, sf)
     val clicks = e.filter(col("event_type") === "click")

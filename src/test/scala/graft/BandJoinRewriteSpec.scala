@@ -55,6 +55,21 @@ class BandJoinRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("rewrite also matches the reversed operand order abs(r - l)") {
+    spark.experimental.extraOptimizations = saved :+ BandJoinRewrite
+    try {
+      val e = Tables.events(spark, sf).select(col("ts"), col("event_id"))
+      val band = 600L * 1000000000L
+      val df = e.select(col("ts").as("ta"), col("event_id").as("a_id"))
+        .join(e.select(col("ts").as("tb"), col("event_id").as("b_id")),
+          abs(col("tb") - col("ta")) <= band && col("a_id") < col("b_id"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("__band_bucket"),
+        s"reversed subtraction must still rewrite: ${plan.take(400)}")
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("rule leaves equi-joins and non-band thetas untouched") {
     val e = Tables.events(spark, sf).select(col("ts"), col("event_id"), col("user_id"))
     // equi conjunct present → Spark hash-joins already; rule must not fire
