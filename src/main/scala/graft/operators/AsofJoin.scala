@@ -17,7 +17,9 @@ import org.apache.spark.sql.types.StructType
   * `last(payload, ignoreNulls)` carry-forward. O(n log n) per partition,
   * no point lookups, identical on 1000 executors; ties at equal ts
   * resolve right-before-left (tag order), i.e. inclusive `>=` semantics
-  * like DuckDB's ASOF JOIN.
+  * like DuckDB's ASOF JOIN. NULL join keys never match (SQL equi-join
+  * semantics): null-key right rows are dropped before the union, and a
+  * null-key left row emits with a null payload.
   */
 object AsofJoin {
 
@@ -49,7 +51,12 @@ object AsofJoin {
     // tieBreak columns ride under internal aliases so a name shared with
     // a left payload column cannot produce duplicate columns in the union
     val tbAlias = tieBreak.zipWithIndex.map { case (c, i) => c -> s"__tb$i" }
-    val rTagged = right.select(
+    // SQL equi-join semantics: a NULL key equals nothing, so a null-key
+    // right row can never be carried into any left row — drop it before
+    // the union. (A null-key LEFT row then partitions with no right rows
+    // and emits a null payload, which is exactly ASOF LEFT JOIN output.)
+    val rightNN = key.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+    val rTagged = rightNN.select(
       key.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__tag"), payloadStruct.as("__r")) ++
         tbAlias.map { case (c, a) => col(c).as(a) } ++

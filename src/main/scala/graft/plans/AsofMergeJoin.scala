@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, GraftColumnShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -19,7 +19,11 @@ import org.apache.spark.rdd.RDD
   * through a window buffer, and memory is O(1) per partition beyond the
   * sorters. Semantics: each left row picks up the latest right row with
   * `right.ts <= left.ts` within the same key (inclusive, right-before-
-  * left on ties — DuckDB ASOF JOIN semantics), left-outer.
+  * left on ties — DuckDB ASOF JOIN semantics), left-outer. NULL join
+  * keys never match (SQL equi-join semantics): the strategy filters
+  * null-key right rows below the merge, and a null-key left row can
+  * equal no carried key (keys in the carry are all non-null), so it
+  * emits unmatched.
   */
 case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
@@ -43,7 +47,13 @@ case class AsofJoinNode(
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinNode(l, r, lk, rk, lts, rts, tb) =>
-      AsofMergeJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tb) :: Nil
+      // NULL keys never match (SQL equi-join semantics): a null-key right
+      // row could only ever be absorbed by the interpreted key ordering
+      // treating null == null — cut it below the Exchange instead. The
+      // null-key LEFT rows stay (left-outer: they emit with null payload;
+      // the merge can never equate their key with a non-null carry).
+      val rNN = Filter(rk.map(IsNotNull).reduce[Expression](And), r)
+      AsofMergeJoinExec(planLater(l), planLater(rNN), lk, rk, lts, rts, tb) :: Nil
     case _ => Nil
   }
 }

@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * null-ts rows bucket to null and drop on the equi-join exactly as
   * they dropped on the null band predicate.
   *
+  * Domain note: the rewrite treats the band as TRUE arithmetic
+  * `|l − r| <= c`. In non-ANSI mode the raw nested-loop predicate can
+  * also "accept" a pair at opposite extremes of the long range whose
+  * subtraction wraps around into [−c, c]; such wraparound pairs are not
+  * in-band under real arithmetic and the bucketed plan (exact for every
+  * representable value) does not produce them.
+  *
   * The rule fires only when no equality conjunct spans the join (if one
   * exists Spark already hash-partitions on it and the band is a cheap
   * residual condition), and only for integral ts/band (exactness).
@@ -86,22 +93,48 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val bandLit = Literal(c, LongType)
           def toLong(e: Expression) =
             if (e.dataType == LongType) e else Cast(e, LongType)
-          // exact floor division for any sign: (x - pmod(x, c)) div c
+          // exact overflow-free floor division for any sign: `x div c`
+          // with a truncation fixup. The previous (x - pmod(x, c)) div c
+          // was exact except within c of Long.MinValue, where the
+          // subtraction wraps (non-ANSI: silent wrong bucket → dropped
+          // in-band pairs) or throws (ANSI). `div` by a positive c never
+          // overflows, `%` neither, and for c = 1 the fixup branch is
+          // dead (x % 1 = 0), so no term here can leave the long range.
           def bucketOf(e: Expression) = {
             val x = toLong(e)
-            IntegralDivide(Subtract(x, Pmod(x, bandLit)), bandLit)
+            Add(IntegralDivide(x, bandLit),
+              If(LessThan(Remainder(x, bandLit), Literal(0L)),
+                Literal(-1L), Literal(0L)))
           }
           val rBucket = Alias(bucketOf(rTs), "__band_bucket")()
           val rSide = Project(right.output :+ rBucket, right)
-          val probe = AttributeReference("__band_probe", IntegerType, nullable = false)()
+          // the left row probes its own and both adjacent buckets. The
+          // candidate array is built conditionally so the ±1 neighbor is
+          // omitted at the representable extremes (reachable only when
+          // c = 1 and ts = Long.Min/MaxValue): no long can bucket beyond
+          // them, and If branches evaluate lazily, so the skipped
+          // arithmetic cannot overflow even under ANSI. outer = true:
+          // the array is never null/empty, and it keeps
+          // InferFiltersFromGenerate from cloning the array build into a
+          // non-codegen Filter.
+          val base = Alias(bucketOf(lTs), "__band_base")()
+          val baseRef = base.toAttribute
+          val lProj = Project(left.output :+ base, left)
+          def arr(es: Expression*) = CreateArray(es)
+          val candidates = If(EqualTo(baseRef, Literal(Long.MaxValue)),
+            arr(Subtract(baseRef, Literal(1L)), baseRef),
+            If(EqualTo(baseRef, Literal(Long.MinValue)),
+              arr(baseRef, Add(baseRef, Literal(1L))),
+              arr(Subtract(baseRef, Literal(1L)), baseRef,
+                Add(baseRef, Literal(1L)))))
+          val lBucket = AttributeReference("__band_bucket_l", LongType)()
           val probes = Generate(
-            Explode(CreateArray(Seq(Literal(-1), Literal(0), Literal(1)))),
-            unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(probe), child = left)
-          val lBucket = Alias(Add(bucketOf(lTs), Cast(probe, LongType)), "__band_bucket_l")()
+            Explode(candidates),
+            unrequiredChildIndex = Nil, outer = true, qualifier = None,
+            generatorOutput = Seq(lBucket), child = lProj)
           val lSide = Project(left.output :+ lBucket, probes)
           val bucketJoin = Join(lSide, rSide, Inner,
-            Some(EqualTo(lBucket.toAttribute, rBucket.toAttribute)), hint)
+            Some(EqualTo(lBucket, rBucket.toAttribute)), hint)
           Project(j.output, Filter(cond, bucketJoin))
         case None => j
       }

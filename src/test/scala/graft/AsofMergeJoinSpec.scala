@@ -48,6 +48,28 @@ class AsofMergeJoinSpec extends SparkSpec {
       s"composite keys must not cross-match: $got")
   }
 
+  test("null join keys never match in either operator (SQL equi-join semantics)") {
+    import spark.implicits._
+    // the null-key right row must be carried into NO left row, and the
+    // null-key left rows must emit unmatched — not pair up with each
+    // other the way a partition-by-key or null-tolerant key ordering
+    // would naturally group them
+    val right = Seq((Option(1L), 10L, 1.0), (Option.empty[Long], 5L, 9.0))
+      .toDF("k", "rts", "px")
+    val left = Seq((Option(1L), 20L, 1L), (Option.empty[Long], 20L, 2L))
+      .toDF("k", "lts", "l_id")
+    val expected = Set(
+      (1L, Option[Any](1.0)), // matches the k=1 quote
+      (2L, Option.empty[Any])) // null key: never matches, emits unmatched
+    for ((name, run) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "native" -> (() => AsofMergeJoin.backward(left, right, Seq("k"), "lts", "rts")),
+        "composed" -> (() => AsofJoin.backward(left, right, Seq("k"), "lts", "rts")))) {
+      val got = run().select("l_id", "asof_px")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(got == expected, s"$name operator null-key semantics: $got")
+    }
+  }
+
   test("native as-of agrees exactly with the composed operator on real events") {
     val e = Tables.events(spark, sf)
     val clicks = e.filter(col("event_type") === "click")
@@ -74,13 +96,16 @@ class AsofMergeJoinSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     for (round <- 1 to 5) {
       val nKeys = 1 + rnd.nextInt(6)
-      // ~10% null timestamps on both sides: SQL three-valued comparison
-      // means a null ts can neither match nor be matched
+      // ~10% null timestamps AND ~10% null keys on both sides: SQL
+      // three-valued comparison means a null ts can neither match nor
+      // be matched, and a null key equals nothing (not even null)
       def ts(): Option[Long] =
         if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(40).toLong)
-      val lefts = Seq.fill(30 + rnd.nextInt(50))((rnd.nextInt(nKeys + 2).toLong, ts()))
+      def key(bound: Int): Option[Long] =
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(bound).toLong)
+      val lefts = Seq.fill(30 + rnd.nextInt(50))((key(nKeys + 2), ts()))
         .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
-      val rights = Seq.fill(30 + rnd.nextInt(50))((rnd.nextInt(nKeys).toLong, ts()))
+      val rights = Seq.fill(30 + rnd.nextInt(50))((key(nKeys), ts()))
         .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 1000) }
       val lDf = lefts.toDF("k", "lts", "l_id").repartition(4)
       val rDf = rights.toDF("k", "rts", "r_id").repartition(3)
@@ -94,9 +119,9 @@ class AsofMergeJoinSpec extends SparkSpec {
       val composed = canon(AsofJoin.backward(
         lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")))
       // brute force: max (rts, r_id) right row with rts <= lts per left
-      // row; null ts on either side never matches
+      // row; null ts or null key on either side never matches
       val brute = lefts.map { case (k, lts, lid) =>
-        val best = lts.map(l => rights
+        val best = lts.filter(_ => k.isDefined).map(l => rights
             .filter(r => r._1 == k && r._2.exists(_ <= l))
             .sortBy(r => (r._2.get, r._3)).lastOption)
           .getOrElse(None)

@@ -92,6 +92,36 @@ class BandAsofSpec extends SparkSpec {
     assert(got == naive, s"got $got want $naive")
   }
 
+  test("BandJoin.absBand is exact for ts values adjacent to Long.MinValue") {
+    import spark.implicits._
+    val m = Long.MinValue
+    // m+1 and m+2 straddle the lowest representable multiple of 10: the
+    // old (x - pmod(x, band)) bucket math wrapped for m..m+1 but not for
+    // m+2.., splitting this in-band pair across distant buckets and
+    // silently dropping it
+    val l = Seq((1L, m + 1L, 1L), (1L, m + 11L, 2L)).toDF("k", "ts", "a_id")
+    val r = Seq((1L, m + 2L, 11L), (1L, m + 30L, 12L)).toDF("k", "ts", "b_id")
+    val got = pipeline.BandJoin.absBand(l, r, Seq("k"), "ts", "ts", 10L)
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // |m+1-(m+2)|=1 ✓  |m+11-(m+2)|=9 ✓  |m+11-(m+30)|=19 ✗  |m+1-(m+30)|=29 ✗
+    assert(got == Set((1L, 11L), (2L, 11L)), s"Long.MinValue-edge pairs: $got")
+  }
+
+  test("BandJoin.absBand handles odd column names and r_ prefix collisions") {
+    import spark.implicits._
+    // ts column with a space (would break naive string-SQL splicing) and
+    // a left column already named like the default rename target
+    val l = Seq((1L, 10L, 77L)).toDF("k", "my ts", "r_my ts")
+    val r = Seq((1L, 12L, 5L)).toDF("k", "my ts", "payload")
+    val out = pipeline.BandJoin.absBand(l, r, Seq("k"), "my ts", "my ts", 5L)
+    assert(out.columns.length == out.columns.distinct.length,
+      s"duplicate output columns: ${out.columns.mkString(",")}")
+    val row = out.collect() match { case Array(one) => one }
+    assert(row.getAs[Long]("my ts") == 10L && row.getAs[Long]("r_my ts") == 77L &&
+      row.getAs[Long]("_r_my ts") == 12L && row.getAs[Long]("payload") == 5L,
+      s"prefix must grow past the colliding left column: ${row}")
+  }
+
   test("BandJoin.absBand matches the naive theta join and avoids nested loops") {
     val e = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"))

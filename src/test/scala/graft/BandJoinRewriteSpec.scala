@@ -70,6 +70,25 @@ class BandJoinRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("rewrite is exact for ts values adjacent to Long.MinValue") {
+    spark.experimental.extraOptimizations = saved :+ BandJoinRewrite
+    try {
+      import spark.implicits._
+      val m = Long.MinValue
+      // the in-band pair (m+1, m+2) straddles the lowest representable
+      // multiple of 10 — the old subtraction-based bucket wrapped for
+      // one side only, dropping the pair
+      val a = Seq((m + 1L, 1L), (m + 11L, 2L)).toDF("ta", "a_id")
+      val b = Seq((m + 2L, 11L), (m + 30L, 12L)).toDF("tb", "b_id")
+      val df = a.join(b, abs(col("ta") - col("tb")) <= 10L)
+        .select("a_id", "b_id")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 11L), (2L, 11L)), s"Long.MinValue-edge pairs: $got")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__band_bucket"), s"rule must have fired: ${plan.take(400)}")
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("rule leaves equi-joins and non-band thetas untouched") {
     val e = Tables.events(spark, sf).select(col("ts"), col("event_id"), col("user_id"))
     // equi conjunct present → Spark hash-joins already; rule must not fire
