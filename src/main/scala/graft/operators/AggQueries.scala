@@ -135,7 +135,52 @@ object AggQueries extends QueryPack {
         round(percentile(col("value"), lit(0.75)), 4).as("q75"))
       .orderBy(col("event_type"))
 
+  /** arg-max / arg-min: the value carried by the extreme of a UNIQUE
+    * ordering column (event_id), so ties cannot make the pick
+    * nondeterministic; values pass through unrounded (no arithmetic).
+    */
+  private def aggMinmaxBy(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("value"), col("event_id")).as("last_value"),
+        min_by(col("value"), col("event_id")).as("first_value"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+
+  /** Conditional / boolean aggregates — count_if + bool_and/bool_or are
+    * plain partial+final hash aggregates (one boolean per group in the
+    * shuffle).
+    */
+  private def aggCountIf(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        expr("count_if(c_acctbal > 0)").cast("long").as("n_pos"),
+        expr("bool_and(c_acctbal > -1000)").as("all_above"),
+        expr("bool_or(c_acctbal > 9000)").as("any_rich"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+
+  /** Ordered string aggregation. collect_list order is partition-
+    * dependent, so the array is sorted before joining — ≡ DuckDB
+    * `string_agg(... ORDER BY ...)` (both engines compare ASCII
+    * binary). Bounded to a fixed key slice so the string stays small at
+    * any SF.
+    */
+  private def aggString(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_custkey") < 50)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_minmax_by"     -> (aggMinmaxBy _),
+    "agg_count_if"      -> (aggCountIf _),
+    "agg_string"        -> (aggString _),
     "agg_groupby"       -> (aggGroupBy _),
     "agg_global"        -> (aggGlobal _),
     "agg_distinct"      -> (aggDistinct _),
@@ -148,6 +193,31 @@ object AggQueries extends QueryPack {
     "agg_median"        -> (aggMedian _))
 
   val oracle: Map[String, String] = Map(
+    "agg_minmax_by" ->
+      """SELECT event_type,
+        |  max_by(value, event_id) AS last_value,
+        |  min_by(value, event_id) AS first_value,
+        |  max(event_id) AS max_id
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "agg_count_if" ->
+      """SELECT c_nationkey,
+        |  CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_pos,
+        |  bool_and(c_acctbal > -1000) AS all_above,
+        |  bool_or(c_acctbal > 9000) AS any_rich,
+        |  count(*) AS n
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "agg_string" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  count(*) AS n
+        |FROM customer
+        |WHERE c_custkey < 50
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

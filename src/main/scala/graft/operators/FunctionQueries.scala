@@ -133,7 +133,22 @@ object FunctionQueries extends QueryPack {
         bit_count(col("event_id")).cast("long").as("nbits"))
       .orderBy(col("event_id"))
 
+  /** Cryptographic digests — md5/sha256 hex strings are identical across
+    * engines by definition (the same property the dedup oracle keys rely
+    * on), making them the portable content-addressing primitives for a
+    * 100 TB pipeline (dedup keys, shard assignment, cache keys).
+    */
+  private def fnHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("h_md5"),
+        sha2(col("text"), 256).as("h_sha256"),
+        substring(md5(concat_ws("|", col("lang"), col("source"))), 1, 8).as("h_part"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_hash"           -> (fnHash _),
     "fn_string"         -> (fnString _),
     "fn_date"           -> (fnDate _),
     "fn_math"           -> (fnMath _),
@@ -144,6 +159,13 @@ object FunctionQueries extends QueryPack {
     "explode_wordcount" -> (explodeWordcount _))
 
   val oracle: Map[String, String] = Map(
+    "fn_hash" ->
+      """SELECT doc_id,
+        |  md5(text) AS h_md5,
+        |  sha256(text) AS h_sha256,
+        |  substring(md5(lang || '|' || source), 1, 8) AS h_part
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |  substring(p_name, 1, 4) AS name4,

@@ -58,6 +58,15 @@ object JoinQueries extends QueryPack {
       .orderBy(col("k"))
   }
 
+  /** Right outer — the mirror of `join_left`: the preserved side is the
+    * build input, unmatched customers null-extend the event columns.
+    */
+  private def joinRight(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .join(Tables.customer(s, dir), col("user_id") === col("c_custkey"), "right")
+      .select(col("c_custkey"), col("event_id"))
+      .orderBy(asc("c_custkey"), asc_nulls_first("event_id"))
+
   private def joinSemi(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .join(Tables.events(s, dir), col("c_custkey") === col("user_id"), "left_semi")
@@ -124,6 +133,7 @@ object JoinQueries extends QueryPack {
     "join_broadcast"   -> (joinBroadcast _),
     "join_left"        -> (joinLeft _),
     "join_full"        -> (joinFull _),
+    "join_right"       -> (joinRight _),
     "join_semi"        -> (joinSemi _),
     "join_anti"        -> (joinAnti _),
     "join_cross"       -> (joinCross _),
@@ -151,6 +161,10 @@ object JoinQueries extends QueryPack {
         |FULL JOIN (SELECT c_custkey AS third_key, c_acctbal AS third_bal FROM customer WHERE c_custkey % 3 = 0) t
         |  ON e.even_key = t.third_key
         |ORDER BY k""".stripMargin,
+    "join_right" ->
+      """SELECT c_custkey, event_id
+        |FROM events RIGHT JOIN customer ON user_id = c_custkey
+        |ORDER BY c_custkey ASC, event_id ASC NULLS FIRST""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)

@@ -32,6 +32,17 @@ object SetSortQueries extends QueryPack {
       .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
       .limit(100)
 
+  /** ORDER BY + OFFSET + LIMIT pagination: rows 101–150 of the price
+    * ranking. Spark still bounds the sort by limit+offset (top-150 per
+    * partition, driver drops 100) — no full global sort.
+    */
+  private def limitOffset(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .offset(100)
+      .limit(50)
+
   private def clicks(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).filter(col("event_type") === "click")
   private def views(s: SparkSession, dir: String): DataFrame =
@@ -66,6 +77,7 @@ object SetSortQueries extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sort_multi"         -> (sortMulti _),
     "limit_topk"         -> (limitTopk _),
+    "limit_offset"       -> (limitOffset _),
     "set_union_all"      -> (setUnionAll _),
     "set_union_distinct" -> (setUnionDistinct _),
     "set_intersect"      -> (setIntersect _),
@@ -81,6 +93,11 @@ object SetSortQueries extends QueryPack {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
         |LIMIT 100""".stripMargin,
+    "limit_offset" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 50 OFFSET 100""".stripMargin,
     "set_union_all" ->
       """SELECT event_id, event_type, user_id FROM events WHERE event_type = 'click'
         |UNION ALL

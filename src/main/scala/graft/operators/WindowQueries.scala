@@ -118,7 +118,24 @@ object WindowQueries extends QueryPack {
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
+  /** nth_value from the top of each nation + ignore-nulls lag (carry the
+    * most recent non-null preceding value). The default growing frame is
+    * identical in both engines, so second_best is null until two rows
+    * are in frame.
+    */
+  private def winNthValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, dir)
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        nth_value(col("c_acctbal"), 2).over(w).as("second_best"),
+        lag(expr("CASE WHEN c_acctbal > 0 THEN c_acctbal END"), 1, null,
+          ignoreNulls = true).over(w).as("prev_pos_bal"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_nth_value"      -> (winNthValue _),
     "win_rank"           -> (winRank _),
     "win_topk_per_group" -> (winTopkPerGroup _),
     "win_running"        -> (winRunning _),
@@ -129,6 +146,13 @@ object WindowQueries extends QueryPack {
     "win_first_last"     -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_nth_value" ->
+      """SELECT c_nationkey, c_custkey,
+        |  nth_value(c_acctbal, 2) OVER w AS second_best,
+        |  lag(CASE WHEN c_acctbal > 0 THEN c_acctbal END IGNORE NULLS) OVER w AS prev_pos_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "win_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
