@@ -20,6 +20,7 @@ object SparkEntry {
     FunctionQueries,
     EventTimeQueries,
     PipelineQueries,
+    SamplingQueries,
     DedupQueries,
     TextAnalysisQueries)
 

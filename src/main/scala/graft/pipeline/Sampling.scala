@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-addressed sampling — the 100 TB substitute for
+  * `df.sample()` when building training corpora and eval sets.
+  *
+  * `df.sample()` draws per-partition from a seeded RNG, so membership
+  * changes with partitioning, cluster size, and input order — useless for
+  * a reproducible train/val/test protocol. Hashing a stable key instead
+  * gives a sample that is (a) reproducible across runs, engines, and
+  * cluster layouts, (b) stable under data growth — appending new rows
+  * never flips membership of old rows, so incremental pipeline runs stay
+  * consistent — and (c) free at scale: a scan-level codegen'd filter, no
+  * shuffle, no state. md5 is used (not xxhash/murmur) because its bytes
+  * are identical in every engine, making the sample itself portable.
+  */
+object Sampling {
+
+  /** 16-bit uniform hash of a key: the first 4 hex chars of md5 as a
+    * long in [0, 65536). Uniform across keys; any key type (cast to
+    * string first for cross-engine stability).
+    */
+  def hash16(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Deterministic Bernoulli sample: keeps rows whose hash16 falls below
+    * `fraction` of the 16-bit space (granularity 1/65536).
+    */
+  def bernoulli(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.filter(hash16(key) < math.round(fraction * 65536).toInt)
+  }
+
+  /** Deterministic stratified sample: the k smallest rows per stratum in
+    * (hash, tiebreak) order. Hash-ordering makes the pick uniform within
+    * the stratum; the unique tiebreak makes it total. One Exchange on the
+    * stratum key; the window is the rank≤k top-k shape (partial per-
+    * partition top-k at scale, not a global sort).
+    */
+  def stratified(df: DataFrame, stratum: Column, key: Column, tieBreak: Column,
+                 k: Int): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(md5(key.cast("string")), tieBreak)
+    df.withColumn("__sample_rn", row_number().over(w))
+      .filter(col("__sample_rn") <= k)
+      .drop("__sample_rn")
+  }
+
+  /** Deterministic train/val/test assignment by hash16 range. Fractions
+    * are cumulative cut points in [0,1], e.g. (0.8, 0.9) → 80/10/10.
+    * Membership is a pure function of the key: re-running over a grown
+    * corpus never moves an old row between splits.
+    */
+  def split(key: Column, trainUpTo: Double, valUpTo: Double): Column = {
+    require(trainUpTo >= 0 && trainUpTo <= valUpTo && valUpTo <= 1,
+      "need 0 <= trainUpTo <= valUpTo <= 1")
+    val h = hash16(key)
+    when(h < math.round(trainUpTo * 65536).toInt, "train")
+      .when(h < math.round(valUpTo * 65536).toInt, "val")
+      .otherwise("test")
+  }
+}

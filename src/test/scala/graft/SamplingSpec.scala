@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Sampling
+
+/** Deterministic sampling: the properties that make it the 100 TB
+  * substitute for df.sample() — membership is a pure function of the key
+  * (stable under growth, repartitioning, and re-runs), strata are exact,
+  * and splits partition the corpus.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("bernoulli membership is a pure function of the key (growth/partition stable)") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = ids(Sampling.bernoulli(docs, col("doc_id"), 0.2))
+    // sampling a SLICE of the corpus, repartitioned differently, must
+    // select exactly the slice of the full sample — df.sample() fails
+    // both of these
+    val slice = ids(Sampling.bernoulli(
+      docs.filter(col("doc_id") < 200).repartition(7), col("doc_id"), 0.2))
+    assert(slice == full.filter(_ < 200),
+      "membership must not depend on corpus extent or partitioning")
+    // uniformity sanity: 20% ± wide tolerance on 500 docs
+    val n = docs.count()
+    assert(full.size > n * 0.1 && full.size < n * 0.3,
+      s"~20% expected, got ${full.size}/$n")
+    assert(ids(Sampling.bernoulli(docs, col("doc_id"), 0.0)).isEmpty)
+    assert(ids(Sampling.bernoulli(docs, col("doc_id"), 1.0)).size == n)
+  }
+
+  test("stratified returns exactly k per stratum and ignores partitioning") {
+    val k = 7
+    val sizes = Sampling.stratified(docs, col("lang"), col("doc_id"), col("doc_id"), k)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.nonEmpty && sizes.values.forall(_ == k), s"per-stratum sizes: $sizes")
+    val a = Sampling.stratified(docs.repartition(13), col("lang"), col("doc_id"),
+        col("doc_id"), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratified(docs, col("lang"), col("doc_id"), col("doc_id"), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "stratified pick must not depend on partitioning")
+  }
+
+  test("split assigns every row exactly one bucket with ~80/10/10 mass") {
+    val counts = docs.withColumn("split", Sampling.split(col("doc_id"), 0.8, 0.9))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(counts.keySet == Set("train", "val", "test"), s"buckets: $counts")
+    assert(counts.values.sum == n.toLong, "assignment must be total and disjoint")
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9, s"train mass: $counts")
+    // reproducibility: the same key always lands in the same split
+    val again = docs.withColumn("split", Sampling.split(col("doc_id"), 0.8, 0.9))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+}
