@@ -1,0 +1,77 @@
+package graft
+
+/** SQL front-end: the engine's surface is the DataFrame API, but the
+  * same plans are reachable through `spark.sql`. Proof: for every oracle
+  * key whose DuckDB SQL is ANSI-portable, the UNMODIFIED oracle string
+  * runs on this engine over temp views and returns exactly the rows and
+  * column names of the DataFrame implementation — one SQL text, three
+  * engines in agreement (our DataFrame plan, our SQL plan, DuckDB).
+  *
+  * Excluded keys use DuckDB dialect the demo is not about papering over:
+  * `//` integer division (subq_scalar_uncorr), epoch_ns / TIMESTAMP_NS
+  * arithmetic (evt_*, win_lag_lead, join_asof), list_* / string_split /
+  * strpos (fn_* packs, dedup/text list math), quantile_cont, sha256,
+  * hex-literal casts (sample_*), and DuckDB's in-args `ORDER BY` /
+  * `IGNORE NULLS` placements (agg_string, win_nth_value).
+  */
+class SqlFrontendSpec extends SparkSpec {
+
+  private val portable = Seq(
+    "scan_parquet", "scan_projection_pushdown",
+    "project_expr", "filter_pred", "filter_null_handling",
+    "join_inner", "join_broadcast", "join_left", "join_right", "join_full",
+    "join_semi", "join_anti", "join_cross", "join_theta_range",
+    "subq_scalar_corr",
+    "agg_groupby", "agg_global", "agg_distinct", "agg_having",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
+    "agg_stats", "agg_minmax_by", "agg_count_if",
+    "win_rank", "win_topk_per_group", "win_running", "win_sliding_rows",
+    "win_range_frame", "win_analytic", "win_first_last",
+    "sort_multi", "limit_topk", "limit_offset",
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "fn_conditional",
+    "dedup_exact", "text_lang_stats")
+
+  private def registerViews(): Unit = {
+    // before any events read: its ts is TIMESTAMP(NANOS) in parquet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(t => Tables.table(spark, sf, t).createOrReplaceTempView(t))
+  }
+
+  test("portable oracle SQL runs unchanged via spark.sql and matches the DataFrame plans") {
+    registerViews()
+    val failures = portable.flatMap { key =>
+      val sql = SparkEntry.oracleSql(key)
+      try {
+        val viaSql = spark.sql(sql)
+        val viaDf = SparkEntry.queries(key)(spark, sf)
+        val sqlCols = viaSql.columns.map(_.toLowerCase).toSeq
+        val dfCols = viaDf.columns.map(_.toLowerCase).toSeq
+        if (sqlCols != dfCols)
+          Some(s"$key: columns $sqlCols vs $dfCols")
+        else {
+          val a = viaSql.collect()
+          val b = viaDf.collect()
+          if (a.length != b.length) Some(s"$key: ${a.length} vs ${b.length} rows")
+          else a.zip(b).collectFirst {
+            case (ra, rb) if ra != rb => s"$key: first differing row $ra vs $rb"
+          }
+        }
+      } catch {
+        case e: Exception =>
+          Some(s"$key: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/${portable.size} portable keys diverged:\n${failures.mkString("\n")}")
+  }
+
+  test("the portable set covers the majority of the oracle inventory") {
+    val missing = portable.filterNot(SparkEntry.oracleSql.contains)
+    assert(missing.isEmpty, s"whitelist names unknown keys: $missing")
+    assert(portable.size * 2 > SparkEntry.oracleSql.size,
+      "SQL front-end demo should cover more than half the inventory")
+  }
+}
