@@ -84,4 +84,68 @@ object AsofJoin {
         key.map(col) ++ Seq(col("__ts").as(leftTs)) ++ lPayload.map(col) ++
           (payloadType.fieldNames.toSeq.map(f => col(s"__carried.$f").as(f))): _*)
   }
+
+  /** Forward as-of join: each left row picks up the EARLIEST right row
+    * with `right.ts >= left.ts` within the same key (inclusive; ties
+    * among right rows at one (key, ts) resolve by minimum tieBreak).
+    * Same single-Exchange shape as [[backward]], with the carry running
+    * from the future side: `first(payload, ignoreNulls)` over
+    * (currentRow, unboundedFollowing). NULL keys and null ts never
+    * match, as in [[backward]].
+    */
+  def forward(left: DataFrame, right: DataFrame, key: Seq[String],
+              leftTs: String, rightTs: String,
+              tieBreak: Seq[String] = Nil): DataFrame = {
+    val rPayload = right.columns.filterNot(c => key.contains(c) || c == rightTs)
+    val lPayload = left.columns.filterNot(c => key.contains(c) || c == leftTs)
+    val payloadStruct = when(col(rightTs).isNotNull,
+      struct(col(rightTs).as("asof_ts") +: rPayload.map(c => col(c).as(s"asof_$c")): _*))
+    val payloadType = StructType(
+      right.select(payloadStruct).schema.head.dataType.asInstanceOf[StructType].fields)
+
+    val rightNN = key.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+    val tbAlias = tieBreak.zipWithIndex.map { case (c, i) => c -> s"__tb$i" }
+    // tag order flipped vs backward: at equal ts the LEFT row must sort
+    // before the right row so its following-frame includes the tie
+    // (inclusive >= semantics)
+    val rTagged = rightNN.select(
+      key.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(1).as("__tag"), payloadStruct.as("__r")) ++
+        tbAlias.map { case (c, a) => col(c).as(a) } ++
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      key.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(0).as("__tag"),
+          lit(null).cast(payloadType).as("__r")) ++
+        tbAlias.map { case (c, a) => lit(null).cast(right.schema(c).dataType).as(a) } ++
+        lPayload.map(col): _*)
+
+    val ordering: Seq[Column] =
+      col("__ts") +: col("__tag") +: tbAlias.map { case (_, a) => col(a) }
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    rTagged.unionByName(lTagged)
+      .withColumn("__carried", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 0)
+      .select(
+        key.map(col) ++ Seq(col("__ts").as(leftTs)) ++ lPayload.map(col) ++
+          (payloadType.fieldNames.toSeq.map(f => col(s"__carried.$f").as(f))): _*)
+  }
+
+  /** Bound the match gap (pandas merge_asof `tolerance`): run [[backward]]
+    * or [[forward]], then null out the carried payload where
+    * `|left.ts − asof_ts| > tolerance`. Requires a numeric ts (the same
+    * integral-epoch representation the rest of the library uses).
+    */
+  def within(joined: DataFrame, leftTs: String, tolerance: Long): DataFrame = {
+    // the flag is materialized BEFORE the fold: the fold nulls asof_ts
+    // itself, so a per-column predicate would flip after that column
+    val withFlag = joined.withColumn("__asof_keep",
+      abs(col(leftTs) - col("asof_ts")) <= tolerance)
+    joined.columns.filter(_.startsWith("asof_")).foldLeft(withFlag)((df, c) =>
+        df.withColumn(c, when(col("__asof_keep"), col(c))))
+      .drop("__asof_keep")
+  }
 }

@@ -74,6 +74,67 @@ class BandAsofSpec extends SparkSpec {
     assert(got == brute, "as-of join must agree with the brute-force oracle")
   }
 
+  test("AsofJoin.forward picks the earliest right row at or after each left ts") {
+    import spark.implicits._
+    val quotes = Seq( // key, ts, px
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 20L, 2.5), ("B", 5L, 9.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", 9L, 100L), ("A", 20L, 200L), ("A", 25L, 300L), ("B", 5L, 400L),
+      ("C", 7L, 500L))
+      .toDF("sym", "tts", "qty")
+    val got = AsofJoin.forward(trades, quotes, Seq("sym"), "tts", "qts",
+        tieBreak = Seq("px"))
+      .select("sym", "tts", "qty", "asof_ts", "asof_px")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(got == Set(
+      ("A", 9L, 100L, Some(10L), Some(1.0)),   // next quote after 9
+      ("A", 20L, 200L, Some(20L), Some(2.0)),  // inclusive >=; min-px tie
+      ("A", 25L, 300L, None, None),            // nothing at or after 25
+      ("B", 5L, 400L, Some(5L), Some(9.0)),
+      ("C", 7L, 500L, None, None)), s"unexpected forward as-of result: $got")
+  }
+
+  test("AsofJoin.forward matches a brute-force oracle on real events") {
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+
+    val got = AsofJoin.forward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        tieBreak = Seq("event_id"))
+      .select(col("p_id"), col("asof_event_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+
+    // brute force: min (ts, event_id) click at or after each purchase
+    val brute = purchases.as("p")
+      .join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") && col("c.ts") >= col("p.ts"),
+        "left")
+      .groupBy(col("p_id"))
+      .agg(min(struct(col("c.ts"), col("c.event_id"))).as("best"))
+      .select(col("p_id"), col("best.event_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+
+    assert(got == brute, "forward as-of must agree with the brute-force oracle")
+  }
+
+  test("AsofJoin.within nulls matches beyond the tolerance, keeping the rest") {
+    import spark.implicits._
+    val quotes = Seq(("A", 10L, 1.0), ("A", 90L, 2.0)).toDF("sym", "qts", "px")
+    val trades = Seq(("A", 12L, 1L), ("A", 200L, 2L)).toDF("sym", "tts", "t_id")
+    val got = AsofJoin.within(
+        AsofJoin.backward(trades, quotes, Seq("sym"), "tts", "qts"), "tts", 50L)
+      .select("t_id", "asof_ts", "asof_px")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(got == Set(
+      (1L, Some(10L), Some(1.0)),   // gap 2 <= 50: kept
+      (2L, None, None)),            // nearest is 110 back: nulled whole payload
+      s"tolerance result: $got")
+  }
+
   test("BandJoin.absBand is exact across negative timestamps (floor-div signs)") {
     import spark.implicits._
     // pairs straddling zero and bucket boundaries: truncating division
