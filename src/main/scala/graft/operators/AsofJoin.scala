@@ -126,8 +126,14 @@ object AsofJoin {
       .orderBy(ordering: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
+    // a null left ts sorts nulls-first, so its following-frame would see
+    // every right row — guard explicitly: null ts matches nothing
+    // (backward gets this for free from the same sort order: the
+    // preceding frame of a nulls-first row is empty)
     rTagged.unionByName(lTagged)
-      .withColumn("__carried", first(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__carried",
+        when(col("__ts").isNotNull,
+          first(col("__r"), ignoreNulls = true).over(w)))
       .filter(col("__tag") === 0)
       .select(
         key.map(col) ++ Seq(col("__ts").as(leftTs)) ++ lPayload.map(col) ++

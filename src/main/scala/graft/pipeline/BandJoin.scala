@@ -35,6 +35,9 @@ object BandJoin {
   def absBand(left: DataFrame, right: DataFrame, keys: Seq[String],
               lTs: String, rTs: String, band: Long): DataFrame = {
     require(band > 0, "band must be positive")
+    require(!(left.columns ++ right.columns).exists(
+        c => c == "__bucket" || c == "__band_base"),
+      "column names __bucket/__band_base are reserved by BandJoin")
     val collisions = right.columns.toSet.intersect(left.columns.toSet) -- keys
     val taken = left.columns.toSet ++ right.columns.toSet
     val prefix = Iterator.iterate("r_")("_" + _)

@@ -121,6 +121,37 @@ class BandAsofSpec extends SparkSpec {
     assert(got == brute, "forward as-of must agree with the brute-force oracle")
   }
 
+  test("property: forward == brute force on random inputs with null keys and ts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      val nKeys = 1 + rnd.nextInt(5)
+      def opt(bound: Int): Option[Long] =
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(bound).toLong)
+      val lefts = Seq.fill(30 + rnd.nextInt(40))((opt(nKeys + 2), opt(40)))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rights = Seq.fill(30 + rnd.nextInt(40))((opt(nKeys), opt(40)))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+      val got = AsofJoin.forward(
+          lefts.toDF("k", "lts", "l_id").repartition(4),
+          rights.toDF("k", "rts", "r_id").repartition(3),
+          Seq("k"), "lts", "rts", tieBreak = Seq("r_id"))
+        .select("l_id", "asof_ts", "asof_r_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      // brute force: min (rts, r_id) right row with rts >= lts per left
+      // row; null key or null ts on either side never matches
+      val brute = lefts.map { case (k, lts, lid) =>
+        val best = lts.filter(_ => k.isDefined).map(l => rights
+            .filter(r => r._1 == k && r._2.exists(_ >= l))
+            .sortBy(r => (r._2.get, r._3)).headOption)
+          .getOrElse(None)
+        (lid, best.flatMap(_._2).map(_.asInstanceOf[Any]),
+          best.map(_._3.asInstanceOf[Any]))
+      }.toSet
+      assert(got == brute, s"round $round: forward disagrees with brute force")
+    }
+  }
+
   test("AsofJoin.within nulls matches beyond the tolerance, keeping the rest") {
     import spark.implicits._
     val quotes = Seq(("A", 10L, 1.0), ("A", 90L, 2.0)).toDF("sym", "qts", "px")
