@@ -18,19 +18,20 @@ object ScaleBench {
 
   private def replicate(spark: SparkSession, src: String, name: String,
                         copies: Int, idCols: Seq[String], out: String): DataFrame = {
-    val target = s"$out/$name"
-    // the output path is keyed by the copies count — reuse across runs
+    val base = spark.read.parquet(s"$src/$name.parquet")
+    // copies must not alias: derive the per-copy id offset from the
+    // data (a fixed constant silently collides when the source tables'
+    // ids exceed it, e.g. SPARK_GRAFT_SF_DIR pointed at sf10+)
+    val idMax = idCols.map(c => col(c).cast("long")) match {
+      case Seq(one) => one // greatest() needs >= 2 args
+      case many => greatest(many: _*)
+    }
+    val offset = Option(base.agg(max(idMax)).head.get(0))
+      .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
+    // the cache path is keyed by copies (parent dir) AND the offset, so
+    // replicas written under an older offset scheme are never reused
+    val target = s"$out/${name}_o$offset"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_SUCCESS"))) {
-      val base = spark.read.parquet(s"$src/$name.parquet")
-      // copies must not alias: derive the per-copy id offset from the
-      // data (a fixed constant silently collides when the source tables'
-      // ids exceed it, e.g. SPARK_GRAFT_SF_DIR pointed at sf10+)
-      val idMax = idCols.map(c => col(c).cast("long")) match {
-        case Seq(one) => one // greatest() needs >= 2 args
-        case many => greatest(many: _*)
-      }
-      val offset = Option(base.agg(max(idMax)).head.get(0))
-        .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
       spark.range(copies).crossJoin(base)
         .select(base.columns.map {
           case c if idCols.contains(c) => (col(c) + col("id") * offset).as(c)

@@ -144,7 +144,10 @@ object FunctionQueries extends QueryPack {
         col("doc_id"),
         md5(col("text")).as("h_md5"),
         sha2(col("text"), 256).as("h_sha256"),
-        substring(md5(concat_ws("|", col("lang"), col("source"))), 1, 8).as("h_part"))
+        // concat (not concat_ws): null-propagates exactly like the
+        // oracle's `lang || '|' || source`, so a null lang/source yields
+        // a null h_part in BOTH engines instead of diverging
+        substring(md5(concat(col("lang"), lit("|"), col("source"))), 1, 8).as("h_part"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

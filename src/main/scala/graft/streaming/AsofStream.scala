@@ -35,17 +35,27 @@ case class AsofBuffers(lefts: List[(Long, Long)], rights: List[(Long, Long)])
   *  - state is pruned to the watermark horizon: pending lefts are by
   *    definition inside it, and of the rights behind it only the single
   *    newest survives as the carry — O(horizon) rows per key, not
-  *    O(stream);
+  *    O(stream). Key CARDINALITY is still unbounded (every key ever
+  *    seen holds one carry row forever by default, because a left may
+  *    arrive arbitrarily late after its carry): pass `carryIdleMs` to
+  *    expire idle carries, trading unbounded retention for "a left
+  *    arriving more than the TTL after the last activity on its key
+  *    emits unmatched";
   *  - an event-time timeout re-fires the function when the watermark
   *    passes the oldest pending left even if the key receives no more
-  *    data, so quiet keys still flush.
+  *    data, so quiet keys still flush (and idle carries expire).
   */
 object AsofStream {
 
   /** Match each purchase to the latest same-user click at or before it.
     * Input must carry a watermark on `ts` before grouping.
+    *
+    * @param carryIdleMs evict a key's carry row once the watermark is
+    *                    this far past its ts with no pending lefts;
+    *                    `Long.MaxValue` (default) keeps carries forever
     */
-  def clickBeforePurchase(events: Dataset[StreamEvent]): Dataset[AsofMatch] = {
+  def clickBeforePurchase(events: Dataset[StreamEvent],
+                          carryIdleMs: Long = Long.MaxValue): Dataset[AsofMatch] = {
     import events.sparkSession.implicits._
     events
       .filter(e => e.event_type == "click" || e.event_type == "purchase")
@@ -67,18 +77,29 @@ object AsofStream {
               best.map(_._2), best.map(b => new Timestamp(b._1)))
           }
 
-          // prune rights to the horizon + the one live carry behind it
+          // prune rights to the horizon + the one live carry behind it;
+          // with a TTL, an idle carry (no pending lefts, watermark more
+          // than carryIdleMs past it) is evicted entirely
           val (ahead, behind) = rights.partition(_._1 > wm)
-          val keptRights = ahead ++ behind.sorted.lastOption.toList
+          val carry = behind.sorted.lastOption
+            .filterNot(c => pending.isEmpty && wm - c._1 > carryIdleMs)
+          val keptRights = ahead ++ carry.toList
           if (pending.isEmpty && keptRights.isEmpty) state.remove()
           else {
             state.update(AsofBuffers(pending, keptRights))
             // wake when the watermark passes the oldest pending left (so
-            // quiet keys still emit), or past the newest in-horizon right
-            // (so an idle key's buffer eventually prunes to the single
-            // carry); timeouts must sit beyond the current watermark
+            // quiet keys still emit), past the newest in-horizon right
+            // (so an idle key's buffer prunes to the single carry), or
+            // past the carry's TTL (so idle keys evict); timeouts must
+            // sit beyond the current watermark
             val wake = pending.map(_._1) ++
-              (if (ahead.nonEmpty) List(ahead.map(_._1).max) else Nil)
+              (if (ahead.nonEmpty) List(ahead.map(_._1).max) else Nil) ++
+              (if (pending.isEmpty && carryIdleMs < Long.MaxValue)
+                 carry.toList.flatMap { c =>
+                   val t = c._1 + carryIdleMs // overflow → no TTL wake
+                   if (t > c._1) List(t) else Nil
+                 }
+               else Nil)
             wake.minOption.foreach(t =>
               state.setTimeoutTimestamp(math.max(t, wm + 1)))
           }

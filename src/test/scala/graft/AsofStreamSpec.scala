@@ -42,6 +42,29 @@ class AsofStreamSpec extends SparkSpec {
       s"streaming as-of matches: $got")
   }
 
+  test("carryIdleMs evicts idle carries: a much-later purchase emits unmatched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    // stepwise batches (data added before start lands in ONE batch,
+    // where the carry would never sit idle); advancer events on user 99
+    // push the watermark between the user-1 arrivals
+    val q = AsofStream.clickBeforePurchase(input.toDS(), carryIdleMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("asof_ttl").outputMode("append").start()
+    def step(e: StreamEvent): Unit = { input.addData(e); q.processAllAvailable() }
+    step(StreamEvent(1, ts(0), 1, "click", 1.0))                                // carry at 10:00
+    step(StreamEvent(9, Timestamp.valueOf("2024-01-01 11:10:00"), 99, "click", 0.0)) // wm → 11:00
+    step(StreamEvent(10, Timestamp.valueOf("2024-01-01 11:15:00"), 99, "click", 0.0)) // timeout fires: 60 min idle > 30 → carry evicted
+    step(StreamEvent(2, Timestamp.valueOf("2024-01-01 11:20:00"), 1, "purchase", 2.0)) // not late (wm 11:05), finds no carry
+    step(StreamEvent(11, Timestamp.valueOf("2024-01-01 13:00:00"), 99, "click", 0.0))
+    step(StreamEvent(12, Timestamp.valueOf("2024-01-01 13:30:00"), 99, "click", 0.0)) // wm passes 11:20 → emit
+    q.stop()
+    val got = spark.table("asof_ttl")
+      .collect().map(r => (r.getLong(1), Option(r.get(3)))).toSet
+    assert(got == Set((2L, None)),
+      s"carry should have expired before the purchase arrived: $got")
+  }
+
   test("agrees with the batch operator across batches, ties, and carry pruning") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

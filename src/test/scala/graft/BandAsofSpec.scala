@@ -152,6 +152,55 @@ class BandAsofSpec extends SparkSpec {
     }
   }
 
+  test("forward plans the incremental running frame, not a following-frame aggregate") {
+    import spark.implicits._
+    val l = Seq(("A", 1L, 1L)).toDF("k", "lts", "l_id")
+    val r = Seq(("A", 2L, 9L)).toDF("k", "rts", "r_id")
+    val plan = AsofJoin.forward(l, r, Seq("k"), "lts", "rts")
+      .queryExecution.executedPlan.toString
+    // an UnboundedFollowing frame recomputes the aggregate per row —
+    // O(n²) per key partition; the reversed-ordering form stays O(n)
+    assert(plan.contains("unboundedpreceding") || plan.contains("UNBOUNDED PRECEDING"),
+      s"expected running frame in: ${plan.take(600)}")
+    assert(!plan.toLowerCase.contains("unboundedfollowing") &&
+      !plan.contains("UNBOUNDED FOLLOWING"),
+      s"forward must not use a following frame: ${plan.take(600)}")
+  }
+
+  test("AsofJoin.within with explicit columns leaves a left asof_-named column alone") {
+    import spark.implicits._
+    val quotes = Seq(("A", 10L, 1.0)).toDF("sym", "qts", "px")
+    // left carries its own asof_note column — only the join's payload
+    // columns may be nulled when the caller passes them explicitly
+    val trades = Seq(("A", 200L, 1L, "keep me")).toDF("sym", "tts", "t_id", "asof_note")
+    val joined = AsofJoin.backward(trades, quotes, Seq("sym"), "tts", "qts")
+    val out = AsofJoin.within(joined, "tts", 50L, Seq("asof_ts", "asof_px"))
+      .collect() match { case Array(one) => one }
+    assert(out.getAs[String]("asof_note") == "keep me", s"left column clobbered: $out")
+    assert(out.isNullAt(out.fieldIndex("asof_px")), "out-of-tolerance match must null")
+  }
+
+  test("AsofJoin.within is overflow-safe at the extremes of the long range") {
+    import spark.implicits._
+    // true gap ~2^64: a wrapped subtraction would compute a tiny "gap"
+    // and keep this astronomically out-of-tolerance match
+    val r = Seq(("A", Long.MinValue + 5L, 1.0)).toDF("sym", "qts", "px")
+    val l = Seq(("A", Long.MaxValue - 5L, 1L)).toDF("sym", "tts", "t_id")
+    val out = AsofJoin.within(
+        AsofJoin.backward(l, r, Seq("sym"), "tts", "qts"), "tts", 100L)
+      .collect() match { case Array(one) => one }
+    assert(out.isNullAt(out.fieldIndex("asof_px")),
+      s"wrapped-gap match must be nulled: $out")
+    // and a genuine in-tolerance match at the extreme still survives
+    val near = AsofJoin.within(
+        AsofJoin.backward(
+          Seq(("A", Long.MaxValue, 1L)).toDF("sym", "tts", "t_id"),
+          Seq(("A", Long.MaxValue - 3L, 2.0)).toDF("sym", "qts", "px"),
+          Seq("sym"), "tts", "qts"), "tts", 100L)
+      .collect() match { case Array(one) => one }
+    assert(near.getAs[Double]("asof_px") == 2.0, s"in-tolerance edge match lost: $near")
+  }
+
   test("AsofJoin.within nulls matches beyond the tolerance, keeping the rest") {
     import spark.implicits._
     val quotes = Seq(("A", 10L, 1.0), ("A", 90L, 2.0)).toDF("sym", "qts", "px")
