@@ -29,7 +29,8 @@ case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
-    rightTieBreak: Seq[Attribute]) extends BinaryNode {
+    rightTieBreak: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length)
   // mismatched types would hash-partition the two sides incompatibly and
   // misread UnsafeRow fields — silent wrong results; fail loudly instead
@@ -46,14 +47,14 @@ case class AsofJoinNode(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lts, rts, tb) =>
+    case AsofJoinNode(l, r, lk, rk, lts, rts, tb, fwd) =>
       // NULL keys never match (SQL equi-join semantics): a null-key right
       // row could only ever be absorbed by the interpreted key ordering
       // treating null == null — cut it below the Exchange instead. The
       // null-key LEFT rows stay (left-outer: they emit with null payload;
       // the merge can never equate their key with a non-null carry).
       val rNN = Filter(rk.map(IsNotNull).reduce[Expression](And), r)
-      AsofMergeJoinExec(planLater(l), planLater(rNN), lk, rk, lts, rts, tb) :: Nil
+      AsofMergeJoinExec(planLater(l), planLater(rNN), lk, rk, lts, rts, tb, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -69,7 +70,8 @@ case class AsofMergeJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
-    rightTieBreak: Seq[Attribute]) extends BinaryExecNode {
+    rightTieBreak: Seq[Attribute],
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -79,9 +81,16 @@ case class AsofMergeJoinExec(
 
   private def asc(e: Expression) = SortOrder(e, Ascending, NullsFirst, Seq.empty)
 
+  // forward walks time backward: keys stay ascending (the merge compares
+  // them naturally), but ts and tieBreak flip so the LAST absorbed right
+  // row is the earliest-at-or-after / min-tieBreak one — the exact
+  // mirror of backward's latest-at-or-before / max-tieBreak
+  private def tsOrd(e: Expression) =
+    SortOrder(e, if (forward) Descending else Ascending, NullsFirst, Seq.empty)
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    leftKeys.map(asc) :+ asc(leftTs),
-    (rightKeys.map(asc) :+ asc(rightTs)) ++ rightTieBreak.map(asc))
+    leftKeys.map(asc) :+ tsOrd(leftTs),
+    (rightKeys.map(asc) :+ tsOrd(rightTs)) ++ rightTieBreak.map(tsOrd))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -100,6 +109,7 @@ case class AsofMergeJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val tsType = leftTs.dataType
     val rWidth = rOut.size
+    val fwd = forward
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -117,7 +127,8 @@ case class AsofMergeJoinExec(
         /** latch the left row's ts once per left row; true if it's null */
         def setLeft(l: InternalRow): Boolean
         def rNull(r: InternalRow): Boolean
-        /** right.ts <= latched left ts, both known non-null */
+        /** right.ts in the match horizon of the latched left ts —
+          * `<=` backward, `>=` forward — both known non-null */
         def rLeL(r: InternalRow): Boolean
       }
       import org.apache.spark.sql.types._
@@ -130,7 +141,8 @@ case class AsofMergeJoinExec(
             n
           }
           def rNull(r: InternalRow) = r.isNullAt(rTsOrdinal)
-          def rLeL(r: InternalRow) = r.getLong(rTsOrdinal) <= lv
+          def rLeL(r: InternalRow) =
+            if (fwd) r.getLong(rTsOrdinal) >= lv else r.getLong(rTsOrdinal) <= lv
         }
         case IntegerType | DateType => new TsCmp {
           private var lv = 0
@@ -140,7 +152,8 @@ case class AsofMergeJoinExec(
             n
           }
           def rNull(r: InternalRow) = r.isNullAt(rTsOrdinal)
-          def rLeL(r: InternalRow) = r.getInt(rTsOrdinal) <= lv
+          def rLeL(r: InternalRow) =
+            if (fwd) r.getInt(rTsOrdinal) >= lv else r.getInt(rTsOrdinal) <= lv
         }
         case _ => new TsCmp {
           private val lEval = BindReferences.bindReference(lTsA: Expression, lOut)
@@ -150,7 +163,10 @@ case class AsofMergeJoinExec(
           private var lv: Any = _
           def setLeft(l: InternalRow) = { lv = lEval.eval(l); lv == null }
           def rNull(r: InternalRow) = rEval.eval(r) == null
-          def rLeL(r: InternalRow) = ord.compare(rEval.eval(r), lv) <= 0
+          def rLeL(r: InternalRow) = {
+            val c = ord.compare(rEval.eval(r), lv)
+            if (fwd) c >= 0 else c <= 0
+          }
         }
       }
 
@@ -216,7 +232,21 @@ object AsofMergeJoin {
     */
   def backward(left: DataFrame, right: DataFrame, key: Seq[String],
                leftTs: String, rightTs: String,
-               tieBreak: Seq[String] = Nil): DataFrame = {
+               tieBreak: Seq[String] = Nil): DataFrame =
+    build(left, right, key, leftTs, rightTs, tieBreak, fwd = false)
+
+  /** Forward twin: EARLIEST right row with `right.ts >= left.ts`
+    * (inclusive; min tieBreak on ties) — the merge runs over the
+    * time-reversed per-key ordering, same one-Exchange-per-side plan.
+    */
+  def forward(left: DataFrame, right: DataFrame, key: Seq[String],
+              leftTs: String, rightTs: String,
+              tieBreak: Seq[String] = Nil): DataFrame =
+    build(left, right, key, leftTs, rightTs, tieBreak, fwd = true)
+
+  private def build(left: DataFrame, right: DataFrame, key: Seq[String],
+                    leftTs: String, rightTs: String,
+                    tieBreak: Seq[String], fwd: Boolean): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val rPayload = right.columns.filterNot(c => key.contains(c) || c == rightTs)
@@ -241,7 +271,7 @@ object AsofMergeJoin {
       key.map(attr(lPlan, _)),
       key.indices.map(i => attr(rPlan, s"__rk$i")),
       attr(lPlan, leftTs), attr(rPlan, "asof_ts"),
-      tieBreak.indices.map(i => attr(rPlan, s"__tb$i")))
+      tieBreak.indices.map(i => attr(rPlan, s"__tb$i")), forward = fwd)
     GraftColumnShim.ofRows(spark, node)
       .drop(key.indices.map(i => s"__rk$i") ++
         tieBreak.indices.map(i => s"__tb$i"): _*)

@@ -133,6 +133,52 @@ class AsofMergeJoinSpec extends SparkSpec {
     }
   }
 
+  test("native forward picks the earliest right row at or after each left ts") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 20L, 2.5), ("B", 5L, 9.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", 9L, 100L), ("A", 20L, 200L), ("A", 25L, 300L), ("B", 5L, 400L),
+      ("C", 7L, 500L))
+      .toDF("sym", "tts", "qty")
+    val got = AsofMergeJoin.forward(trades, quotes, Seq("sym"), "tts", "qts",
+        tieBreak = Seq("px"))
+      .select("sym", "tts", "qty", "asof_ts", "asof_px")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(got == Set(
+      ("A", 9L, 100L, Some(10L), Some(1.0)),
+      ("A", 20L, 200L, Some(20L), Some(2.0)),  // inclusive >=; min-px tie
+      ("A", 25L, 300L, None, None),
+      ("B", 5L, 400L, Some(5L), Some(9.0)),
+      ("C", 7L, 500L, None, None)), s"unexpected native forward result: $got")
+  }
+
+  test("native forward agrees with the composed forward on random nullable inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 3) {
+      val nKeys = 1 + rnd.nextInt(5)
+      def opt(bound: Int): Option[Long] =
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(bound).toLong)
+      val lDf = Seq.fill(40)((opt(nKeys + 2), opt(40))).zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "lts", "l_id").repartition(4)
+      val rDf = Seq.fill(40)((opt(nKeys), opt(40))).zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+        .toDF("k", "rts", "r_id").repartition(3)
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("l_id", "asof_ts", "asof_r_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      val native = canon(AsofMergeJoin.forward(
+        lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")))
+      val composed = canon(AsofJoin.forward(
+        lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")))
+      assert(native == composed, s"round $round: native forward diverges from composed")
+    }
+  }
+
   test("native as-of plans one merge node with one Exchange+Sort per side") {
     val e = Tables.events(spark, sf)
     val clicks = e.filter(col("event_type") === "click")
