@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** SURVEY.md §2.12 — composed analytics: multi-table star-schema queries,
+  * wide-to-long reshaping, bitwise aggregates, and cohort retention. These
+  * exercise the engine the way a real workload does — several joins, an
+  * aggregation, and a top-k in ONE plan — rather than one operator at a
+  * time, so Catalyst's join reordering / broadcast selection / partial
+  * aggregation all have to fire together.
+  *
+  * Determinism (§7.5): every money sum is per-row integer cents BEFORE the
+  * aggregate (`CAST(round(x*100) AS BIGINT)` then `sum`) — integer sums are
+  * associative, so the result is identical under any partitioning or
+  * aggregation order, unlike summing doubles. Timestamps are emitted as
+  * epoch seconds.
+  */
+object ComposedQueries extends QueryPack {
+
+  /** Per-row exact cents: both engines round the SAME double, then all
+    * aggregation is integer math.
+    */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** TPC-H-Q3-shaped: unshipped-revenue top-10. customer(segment) ⋈
+    * orders(date window) ⋈ lineitem(shipped after), revenue per order,
+    * top 10. Scale shape: lineitem⋈orders shuffles on the orderkey;
+    * the filtered customer dimension broadcasts (no third shuffle); the
+    * top-10 is TakeOrderedAndProject, never a global sort.
+    */
+  private def complexTopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01")))
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("odate_s"), col("o_orderpriority"))
+      .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue_c"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H-Q5-shaped: per-nation revenue where supplier and customer share
+    * the nation, one region, a date window — a 6-table star join. Scale
+    * shape: the two fact tables join on orderkey (one co-partitioned
+    * shuffle); customer, supplier, nation, region are broadcast dimensions
+    * (supplier rides along lineitem's suppkey, then the nation-equality
+    * filter cuts the stream before the aggregate).
+    */
+  private def complexRegionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = broadcast(
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    val cust = broadcast(Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey")))
+    val supp = broadcast(Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("2000-01-01")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue_c"), asc("n_name"))
+  }
+
+  /** Wide→long reshape (melt): the four lineitem measures become
+    * (metric, value) rows via Spark's native `unpivot` (an Expand node —
+    * no shuffle, no UDF; DuckDB replays it as UNION ALL). Values are
+    * rounded per row BEFORE the reshape so both engines emit identical
+    * doubles. Bounded to a deterministic 5% orderkey slice to keep the
+    * 4× row expansion proportionate at every scale factor.
+    */
+  private def reshapeUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(pmod(col("l_orderkey"), lit(20)) === 3)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("l_quantity"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"),
+        round(col("l_discount"), 2).as("l_discount"),
+        round(col("l_tax"), 2).as("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  /** Bitwise aggregates per group — bit_and/bit_or/bit_xor over the
+    * orderkey and linenumber domains (all-integer, exact; the xor is a
+    * partition-order-independent fold, the classic distributed checksum).
+    */
+  private def aggBit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("bit_and(l_orderkey)").as("and_ok"),
+        expr("bit_or(l_orderkey)").as("or_ok"),
+        expr("bit_xor(l_orderkey)").as("xor_ok"),
+        expr("bit_and(l_linenumber)").as("and_ln"),
+        expr("bit_or(l_linenumber)").as("or_ln"),
+        expr("bit_xor(l_linenumber)").as("xor_ln"))
+      .orderBy(col("l_returnflag"))
+
+  /** Cohort retention over the events stream: each user's cohort is their
+    * first active day; count distinct users active at each (cohort day,
+    * day offset). The classic training-corpus freshness/engagement query.
+    * Day bucketing is exact integer division on the ns epoch. One shuffle
+    * for the per-user window minimum, one for the distinct-count — the
+    * distinct is pre-shrunk to (user, day) pairs before counting.
+    */
+  private def evtRetention(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts DIV $dayNs").as("day"))
+      .distinct()
+    ud.withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_top_revenue"      -> (complexTopRevenue _),
+    "complex_regional_revenue" -> (complexRegionalRevenue _),
+    "reshape_unpivot"          -> (reshapeUnpivot _),
+    "agg_bit"                  -> (aggBit _),
+    "evt_retention"            -> (evtRetention _))
+
+  val oracle: Map[String, String] = Map(
+    "complex_top_revenue" ->
+      """SELECT o.o_orderkey,
+        |  epoch_ns(o.o_orderdate) // 1000000000 AS odate_s,
+        |  o.o_orderpriority,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l.l_shipdate >= TIMESTAMP '1999-01-01'
+        |GROUP BY o.o_orderkey, odate_s, o.o_orderpriority
+        |ORDER BY revenue_c DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
+    "complex_regional_revenue" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '2000-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY revenue_c DESC, n.n_name""".stripMargin,
+    "reshape_unpivot" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    round(l_quantity, 2) AS l_quantity,
+        |    round(l_extendedprice, 2) AS l_extendedprice,
+        |    round(l_discount, 2) AS l_discount,
+        |    round(l_tax, 2) AS l_tax
+        |  FROM lineitem WHERE l_orderkey % 20 = 3)
+        |SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src) u
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "agg_bit" ->
+      """SELECT l_returnflag,
+        |  bit_and(l_orderkey) AS and_ok,
+        |  bit_or(l_orderkey) AS or_ok,
+        |  bit_xor(l_orderkey) AS xor_ok,
+        |  bit_and(l_linenumber) AS and_ln,
+        |  bit_or(l_linenumber) AS or_ln,
+        |  bit_xor(l_linenumber) AS xor_ln
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "evt_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |cohorted AS (
+        |  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM ud)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(DISTINCT user_id) AS users
+        |FROM cohorted
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin)
+}

@@ -244,6 +244,21 @@ object AsofMergeJoin {
               tieBreak: Seq[String] = Nil): DataFrame =
     build(left, right, key, leftTs, rightTs, tieBreak, fwd = true)
 
+  /** Tolerance bound (pandas merge_asof `tolerance`) over the native
+    * operator's output. The native merge emits the same
+    * `asof_ts`/`asof_*` column shape as the composed operator, so the
+    * bound is the same overflow-clamped post-projection —
+    * [[graft.operators.AsofJoin.within]] — and costs one codegen'd
+    * projection, no extra shuffle. (Pushing the bound inside the merge
+    * would not change the plan shape: the carry is already O(1).)
+    */
+  def within(joined: DataFrame, leftTs: String, tolerance: Long): DataFrame =
+    graft.operators.AsofJoin.within(joined, leftTs, tolerance)
+
+  def within(joined: DataFrame, leftTs: String, tolerance: Long,
+             asofCols: Seq[String]): DataFrame =
+    graft.operators.AsofJoin.within(joined, leftTs, tolerance, asofCols)
+
   private def build(left: DataFrame, right: DataFrame, key: Seq[String],
                     leftTs: String, rightTs: String,
                     tieBreak: Seq[String], fwd: Boolean): DataFrame = {

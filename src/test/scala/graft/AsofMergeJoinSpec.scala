@@ -179,6 +179,37 @@ class AsofMergeJoinSpec extends SparkSpec {
     }
   }
 
+  test("native within agrees with composed within on both directions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val lDf = Seq.fill(60)((rnd.nextInt(4).toLong, rnd.nextInt(50).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("k", "lts", "l_id").repartition(4)
+    val rDf = Seq.fill(60)((rnd.nextInt(4).toLong, rnd.nextInt(50).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+      .toDF("k", "rts", "r_id").repartition(3)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("l_id", "asof_ts", "asof_r_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    for (tol <- Seq(0L, 3L, 100L)) {
+      val nb = canon(AsofMergeJoin.within(AsofMergeJoin.backward(
+        lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")), "lts", tol))
+      val cb = canon(AsofJoin.within(AsofJoin.backward(
+        lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")), "lts", tol))
+      assert(nb == cb, s"backward within($tol) diverges")
+      val nf = canon(AsofMergeJoin.within(AsofMergeJoin.forward(
+        lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")), "lts", tol))
+      val cf = canon(AsofJoin.within(AsofJoin.forward(
+        lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")), "lts", tol))
+      assert(nf == cf, s"forward within($tol) diverges")
+      // tolerance must only ever null matches out, never add them
+      assert(nb.flatMap(t => t._2.map(_ => t._1))
+        .subsetOf(canon(AsofMergeJoin.backward(
+          lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")))
+          .flatMap(t => t._2.map(_ => t._1))))
+    }
+  }
+
   test("native as-of plans one merge node with one Exchange+Sort per side") {
     val e = Tables.events(spark, sf)
     val clicks = e.filter(col("event_type") === "click")

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ComposedQueries
+
+/** Semantic pins for the §2.12 composed-analytics pack beyond the generic
+  * smoke run (the oracle compare is the bit-exactness gate; these assert
+  * the shapes a refactor could silently break).
+  */
+class ComposedQueriesSpec extends SparkSpec {
+
+  test("complex_top_revenue returns at most 10 rows in descending revenue order") {
+    val rows = ComposedQueries.queries("complex_top_revenue")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getAs[Long]("revenue_c"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+  }
+
+  test("complex_regional_revenue covers only ASIA nations and sums exactly") {
+    val df = ComposedQueries.queries("complex_regional_revenue")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every output nation must belong to the ASIA region
+    val asia = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getAs[String]("n_name")).forall(asia.contains))
+  }
+
+  test("reshape_unpivot expands each source row into exactly 4 metric rows") {
+    val n = Tables.lineitem(spark, sf)
+      .filter(pmod(col("l_orderkey"), lit(20)) === 3).count()
+    val df = ComposedQueries.queries("reshape_unpivot")(spark, sf)
+    assert(df.count() == n * 4)
+    assert(df.select("metric").distinct().count() == 4)
+  }
+
+  test("agg_bit xor of a group xor'd with itself is zero and or covers and") {
+    val rows = ComposedQueries.queries("agg_bit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (andOk, orOk) = (r.getAs[Long]("and_ok"), r.getAs[Long]("or_ok"))
+      assert((andOk & orOk) == andOk, "bit_and must be a subset of bit_or")
+      val (andLn, orLn) = (r.getAs[Int]("and_ln"), r.getAs[Int]("or_ln"))
+      assert((andLn & orLn) == andLn)
+    }
+  }
+
+  private def plan(name: String): String = {
+    val df = ComposedQueries.queries(name)(spark, sf)
+    df.collect() // finalize the adaptive plan
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("complex_top_revenue plans top-10 as TakeOrderedAndProject with a broadcast dim") {
+    val p = plan("complex_top_revenue")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must never be a global sort: ${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"filtered customer dim must broadcast: ${p.take(600)}")
+    // both date filters must reach their parquet scans
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("o_orderdate")))
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_shipdate")))
+  }
+
+  test("complex_regional_revenue broadcasts every dimension (one fact-fact shuffle at most)") {
+    val p = plan("complex_regional_revenue")
+    // cust, supp, nation⋈region, asiaNations: ≥4 broadcast joins; the only
+    // join allowed to shuffle is lineitem⋈orders
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(900))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"star join must stay equi-hash: ${p.take(600)}")
+  }
+
+  test("reshape_unpivot plans an Expand with no shuffle before the final sort") {
+    val p = plan("reshape_unpivot")
+    assert(p.contains("Expand"), s"unpivot must lower to Expand: ${p.take(600)}")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Exchange hashpartitioning"),
+      s"melt needs no hash shuffle: ${finalSection.take(600)}")
+  }
+
+  test("evt_retention aggregates partially and shuffles at most 3 times") {
+    val p = plan("evt_retention")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    val finalSection = p.split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(n <= 3, s"distinct + window-min + countDistinct needs ≤3 hash shuffles, got $n")
+  }
+
+  test("evt_retention day-0 cohort sizes sum to the distinct user count") {
+    val df = ComposedQueries.queries("evt_retention")(spark, sf)
+    val day0 = df.filter(col("day_offset") === 0)
+      .agg(sum("users")).collect().head.getLong(0)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    // every user is active on their own cohort day by construction
+    assert(day0 == users, s"day-0 sum $day0 != $users distinct users")
+    // offsets are never negative and users never exceed the universe
+    assert(df.filter(col("day_offset") < 0).isEmpty)
+    assert(df.agg(max("users")).collect().head.getLong(0) <= users)
+  }
+}
