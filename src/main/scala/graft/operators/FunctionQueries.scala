@@ -150,8 +150,34 @@ object FunctionQueries extends QueryPack {
         substring(md5(concat(col("lang"), lit("|"), col("source"))), 1, 8).as("h_part"))
       .orderBy(col("doc_id"))
 
+  /** Interval arithmetic — day/month addition, truncate-and-shift
+    * month-end, and day differences. Calendar-month addition clamps to
+    * the target month's last day identically in Spark and DuckDB (both
+    * follow the SQL convention), and every output is an epoch second or
+    * a day count, so the compare stays integer-exact.
+    *
+    * Cross-engine trap (§7.5): the day offset is 100, NOT 90, because
+    * DuckDB normalizes months to 30 days for interval comparison —
+    * `INTERVAL 90 DAY = INTERVAL 3 MONTH` is TRUE — and its common-
+    * subexpression elimination then merges `ts + INTERVAL 90 DAY` with
+    * `ts + INTERVAL 3 MONTH`, silently turning the calendar-month
+    * addition into +90 days. Any oracle query mixing two interval
+    * constants must keep them unequal under that 30-day normalization.
+    */
+  private def fnInterval(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        unix_timestamp(col("o_orderdate") + expr("INTERVAL 100 DAYS")).as("plus100d_s"),
+        unix_timestamp(col("o_orderdate") + expr("INTERVAL 3 MONTHS")).as("plus3mo_s"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))
+          + expr("INTERVAL 1 MONTH") - expr("INTERVAL 1 DAY")).as("month_end_s"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("days_since"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_hash"           -> (fnHash _),
+    "fn_interval"       -> (fnInterval _),
     "fn_string"         -> (fnString _),
     "fn_date"           -> (fnDate _),
     "fn_math"           -> (fnMath _),
@@ -162,6 +188,14 @@ object FunctionQueries extends QueryPack {
     "explode_wordcount" -> (explodeWordcount _))
 
   val oracle: Map[String, String] = Map(
+    "fn_interval" ->
+      """SELECT o_orderkey,
+        |  CAST(epoch(o_orderdate + INTERVAL 100 DAY) AS BIGINT) AS plus100d_s,
+        |  CAST(epoch(o_orderdate + INTERVAL 3 MONTH) AS BIGINT) AS plus3mo_s,
+        |  CAST(epoch(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH - INTERVAL 1 DAY) AS BIGINT) AS month_end_s,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "fn_hash" ->
       """SELECT doc_id,
         |  md5(text) AS h_md5,

@@ -52,11 +52,72 @@ object SubqueryQueries extends QueryPack {
       ORDER BY o_orderkey""")
   }
 
+  /** LATERAL correlated subquery: top-2 customers per nation by balance.
+    * Catalyst decorrelates the per-nation ORDER BY … LIMIT 2 into a
+    * ranked window join (DecorrelateInnerQuery) — the per-row-subquery
+    * shape that cannot scale never reaches the physical plan.
+    */
+  private def subqLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation_sq")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_sq")
+    s.sql("""
+      SELECT n.n_name, t.c_custkey, t.bal_c
+      FROM nation_sq n,
+      LATERAL (
+        SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer_sq c WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY bal_c DESC, c_custkey LIMIT 2) t
+      ORDER BY n.n_name, t.bal_c DESC, t.c_custkey""")
+  }
+
+  /** Null-aware membership. The WHERE NOT IN has a nullable probe side
+    * (null probe → row filtered) — Spark plans it as a null-aware anti
+    * join, and both engines implement its three-valued logic
+    * identically. The PROJECTED membership is different: its IN list
+    * contains a null, where SQL 3VL yields TRUE or NULL (never FALSE),
+    * but Spark lowers a projected IN-subquery to a two-valued
+    * ExistenceJoin that emits FALSE instead of NULL — so both sides
+    * canonicalize with `coalesce(…, false)`, which is also the form a
+    * user would actually want for a boolean feature column.
+    */
+  private def subqMembership(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation_sq")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_sq")
+    s.sql("""
+      SELECT c_custkey, c_nationkey,
+        coalesce(c_nationkey IN (SELECT nullif(n_nationkey, 6)
+                                 FROM nation_sq WHERE n_regionkey = 1),
+                 false) AS in_r1
+      FROM customer_sq
+      WHERE nullif(c_nationkey, 7) NOT IN
+        (SELECT n_nationkey FROM nation_sq WHERE n_regionkey = 2)
+      ORDER BY c_custkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "subq_scalar_corr"   -> (subqScalarCorr _),
-    "subq_scalar_uncorr" -> (subqScalarUncorr _))
+    "subq_scalar_uncorr" -> (subqScalarUncorr _),
+    "subq_lateral"       -> (subqLateral _),
+    "subq_membership"    -> (subqMembership _))
 
   val oracle: Map[String, String] = Map(
+    "subq_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.bal_c
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY bal_c DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.bal_c DESC, t.c_custkey""".stripMargin,
+    "subq_membership" ->
+      """SELECT c_custkey, c_nationkey,
+        |  coalesce(c_nationkey IN (SELECT nullif(n_nationkey, 6)
+        |                           FROM nation WHERE n_regionkey = 1),
+        |           false) AS in_r1
+        |FROM customer
+        |WHERE nullif(c_nationkey, 7) NOT IN
+        |  (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        |ORDER BY c_custkey""".stripMargin,
     "subq_scalar_corr" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c

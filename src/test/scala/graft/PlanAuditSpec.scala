@@ -85,6 +85,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("subq_lateral decorrelates: ranked window join, no per-row subquery") {
+    val p = plan("subq_lateral")
+    assert(!p.contains("Subquery"),
+      s"lateral must be decorrelated out of the physical plan: ${p.take(600)}")
+    assert(p.contains("Window") || p.contains("Limit"),
+      s"expected the per-nation LIMIT lowered to a ranked join: ${p.take(600)}")
+  }
+
+  test("subq_membership plans the NOT IN as one join, not a per-row subquery") {
+    val p = plan("subq_membership")
+    assert(!p.contains("Subquery"),
+      s"membership subqueries must lower to joins: ${p.take(600)}")
+    // 124 rows at sf0.001: the null-aware anti + existence joins both ran
+    assert(SparkEntry.queries("subq_membership")(spark, sf).count() == 124)
+  }
+
   test("whole-stage codegen covers the scalar function packs (no UDF opacity)") {
     Seq("fn_string", "fn_math", "fn_conditional", "project_expr").foreach { q =>
       val p = plan(q)
