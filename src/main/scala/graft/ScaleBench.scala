@@ -42,6 +42,34 @@ object ScaleBench {
     spark.read.parquet(target)
   }
 
+  /** Replication with EXPLICIT per-column offsets, for multi-table join
+    * consistency: the same key domain (orderkey, custkey, suppkey) must
+    * shift by the same offset in every table that carries it, or copy i
+    * of a fact row would dangle against copy j of its dimension. The
+    * caller derives each offset from the max over ALL tables sharing the
+    * domain. Columns not in `offsets` (e.g. nationkey) pass through —
+    * dimension universes grow slower than facts, which is exactly the
+    * broadcast-dim shape at 100 TB.
+    */
+  private def replicateKeyed(spark: SparkSession, src: String, name: String,
+                             copies: Int, offsets: Seq[(String, Long)],
+                             out: String): DataFrame = {
+    val base = spark.read.parquet(s"$src/$name.parquet")
+    val byCol = offsets.toMap
+    val target = s"$out/${name}_k${offsets.map(_._2).mkString("_")}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_SUCCESS"))) {
+      spark.range(copies).crossJoin(base)
+        .select(base.columns.map { c =>
+          byCol.get(c) match {
+            case Some(off) => (col(c) + col("id") * off).as(c)
+            case None      => col(c)
+          }
+        }: _*)
+        .write.mode("overwrite").parquet(target)
+    }
+    spark.read.parquet(target)
+  }
+
   def main(args: Array[String]): Unit = {
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +88,29 @@ object ScaleBench {
     val events = replicate(spark, src, "events", copies, Seq("event_id", "user_id"), out)
     val documents = replicate(spark, src, "documents", copies, Seq("doc_id"), out)
     val embeddings = replicate(spark, src, "embeddings", copies, Seq("vec_id"), out)
+
+    // star-join corpus: one offset per KEY DOMAIN, maxed across every
+    // table sharing it, so replicated facts join replicated dims exactly
+    def domainMax(table: String, c: String): Long =
+      Option(spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(c).cast("long"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val okeyOff = math.max(domainMax("lineitem", "l_orderkey"),
+                           domainMax("orders", "o_orderkey")) + 1L
+    val ckeyOff = math.max(domainMax("orders", "o_custkey"),
+                           domainMax("customer", "c_custkey")) + 1L
+    val skeyOff = math.max(domainMax("lineitem", "l_suppkey"),
+                           domainMax("supplier", "s_suppkey")) + 1L
+    val lineitemK = replicateKeyed(spark, src, "lineitem", copies,
+      Seq("l_orderkey" -> okeyOff, "l_suppkey" -> skeyOff), out)
+    val ordersK = replicateKeyed(spark, src, "orders", copies,
+      Seq("o_orderkey" -> okeyOff, "o_custkey" -> ckeyOff), out)
+    val customerK = replicateKeyed(spark, src, "customer", copies,
+      Seq("c_custkey" -> ckeyOff), out)
+    val supplierK = replicateKeyed(spark, src, "supplier", copies,
+      Seq("s_suppkey" -> skeyOff), out)
+    val nation = spark.read.parquet(s"$src/nation.parquet")
+    val region = spark.read.parquet(s"$src/region.parquet")
 
     def t(label: String)(f: => Long): (String, Double, Long) = {
       f // warm
@@ -119,6 +170,32 @@ object ScaleBench {
       t("ann_lsh_topk_20k") {
         val probe = embeddings.filter(col("vec_id") === 0)
         pipeline.Similarity.annTopK(embeddings, probe, 10).count()
+      },
+      // the §2.12 star shape at 10×: one fact-fact shuffle on orderkey,
+      // every dimension broadcast — the plan that must hold at 100 TB
+      t("star_q5_6m") {
+        val asiaNations = broadcast(nation
+          .join(broadcast(region.filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+        val cust = broadcast(customerK.select(col("c_custkey"), col("c_nationkey")))
+        val supp = broadcast(supplierK.select(col("s_suppkey"), col("s_nationkey")))
+        lineitemK
+          .select(col("l_orderkey"), col("l_suppkey"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+              .cast("long").as("rev_c"))
+          .join(ordersK
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("2000-01-01")))
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum("rev_c").as("revenue_c"))
+          .count()
       })
 
     val qs = results.map { case (k, s, n) => s""""$k":{"sec":$s,"rows":$n}""" }
