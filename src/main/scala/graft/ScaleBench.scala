@@ -16,30 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
+  /** Replication for self-contained tables: every id column shifts by
+    * one shared offset derived from the data — a fixed constant would
+    * silently collide when the source ids exceed it (e.g.
+    * SPARK_GRAFT_SF_DIR pointed at sf10+). Thin wrapper over
+    * [[replicateKeyed]], the single copy of the replication mechanism.
+    */
   private def replicate(spark: SparkSession, src: String, name: String,
                         copies: Int, idCols: Seq[String], out: String): DataFrame = {
     val base = spark.read.parquet(s"$src/$name.parquet")
-    // copies must not alias: derive the per-copy id offset from the
-    // data (a fixed constant silently collides when the source tables'
-    // ids exceed it, e.g. SPARK_GRAFT_SF_DIR pointed at sf10+)
-    val idMax = idCols.map(c => col(c).cast("long")) match {
-      case Seq(one) => one // greatest() needs >= 2 args
-      case many => greatest(many: _*)
-    }
-    val offset = Option(base.agg(max(idMax)).head.get(0))
+    val offset = Option(base.agg(
+        max(greatest(idCols.map(c => col(c).cast("long")) :+ lit(Long.MinValue): _*)))
+        .head.get(0))
       .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
-    // the cache path is keyed by copies (parent dir) AND the offset, so
-    // replicas written under an older offset scheme are never reused
-    val target = s"$out/${name}_o$offset"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_SUCCESS"))) {
-      spark.range(copies).crossJoin(base)
-        .select(base.columns.map {
-          case c if idCols.contains(c) => (col(c) + col("id") * offset).as(c)
-          case c => col(c)
-        }: _*)
-        .write.mode("overwrite").parquet(target)
-    }
-    spark.read.parquet(target)
+    replicateKeyed(spark, src, name, copies, idCols.map(_ -> offset), out)
   }
 
   /** Replication with EXPLICIT per-column offsets, for multi-table join
@@ -90,17 +80,21 @@ object ScaleBench {
     val embeddings = replicate(spark, src, "embeddings", copies, Seq("vec_id"), out)
 
     // star-join corpus: one offset per KEY DOMAIN, maxed across every
-    // table sharing it, so replicated facts join replicated dims exactly
-    def domainMax(table: String, c: String): Long =
-      Option(spark.read.parquet(s"$src/$table.parquet")
-        .agg(max(col(c).cast("long"))).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val okeyOff = math.max(domainMax("lineitem", "l_orderkey"),
-                           domainMax("orders", "o_orderkey")) + 1L
-    val ckeyOff = math.max(domainMax("orders", "o_custkey"),
-                           domainMax("customer", "c_custkey")) + 1L
-    val skeyOff = math.max(domainMax("lineitem", "l_suppkey"),
-                           domainMax("supplier", "s_suppkey")) + 1L
+    // table sharing it, so replicated facts join replicated dims
+    // exactly. One aggregate scan per table (not per column).
+    def tableMaxes(table: String, cols: String*): Seq[Long] = {
+      val row = spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(cols.head).cast("long")),
+          cols.tail.map(c => max(col(c).cast("long"))): _*).head
+      cols.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+    }
+    val Seq(liOkeyMax, liSkeyMax) = tableMaxes("lineitem", "l_orderkey", "l_suppkey")
+    val Seq(orOkeyMax, orCkeyMax) = tableMaxes("orders", "o_orderkey", "o_custkey")
+    val Seq(cuCkeyMax) = tableMaxes("customer", "c_custkey")
+    val Seq(suSkeyMax) = tableMaxes("supplier", "s_suppkey")
+    val okeyOff = math.max(liOkeyMax, orOkeyMax) + 1L
+    val ckeyOff = math.max(orCkeyMax, cuCkeyMax) + 1L
+    val skeyOff = math.max(liSkeyMax, suSkeyMax) + 1L
     val lineitemK = replicateKeyed(spark, src, "lineitem", copies,
       Seq("l_orderkey" -> okeyOff, "l_suppkey" -> skeyOff), out)
     val ordersK = replicateKeyed(spark, src, "orders", copies,
@@ -172,30 +166,12 @@ object ScaleBench {
         pipeline.Similarity.annTopK(embeddings, probe, 10).count()
       },
       // the §2.12 star shape at 10×: one fact-fact shuffle on orderkey,
-      // every dimension broadcast — the plan that must hold at 100 TB
+      // every dimension broadcast — the plan that must hold at 100 TB.
+      // Same code path as the oracle key, so the benchmarked plan can
+      // never drift from the verified one.
       t("star_q5_6m") {
-        val asiaNations = broadcast(nation
-          .join(broadcast(region.filter(col("r_name") === "ASIA")),
-            col("n_regionkey") === col("r_regionkey"))
-          .select(col("n_nationkey"), col("n_name")))
-        val cust = broadcast(customerK.select(col("c_custkey"), col("c_nationkey")))
-        val supp = broadcast(supplierK.select(col("s_suppkey"), col("s_nationkey")))
-        lineitemK
-          .select(col("l_orderkey"), col("l_suppkey"),
-            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
-              .cast("long").as("rev_c"))
-          .join(ordersK
-            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
-              col("o_orderdate") < to_timestamp(lit("2000-01-01")))
-            .select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(cust, col("o_custkey") === col("c_custkey"))
-          .join(supp, col("l_suppkey") === col("s_suppkey") &&
-            col("s_nationkey") === col("c_nationkey"))
-          .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
-          .groupBy(col("n_name"))
-          .agg(sum("rev_c").as("revenue_c"))
-          .count()
+        operators.ComposedQueries.regionalRevenueCore(
+          lineitemK, ordersK, customerK, supplierK, nation, region).count()
       })
 
     val qs = results.map { case (k, s, n) => s""""$k":{"sec":$s,"rows":$n}""" }

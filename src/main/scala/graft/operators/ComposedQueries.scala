@@ -59,21 +59,25 @@ object ComposedQueries extends QueryPack {
     * (supplier rides along lineitem's suppkey, then the nation-equality
     * filter cuts the stream before the aggregate).
     */
-  private def complexRegionalRevenue(s: SparkSession, dir: String): DataFrame = {
-    val asiaNations = broadcast(
-      Tables.nation(s, dir)
-        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
-          col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_nationkey"), col("n_name")))
-    val cust = broadcast(Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_nationkey")))
-    val supp = broadcast(Tables.supplier(s, dir)
-      .select(col("s_suppkey"), col("s_nationkey")))
-    val ord = Tables.orders(s, dir)
+  /** The Q5 star core, parameterized over its six inputs so the oracle
+    * key and ScaleBench's 10× run benchmark the SAME plan (a bench copy
+    * could silently drift from the verified query). Unordered — callers
+    * add their own total order.
+    */
+  def regionalRevenueCore(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame): DataFrame = {
+    val asiaNations = broadcast(nation
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name")))
+    val cust = broadcast(customer.select(col("c_custkey"), col("c_nationkey")))
+    val supp = broadcast(supplier.select(col("s_suppkey"), col("s_nationkey")))
+    val ord = orders
       .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
         col("o_orderdate") < to_timestamp(lit("2000-01-01")))
       .select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.lineitem(s, dir)
+    val li = lineitem
       .select(col("l_orderkey"), col("l_suppkey"),
         cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -83,8 +87,13 @@ object ComposedQueries extends QueryPack {
       .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_lines"))
-      .orderBy(desc("revenue_c"), asc("n_name"))
   }
+
+  private def complexRegionalRevenue(s: SparkSession, dir: String): DataFrame =
+    regionalRevenueCore(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))
+      .orderBy(desc("revenue_c"), asc("n_name"))
 
   /** Wide→long reshape (melt): the four lineitem measures become
     * (metric, value) rows via Spark's native `unpivot` (an Expand node —

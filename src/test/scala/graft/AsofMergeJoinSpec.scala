@@ -202,9 +202,16 @@ class AsofMergeJoinSpec extends SparkSpec {
       val cf = canon(AsofJoin.within(AsofJoin.forward(
         lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")), "lts", tol))
       assert(nf == cf, s"forward within($tol) diverges")
-      // tolerance must only ever null matches out, never add them
+      // tolerance must only ever null matches out, never add them —
+      // in BOTH directions (a forward-specific asymmetric-bound bug
+      // would slip past the native==composed check, which compares the
+      // same shared implementation to itself)
       assert(nb.flatMap(t => t._2.map(_ => t._1))
         .subsetOf(canon(AsofMergeJoin.backward(
+          lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")))
+          .flatMap(t => t._2.map(_ => t._1))))
+      assert(nf.flatMap(t => t._2.map(_ => t._1))
+        .subsetOf(canon(AsofMergeJoin.forward(
           lDf, rDf, Seq("k"), "lts", "rts", tieBreak = Seq("r_id")))
           .flatMap(t => t._2.map(_ => t._1))))
     }

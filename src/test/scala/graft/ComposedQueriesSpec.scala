@@ -36,22 +36,32 @@ class ComposedQueriesSpec extends SparkSpec {
     assert(df.select("metric").distinct().count() == 4)
   }
 
-  test("agg_bit xor of a group xor'd with itself is zero and or covers and") {
+  test("agg_bit matches a driver-side fold of each group's keys") {
     val rows = ComposedQueries.queries("agg_bit")(spark, sf).collect()
     assert(rows.nonEmpty)
+    // recompute every aggregate independently (sf0.001 fits in memory):
+    // pins the actual bit semantics, not just an AND⊆OR tautology
+    val expected = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_orderkey", "l_linenumber").collect()
+      .groupBy(_.getString(0)).map { case (flag, rs) =>
+        val oks = rs.map(_.getLong(1))
+        val lns = rs.map(_.getInt(2))
+        flag -> (oks.reduce(_ & _), oks.reduce(_ | _), oks.reduce(_ ^ _),
+          lns.reduce(_ & _), lns.reduce(_ | _), lns.reduce(_ ^ _))
+      }
     rows.foreach { r =>
-      val (andOk, orOk) = (r.getAs[Long]("and_ok"), r.getAs[Long]("or_ok"))
-      assert((andOk & orOk) == andOk, "bit_and must be a subset of bit_or")
-      val (andLn, orLn) = (r.getAs[Int]("and_ln"), r.getAs[Int]("or_ln"))
-      assert((andLn & orLn) == andLn)
+      val (andOk, orOk, xorOk, andLn, orLn, xorLn) = expected(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Long]("and_ok") == andOk && r.getAs[Long]("or_ok") == orOk &&
+        r.getAs[Long]("xor_ok") == xorOk,
+        s"orderkey bit aggregates diverge for ${r.getAs[String]("l_returnflag")}")
+      assert(r.getAs[Int]("and_ln") == andLn && r.getAs[Int]("or_ln") == orLn &&
+        r.getAs[Int]("xor_ln") == xorLn,
+        s"linenumber bit aggregates diverge for ${r.getAs[String]("l_returnflag")}")
     }
   }
 
-  private def plan(name: String): String = {
-    val df = ComposedQueries.queries(name)(spark, sf)
-    df.collect() // finalize the adaptive plan
-    df.queryExecution.executedPlan.toString()
-  }
+  private def plan(name: String): String =
+    finalizedPlan(ComposedQueries.queries(name)(spark, sf))
 
   test("complex_top_revenue plans top-10 as TakeOrderedAndProject with a broadcast dim") {
     val p = plan("complex_top_revenue")
@@ -65,12 +75,22 @@ class ComposedQueriesSpec extends SparkSpec {
   }
 
   test("complex_regional_revenue broadcasts every dimension (one fact-fact shuffle at most)") {
-    val p = plan("complex_regional_revenue")
+    // count in the EXECUTED section only — AQE's toString repeats the
+    // pre-adaptive plan under "== Initial Plan ==", where stale
+    // broadcasts would mask a demotion to SortMergeJoin
+    val p = finalPlanSection(plan("complex_regional_revenue"))
     // cust, supp, nation⋈region, asiaNations: ≥4 broadcast joins; the only
     // join allowed to shuffle is lineitem⋈orders
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(900))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"star join must stay equi-hash: ${p.take(600)}")
+    // the named invariant: hash shuffles only for the one fact-fact join
+    // (≤2 Exchanges, one per side) and the final aggregation (1); the
+    // ORDER BY is rangepartitioning. Any broadcast demoted to a shuffle
+    // join pushes the count past 3.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 3,
+      s"star join must shuffle only lineitem⋈orders + final agg, got $shuffles hash Exchanges")
   }
 
   test("reshape_unpivot plans an Expand with no shuffle before the final sort") {

@@ -6,11 +6,8 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private def plan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf)
-    df.collect() // finalize the adaptive plan so codegen spans are visible
-    df.queryExecution.executedPlan.toString()
-  }
+  private def plan(name: String): String =
+    finalizedPlan(SparkEntry.queries(name)(spark, sf))
 
   test("scan_projection_pushdown reads only the 2 projected columns") {
     val p = plan("scan_projection_pushdown")

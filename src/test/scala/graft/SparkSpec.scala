@@ -8,6 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Finalized physical plan as text: collect() first so AQE settles on
+    * the real plan. NOTE: the toString still repeats the pre-AQE plan
+    * under "== Initial Plan ==" — count operators in [[finalPlanSection]]
+    * when asserting how many of something the EXECUTED plan contains.
+    */
+  protected def finalizedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString()
+  }
+
+  /** The executed-plan section only (everything before AQE's repeated
+    * "== Initial Plan ==" dump). */
+  protected def finalPlanSection(p: String): String =
+    p.split("== Initial Plan ==").head
 }
 
 object SparkSpec {
