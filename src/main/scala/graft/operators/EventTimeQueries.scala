@@ -64,12 +64,55 @@ object EventTimeQueries extends QueryPack {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Gap-filled hourly series per event_type: absent hours between each
+    * type's min and max hour appear with n=0. Bucketing is exact integer
+    * division on the ns epoch, so both engines bucket bit-identically.
+    *
+    * Scale shape — sparse-to-dense WITHOUT a self-join: each sparse hour
+    * looks up its successor (`lead`) and emits its own gap run
+    * (`sequence(h, next_h-1)` + explode, zero-filled past the first
+    * element). The naive bounds-grid-left-join formulation references
+    * the aggregated counts twice, and column pruning makes the two
+    * subtrees non-identical so ReuseExchange cannot kick in — the fact
+    * table gets scanned twice (measured). This form is one scan, one
+    * aggregation, one window — strictly the 100 TB-correct plan.
+    */
+  private def evtGapfill(s: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val byType = Window.partitionBy("event_type").orderBy("h")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr(s"ts DIV $hourNs").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("next_h", lead("h", 1).over(byType))
+      // explode_outer: the run is provably non-empty (next_h > h), and
+      // plain explode would pick up an inferred non-codegen Filter
+      // re-evaluating the sequence (round-2 generator trap)
+      .select(col("event_type"), col("h"), col("n"),
+        explode_outer(sequence(col("h"),
+          coalesce(col("next_h") - 1, col("h")))).as("hh"))
+      .select(col("event_type"), (col("hh") * 3600).as("h_s"),
+        when(col("hh") === col("h"), col("n")).otherwise(lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("h_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling" -> (evtTumbling _),
     "evt_sliding"  -> (evtSliding _),
-    "evt_session"  -> (evtSession _))
+    "evt_session"  -> (evtSession _),
+    "evt_gapfill"  -> (evtGapfill _))
 
   val oracle: Map[String, String] = Map(
+    "evt_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM bounds)
+        |SELECT g.event_type, g.h * 3600 AS h_s, coalesce(hh.n, 0) AS n
+        |FROM grid g LEFT JOIN hourly hh ON g.event_type = hh.event_type AND g.h = hh.h
+        |ORDER BY g.event_type, h_s""".stripMargin,
     "evt_tumbling" ->
       """SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS wstart_s,
         |  event_type,

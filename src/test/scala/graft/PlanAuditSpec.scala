@@ -98,6 +98,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(SparkEntry.queries("subq_membership")(spark, sf).count() == 124)
   }
 
+  test("evt_gapfill densifies with one fact scan and no self-join") {
+    val p = finalPlanSection(plan("evt_gapfill"))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"the lead-based fill must read events exactly once: ${p.take(600)}")
+    assert(!p.contains("Join"),
+      s"sparse-to-dense must not plan a self-join: ${p.take(600)}")
+  }
+
   test("whole-stage codegen covers the scalar function packs (no UDF opacity)") {
     Seq("fn_string", "fn_math", "fn_conditional", "project_expr").foreach { q =>
       val p = plan(q)
