@@ -95,13 +95,60 @@ object EventTimeQueries extends QueryPack {
       .orderBy(col("event_type"), col("h_s"))
   }
 
+  /** First-touch funnel view → click → purchase per user (the
+    * MATCH_RECOGNIZE-shaped sequence query): each stage is the earliest
+    * event of its type AFTER the previous stage, emitted as epoch
+    * seconds (null where the user never advanced). Scale shape: three
+    * chained conditional window minimums share ONE user_id partitioning
+    * (one shuffle, one scan, no self-joins — the naive per-stage
+    * join-chain scans events three times), and the final per-user
+    * collapse reuses that partitioning, so the whole funnel is a single
+    * Exchange.
+    */
+  private def evtFunnel(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    Tables.events(s, dir)
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("v_ts"),
+          col("ts"))).over(byUser))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
+          col("ts"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("min(v_ts) DIV 1000000000").as("view_s"),
+        expr("min(c_ts) DIV 1000000000").as("click_s"),
+        expr("min(p_ts) DIV 1000000000").as("purchase_s"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling" -> (evtTumbling _),
     "evt_sliding"  -> (evtSliding _),
     "evt_session"  -> (evtSession _),
-    "evt_gapfill"  -> (evtGapfill _))
+    "evt_gapfill"  -> (evtGapfill _),
+    "evt_funnel"   -> (evtFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "evt_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS v_ts
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+        |    OVER (PARTITION BY user_id) AS c_ts FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+        |    OVER (PARTITION BY user_id) AS p_ts FROM s2)
+        |SELECT user_id,
+        |  epoch_ns(min(v_ts)) // 1000000000 AS view_s,
+        |  epoch_ns(min(c_ts)) // 1000000000 AS click_s,
+        |  epoch_ns(min(p_ts)) // 1000000000 AS purchase_s
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "evt_gapfill" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h, count(*) AS n

@@ -106,6 +106,18 @@ class PlanAuditSpec extends SparkSpec {
       s"sparse-to-dense must not plan a self-join: ${p.take(600)}")
   }
 
+  test("evt_funnel runs the whole funnel on one scan and one hash Exchange") {
+    val p = finalPlanSection(plan("evt_funnel"))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"chained conditional windows must not re-scan per stage: ${p.take(600)}")
+    // the three window stages AND the per-user collapse share the
+    // user_id partitioning; only the final ORDER BY may add a range
+    // Exchange
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"funnel must reuse one user_id partitioning, got $shuffles hash Exchanges")
+  }
+
   test("whole-stage codegen covers the scalar function packs (no UDF opacity)") {
     Seq("fn_string", "fn_math", "fn_conditional", "project_expr").foreach { q =>
       val p = plan(q)
