@@ -81,6 +81,11 @@ object EventTimeQueries extends QueryPack {
     val hourNs = 3600L * 1000000000L
     val byType = Window.partitionBy("event_type").orderBy("h")
     Tables.events(s, dir)
+      // the corpus has no nulls, but a null ts/event_type would diverge
+      // from the oracle's NULL handling (its grid join and min/max drop
+      // them); both sides exclude them explicitly so the pair stays
+      // equivalent on any input
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .groupBy(col("event_type"), expr(s"ts DIV $hourNs").as("h"))
       .agg(count(lit(1)).as("n"))
       .withColumn("next_h", lead("h", 1).over(byType))
@@ -152,7 +157,9 @@ object EventTimeQueries extends QueryPack {
     "evt_gapfill" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
         |bounds AS (
         |  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
         |grid AS (

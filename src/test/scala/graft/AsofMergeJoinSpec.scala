@@ -226,7 +226,7 @@ class AsofMergeJoinSpec extends SparkSpec {
     val df = AsofMergeJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    val finalSection = plan.split("== Initial Plan ==").head
+    val finalSection = finalPlanSection(plan)
     assert(finalSection.contains("AsofMergeJoin"), finalSection.take(600))
     assert("Exchange hashpartitioning".r.findAllIn(finalSection).size == 2,
       s"expected exactly two hash Exchanges: ${finalSection.take(800)}")

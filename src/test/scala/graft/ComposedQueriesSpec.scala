@@ -96,7 +96,7 @@ class ComposedQueriesSpec extends SparkSpec {
   test("reshape_unpivot plans an Expand with no shuffle before the final sort") {
     val p = plan("reshape_unpivot")
     assert(p.contains("Expand"), s"unpivot must lower to Expand: ${p.take(600)}")
-    val finalSection = p.split("== Initial Plan ==").head
+    val finalSection = finalPlanSection(p)
     assert(!finalSection.contains("Exchange hashpartitioning"),
       s"melt needs no hash shuffle: ${finalSection.take(600)}")
   }
@@ -104,7 +104,7 @@ class ComposedQueriesSpec extends SparkSpec {
   test("evt_retention aggregates partially and shuffles at most 3 times") {
     val p = plan("evt_retention")
     assert(p.contains("partial_"), "map-side partial aggregation expected")
-    val finalSection = p.split("== Initial Plan ==").head
+    val finalSection = finalPlanSection(p)
     val n = "Exchange hashpartitioning".r.findAllIn(finalSection).size
     assert(n <= 3, s"distinct + window-min + countDistinct needs ≤3 hash shuffles, got $n")
   }

@@ -46,7 +46,7 @@ class PlanAuditSpec extends SparkSpec {
     // exactly ONE hash Exchange (the window's); the only other Exchange
     // allowed is the final ORDER BY's rangepartitioning. AQE's toString
     // repeats the plan under "== Initial Plan ==" — count the final only.
-    val finalSection = p.split("== Initial Plan ==").head
+    val finalSection = finalPlanSection(p)
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
     assert(hashExchanges == 1,
       s"expected a single hash Exchange, got $hashExchanges: ${finalSection.take(800)}")
