@@ -36,4 +36,64 @@ object Layout {
       .sortBy(keyCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Morton (Z-order) value over `dims` numeric columns: each value is
+    * normalized to a `bits`-bit integer over its [min, max] range
+    * (equal-width; swap in approx-quantile boundaries for equal-depth
+    * on skewed data), then the dimensions' bits are interleaved. Rows
+    * close in z-value are close in EVERY dimension, so sorting files by
+    * z-value gives each parquet file a narrow min/max envelope on every
+    * dimension at once — the property that lets range filters on any
+    * dim prune files, where a single-column sort clusters only itself.
+    *
+    * The interleave is plain shift/and/or column arithmetic (codegen
+    * stays whole-stage; the classic magic-mask spreading would shave
+    * constant factors but this form works for any (dims, bits) with
+    * dims*bits ≤ 63). Ranges are caller-supplied so one aggregate scan
+    * serves the whole write — see [[zorderWrite]].
+    */
+  def zvalue(dims: Seq[(org.apache.spark.sql.Column, Long, Long)],
+             bits: Int = 16): org.apache.spark.sql.Column = {
+    require(dims.nonEmpty && dims.size * bits <= 63,
+      s"${dims.size} dims × $bits bits must fit a signed long")
+    val stride = dims.size
+    val maxBucket = (1L << bits) - 1
+    dims.zipWithIndex.map { case ((c, lo, hi), d) =>
+      require(hi >= lo, s"dimension $d range inverted")
+      // equal-width bucket in [0, 2^bits) with a POWER-OF-TWO width, so
+      // the division is an exact shift: Column./ on longs is double
+      // division (loses exactness past 2^53 — ns-epoch territory) and a
+      // multiply-first form overflows the long. A degenerate (constant)
+      // dimension lands every row in bucket 0.
+      val span = math.max(1L, hi - lo)
+      val spanBits = 64 - java.lang.Long.numberOfLeadingZeros(span)
+      val shift = math.max(0, spanBits - bits)
+      val bucket = least(lit(maxBucket), greatest(lit(0L),
+        shiftright(c.cast("long") - lit(lo), shift)))
+      // spread bucket bits to positions d, d+stride, d+2*stride, ...
+      (0 until bits).map { i =>
+        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * stride + d)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order-clustered parquet write: range-partition then sort by the
+    * Morton value so every output file covers a small hyper-rectangle
+    * of the dimension space. One aggregate computes all ranges; the
+    * write itself is one range Exchange + per-partition sort.
+    */
+  def zorderWrite(df: DataFrame, dimCols: Seq[String], path: String,
+                  bits: Int = 16, partitions: Int = 0): Unit = {
+    val aggs = dimCols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranges = dimCols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
+    val dims = dimCols.zip(ranges).map { case (c, (lo, hi)) => (col(c), lo, hi) }
+    val withZ = df.withColumn("__z", zvalue(dims, bits))
+    val shaped =
+      if (partitions > 0) withZ.repartitionByRange(partitions, col("__z"))
+      else withZ.repartitionByRange(col("__z"))
+    shaped.sortWithinPartitions("__z").drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -42,6 +42,72 @@ class LayoutSpec extends SparkSpec {
     assert(exchanges == 0, s"bucketed join must not shuffle: ${plan.take(600)}")
   }
 
+  test("zvalue matches a reference Morton interleave on random inputs") {
+    import spark.implicits._
+    val bits = 8
+    def refMorton(xs: Seq[Long], stride: Int): Long =
+      xs.zipWithIndex.map { case (x, d) =>
+        (0 until bits).map(i => ((x >> i) & 1L) << (i * stride + d)).reduce(_ | _)
+      }.reduce(_ | _)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val df = rows.toDF("a", "b", "c")
+    // ranges exactly [0, 255] → identity bucketing, so the reference is exact
+    val got2 = df.select(col("a"), col("b"),
+        Layout.zvalue(Seq((col("a"), 0L, 255L), (col("b"), 0L, 255L)), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got2.foreach { case (a, b, z) =>
+      assert(z == refMorton(Seq(a, b), 2), s"2-dim z($a,$b)")
+    }
+    val got3 = df.select(col("a"), col("b"), col("c"),
+        Layout.zvalue(Seq((col("a"), 0L, 255L), (col("b"), 0L, 255L), (col("c"), 0L, 255L)), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got3.foreach { case (a, b, c, z) =>
+      assert(z == refMorton(Seq(a, b, c), 3), s"3-dim z($a,$b,$c)")
+    }
+    // out-of-[lo,hi] values clamp instead of corrupting neighbor bits
+    val clamped = Seq((-5L, 300L)).toDF("a", "b")
+      .select(Layout.zvalue(Seq((col("a"), 0L, 255L), (col("b"), 0L, 255L)), bits))
+      .head().getLong(0)
+    assert(clamped == refMorton(Seq(0L, 255L), 2), "clamp at the range edges")
+  }
+
+  test("z-ordered files bound BOTH dimensions; a linear sort clusters only its own") {
+    import spark.implicits._
+    // two independent uniform dims: a linear sort on x leaves y's
+    // per-file span at ~full range, z-order narrows both
+    val rnd = new scala.util.Random(7)
+    val n = 40000
+    val df = Seq.fill(n)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+      .toDF("x", "y")
+    def avgSpans(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+      assert(files.length >= 8, s"need several files to measure, got ${files.length}")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        ((r.getLong(1) - r.getLong(0)).toDouble / (1 << 16),
+         (r.getLong(3) - r.getLong(2)).toDouble / (1 << 16))
+      }
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+    val base = Files.createTempDirectory("zorder").toString
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2500")
+    try {
+      Layout.zorderWrite(df, Seq("x", "y"), s"$base/z", bits = 8, partitions = 4)
+      df.repartitionByRange(4, col("x")).sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(s"$base/linear")
+      val (zx, zy) = avgSpans(s"$base/z")
+      val (lx, ly) = avgSpans(s"$base/linear")
+      assert(lx < 0.2, s"sanity: linear sort clusters its own dim (x span $lx)")
+      assert(ly > 0.8, s"sanity: linear sort leaves y unclustered (y span $ly)")
+      assert(zx < 0.5 && zy < 0.5,
+        s"z-order must bound both dims per file: x $zx, y $zy")
+      assert(zy < ly / 2, s"z-order y span $zy must beat linear's $ly")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("Channels.resample downsamples to fixed-width buckets") {
     import spark.implicits._
     val aligned = Seq(
