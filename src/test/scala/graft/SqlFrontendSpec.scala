@@ -21,7 +21,7 @@ class SqlFrontendSpec extends SparkSpec {
     "project_expr", "filter_pred", "filter_null_handling",
     "join_inner", "join_broadcast", "join_left", "join_right", "join_full",
     "join_semi", "join_anti", "join_cross", "join_theta_range",
-    "subq_scalar_corr",
+    "subq_scalar_corr", "subq_lateral", "subq_membership",
     "agg_groupby", "agg_global", "agg_distinct", "agg_having",
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
     "agg_stats", "agg_minmax_by", "agg_count_if",
