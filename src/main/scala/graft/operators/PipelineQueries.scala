@@ -44,7 +44,10 @@ object PipelineQueries extends QueryPack {
     * scale twin (graft.pipeline.MinHashDedup) replaces the quadratic
     * word self-join at 100 TB.
     */
-  private def dedupNearJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** The exact near-dup pair list (unordered) — shared by the pair key
+    * and the components key so both certify the same graph.
+    */
+  private def nearJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val tok = tokens(s, dir, 300)
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
     val inter = tok.select(col("doc_id").as("a_id"), col("word"))
@@ -57,8 +60,30 @@ object PipelineQueries extends QueryPack {
       .join(sizes.select(col("doc_id").as("b_id"), col("n_words").as("nb")), "b_id")
       .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= 0.8)
+  }
+
+  private def dedupNearJaccard(s: SparkSession, dir: String): DataFrame =
+    nearJaccardPairs(s, dir)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+
+  /** Connected components over the exact near-dup graph: every doc in
+    * the slice labeled with the minimum doc_id of its duplicate cluster
+    * (itself when it has no near-dups). The Spark side runs the SCALE
+    * algorithm — graft.pipeline.Dedup.clusters, iterative hash-min label
+    * propagation with pointer jumping, O(log diameter) rounds of keyed
+    * joins — while the oracle computes the same fixpoint as a DuckDB
+    * recursive-CTE transitive closure: two unrelated algorithms on two
+    * engines agreeing bit-for-bit on the clustering, which is the
+    * product a 100 TB dedup pipeline actually ships.
+    */
+  private def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val comp = graft.pipeline.Dedup.clusters(
+      nearJaccardPairs(s, dir).select(col("a_id"), col("b_id")))
+    Tables.documents(s, dir).filter(col("doc_id") < 300).select(col("doc_id"))
+      .join(comp, col("doc_id") === comp("id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("component"))
+      .orderBy(col("doc_id"))
   }
 
   /** Native codegen'd dot product (graft.functions.VectorDot): fused
@@ -137,6 +162,7 @@ object PipelineQueries extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"        -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
+    "dedup_components"   -> (dedupComponents _),
     "sim_cosine_topk"    -> (simCosineTopk _),
     "sim_label_centroid" -> (simLabelCentroid _),
     "text_lang_stats"    -> (textLangStats _),
@@ -148,6 +174,34 @@ object PipelineQueries extends QueryPack {
         |FROM documents
         |GROUP BY text
         |ORDER BY keep_id""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 300
+        |), tok2 AS (SELECT * FROM tok WHERE word <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS n_words FROM tok2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM tok2 a JOIN tok2 b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a_id
+        |  JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE n_inter / (sa.n_words + sb.n_words - n_inter) >= 0.8),
+        |edges AS (
+        |  SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+        |LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_near_jaccard" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
