@@ -38,14 +38,12 @@ object PipelineQueries extends QueryPack {
       .select(col("doc_id"), explode_outer(array_distinct(split(col("text"), " "))).as("word"))
       .filter(col("word") =!= "")
 
-  /** Exact word-set Jaccard ≥ 0.8 pairs among doc_id < 300: explode →
-    * self-join on word → |∩| / |∪|. Jaccard is a ratio of ints, so the
-    * double division is bit-identical across engines. The MinHash-LSH
-    * scale twin (graft.pipeline.MinHashDedup) replaces the quadratic
-    * word self-join at 100 TB.
-    */
-  /** The exact near-dup pair list (unordered) — shared by the pair key
-    * and the components key so both certify the same graph.
+  /** Exact word-set Jaccard ≥ 0.8 pairs among doc_id < 300 (unordered):
+    * explode → self-join on word → |∩| / |∪|. Jaccard is a ratio of
+    * ints, so the double division is bit-identical across engines.
+    * Shared by the pair key and the components key so both certify the
+    * same graph; the MinHash-LSH scale twin (graft.pipeline.Dedup)
+    * replaces the quadratic word self-join at 100 TB.
     */
   private def nearJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val tok = tokens(s, dir, 300)

@@ -60,6 +60,13 @@ object Layout {
     val maxBucket = (1L << bits) - 1
     dims.zipWithIndex.map { case ((c, lo, hi), d) =>
       require(hi >= lo, s"dimension $d range inverted")
+      // [lo, hi] spanning more than Long.MaxValue (e.g. a Long.MinValue
+      // null-sentinel next to real values) would wrap BOTH this span
+      // and the per-row `c - lo` — silently collapsing every bucket.
+      // Refuse loudly: sentinel cleanup is the caller's job.
+      require(BigInt(hi) - BigInt(lo) <= Long.MaxValue,
+        s"dimension $d range [$lo, $hi] exceeds Long.MaxValue — strip " +
+          "sentinels or pre-normalize before z-ordering")
       // equal-width bucket in [0, 2^bits) with a POWER-OF-TWO width, so
       // the division is an exact shift: Column./ on longs is double
       // division (loses exactness past 2^53 — ns-epoch territory) and a
@@ -87,13 +94,23 @@ object Layout {
     val aggs = dimCols.flatMap(c =>
       Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    if (dimCols.indices.exists(i => row.isNullAt(2 * i))) {
+      // empty input, an all-null dim, or a non-castable dim: there is
+      // nothing to cluster on — write as-is instead of throwing an
+      // opaque NPE where a plain write would have succeeded
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val ranges = dimCols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
     val dims = dimCols.zip(ranges).map { case (c, (lo, hi)) => (col(c), lo, hi) }
-    val withZ = df.withColumn("__z", zvalue(dims, bits))
+    // grows-until-fresh: never silently replace (and then drop) a real
+    // user column that happens to be named like our sort key
+    val zCol = Iterator.iterate("__z")(_ + "_").dropWhile(df.columns.contains).next()
+    val withZ = df.withColumn(zCol, zvalue(dims, bits))
     val shaped =
-      if (partitions > 0) withZ.repartitionByRange(partitions, col("__z"))
-      else withZ.repartitionByRange(col("__z"))
-    shaped.sortWithinPartitions("__z").drop("__z")
+      if (partitions > 0) withZ.repartitionByRange(partitions, col(zCol))
+      else withZ.repartitionByRange(col(zCol))
+    shaped.sortWithinPartitions(zCol).drop(zCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }
