@@ -21,6 +21,7 @@ object SparkEntry {
     EventTimeQueries,
     PipelineQueries,
     SamplingQueries,
+    MultimodalQueries,
     DedupQueries,
     TextAnalysisQueries,
     ComposedQueries)

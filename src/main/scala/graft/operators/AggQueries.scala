@@ -57,6 +57,27 @@ object AggQueries extends QueryPack {
       .filter(col("n_orders") >= 12)
       .orderBy(col("o_custkey"))
 
+  /** Histogram of order totals in fixed $25k buckets — the width_bucket
+    * shape done in exact integer arithmetic (per-row cents, integer floor
+    * division) so bucket membership can never drift across engines the
+    * way a double boundary compare could. One partial/final hash agg on
+    * ~20 bucket keys: at 100 TB the shuffle carries one row per
+    * (partition × bucket), nothing else.
+    */
+  private def aggHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(expr("cents DIV 2500000").as("bucket"), col("cents"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .select(col("bucket"), (col("bucket") * 25000).as("bucket_lo_usd"),
+        col("n_orders"), col("sum_cents"), col("min_cents"), col("max_cents"))
+      .orderBy(col("bucket"))
+
   /** region→nation hierarchy with subtotals at each level + grand total.
     * Group-key nulls produced by the rollup are ordered NULLS FIRST
     * explicitly on both sides (engine defaults differ).
@@ -190,9 +211,23 @@ object AggQueries extends QueryPack {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_pivot"         -> (aggPivot _),
     "agg_stats"         -> (aggStats _),
-    "agg_median"        -> (aggMedian _))
+    "agg_median"        -> (aggMedian _),
+    "agg_histogram"     -> (aggHistogram _))
 
   val oracle: Map[String, String] = Map(
+    "agg_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        |)
+        |SELECT cents // 2500000 AS bucket,
+        |  (cents // 2500000) * 25000 AS bucket_lo_usd,
+        |  count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents,
+        |  max(cents) AS max_cents
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY bucket""".stripMargin,
     "agg_minmax_by" ->
       """SELECT event_type,
         |  max_by(value, event_id) AS last_value,

@@ -150,14 +150,68 @@ object ComposedQueries extends QueryPack {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** TPC-H-Q7-shaped: shipping volume between two nations by year —
+    * supplier-nation × customer-nation × ship-year revenue, nations
+    * restricted to an unequal pair. Scale shape: the nation filter rides
+    * the two broadcast dimension joins (supplier and customer shrink to
+    * ~2/25 of their rows BEFORE touching a fact table), lineitem joins
+    * orders on the orderkey — the only fact-fact shuffle — and the final
+    * aggregate has ≤ 2·years groups.
+    */
+  private def complexNationVolume(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_13", "NATION_19"))
+    val supp = broadcast(Tables.supplier(s, dir)
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation")))
+    val cust = broadcast(Tables.customer(s, dir)
+      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation")))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "complex_top_revenue"      -> (complexTopRevenue _),
     "complex_regional_revenue" -> (complexRegionalRevenue _),
+    "complex_nation_volume"    -> (complexNationVolume _),
     "reshape_unpivot"          -> (reshapeUnpivot _),
     "agg_bit"                  -> (aggBit _),
     "evt_retention"            -> (evtRetention _))
 
   val oracle: Map[String, String] = Map(
+    "complex_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_13', 'NATION_19')
+        |  AND cn.n_name IN ('NATION_13', 'NATION_19')
+        |  AND sn.n_name <> cn.n_name
+        |  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "complex_top_revenue" ->
       """SELECT o.o_orderkey,
         |  epoch_ns(o.o_orderdate) // 1000000000 AS odate_s,

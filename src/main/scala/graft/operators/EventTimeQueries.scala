@@ -129,14 +129,70 @@ object EventTimeQueries extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Per-type z-score outliers (|z| > 2.5) — the anomaly-flagging shape.
+    * Mean and stddev are derived from EXACT integer aggregates (per-row
+    * cents, then count / sum / sum-of-squares — all associative BIGINT
+    * sums), so unlike avg()/stddev() over raw doubles the moments are
+    * bit-identical under any partitioning AND in DuckDB; the few double
+    * ops that follow replay the same operand sequence in both engines,
+    * making even the |z| > threshold membership test safe (§7.5 forbids
+    * float-threshold filters on engine-drifting values — these don't
+    * drift). Scale shape: one partial/final agg to 5 moment rows
+    * (broadcast back), one scan re-read — no wide shuffle.
+    */
+  private def evtZscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("v_c"))
+    val moments = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("s"),
+        sum(col("v_c") * col("v_c")).as("q"))
+      .filter(col("n") > 1)
+      // sample variance from exact moments: (q − s²/n) / (n−1); s² would
+      // overflow BIGINT at 100 TB row counts, so s promotes to double
+      // first — identically on both sides
+      .select(col("event_type"), (col("s").cast("double") / col("n")).as("mean_c"),
+        sqrt((col("q") - col("s").cast("double") * col("s") / col("n")) /
+          (col("n") - 1)).as("std_c"))
+      .filter(col("std_c") > 0)
+    ev.join(broadcast(moments), "event_type")
+      .select(col("event_id"), col("event_type"), col("v_c"),
+        ((col("v_c") - col("mean_c")) / col("std_c")).as("z"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), col("v_c"),
+        round(col("z"), 4).as("z"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling" -> (evtTumbling _),
     "evt_sliding"  -> (evtSliding _),
     "evt_session"  -> (evtSession _),
     "evt_gapfill"  -> (evtGapfill _),
-    "evt_funnel"   -> (evtFunnel _))
+    "evt_funnel"   -> (evtFunnel _),
+    "evt_zscore"   -> (evtZscore _))
 
   val oracle: Map[String, String] = Map(
+    "evt_zscore" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(v_c) AS BIGINT) AS s,
+        |    CAST(sum(v_c * v_c) AS BIGINT) AS q
+        |  FROM ev GROUP BY event_type HAVING count(*) > 1
+        |), mm AS (
+        |  SELECT event_type, CAST(s AS DOUBLE) / n AS mean_c,
+        |    sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS std_c
+        |  FROM m
+        |), mm2 AS (SELECT * FROM mm WHERE std_c > 0)
+        |SELECT ev.event_id, ev.event_type, ev.v_c,
+        |  round((ev.v_c - mean_c) / std_c, 4) AS z
+        |FROM ev JOIN mm2 USING (event_type)
+        |WHERE abs((ev.v_c - mean_c) / std_c) > 2.5
+        |ORDER BY event_type, event_id""".stripMargin,
     "evt_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, ts, event_type,

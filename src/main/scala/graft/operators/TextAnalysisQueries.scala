@@ -99,11 +99,55 @@ object TextAnalysisQueries extends QueryPack {
         md5(col("text").cast("binary")).as("text_md5"))
       .orderBy(col("doc_id"))
 
+  /** Collocation mining: adjacent-bigram PMI over the English slice —
+    * the statistic a tokenizer-training / phrase-detection pipeline
+    * computes corpus-wide. Bigrams come straight off each doc's token
+    * array (a per-row `transform` over index positions — no positional
+    * explode + self-join, which would shuffle every token twice); only
+    * (w1, w2) pairs enter the count aggregates. PMI inputs are all exact
+    * integer counts; the single ln() runs on identical doubles in both
+    * engines.
+    */
+  private def textBigramPmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("lang") === "en")
+      .select(words.as("w"))
+    val toks = docs
+      .select(explode_outer(col("w")).as("word"))
+      .filter(col("word") =!= "")
+    val uni = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val bi = docs
+      .filter(size(col("w")) >= 2)
+      .select(explode_outer(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val nBig = bi.agg(count(lit(1)).as("n_big"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 10)
+    c12
+      .join(broadcast(uni.select(col("word").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("word").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBig))
+      // pmi = ln( (c12/n_big) / ((c1/n_tok)(c2/n_tok)) ), assembled in the
+      // exact operand order both engines replay: double·long promotions
+      // left-to-right, one division, one ln
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("n_big").cast("double") * col("c1") * col("c2"))), 4).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"      -> (textLangid _),
     "text_quality"     -> (textQuality _),
     "text_tokens"      -> (textTokens _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_bigram_pmi"  -> (textBigramPmi _))
 
   private def duckHits(langList: String): String =
     s"len(list_filter(string_split(text, ' '), w -> list_contains([$langList], w)))"
@@ -114,6 +158,30 @@ object TextAnalysisQueries extends QueryPack {
   private val hitsFr = duckHits("'le','la','et','les','des'")
 
   val oracle: Map[String, String] = Map(
+    "text_bigram_pmi" ->
+      """WITH docs AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents WHERE lang = 'en'
+        |), toks AS (
+        |  SELECT unnest(w) AS word FROM docs
+        |), toks2 AS (SELECT word FROM toks WHERE word <> ''),
+        |uni AS (SELECT word, count(*) AS c FROM toks2 GROUP BY word),
+        |n AS (SELECT count(*) AS n_tok FROM toks2),
+        |bi0 AS (
+        |  SELECT t.w[i] AS w1, t.w[i + 1] AS w2
+        |  FROM docs t, unnest(range(1, len(t.w))) AS u(i)
+        |), bi AS (SELECT w1, w2 FROM bi0 WHERE w1 <> '' AND w2 <> ''),
+        |nb AS (SELECT count(*) AS n_big FROM bi),
+        |c12 AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2 HAVING count(*) >= 10)
+        |SELECT c12.w1, c12.w2, c12.c12,
+        |  round(ln((CAST(c12.c12 AS DOUBLE) * n.n_tok * n.n_tok) /
+        |    (CAST(nb.n_big AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
+        |FROM c12
+        |JOIN uni u1 ON u1.word = c12.w1
+        |JOIN uni u2 ON u2.word = c12.w2
+        |CROSS JOIN n CROSS JOIN nb
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC
+        |LIMIT 50""".stripMargin,
     "text_langid" ->
       s"""WITH scored AS (
         |  SELECT doc_id, lang AS labeled_lang,

@@ -28,6 +28,18 @@ class ComposedQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("n_name")).forall(asia.contains))
   }
 
+  test("complex_nation_volume pairs two distinct nations over 1995-96 only") {
+    val rows = ComposedQueries.queries("complex_nation_volume")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sn, cn) = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))
+      assert(Set("NATION_13", "NATION_19").contains(sn) && sn != cn)
+      val y = r.getAs[Long]("l_year")
+      assert(y == 1995L || y == 1996L)
+      assert(r.getAs[Long]("revenue_c") > 0 && r.getAs[Long]("n_lines") > 0)
+    }
+  }
+
   test("reshape_unpivot expands each source row into exactly 4 metric rows") {
     val n = Tables.lineitem(spark, sf)
       .filter(pmod(col("l_orderkey"), lit(20)) === 3).count()

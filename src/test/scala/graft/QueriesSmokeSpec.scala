@@ -43,6 +43,34 @@ class QueriesSmokeSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(3) >= 0, s"negative gap for ${r.getLong(0)}"))
   }
 
+  test("agg_histogram buckets partition the orders table exactly") {
+    val rows = SparkEntry.queries("agg_histogram")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bucket_lo_usd") == r.getAs[Long]("bucket") * 25000)
+      val (lo, hi) = (r.getAs[Long]("min_cents"), r.getAs[Long]("max_cents"))
+      assert(lo >= r.getAs[Long]("bucket") * 2500000 &&
+        hi < (r.getAs[Long]("bucket") + 1) * 2500000)
+    }
+  }
+
+  test("evt_zscore emits only |z| > 2.5 and they really are rare") {
+    val rows = SparkEntry.queries("evt_zscore")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("z")) > 2.5))
+    assert(rows.length < Tables.events(spark, sf).count() / 10,
+      "an outlier filter that keeps >10% of rows is not flagging outliers")
+  }
+
+  test("text_bigram_pmi: every pair clears the support floor; PMI is finite") {
+    val rows = SparkEntry.queries("text_bigram_pmi")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c12") >= 10)
+      assert(!r.getAs[Double]("pmi").isNaN && !r.getAs[Double]("pmi").isInfinite)
+    }
+  }
+
   test("evt_session durations are non-negative and bounded by the month") {
     SparkEntry.queries("evt_session")(spark, sf).collect()
       .foreach { r =>

@@ -30,7 +30,8 @@ class SqlFrontendSpec extends SparkSpec {
     "sort_multi", "limit_topk", "limit_offset",
     "set_union_all", "set_union_distinct", "set_intersect", "set_except",
     "fn_conditional",
-    "dedup_exact", "text_lang_stats")
+    "dedup_exact", "text_lang_stats",
+    "evt_zscore", "complex_nation_volume")
 
   private def registerViews(): Unit = {
     // before any events read: its ts is TIMESTAMP(NANOS) in parquet
