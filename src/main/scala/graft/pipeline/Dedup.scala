@@ -193,8 +193,11 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with the first neighbor-min round folded into initialization:
+    // label(x) = min(x, neighbors(x)) — one aggregate instead of an
+    // identity round, saving a full iteration on every graph
+    var labels = edges.groupBy(col("src")).agg(min("dst").as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
@@ -204,9 +207,14 @@ object Dedup {
       val stepped = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("__old"))
-        .localCheckpoint(true) // consumed twice below — compute once
       // pointer jumping: label(x) is itself a node, whose label is ≤ it —
-      // adopting it shortcuts the path toward the component minimum
+      // adopting it shortcuts the path toward the component minimum.
+      // `stepped` is deliberately NOT materialized: the shuffles inside
+      // it (labels, the neighbor-min aggregate) canonicalize identically
+      // under both self-join consumers, so ReuseExchange serves the
+      // second consumer from the first's shuffle files and only the
+      // cheap post-shuffle join/projection runs twice — one checkpoint
+      // per round (below), not two
       val byId = stepped.select(col("id").as("jid"), col("label").as("jlabel"))
       val next = stepped.join(byId, stepped("label") === byId("jid"), "left")
         .select(col("id"), coalesce(col("jlabel"), col("label")).as("label"), col("__old"))
