@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   *
   *   sbt "runMain graft.ScaleBench"           # 10× (default)
   *   SPARK_GRAFT_SCALE=30 sbt "runMain ..."   # 30×
+  *
+  * SPARK_GRAFT_SHUFFLE overrides the shuffle width (default = cpus): on
+  * a cluster the fact-fact shuffle widens with the executor count, and
+  * sweeping this locally shows which curves are shuffle-width-bound
+  * (the 30× star join) versus genuinely super-linear.
   */
 object ScaleBench {
 
@@ -67,7 +72,8 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -106,13 +112,14 @@ object ScaleBench {
     val nation = spark.read.parquet(s"$src/nation.parquet")
     val region = spark.read.parquet(s"$src/region.parquet")
 
-    def t(label: String)(f: => Long): (String, Double, Long) = {
-      f // warm
-      val t0 = System.nanoTime(); val n = f
-      (label, (System.nanoTime() - t0) / 1e9, n)
-    }
+    def t(label: String)(f: => Long): (String, () => (Double, Long)) =
+      label -> { () =>
+        f // warm
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
 
-    val results = Seq(
+    val ops = Seq(
       t("agg_q1_6m") {
         lineitem.groupBy("l_returnflag", "l_linestatus")
           .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))).count()
@@ -174,10 +181,16 @@ object ScaleBench {
           lineitemK, ordersK, customerK, supplierK, nation, region).count()
       })
 
+    // SPARK_GRAFT_OPS=star_q5_6m,band_join_1m runs a subset (dev sweeps,
+    // e.g. the shuffle-width series on the star shape)
+    val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").map(_.trim).toSet)
+    val results = ops.filter { case (k, _) => only.forall(_.contains(k)) }
+      .map { case (k, run) => val (s, n) = run(); (k, s, n) }
     val qs = results.map { case (k, s, n) => s""""$k":{"sec":$s,"rows":$n}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"ops":$qs}""")
+    val shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","copies":$copies,"shuffle":$shuffle,"ops":$qs}""")
     spark.stop()
   }
 }
