@@ -168,6 +168,14 @@ object ScaleBench {
         pipeline.Dedup.nearDuplicates(
           documents.filter(col("doc_id") < 5000), "doc_id", "text", 0.8, 16, 4).count()
       },
+      // same code paths as the oracle keys (core extraction), so the
+      // benchmarked plans can never drift from the verified ones
+      t("zscore_outliers_1m") {
+        operators.EventTimeQueries.zscoreCore(events).count()
+      },
+      t("bigram_pmi_50k_docs") {
+        operators.TextAnalysisQueries.bigramPmiCore(documents).count()
+      },
       t("ann_lsh_topk_20k") {
         val probe = embeddings.filter(col("vec_id") === 0)
         pipeline.Similarity.annTopK(embeddings, probe, 10).count()

@@ -140,8 +140,12 @@ object EventTimeQueries extends QueryPack {
     * drift). Scale shape: one partial/final agg to 5 moment rows
     * (broadcast back), one scan re-read — no wide shuffle.
     */
-  private def evtZscore(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  /** The z-score core, parameterized over the events input so ScaleBench
+    * benchmarks the SAME plan at 10×/30× (regionalRevenueCore precedent).
+    * Unordered — the oracle key adds the total order.
+    */
+  def zscoreCore(eventsRaw: DataFrame): DataFrame = {
+    val ev = eventsRaw
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("v_c"))
     val moments = ev.groupBy(col("event_type"))
@@ -161,8 +165,11 @@ object EventTimeQueries extends QueryPack {
       .filter(abs(col("z")) > 2.5)
       .select(col("event_id"), col("event_type"), col("v_c"),
         round(col("z"), 4).as("z"))
-      .orderBy(col("event_type"), col("event_id"))
   }
+
+  private def evtZscore(s: SparkSession, dir: String): DataFrame =
+    zscoreCore(Tables.events(s, dir))
+      .orderBy(col("event_type"), col("event_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling" -> (evtTumbling _),

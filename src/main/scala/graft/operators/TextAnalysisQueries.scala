@@ -108,8 +108,14 @@ object TextAnalysisQueries extends QueryPack {
     * integer counts; the single ln() runs on identical doubles in both
     * engines.
     */
-  private def textBigramPmi(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def textBigramPmi(s: SparkSession, dir: String): DataFrame =
+    bigramPmiCore(Tables.documents(s, dir))
+
+  /** The PMI core over any documents-shaped input, so ScaleBench can run
+    * the identical plan on the replicated 10×/30× corpus.
+    */
+  def bigramPmiCore(documents: DataFrame): DataFrame = {
+    val docs = documents
       .filter(col("lang") === "en")
       .select(words.as("w"))
     val toks = docs

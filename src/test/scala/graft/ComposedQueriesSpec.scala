@@ -86,6 +86,21 @@ class ComposedQueriesSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_shipdate")))
   }
 
+  test("complex_nation_volume broadcasts both nation-filtered dims; one fact-fact shuffle") {
+    val p = finalPlanSection(plan("complex_nation_volume"))
+    // supplier⋈nation, customer⋈nation, then each rides a fact broadcast:
+    // ≥4 broadcast joins, and the nation pair never becomes a shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(900))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the nation pair must stay an equi-hash star: ${p.take(600)}")
+    // lineitem⋈orders (≤2 Exchanges) + final agg (1); ORDER BY is range
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 3,
+      s"only the orderkey join and final agg may shuffle, got $shuffles")
+    // the ship-date window must reach the lineitem scan
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_shipdate")))
+  }
+
   test("complex_regional_revenue broadcasts every dimension (one fact-fact shuffle at most)") {
     // count in the EXECUTED section only — AQE's toString repeats the
     // pre-adaptive plan under "== Initial Plan ==", where stale

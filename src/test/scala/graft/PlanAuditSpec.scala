@@ -118,6 +118,36 @@ class PlanAuditSpec extends SparkSpec {
       s"funnel must reuse one user_id partitioning, got $shuffles hash Exchanges")
   }
 
+  test("evt_zscore broadcasts the 5-row moments back; one hash Exchange total") {
+    val p = finalPlanSection(plan("evt_zscore"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the moments join-back must broadcast, never shuffle the events: ${p.take(600)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1,
+      s"only the moments aggregate may hash-shuffle, got $shuffles")
+  }
+
+  test("text_bigram_pmi builds bigrams without a positional self-join") {
+    val p = finalPlanSection(plan("text_bigram_pmi"))
+    assert(!p.contains("SortMergeJoin"),
+      s"token-level rows must never sort-merge: ${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must never be a global sort: ${p.take(600)}")
+  }
+
+  test("mm_binary_meta is a single scan: no shuffle before the presentation sort") {
+    val p = finalPlanSection(plan("mm_binary_meta"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"per-row metadata must not shuffle: ${p.take(600)}")
+  }
+
+  test("agg_histogram is one partial/final hash aggregate") {
+    val p = finalPlanSection(plan("agg_histogram"))
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one bucket-key shuffle expected: ${p.take(600)}")
+  }
+
   test("whole-stage codegen covers the scalar function packs (no UDF opacity)") {
     Seq("fn_string", "fn_math", "fn_conditional", "project_expr").foreach { q =>
       val p = plan(q)
