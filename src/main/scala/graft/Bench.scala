@@ -30,10 +30,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev convenience: SPARK_GRAFT_ONLY=q1,q2 times just those queries
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => EnvOnly.keep(n) }
     // warmup: compile + execute each query once (failures ignored here;
     // the timed passes report a failed query as -1)
     ordered.foreach { case (_, fn) =>

@@ -1,0 +1,13 @@
+package graft
+
+/** `SPARK_GRAFT_ONLY=k1,k2` filters which keys/ops the dev mains run
+  * (Bench, Verify, ScaleBench). The driver never sets it, so driver
+  * runs always cover everything. One parser shared by all three mains
+  * so the knob cannot fork into differently-named variants.
+  */
+private[graft] object EnvOnly {
+  def keep(name: String): Boolean =
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .forall(_.contains(name))
+}

@@ -189,10 +189,10 @@ object ScaleBench {
           lineitemK, ordersK, customerK, supplierK, nation, region).count()
       })
 
-    // SPARK_GRAFT_OPS=star_q5_6m,band_join_1m runs a subset (dev sweeps,
-    // e.g. the shuffle-width series on the star shape)
-    val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").map(_.trim).toSet)
-    val results = ops.filter { case (k, _) => only.forall(_.contains(k)) }
+    // SPARK_GRAFT_ONLY=star_q5_6m,band_join_1m runs a subset (dev
+    // sweeps, e.g. the shuffle-width series on the star shape) — same
+    // knob name as Bench/Verify
+    val results = ops.filter { case (k, _) => EnvOnly.keep(k) }
       .map { case (k, run) => val (s, n) = run(); (k, s, n) }
     val qs = results.map { case (k, s, n) => s""""$k":{"sec":$s,"rows":$n}""" }
       .mkString("{", ",", "}")

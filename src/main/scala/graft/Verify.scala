@@ -17,10 +17,8 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev convenience (mirrors Bench): SPARK_GRAFT_ONLY=k1,k2 dumps just
     // those keys; the driver never sets it, so its runs dump everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => EnvOnly.keep(n) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -129,10 +129,15 @@ object EventTimeQueries extends QueryPack {
       .orderBy(col("user_id"))
   }
 
-  /** Per-type z-score outliers (|z| > 2.5) — the anomaly-flagging shape.
-    * Mean and stddev are derived from EXACT integer aggregates (per-row
-    * cents, then count / sum / sum-of-squares — all associative BIGINT
-    * sums), so unlike avg()/stddev() over raw doubles the moments are
+  /** Per-type z-score outliers (|z| > 2.5) — the anomaly-flagging shape,
+    * parameterized over the events input so ScaleBench benchmarks the
+    * SAME plan at 10×/30× (regionalRevenueCore precedent); unordered —
+    * the oracle key adds the total order. Mean and stddev are derived
+    * from EXACT integer aggregates (per-row cents, then count / sum /
+    * sum-of-squares — associative integer sums: BIGINT for s, and
+    * DECIMAL(38,0) for the squares, whose per-row terms ~v² would
+    * overflow a BIGINT sum around 10⁹ large-valued rows per type), so
+    * unlike avg()/stddev() over raw doubles the moments are
     * bit-identical under any partitioning AND in DuckDB; the few double
     * ops that follow replay the same operand sequence in both engines,
     * making even the |z| > threshold membership test safe (§7.5 forbids
@@ -140,23 +145,21 @@ object EventTimeQueries extends QueryPack {
     * drift). Scale shape: one partial/final agg to 5 moment rows
     * (broadcast back), one scan re-read — no wide shuffle.
     */
-  /** The z-score core, parameterized over the events input so ScaleBench
-    * benchmarks the SAME plan at 10×/30× (regionalRevenueCore precedent).
-    * Unordered — the oracle key adds the total order.
-    */
   def zscoreCore(eventsRaw: DataFrame): DataFrame = {
     val ev = eventsRaw
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("v_c"))
     val moments = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("v_c")).as("s"),
-        sum(col("v_c") * col("v_c")).as("q"))
+        // v_c enters the multiply as decimal so the per-row square is
+        // already exact decimal — a long*long square would wrap first
+        sum(col("v_c").cast("decimal(19,0)") * col("v_c")).as("q"))
       .filter(col("n") > 1)
-      // sample variance from exact moments: (q − s²/n) / (n−1); s² would
-      // overflow BIGINT at 100 TB row counts, so s promotes to double
-      // first — identically on both sides
+      // sample variance from exact moments: (q − s²/n) / (n−1); the
+      // exact integers promote to double in the same operand order on
+      // both sides
       .select(col("event_type"), (col("s").cast("double") / col("n")).as("mean_c"),
-        sqrt((col("q") - col("s").cast("double") * col("s") / col("n")) /
+        sqrt((col("q").cast("double") - col("s").cast("double") * col("s") / col("n")) /
           (col("n") - 1)).as("std_c"))
       .filter(col("std_c") > 0)
     ev.join(broadcast(moments), "event_type")
@@ -188,11 +191,11 @@ object EventTimeQueries extends QueryPack {
         |), m AS (
         |  SELECT event_type, count(*) AS n,
         |    CAST(sum(v_c) AS BIGINT) AS s,
-        |    CAST(sum(v_c * v_c) AS BIGINT) AS q
+        |    sum(CAST(v_c AS DECIMAL(19,0)) * v_c) AS q
         |  FROM ev GROUP BY event_type HAVING count(*) > 1
         |), mm AS (
         |  SELECT event_type, CAST(s AS DOUBLE) / n AS mean_c,
-        |    sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS std_c
+        |    sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS std_c
         |  FROM m
         |), mm2 AS (SELECT * FROM mm WHERE std_c > 0)
         |SELECT ev.event_id, ev.event_type, ev.v_c,

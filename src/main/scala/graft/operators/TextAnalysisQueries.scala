@@ -134,8 +134,13 @@ object TextAnalysisQueries extends QueryPack {
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= 10)
     c12
-      .join(broadcast(uni.select(col("word").as("w1"), col("c").as("c1"))), "w1")
-      .join(broadcast(uni.select(col("word").as("w2"), col("c").as("c2"))), "w2")
+      // no broadcast hint on the vocabulary joins: uni is the corpus's
+      // DISTINCT-TOKEN table, which grows without bound (web-scale text
+      // has 10⁸+ tokens) — the support-filtered c12 is the naturally
+      // small side, and AQE picks the build side from runtime sizes.
+      // Only the two 1-row totals are pinned as broadcasts.
+      .join(uni.select(col("word").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(nTok))
       .crossJoin(broadcast(nBig))
       // pmi = ln( (c12/n_big) / ((c1/n_tok)(c2/n_tok)) ), assembled in the

@@ -12,10 +12,12 @@ case class ZscoreFlag(event_type: String, event_id: Long, ts: Timestamp,
                       v_c: Long, z: Double, n_prior: Long)
 
 /** Per-type state: exact integer moments of everything already
-  * processed (3 longs — bounded forever) + the horizon-bounded buffer
-  * of events the watermark has not yet sealed.
+  * processed (count and sum as longs; the sum of squares as a BigInt —
+  * its per-event terms ~v² would wrap a long around 10⁹ large-valued
+  * events per type, silently disabling the detector forever) + the
+  * horizon-bounded buffer of events the watermark has not yet sealed.
   */
-case class ZscoreState(n: Long, s: Long, q: Long,
+case class ZscoreState(n: Long, s: Long, q: BigInt,
                        pending: List[(Long, Long, Long)])
 
 /** Streaming online z-score outliers — the real-time twin of the batch
@@ -33,8 +35,8 @@ case class ZscoreState(n: Long, s: Long, q: Long,
   * updating moments AFTER scoring, so each event's z never includes
   * itself. Emission happens exactly once, when the score is provably
   * final: by the watermark contract no earlier event can still arrive,
-  * and later events cannot change a prefix. State: 3 longs + an
-  * O(horizon) buffer per event_type; an event-time timeout re-fires
+  * and later events cannot change a prefix. State: the moment triple +
+  * an O(horizon) buffer per event_type; an event-time timeout re-fires
   * quiet types so buffered events still seal.
   */
 object ZscoreStream {
@@ -54,7 +56,7 @@ object ZscoreStream {
       .flatMapGroupsWithState[ZscoreState, ZscoreFlag](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (kind: String, rows: Iterator[StreamEvent], state: GroupState[ZscoreState]) =>
-          val prev = state.getOption.getOrElse(ZscoreState(0L, 0L, 0L, Nil))
+          val prev = state.getOption.getOrElse(ZscoreState(0L, 0L, BigInt(0), Nil))
           val arrivals = rows.map(e => (e.ts.getTime, e.event_id, cents(e.value))).toList
           val wm = state.getCurrentWatermarkMs()
           val (ripe, pending) = (prev.pending ++ arrivals).partition(_._1 <= wm)
@@ -64,14 +66,14 @@ object ZscoreStream {
           ripe.sorted.foreach { case (tsMs, id, v) =>
             // score against the strictly-prior moments, then absorb
             if (n >= 2) {
-              val varc = (q - s.toDouble * s / n) / (n - 1)
+              val varc = (q.toDouble - s.toDouble * s / n) / (n - 1)
               if (varc > 0) {
                 val z = (v - s.toDouble / n) / math.sqrt(varc)
                 if (math.abs(z) > threshold)
                   out += ZscoreFlag(kind, id, new Timestamp(tsMs), v, z, n)
               }
             }
-            n += 1; s += v; q += v * v
+            n += 1; s += v; q += BigInt(v) * v
           }
 
           if (pending.isEmpty && n == 0L) state.remove()

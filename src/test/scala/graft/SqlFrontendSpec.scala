@@ -9,10 +9,12 @@ package graft
   *
   * Excluded keys use DuckDB dialect the demo is not about papering over:
   * `//` integer division (subq_scalar_uncorr), epoch_ns / TIMESTAMP_NS
-  * arithmetic (evt_*, win_lag_lead, join_asof), list_* / string_split /
-  * strpos (fn_* packs, dedup/text list math), quantile_cont, sha256,
-  * hex-literal casts (sample_*), and DuckDB's in-args `ORDER BY` /
-  * `IGNORE NULLS` placements (agg_string, win_nth_value).
+  * arithmetic (the windowed/gapfill/funnel evt keys, win_lag_lead,
+  * join_asof — but evt_zscore never touches ts and IS portable),
+  * list_* / string_split / strpos (fn_* packs, dedup/text list math),
+  * quantile_cont, sha256, hex-literal casts (sample_*), and DuckDB's
+  * in-args `ORDER BY` / `IGNORE NULLS` placements (agg_string,
+  * win_nth_value).
   */
 class SqlFrontendSpec extends SparkSpec {
 

@@ -24,17 +24,18 @@ class ZscoreStreamSpec extends SparkSpec {
     def cents(v: Double): Long =
       BigDecimal(v * 100).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
     events.groupBy(_.event_type).flatMap { case (_, es) =>
-      var (n, s, q) = (0L, 0L, 0L)
+      var (n, s) = (0L, 0L)
+      var q = BigInt(0)
       es.map(e => (e.ts.getTime, e.event_id, cents(e.value))).sorted.flatMap {
         case (_, id, v) =>
           val flag =
             if (n >= 2) {
-              val varc = (q - s.toDouble * s / n) / (n - 1)
+              val varc = (q.toDouble - s.toDouble * s / n) / (n - 1)
               if (varc > 0 && math.abs((v - s.toDouble / n) / math.sqrt(varc)) > threshold)
                 Some(id -> n)
               else None
             } else None
-          n += 1; s += v; q += v * v
+          n += 1; s += v; q += BigInt(v) * v
           flag
       }
     }.toSet
