@@ -128,7 +128,32 @@ object JoinQueries extends QueryPack {
       .orderBy(col("p_id"))
   }
 
+  /** The same as-of semantics through the OTHER implementation: the
+    * native custom-operator ladder (LogicalPlan node → SparkStrategy →
+    * single-pass AsofMergeJoinExec, one Exchange+Sort per side, O(1)
+    * merge memory — graft.plans.AsofMergeJoin). Declaring it as its own
+    * oracle key certifies the custom physical operator directly against
+    * DuckDB's ASOF JOIN, not merely against the composed twin.
+    */
+  private def joinAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    graft.plans.AsofMergeJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        tieBreak = Seq("click_id"))
+      .filter(col("asof_ts").isNotNull)
+      .select(
+        col("p_id"),
+        col("user_id"),
+        col("asof_click_id").as("click_id"),
+        expr("(ts - asof_ts) DIV 1000000000").as("gap_s"))
+      .orderBy(col("p_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_native" -> (joinAsofNative _),
     "join_inner"       -> (joinInner _),
     "join_broadcast"   -> (joinBroadcast _),
     "join_left"        -> (joinLeft _),
@@ -183,6 +208,16 @@ object JoinQueries extends QueryPack {
         |  ON a.value < b.value AND b.value - a.value < 1.0
         |ORDER BY a_id, b_id""".stripMargin,
     "join_asof" ->
+      """SELECT p.event_id AS p_id, p.user_id, c.event_id AS click_id,
+        |  (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS gap_s
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p_id""".stripMargin,
+    // identical oracle text on purpose: the two keys are two
+    // implementations (composed window vs native merge operator) of ONE
+    // declared semantics, both certified against the same DuckDB answer
+    "join_asof_native" ->
       """SELECT p.event_id AS p_id, p.user_id, c.event_id AS click_id,
         |  (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS gap_s
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
