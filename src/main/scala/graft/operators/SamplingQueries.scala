@@ -45,10 +45,22 @@ object SamplingQueries extends QueryPack {
         round(avg(col("n_chars")), 2).as("avg_chars"))
       .orderBy(col("lang"), col("split"))
 
+  /** Quality-weighted Bernoulli: keep probability n_chars/2000 (capped) —
+    * longer docs are likelier survivors, the usual quality-weighted
+    * subsetting. Membership is exact integer arithmetic (hash·cap vs
+    * weight·65536), so there is no float threshold to drift cross-engine.
+    */
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.weighted(Tables.documents(s, dir),
+        col("doc_id"), col("n_chars"), 2000L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash"       -> (sampleHash _),
     "sample_stratified" -> (sampleStratified _),
-    "sample_split"      -> (sampleSplit _))
+    "sample_split"      -> (sampleSplit _),
+    "sample_weighted"   -> (sampleWeighted _))
 
   // 0x-prefixed hex cast = Spark's conv(hex, 16, 10); thresholds are
   // round(fraction * 65536)
@@ -66,6 +78,12 @@ object SamplingQueries extends QueryPack {
         |  FROM documents) t
         |WHERE rn <= 20
         |ORDER BY lang, doc_id""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) * 2000
+        |      < CAST(n_chars AS BIGINT) * 65536
+        |ORDER BY doc_id""".stripMargin,
     "sample_split" ->
       """SELECT lang,
         |  CASE WHEN h < 52429 THEN 'train'

@@ -48,6 +48,22 @@ object Sampling {
       .drop("__sample_rn")
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample: row i is kept with
+    * probability `weight_i / weightCap` (weights above the cap are kept
+    * always) — the quality-weighted corpus subsetting step of a training
+    * pipeline, with all of [[bernoulli]]'s purity properties. Membership
+    * compares `hash16 · weightCap < weight · 65536` in EXACT integer
+    * arithmetic (both sides < 2³¹·cap), so the sample is bit-reproducible
+    * in any engine — no float threshold to drift.
+    *
+    * @param weight    integer column (e.g. n_chars, a quality score)
+    * @param weightCap weight at/above which a row is always kept
+    */
+  def weighted(df: DataFrame, key: Column, weight: Column, weightCap: Long): DataFrame = {
+    require(weightCap > 0, "weightCap must be positive")
+    df.filter(hash16(key) * lit(weightCap) < weight.cast("long") * lit(65536L))
+  }
+
   /** Deterministic train/val/test assignment by hash16 range. Fractions
     * are cumulative cut points in [0,1], e.g. (0.8, 0.9) → 80/10/10.
     * Membership is a pure function of the key: re-running over a grown

@@ -44,6 +44,27 @@ class SamplingSpec extends SparkSpec {
     assert(a == b, "stratified pick must not depend on partitioning")
   }
 
+  test("weighted keeps high-weight rows surely and membership stays key-pure") {
+    val kept = Sampling.weighted(docs, col("doc_id"), col("n_chars"), 2000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // rows at/above the cap are always kept
+    val heavy = docs.filter(col("n_chars") >= 2000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(heavy.subsetOf(kept), "weight >= cap must guarantee survival")
+    // partition/extent purity, as for bernoulli
+    val slice = Sampling.weighted(
+        docs.filter(col("doc_id") < 200).repartition(5),
+        col("doc_id"), col("n_chars"), 2000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(slice == kept.filter(_ < 200))
+    // the keep rate tracks the mean weight/cap ratio (loose band)
+    val ratio = docs.agg(avg(least(col("n_chars") / 2000.0, lit(1.0))))
+      .head.getDouble(0)
+    val rate = kept.size.toDouble / docs.count()
+    assert(math.abs(rate - ratio) < 0.1,
+      s"keep rate $rate should track mean weight ratio $ratio")
+  }
+
   test("split assigns every row exactly one bucket with ~80/10/10 mass") {
     val counts = docs.withColumn("split", Sampling.split(col("doc_id"), 0.8, 0.9))
       .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
