@@ -6,8 +6,9 @@ package graft
   * so the knob cannot fork into differently-named variants.
   */
 private[graft] object EnvOnly {
-  def keep(name: String): Boolean =
+  private lazy val only: Option[Set[String]] =
     sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-      .forall(_.contains(name))
+
+  def keep(name: String): Boolean = only.forall(_.contains(name))
 }

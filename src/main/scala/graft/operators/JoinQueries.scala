@@ -111,14 +111,20 @@ object JoinQueries extends QueryPack {
     * `ASOF JOIN ... ON p.ts >= c.ts` inclusive semantics; `ts` stays an
     * exact ns BIGINT throughout so no truncation can skew the comparison.
     */
-  private def joinAsof(s: SparkSession, dir: String): DataFrame = {
+  /** One query body shared by BOTH as-of keys, parameterized over the
+    * backward implementation — so the two "identical semantics" keys can
+    * never drift apart structurally (a fix applied to one is applied to
+    * both by construction).
+    */
+  private def asofBody(s: SparkSession, dir: String,
+                       backward: (DataFrame, DataFrame, Seq[String], String, String,
+                         Seq[String]) => DataFrame): DataFrame = {
     val e = Tables.events(s, dir)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
-    AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts",
-        tieBreak = Seq("click_id"))
+    backward(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"))
       .filter(col("asof_ts").isNotNull)
       .select(
         col("p_id"),
@@ -128,6 +134,9 @@ object JoinQueries extends QueryPack {
       .orderBy(col("p_id"))
   }
 
+  private def joinAsof(s: SparkSession, dir: String): DataFrame =
+    asofBody(s, dir, AsofJoin.backward(_, _, _, _, _, _))
+
   /** The same as-of semantics through the OTHER implementation: the
     * native custom-operator ladder (LogicalPlan node → SparkStrategy →
     * single-pass AsofMergeJoinExec, one Exchange+Sort per side, O(1)
@@ -135,22 +144,8 @@ object JoinQueries extends QueryPack {
     * oracle key certifies the custom physical operator directly against
     * DuckDB's ASOF JOIN, not merely against the composed twin.
     */
-  private def joinAsofNative(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
-    graft.plans.AsofMergeJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts",
-        tieBreak = Seq("click_id"))
-      .filter(col("asof_ts").isNotNull)
-      .select(
-        col("p_id"),
-        col("user_id"),
-        col("asof_click_id").as("click_id"),
-        expr("(ts - asof_ts) DIV 1000000000").as("gap_s"))
-      .orderBy(col("p_id"))
-  }
+  private def joinAsofNative(s: SparkSession, dir: String): DataFrame =
+    asofBody(s, dir, graft.plans.AsofMergeJoin.backward(_, _, _, _, _, _))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_native" -> (joinAsofNative _),
@@ -207,21 +202,17 @@ object JoinQueries extends QueryPack {
         |JOIN (SELECT * FROM events WHERE event_id >= 500 AND event_id < 1000) b
         |  ON a.value < b.value AND b.value - a.value < 1.0
         |ORDER BY a_id, b_id""".stripMargin,
-    "join_asof" ->
-      """SELECT p.event_id AS p_id, p.user_id, c.event_id AS click_id,
-        |  (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS gap_s
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p_id""".stripMargin,
-    // identical oracle text on purpose: the two keys are two
-    // implementations (composed window vs native merge operator) of ONE
-    // declared semantics, both certified against the same DuckDB answer
-    "join_asof_native" ->
-      """SELECT p.event_id AS p_id, p.user_id, c.event_id AS click_id,
-        |  (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS gap_s
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p_id""".stripMargin)
+    "join_asof" -> asofOracleSql,
+    // identical oracle text on purpose (shared val): the two keys are
+    // two implementations (composed window vs native merge operator) of
+    // ONE declared semantics, certified against the same DuckDB answer
+    "join_asof_native" -> asofOracleSql)
+
+  private lazy val asofOracleSql =
+    """SELECT p.event_id AS p_id, p.user_id, c.event_id AS click_id,
+      |  (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS gap_s
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p_id""".stripMargin
 }

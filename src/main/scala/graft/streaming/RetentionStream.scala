@@ -47,7 +47,10 @@ object RetentionStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[StreamEvent], state: GroupState[RetentionState]) =>
           val prev = state.getOption.getOrElse(RetentionState(-1L, Nil))
-          val days = (prev.pendingDays ++ rows.map(_.ts.getTime / dayMs)).distinct
+          // floorDiv, not /: truncation would disagree with the wmDay
+          // floor below for pre-epoch timestamps and mis-bin their days
+          val days = (prev.pendingDays ++
+            rows.map(e => math.floorDiv(e.ts.getTime, dayMs))).distinct
           val wm = state.getCurrentWatermarkMs()
           // day D is sealed iff wm has passed its end: D < floor(wm/day)
           val wmDay = math.floorDiv(wm, dayMs)

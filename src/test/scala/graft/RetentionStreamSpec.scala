@@ -22,7 +22,7 @@ class RetentionStreamSpec extends SparkSpec {
     */
   private def bruteHits(events: Seq[StreamEvent]): Set[(Long, Long, Long)] =
     events.groupBy(_.user_id).flatMap { case (u, es) =>
-      val days = es.map(_.ts.getTime / 86400000L).distinct
+      val days = es.map(e => math.floorDiv(e.ts.getTime, 86400000L)).distinct
       val cohort = days.min
       days.map(d => (u, cohort, d - cohort))
     }.toSet
