@@ -185,7 +185,39 @@ object ComposedQueries extends QueryPack {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H-Q18-shaped: customers who placed very large orders — the
+    * grouped-HAVING semijoin composition. lineitem aggregates per order,
+    * the qualifying order keys semijoin-filter orders (exact integer
+    * quantity-cents compare), then the customer dimension broadcasts and
+    * the top-100 is TakeOrderedAndProject. Scale shape: the per-order
+    * aggregate and the semijoin share the orderkey hash partitioning, so
+    * AQE plans ONE orderkey Exchange chain — never a second full
+    * lineitem pass; qualifying keys are rare (heavy-hitter selection).
+    */
+  private def complexBigOrders(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), round(col("l_quantity") * 100).cast("long").as("qty_c"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty_c")).as("order_qty_c"), count(lit(1)).as("n_lines"))
+      .filter(col("order_qty_c") > 200L * 100)
+    val cust = broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_name")))
+    Tables.orders(s, dir)
+      // yyyymmdd integer key instead of epoch seconds: year/month/day
+      // are ANSI-portable, so this oracle runs unchanged via spark.sql
+      .select(col("o_orderkey"), col("o_custkey"),
+        (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
+          dayofmonth(col("o_orderdate"))).cast("long").as("odate_key"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("odate_key"), col("price_c"), col("order_qty_c"), col("n_lines"))
+      .orderBy(desc("order_qty_c"), asc("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_big_orders"       -> (complexBigOrders _),
     "complex_top_revenue"      -> (complexTopRevenue _),
     "complex_regional_revenue" -> (complexRegionalRevenue _),
     "complex_nation_volume"    -> (complexNationVolume _),
@@ -194,6 +226,24 @@ object ComposedQueries extends QueryPack {
     "evt_retention"            -> (evtRetention _))
 
   val oracle: Map[String, String] = Map(
+    "complex_big_orders" ->
+      """WITH po AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS order_qty_c,
+        |    count(*) AS n_lines
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) > 20000
+        |)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  CAST(year(o.o_orderdate) * 10000 + month(o.o_orderdate) * 100
+        |       + day(o.o_orderdate) AS BIGINT) AS odate_key,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c,
+        |  po.order_qty_c, po.n_lines
+        |FROM orders o
+        |JOIN po ON o.o_orderkey = po.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY order_qty_c DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
     "complex_nation_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,

@@ -86,6 +86,25 @@ class ComposedQueriesSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_shipdate")))
   }
 
+  test("complex_big_orders: every row clears the quantity floor, sorted desc") {
+    val rows = ComposedQueries.queries("complex_big_orders")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val qs = rows.map(_.getAs[Long]("order_qty_c"))
+    assert(qs.forall(_ > 20000L), "HAVING floor must hold")
+    assert(qs.zip(qs.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+  }
+
+  test("complex_big_orders shares the orderkey partitioning: ≤2 hash Exchanges, broadcast dim, top-k") {
+    val p = finalPlanSection(plan("complex_big_orders"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    // lineitem agg (1) + orders side of the semijoin-shaped join (1);
+    // the aggregate's output partitioning serves the join directly
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2,
+      s"per-order agg and orderkey join must share partitioning, got $shuffles")
+  }
+
   test("complex_nation_volume broadcasts both nation-filtered dims; one fact-fact shuffle") {
     val p = finalPlanSection(plan("complex_nation_volume"))
     // supplier⋈nation, customer⋈nation, then each rides a fact broadcast:
