@@ -196,7 +196,7 @@ object ComposedQueries extends QueryPack {
     */
   private def complexBigOrders(s: SparkSession, dir: String): DataFrame = {
     val perOrder = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), round(col("l_quantity") * 100).cast("long").as("qty_c"))
+      .select(col("l_orderkey"), cents(col("l_quantity")).as("qty_c"))
       .groupBy(col("l_orderkey"))
       .agg(sum(col("qty_c")).as("order_qty_c"), count(lit(1)).as("n_lines"))
       .filter(col("order_qty_c") > 200L * 100)
@@ -207,7 +207,7 @@ object ComposedQueries extends QueryPack {
       .select(col("o_orderkey"), col("o_custkey"),
         (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
           dayofmonth(col("o_orderdate"))).cast("long").as("odate_key"),
-        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        cents(col("o_totalprice")).as("price_c"))
       .join(perOrder, col("o_orderkey") === col("l_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),

@@ -99,22 +99,15 @@ object JoinQueries extends QueryPack {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** As-of join: each purchase → latest click with click.ts <= purchase.ts
-    * by the same user (inner: purchases with no prior click drop out).
-    *
-    * Spark has no native as-of join, so this is the distributed plan shape
-    * for one: tag both streams, union (shuffle-free), ONE hash Exchange on
-    * user_id, per-partition sort by (ts, tag, id), and a running
-    * `last(click, ignoreNulls)` carry-forward — O(n log n) per partition,
-    * no point lookups, works identically on 1000 executors. Ties at equal
-    * ts resolve click-before-purchase (tag order), matching DuckDB's
-    * `ASOF JOIN ... ON p.ts >= c.ts` inclusive semantics; `ts` stays an
-    * exact ns BIGINT throughout so no truncation can skew the comparison.
-    */
-  /** One query body shared by BOTH as-of keys, parameterized over the
+  /** One as-of query body shared by BOTH keys, parameterized over the
     * backward implementation — so the two "identical semantics" keys can
     * never drift apart structurally (a fix applied to one is applied to
-    * both by construction).
+    * both by construction). Semantics: each purchase → latest click with
+    * click.ts <= purchase.ts by the same user (inner: purchases with no
+    * prior click drop out); ties at equal ts resolve inclusively with a
+    * max-id tiebreak, matching DuckDB's `ASOF JOIN ... ON p.ts >= c.ts`;
+    * `ts` stays an exact ns BIGINT throughout so no truncation can skew
+    * the comparison.
     */
   private def asofBody(s: SparkSession, dir: String,
                        backward: (DataFrame, DataFrame, Seq[String], String, String,
@@ -134,6 +127,13 @@ object JoinQueries extends QueryPack {
       .orderBy(col("p_id"))
   }
 
+  /** The composed implementation (graft.operators.AsofJoin): Spark has
+    * no native as-of join, so this is the distributed plan shape for one
+    * — tag both streams, union (shuffle-free), ONE hash Exchange on
+    * user_id, per-partition sort, and a running `last(click,
+    * ignoreNulls)` carry-forward; O(n log n) per partition, no point
+    * lookups, works identically on 1000 executors.
+    */
   private def joinAsof(s: SparkSession, dir: String): DataFrame =
     asofBody(s, dir, AsofJoin.backward(_, _, _, _, _, _))
 
