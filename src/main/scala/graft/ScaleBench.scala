@@ -180,6 +180,16 @@ object ScaleBench {
         val probe = embeddings.filter(col("vec_id") === 0)
         pipeline.Similarity.annTopK(embeddings, probe, 10).count()
       },
+      // the IVF (k-means inverted file) scale path beside the sign-LSH
+      // one: build once per timing pass (fit cost is part of the story),
+      // probe scans nprobe=4 of 16 cells
+      t("ivf_topk_20k") {
+        val model = pipeline.IvfIndex.build(embeddings, k = 16)
+        val assigned = pipeline.IvfIndex.assign(embeddings, model)
+        val probe = embeddings.filter(col("vec_id") === 0)
+          .select(col("embedding")).head.getSeq[Float](0).toArray
+        pipeline.IvfIndex.topK(assigned, model, probe, 10, nprobe = 4).count()
+      },
       // the §2.12 star shape at 10×: one fact-fact shuffle on orderkey,
       // every dimension broadcast — the plan that must hold at 100 TB.
       // Same code path as the oracle key, so the benchmarked plan can
