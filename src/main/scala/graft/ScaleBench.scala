@@ -190,6 +190,28 @@ object ScaleBench {
           .select(col("embedding")).head.getSeq[Float](0).toArray
         pipeline.IvfIndex.topK(assigned, model, probe, 10, nprobe = 4).count()
       },
+      // skewed shuffle join: HALF the fact lands on one hot key; the
+      // merge hint forbids the broadcast escape hatch so the shuffle
+      // skew is real. The plain form relies on AQE's runtime skew split
+      // (spark.sql.adaptive on by default here as at 100 TB); the salted
+      // twin spreads the hot key across 16 buckets explicitly — the tool
+      // when a single reducer key dominates and AQE cannot help (e.g.
+      // skewed aggregation state, not just join input size)
+      t("skew_join_hot_key_aqe") {
+        val skewed = events.select(
+          when(pmod(col("event_id"), lit(2)) === 0, 0L)
+            .otherwise(pmod(col("event_id"), lit(1000L))).as("k"), col("value"))
+        val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 7).as("payload"))
+        skewed.join(dim.hint("merge"), "k").count()
+      },
+      t("skew_join_hot_key_salted") {
+        val skewed = events.select(
+          when(pmod(col("event_id"), lit(2)) === 0, 0L)
+            .otherwise(pmod(col("event_id"), lit(1000L))).as("k"), col("value"),
+          col("event_id"))
+        val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 7).as("payload"))
+        pipeline.Skew.saltedJoin(skewed, dim.hint("merge"), "k", col("event_id")).count()
+      },
       // the §2.12 star shape at 10×: one fact-fact shuffle on orderkey,
       // every dimension broadcast — the plan that must hold at 100 TB.
       // Same code path as the oracle key, so the benchmarked plan can
