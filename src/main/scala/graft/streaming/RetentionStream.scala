@@ -31,7 +31,12 @@ case class RetentionState(cohortDay: Long, pendingDays: List[Long])
   * here: the increments are an append stream with exactly-once rows, so
   * any downstream count — another streaming agg, a batch rollup over the
   * sink, a monotonic dashboard counter — is a trivial stateless-keyed
-  * count. State per user: one long + the open days within the horizon.
+  * count. (Probed: Spark's global-watermark correctness check also
+  * rejects chaining a stateful aggregation behind this operator —
+  * sealed hits sit exactly at the watermark boundary, which a second
+  * stateful operator may discard as late — so the increments stream is
+  * the architecturally correct hand-off point, not just a convenience.)
+  * State per user: one long + the open days within the horizon.
   */
 object RetentionStream {
 
