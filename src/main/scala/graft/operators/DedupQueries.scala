@@ -155,11 +155,32 @@ object DedupQueries extends QueryPack {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Edit-distance near-dup confirm on 40-char prefixes, doc_id < 200:
+    * levenshtein is O(len²) per pair, so a real pipeline runs it only as
+    * the CONFIRM stage on blocked candidates and on bounded slices — the
+    * prefix bound here is that blocking discipline made explicit (full
+    * texts would be ~4M DP cells per pair). The DP itself is the
+    * standard Wagner–Fischer both engines implement — exact integers.
+    */
+  private def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+    val a = docs.select(col("doc_id").as("a_id"), col("head").as("ha"))
+    val b = docs.select(col("doc_id").as("b_id"), col("head").as("hb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("ha"), col("hb")).cast("long"))
+      .filter(col("dist") <= 20)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
-    "dedup_simhash"     -> (dedupSimhash _),
-    "dedup_ngram"       -> (dedupNgram _),
-    "dedup_embedding"   -> (dedupEmbedding _))
+    "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
+    "dedup_simhash"        -> (dedupSimhash _),
+    "dedup_ngram"          -> (dedupNgram _),
+    "dedup_embedding"      -> (dedupEmbedding _),
+    "dedup_edit_distance"  -> (dedupEditDistance _))
 
   private val jaccardTail =
     """|SELECT i.a_id, i.b_id,
@@ -171,6 +192,16 @@ object DedupQueries extends QueryPack {
        |ORDER BY a_id, b_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS head
+        |  FROM documents WHERE doc_id < 200
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 20
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_minhash_lsh" ->
       ("""WITH tok0 AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word

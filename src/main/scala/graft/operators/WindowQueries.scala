@@ -134,7 +134,24 @@ object WindowQueries extends QueryPack {
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
+  /** Rolling MEDIAN over a trailing 5-row frame — the robust-smoothing
+    * twin of the moving average (a sensor spike shifts a mean for 5
+    * rows but a median not at all). Exact `percentile` over integer
+    * cents: the median of ≤5 ints is an int or an exact .5, so the
+    * double is bit-identical to DuckDB's interpolating quantile_cont.
+    */
+  private def winRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .withColumn("med_c", percentile(col("v_c"), lit(0.5)).over(w))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_median" -> (winRollingMedian _),
     "win_nth_value"      -> (winNthValue _),
     "win_rank"           -> (winRank _),
     "win_topk_per_group" -> (winTopkPerGroup _),
@@ -146,6 +163,14 @@ object WindowQueries extends QueryPack {
     "win_first_last"     -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_rolling_median" ->
+      """SELECT event_type, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS v_c,
+        |  quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+        |    OVER (PARTITION BY event_type ORDER BY event_id
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_c
+        |FROM events
+        |ORDER BY event_type, event_id""".stripMargin,
     "win_nth_value" ->
       """SELECT c_nationkey, c_custkey,
         |  nth_value(c_acctbal, 2) OVER w AS second_best,

@@ -33,7 +33,8 @@ class SqlFrontendSpec extends SparkSpec {
     "set_union_all", "set_union_distinct", "set_intersect", "set_except",
     "fn_conditional",
     "dedup_exact", "text_lang_stats",
-    "evt_zscore", "complex_nation_volume", "complex_big_orders")
+    "evt_zscore", "complex_nation_volume", "complex_big_orders",
+    "dedup_edit_distance")
 
   private def registerViews(): Unit = {
     // before any events read: its ts is TIMESTAMP(NANOS) in parquet
