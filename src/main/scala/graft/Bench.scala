@@ -32,10 +32,22 @@ object Bench {
     // dev convenience: SPARK_GRAFT_ONLY=q1,q2 times just those queries
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => EnvOnly.keep(n) }
+    // Two measurement semantics, both recorded in BASELINE.md:
+    //  - default `count()`: comparable with rounds 1-2 and the driver's
+    //    BASELINE anchor, but ColumnPruning deletes columns a count
+    //    never reads, so window/projection expressions are partially
+    //    optimized away (a count over a window query is a legal,
+    //    cheaper query — that IS what count() asks for);
+    //  - SPARK_GRAFT_FULL_EVAL=true: toRdd runs the query exactly as
+    //    written, every output column materialized — the honest cost a
+    //    consumer of the full result pays (sf0.1: ~51 s vs ~26-32 s).
+    val fullEval = sys.env.get("SPARK_GRAFT_FULL_EVAL").contains("true")
+    def exec(df: org.apache.spark.sql.DataFrame): Long =
+      if (fullEval) df.queryExecution.toRdd.count() else df.count()
     // warmup: compile + execute each query once (failures ignored here;
     // the timed passes report a failed query as -1)
     ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     // several timed passes, keep each query's minimum: single-JVM timings
     // jitter ±30% from GC/JIT recompilation, and the min is the honest
@@ -45,7 +57,7 @@ object Bench {
     val passes = (1 to iters).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { exec(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }

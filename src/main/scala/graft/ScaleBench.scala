@@ -124,10 +124,22 @@ object ScaleBench {
         lineitem.groupBy("l_returnflag", "l_linestatus")
           .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))).count()
       },
+      // window ops must CONSUME the window column: a bare count() lets
+      // ColumnPruning delete the unreferenced window expression and the
+      // "benchmark" degenerates to a scan (caught when the rolling
+      // median measured flat at 3× the rows)
       t("window_running_1m") {
         events.withColumn("rs",
           sum("value").over(Window.partitionBy("user_id").orderBy("ts")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))).count()
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rs") > Double.NegativeInfinity).count()
+      },
+      t("rolling_median_1m") {
+        events.withColumn("med",
+          percentile(col("value"), lit(0.5)).over(
+            Window.partitionBy("event_type").orderBy("event_id")
+              .rowsBetween(-4, Window.currentRow)))
+          .filter(col("med") > Double.NegativeInfinity).count()
       },
       t("asof_composed_1m") {
         operators.AsofJoin.backward(
