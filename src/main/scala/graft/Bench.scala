@@ -10,6 +10,23 @@ import org.apache.spark.sql.SparkSession
   * compile latency).
   */
 object Bench {
+  /** Renders the two stdout lines: (per-query map line, compact total line).
+    * Failed queries (negative sentinel) are listed by name and EXCLUDED from
+    * the total — a -1 folded into the sum would make a broken round look
+    * faster. The total line stays short (<120 chars with no failures) and is
+    * printed LAST because the driver parses only a fixed-size stdout tail.
+    */
+  def render(results: Seq[(String, Double)], sfDir: String): (String, String) = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val totalStr = f"$total%.3f"
+    (s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""",
+     s"""{"metric":"total","value":$totalStr,"unit":"sec","failed":$failedJson,"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -65,10 +82,9 @@ object Bench {
       val ts = passes.map(_.find(_._1 == name).get._2)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (queriesLine, totalLine) = render(results, sfDir)
+    println(queriesLine)
+    println(totalLine)
     spark.stop()
   }
 }

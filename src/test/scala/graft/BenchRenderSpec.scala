@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench stdout contract: the driver parses a fixed-size stdout TAIL, so the
+  * machine-read total line must be last and short, and failed queries must be
+  * named explicitly rather than summed as a -1 sentinel.
+  */
+class BenchRenderSpec extends AnyFunSuite {
+
+  test("total line is compact, last-line-parseable, and excludes failures") {
+    val results = Seq("q_ok" -> 1.25, "q_broken" -> -1.0, "q_also_ok" -> 0.75)
+    val (queriesLine, totalLine) = Bench.render(results, "/root/testdata/sf0.1")
+    // honest total: only the successful queries, never the -1 sentinel
+    assert(totalLine.contains("\"value\":2.000"))
+    assert(totalLine.contains("\"failed\":[\"q_broken\"]"))
+    // the total line must fit any plausible tail window on its own
+    assert(totalLine.length <= 160, s"total line too long: ${totalLine.length}")
+    // per-query detail lives on the other line, not the total line
+    assert(queriesLine.contains("\"q_ok\":1.25"))
+    assert(!totalLine.contains("q_ok"))
+  }
+
+  test("no failures yields an empty failed list and a <=120-char line") {
+    val many = (1 to 96).map(i => f"query_name_$i%03d" -> 0.3)
+    val (_, totalLine) = Bench.render(many, "/root/testdata/sf0.1")
+    assert(totalLine.contains("\"failed\":[]"))
+    assert(totalLine.length <= 120, s"total line too long: ${totalLine.length}")
+    assert(totalLine.startsWith("""{"metric":"total""""))
+  }
+}
