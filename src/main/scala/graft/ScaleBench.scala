@@ -141,6 +141,37 @@ object ScaleBench {
               .rowsBetween(-4, Window.currentRow)))
           .filter(col("med") > Double.NegativeInfinity).count()
       },
+      // §7.7 scale-safe twins of the two windows judged weak at 100×
+      // (partition key = 5 event types caps the naive forms at 5-way
+      // parallelism): same results — spec-verified and oracle-checked —
+      // with data-proportional parallelism. Chunks track event_id, so the
+      // sub-partition count GROWS with replication; buckets subdivide the
+      // 10.00-unit band 5× (value range is scale-invariant, so the knob
+      // is bucket width, not data size).
+      t("rolling_median_sub_1m") {
+        pipeline.ScalableWindows.trailingRows(
+          events.select(col("event_type"), col("event_id"), col("value")),
+          Seq("event_type"), Seq("event_id"),
+          col("event_id") / 2000, lookback = 4)(w =>
+          Seq(percentile(col("value"), lit(0.5)).over(w).as("med")))
+          .filter(col("med") > Double.NegativeInfinity).count()
+      },
+      t("range_frame_naive_1m") {
+        events.select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("v_c"))
+          .withColumn("band_sum_c", sum("v_c").over(
+            Window.partitionBy("event_type").orderBy("v_c")
+              .rangeBetween(-1000L, Window.currentRow)))
+          .filter(col("band_sum_c") > Long.MinValue).count()
+      },
+      t("range_frame_bucketed_1m") {
+        pipeline.ScalableWindows.trailingRangeSumCount(
+          events.select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("v_c")),
+          Seq("event_type"), "v_c", band = 1000L, bucketWidth = 200L,
+          "band_sum_c", "band_n")
+          .filter(col("band_sum_c") > Long.MinValue).count()
+      },
       t("asof_composed_1m") {
         operators.AsofJoin.backward(
           events.filter(col("event_type") === "purchase")
