@@ -34,7 +34,8 @@ class SqlFrontendSpec extends SparkSpec {
     "fn_conditional",
     "dedup_exact", "text_lang_stats",
     "evt_zscore", "complex_nation_volume", "complex_big_orders",
-    "dedup_edit_distance")
+    "dedup_edit_distance",
+    "win_range_frame_scalable", "agg_bit", "reshape_unpivot")
 
   private def registerViews(): Unit = {
     // before any events read: its ts is TIMESTAMP(NANOS) in parquet
