@@ -13,18 +13,21 @@ object Bench {
   /** Renders the two stdout lines: (per-query map line, compact total line).
     * Failed queries (negative sentinel) are listed by name and EXCLUDED from
     * the total — a -1 folded into the sum would make a broken round look
-    * faster. The total line stays short (<120 chars with no failures) and is
-    * printed LAST because the driver parses only a fixed-size stdout tail.
+    * faster. The total line stays short and bounded (first 10 failure names
+    * plus a "failed_n" count — a 98-failure round must not grow the line
+    * past the driver's fixed-size stdout tail) and is printed LAST.
     */
   def render(results: Seq[(String, Double)], sfDir: String): (String, String) = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val totalStr = f"$total%.3f"
+    val failedJson = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Locale.ROOT: under a comma-decimal default locale f"%.3f" would emit
+    // "30,868" — invalid JSON — and silently break the driver's tail parse.
+    val totalStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
     (s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""",
-     s"""{"metric":"total","value":$totalStr,"unit":"sec","failed":$failedJson,"sf":"$sfDir"}""")
+     s"""{"metric":"total","value":$totalStr,"unit":"sec","failed":$failedJson,"failed_n":${failed.size},"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {

@@ -96,10 +96,16 @@ object ScalableWindows {
     *      the frame's lower edge falls strictly below bucket b — this is
     *      why bucketWidth ≤ band is required);
     *   2. whole buckets strictly between b and lob = ⌊(v−band)/bucketWidth⌋:
-    *      cum(b−1) − cum(lob) from a dense cumulative per-bucket table
-    *      (tiny: one row per bucket per key; densified with `sequence` so
-    *      the lookups stay exact broadcast equi-joins even when buckets
-    *      are empty);
+    *      cum(b−1) − cum(lob) from a cumulative per-bucket table over
+    *      OCCUPIED buckets only (one row per key×occupied bucket). The
+    *      referenced ids b−1 / lob may name empty buckets; they resolve
+    *      through a backward as-of over a tiny distinct-ids table —
+    *      empty buckets contribute 0, so cum(largest occupied id ≤ x)
+    *      equals a densified cum(x) exactly — and the fact-table lookups
+    *      stay broadcast equi-joins. (Never densify the bucket axis with
+    *      `sequence`: its length scales with value-range/bucketWidth,
+    *      not data, so one outlier row could blow past the 2^31 sequence
+    *      cap in a module advertised as scale-safe.)
     *   3. the lower-edge bucket's suffix at threshold v−band: a forward
     *      as-of join keyed by (partCols, lob) — bucket cardinality, so the
     *      one shuffle of the fact table is wide.
@@ -128,24 +134,30 @@ object ScalableWindows {
       .withColumn("__t", v - band)
       .withColumn("__lob", bucketOf(col("__t")))
 
-    // (2) dense cumulative bucket totals — tiny (one row per key×bucket),
-    // so the per-key window and the two joins below are broadcast-cheap
+    // (2) cumulative bucket totals over OCCUPIED buckets only — one row
+    // per key×occupied bucket, so the per-key window runs on a tiny table
     val totals = withB.groupBy((part :+ col("__b")): _*)
       .agg(sum(v).as("__tsum"), count(lit(1)).as("__tcnt"))
-    val dense = totals.groupBy(part: _*)
-      .agg(min("__b").as("__bmin"), max("__b").as("__bmax"))
-      .select((partCols.map(col) :+
-        explode(sequence(col("__bmin"), col("__bmax"))).as("__b")): _*)
     val cw = Window.partitionBy(part: _*).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = dense.join(totals, partCols :+ "__b", "left")
-      .withColumn("__csum", sum(coalesce(col("__tsum"), lit(0L))).over(cw))
-      .withColumn("__ccnt", sum(coalesce(col("__tcnt"), lit(0L))).over(cw))
+    val cum = totals
+      .withColumn("__csum", sum("__tsum").over(cw))
+      .withColumn("__ccnt", sum("__tcnt").over(cw))
       .select((part :+ col("__b") :+ col("__csum") :+ col("__ccnt")): _*)
-    val cumHi = cum.select((part :+ col("__b").as("__hb")
-      :+ col("__csum").as("__hsum") :+ col("__ccnt").as("__hcnt")): _*)
-    val cumLo = cum.select((part :+ col("__b").as("__lb")
-      :+ col("__csum").as("__lsum") :+ col("__ccnt").as("__lcnt")): _*)
+    // The stitch references ids b−1 and lob, which may name EMPTY buckets.
+    // Resolve them once, off the fact path: per (key, occupied bucket)
+    // there are ≤3 distinct referenced ids (b−1, plus the ≤2 lob values a
+    // width-W value interval can produce), so this distinct collapses
+    // map-side to bucket cardinality, and the backward as-of runs over
+    // two tiny tables — never the fact.
+    val refs = withB.select((part :+ (col("__b") - 1).as("__rb")): _*)
+      .union(withB.select((part :+ bucketOf(v - band).as("__rb")): _*))
+      .distinct()
+    val resolved = AsofJoin.backward(refs, cum, partCols, "__rb", "__b")
+    val cumHi = resolved.select((part :+ col("__rb").as("__hb")
+      :+ col("asof___csum").as("__hsum") :+ col("asof___ccnt").as("__hcnt")): _*)
+    val cumLo = resolved.select((part :+ col("__rb").as("__lb")
+      :+ col("asof___csum").as("__lsum") :+ col("asof___ccnt").as("__lcnt")): _*)
 
     // (3) per-bucket suffix table: distinct values only (ties share one
     // suffix under RANGE semantics), keyed by the bucket it serves

@@ -21,11 +21,32 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(!totalLine.contains("q_ok"))
   }
 
-  test("no failures yields an empty failed list and a <=120-char line") {
+  test("no failures yields an empty failed list and a <=130-char line") {
     val many = (1 to 96).map(i => f"query_name_$i%03d" -> 0.3)
     val (_, totalLine) = Bench.render(many, "/root/testdata/sf0.1")
     assert(totalLine.contains("\"failed\":[]"))
-    assert(totalLine.length <= 120, s"total line too long: ${totalLine.length}")
+    assert(totalLine.contains("\"failed_n\":0"))
+    assert(totalLine.length <= 130, s"total line too long: ${totalLine.length}")
     assert(totalLine.startsWith("""{"metric":"total""""))
+  }
+
+  test("an all-failed round keeps the total line bounded: 10 names + a count") {
+    val many = (1 to 98).map(i => f"very_long_query_name_$i%03d" -> -1.0)
+    val (_, totalLine) = Bench.render(many, "/root/testdata/sf0.1")
+    assert(totalLine.contains("\"failed_n\":98"))
+    // only the first 10 names are listed, so the line cannot approach the
+    // driver's 2000-char tail window no matter how many queries break
+    assert(totalLine.contains("very_long_query_name_010"))
+    assert(!totalLine.contains("very_long_query_name_011"))
+    assert(totalLine.length <= 500, s"total line too long: ${totalLine.length}")
+  }
+
+  test("total formatting is locale-independent") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY) // comma-decimal
+      val (_, totalLine) = Bench.render(Seq("q" -> 1.5, "r" -> 0.25), "sf")
+      assert(totalLine.contains("\"value\":1.750"), totalLine)
+    } finally java.util.Locale.setDefault(prev)
   }
 }

@@ -99,6 +99,21 @@ class ScalableWindowsSpec extends SparkSpec {
     assertSame(twin, naiveRange(df, 20L), Seq("event_type", "event_id"))
   }
 
+  test("an extreme outlier value cannot blow up the bucket axis") {
+    import spark.implicits._
+    // one value at 10^15 with bucketWidth 10 would have forced a 10^14-
+    // element sequence under densification; the occupied-buckets-only
+    // cumulative plus as-of resolution must stay exact and tiny instead
+    val rows = (0 until 100).map(i => ("t", i.toLong, ((i * 13) % 40).toLong)) :+
+      (("t", 100L, 1000000000000000L))
+    val df = rows.toDF("event_type", "event_id", "v_c")
+      .select("event_id", "event_type", "v_c")
+    val twin = ScalableWindows.trailingRangeSumCount(
+      df, Seq("event_type"), "v_c", band = 20L, bucketWidth = 10L,
+      "band_sum_c", "band_n")
+    assertSame(twin, naiveRange(df, 20L), Seq("event_type", "event_id"))
+  }
+
   test("oracle keys: the two scalable twins equal their naive keys' answers") {
     val med = SparkEntry.queries("win_rolling_median_scalable")(spark, sf)
     assertSame(med, naiveMedian.orderBy("event_type", "event_id"),
