@@ -14,9 +14,10 @@ import graft.{QueryPack, Tables}
   * (ceil-div on bytes — the `sampleFrames` arithmetic from
   * graft.pipeline.Multimodal), content addressing (md5), and a bounded
   * head preview (base64 of the first 12 characters' bytes). The decode
-  * itself stays a stub behind `Multimodal.decodeImages` (mapPartitions,
-  * one codec init per partition) — swapping in a real codec touches no
-  * plumbing.
+  * itself — `Multimodal.decodeImages`/`decodeAudio`, real PPM/BMP/WAV
+  * codecs behind a magic-byte dispatch (mapPartitions, one codec init
+  * per partition) — is golden-tested in MultimodalQueriesSpec; it has
+  * no oracle row because DuckDB cannot decode image payloads.
   *
   * Scale shape: single scan, per-row expressions only — no shuffle until
   * the final presentation sort, which a real pipeline wouldn't have.

@@ -31,16 +31,82 @@ class MultimodalQueriesSpec extends SparkSpec {
   }
 
   test("multimodal decode plumbing and metadata key agree on chunk math") {
-    import spark.implicits._
     val media = graft.pipeline.Multimodal.syntheticMedia(spark, 32)
     val frames = graft.pipeline.Multimodal.sampleFrames(media, 16, 1)
       .groupBy("media_id").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     media.collect().foreach { m =>
       // sampleFrames floors (full frames only); the metadata key ceils
-      // (every byte belongs to a frame) — both derive from payload length
-      val body = m.payload.length - 12
+      // (every byte belongs to a frame) — both derive from the raster
+      // length past the sniffed format header
+      val body = m.payload.length - graft.pipeline.Multimodal.rasterOffset(m.payload)
       assert(frames.getOrElse(m.media_id, 0L) == body / 16)
+    }
+  }
+
+  test("image decode is a real codec: PPM and BMP of one raster agree exactly") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaRecord
+    // known raster: 3x2 RGB ramp — W*3=9 bytes/row forces BMP to pad
+    // rows to 12, and the three encodings (PPM, bottom-up BMP, top-down
+    // BMP) must all decode to the same dimensions and pixel mean; a
+    // padding or row-flip bug breaks the equality
+    val rgb = (0 until 3 * 2 * 3).map(i => (i * 7).toByte).toArray
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "image", graft.pipeline.Multimodal.Ppm.encode(3, 2, rgb)),
+      MediaRecord(2L, "image", graft.pipeline.Multimodal.Bmp.encode(3, 2, rgb)),
+      MediaRecord(3L, "image", graft.pipeline.Multimodal.Bmp.encode(3, 2, rgb, topDown = true))))
+    val out = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    assert(out.map(_.format).toSeq == Seq("ppm", "bmp", "bmp"))
+    val expectedMean = rgb.map(_ & 0xff).sum.toDouble / rgb.length
+    out.foreach { d =>
+      assert(d.width == 3 && d.height == 2 && d.channels == 3)
+      assert(math.abs(d.mean_px - expectedMean) < 1e-12)
+    }
+    // the BMP raster must round-trip pixel-exact through padding + flip
+    val (_, _, decoded) = Multimodal.Bmp.pixels(Multimodal.Bmp.encode(3, 2, rgb))
+    assert(decoded.toSeq == rgb.toSeq)
+    val (_, _, decodedTd) = Multimodal.Bmp.pixels(Multimodal.Bmp.encode(3, 2, rgb, topDown = true))
+    assert(decodedTd.toSeq == rgb.toSeq)
+  }
+
+  test("ppm header parse handles comments and multi-digit dims") {
+    val raster = Array.fill(12 * 34 * 3)(65.toByte)
+    val withComment = ("P6\n# a comment line\n12 34\n# another\n255\n")
+      .getBytes("US-ASCII") ++ raster
+    val (w, h, c, off) = graft.pipeline.Multimodal.Ppm.header(withComment)
+    assert(w == 12 && h == 34 && c == 3)
+    assert(withComment.length - off == 12 * 34 * 3)
+  }
+
+  test("wav decode walks RIFF chunks and computes duration and rms") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaRecord
+    // constant-amplitude signal: rms is known in closed form
+    val samples = Array.fill(4000)(16384.toShort) // 0.5 amplitude, 0.5 s @ 8kHz
+    val media = spark.createDataset(Seq(
+      MediaRecord(7L, "audio", Multimodal.Wav.encodePcm16(8000, 1, samples))))
+    val d = Multimodal.decodeAudio(media).collect().head
+    assert(d.sample_rate == 8000 && d.channels == 1 && d.n_samples == 4000L)
+    assert(math.abs(d.duration_s - 0.5) < 1e-12)
+    assert(math.abs(d.rms - 0.5) < 1e-6)
+  }
+
+  test("synthetic corpus round-trips through the real decoders") {
+    val media = graft.pipeline.Multimodal.syntheticMedia(spark, 32)
+    val images = graft.pipeline.Multimodal.decodeImages(media).collect()
+    val audio = graft.pipeline.Multimodal.decodeAudio(media).collect()
+    assert(images.length == 24 && audio.length == 8)
+    assert(images.map(_.format).toSet == Set("ppm", "bmp"))
+    images.foreach { d =>
+      assert(d.width >= 8 && d.height >= 6 && d.channels == 3)
+      assert(d.mean_px > 64 && d.mean_px < 192) // uniform-ish LCG bytes
+    }
+    audio.foreach { d =>
+      assert(d.sample_rate == 8000 && d.n_samples == 800L)
+      assert(d.rms > 0.0)
     }
   }
 }
