@@ -86,34 +86,53 @@ object ScalableWindows {
   }
 
   /** Exact trailing RANGE-frame sum+count (`RANGE BETWEEN band PRECEDING
-    * AND CURRENT ROW` ordered by an integral unit column), parallelized by
-    * bucketing the value axis. All arithmetic is integral — no
-    * float-association drift vs the naive window.
+    * AND CURRENT ROW` ordered by an integral unit column). All arithmetic
+    * is integral — no float-association drift vs the naive window.
     *
-    * For a row at value v in bucket b = ⌊v/bucketWidth⌋ the frame
-    * [v−band, v] splits into:
-    *   1. in-bucket prefix: in-bucket rows ≤ v (all are ≥ v−band because
-    *      the frame's lower edge falls strictly below bucket b — this is
-    *      why bucketWidth ≤ band is required);
-    *   2. whole buckets strictly between b and lob = ⌊(v−band)/bucketWidth⌋:
-    *      cum(b−1) − cum(lob) from a cumulative per-bucket table over
-    *      OCCUPIED buckets only (one row per key×occupied bucket). The
-    *      referenced ids b−1 / lob may name empty buckets; they resolve
-    *      through a backward as-of over a tiny distinct-ids table —
-    *      empty buckets contribute 0, so cum(largest occupied id ≤ x)
-    *      equals a densified cum(x) exactly — and the fact-table lookups
-    *      stay broadcast equi-joins. (Never densify the bucket axis with
-    *      `sequence`: its length scales with value-range/bucketWidth,
-    *      not data, so one outlier row could blow past the 2^31 sequence
-    *      cap in a module advertised as scale-safe.)
-    *   3. the lower-edge bucket's suffix at threshold v−band: a forward
-    *      as-of join keyed by (partCols, lob) — bucket cardinality, so the
-    *      one shuffle of the fact table is wide.
+    * The load-bearing observation: a RANGE frame is a function of the
+    * row's (key, v) ALONE — tied rows share one frame — so the whole
+    * answer is computed on the distinct-(key, v) table and the fact is
+    * touched exactly twice, both embarrassingly parallel:
+    *   - one map-side-combinable `groupBy(key, v).count()` (the ties
+    *     table: |distinct values| rows, not |rows|), and
+    *   - one equi-join back on (key, v) to pick up the finished answer
+    *     (left to the planner: it broadcasts when the value domain is
+    *     small and shuffles on the high-cardinality (key, v) composite
+    *     when it isn't — both wide).
+    * No window, sort, or as-of ever runs over the fact. This also
+    * sidesteps Spark's sliding-frame evaluator, which re-aggregates the
+    * frame contents per row — O(frame × rows) when a wide band keeps
+    * most preceding rows in frame (measured: the naive form went 15 s →
+    * 45 s over 1M → 3M events at band ≈ the value range).
     *
-    * Parallelism is (keys × valueRange/bucketWidth) — a knob independent
-    * of data volume; shrink bucketWidth until it exceeds the cluster's
-    * core count. (Unit column magnitudes must stay below 2^52 so the
-    * bucket division is exact in doubles.)
+    * On the ties table, the frame [v−band, v] for a value in bucket
+    * b = ⌊v/bucketWidth⌋ splits into:
+    *   1. in-bucket prefix ≤ v: an incremental unbounded-PRECEDING
+    *      window over (key, bucket) — never a bounded sliding frame;
+    *   2. whole buckets strictly between lob = ⌊(v−band)/bucketWidth⌋
+    *      and b: cum(b−1) − cum(lob) from a cumulative table over
+    *      OCCUPIED buckets only. Referenced ids that name empty buckets
+    *      resolve through a backward as-of over a tiny distinct-ids
+    *      table — empty buckets contribute 0, so cum(largest occupied
+    *      id ≤ x) equals a densified cum(x) exactly. (Never densify the
+    *      bucket axis with `sequence`: its length scales with
+    *      value-range/bucketWidth, not data, so one outlier row could
+    *      blow past the 2^31 sequence cap.)
+    *   3. the lower-edge bucket's suffix at threshold v−band, derived
+    *      ARITHMETICALLY as total − inclusive-prefix + own-ties (never
+    *      an unbounded-FOLLOWING window, which Spark re-aggregates per
+    *      row), matched by a forward as-of on (key, lob) — again over
+    *      ties-sized tables.
+    *
+    * bucketWidth stays a knob but now only sizes the small-table
+    * windows' partitioning ((key, bucket) keys); the fact-side
+    * parallelism is input-partition-proportional regardless. Unit
+    * column magnitudes must stay below 2^52 so the bucket division is
+    * exact in doubles. A null unit value yields null sum/count (no
+    * frame). Null KEY columns: the final equi-join matches them as a
+    * group (`<=>`), but the as-of resolution drops null-key groups from
+    * the cross-bucket terms — callers with nullable keys should filter
+    * or fill them first (the shipped oracle keys have non-null keys).
     */
   def trailingRangeSumCount(df: DataFrame, partCols: Seq[String],
                             unitCol: String, band: Long, bucketWidth: Long,
@@ -121,37 +140,44 @@ object ScalableWindows {
     require(bucketWidth > 0 && bucketWidth <= band,
       "bucketWidth must be in [1, band] so the frame's lower edge falls below the row's own bucket")
     val part = partCols.map(col)
-    val v = col(unitCol)
     def bucketOf(c: Column): Column = floor(c.cast("double") / bucketWidth).cast("long")
-    val withB = df.withColumn("__b", bucketOf(v))
 
-    // (1) in-bucket prefix — RANGE semantics so ties share one frame
-    val pw = Window.partitionBy((part :+ col("__b")): _*).orderBy(v)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val prefixed = withB
-      .withColumn("__psum", sum(v).over(pw))
-      .withColumn("__pcnt", count(lit(1)).over(pw))
-      .withColumn("__t", v - band)
-      .withColumn("__lob", bucketOf(col("__t")))
+    // (0) the ties table: one row per distinct (key, v), with tie count.
+    // The ONLY aggregation over the fact — partial-agg collapses it
+    // map-side to the distinct-value cardinality.
+    val ties = df.filter(col(unitCol).isNotNull)
+      .groupBy((part :+ col(unitCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__vsum", col("__v") * col("__cnt"))
+      .withColumn("__b", bucketOf(col("__v")))
 
-    // (2) cumulative bucket totals over OCCUPIED buckets only — one row
-    // per key×occupied bucket, so the per-key window runs on a tiny table
-    val totals = withB.groupBy((part :+ col("__b")): _*)
-      .agg(sum(v).as("__tsum"), count(lit(1)).as("__tcnt"))
+    // (1) in-bucket INCLUSIVE prefix per distinct value (ROWS ≡ RANGE on
+    // a distinct-value axis) — incremental frames only
+    val pw = Window.partitionBy((part :+ col("__b")): _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bw = Window.partitionBy((part :+ col("__b")): _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pref = ties
+      .withColumn("__psum", sum("__vsum").over(pw))
+      .withColumn("__pcnt", sum("__cnt").over(pw))
+      // per-bucket totals = the LAST prefix value (not max: negative
+      // values make __psum non-monotonic; unbounded-BOTH frames are
+      // evaluated once per partition, not per row)
+      .withColumn("__tsum", last("__psum").over(bw))
+      .withColumn("__tcnt", last("__pcnt").over(bw))
+
+    // (2) cumulative bucket totals over OCCUPIED buckets only; the
+    // bucket's last row is where the strictly-increasing count peaks
+    val totals = pref.filter(col("__pcnt") === col("__tcnt"))
+      .select((part :+ col("__b") :+ col("__tsum") :+ col("__tcnt")): _*)
     val cw = Window.partitionBy(part: _*).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = totals
       .withColumn("__csum", sum("__tsum").over(cw))
       .withColumn("__ccnt", sum("__tcnt").over(cw))
       .select((part :+ col("__b") :+ col("__csum") :+ col("__ccnt")): _*)
-    // The stitch references ids b−1 and lob, which may name EMPTY buckets.
-    // Resolve them once, off the fact path: per (key, occupied bucket)
-    // there are ≤3 distinct referenced ids (b−1, plus the ≤2 lob values a
-    // width-W value interval can produce), so this distinct collapses
-    // map-side to bucket cardinality, and the backward as-of runs over
-    // two tiny tables — never the fact.
-    val refs = withB.select((part :+ (col("__b") - 1).as("__rb")): _*)
-      .union(withB.select((part :+ bucketOf(v - band).as("__rb")): _*))
+    val refs = ties.select((part :+ (col("__b") - 1).as("__rb")): _*)
+      .union(ties.select((part :+ bucketOf(col("__v") - band).as("__rb")): _*))
       .distinct()
     val resolved = AsofJoin.backward(refs, cum, partCols, "__rb", "__b")
     val cumHi = resolved.select((part :+ col("__rb").as("__hb")
@@ -159,21 +185,17 @@ object ScalableWindows {
     val cumLo = resolved.select((part :+ col("__rb").as("__lb")
       :+ col("asof___csum").as("__lsum") :+ col("asof___ccnt").as("__lcnt")): _*)
 
-    // (3) per-bucket suffix table: distinct values only (ties share one
-    // suffix under RANGE semantics), keyed by the bucket it serves
-    val sw = Window.partitionBy((part :+ col("__b")): _*).orderBy(v)
-      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
-    val suffix = withB
-      .withColumn("__ssum", sum(v).over(sw))
-      .withColumn("__scnt", count(lit(1)).over(sw))
-      .select((part :+ col("__b").as("__lob") :+ v.as("__w")
-        :+ col("__ssum") :+ col("__scnt")): _*)
-      .distinct()
+    // (3) suffix of bucket b at distinct value w, arithmetically:
+    // everything in the bucket from w up = total − prefix(w) + w's ties
+    val suffix = pref.select((part :+ col("__b").as("__lob") :+ col("__v").as("__w")
+      :+ (col("__tsum") - col("__psum") + col("__vsum")).as("__ssum")
+      :+ (col("__tcnt") - col("__pcnt") + col("__cnt")).as("__scnt")): _*)
 
-    // forward as-of: smallest in-bucket value ≥ v−band carries that
-    // bucket's suffix sum/count; no such row (or an absent bucket) → 0
-    val stitched = AsofJoin.forward(prefixed, suffix,
-        partCols :+ "__lob", "__t", "__w")
+    // (4) assemble the answer per distinct value: forward as-of picks the
+    // smallest in-bucket value ≥ v−band (absent bucket/value → 0)
+    val probe = pref.withColumn("__t", col("__v") - band)
+      .withColumn("__lob", bucketOf(col("__t")))
+    val answers = AsofJoin.forward(probe, suffix, partCols :+ "__lob", "__t", "__w")
       .withColumn("__hb", col("__b") - 1)
       .withColumn("__lb", col("__lob"))
       .join(broadcast(cumHi), partCols :+ "__hb", "left")
@@ -184,6 +206,17 @@ object ScalableWindows {
       .withColumn(cntName,
         col("__pcnt") + coalesce(col("__hcnt"), lit(0L)) -
           coalesce(col("__lcnt"), lit(0L)) + coalesce(col("asof___scnt"), lit(0L)))
-    stitched.select((df.columns.map(col) :+ col(sumName) :+ col(cntName)): _*)
+      .select((partCols.map(c => col(c).as(s"__k_$c")) :+ col("__v")
+        :+ col(sumName) :+ col(cntName)): _*)
+
+    // (5) the fact's second and last touch: equi-join on (key, v).
+    // Deliberately UNHINTED — when the distinct-value domain is small
+    // the planner broadcasts; when values are near-unique the answers
+    // table is fact-sized and a broadcast would OOM, but the shuffle is
+    // then on the high-cardinality (key, v) composite — wide either way.
+    val joinCond = partCols.map(c => df(c) <=> col(s"__k_$c"))
+      .foldLeft(df(unitCol) === col("__v"))(_ && _)
+    df.join(answers, joinCond, "left")
+      .select((df.columns.map(df(_)) :+ col(sumName) :+ col(cntName)): _*)
   }
 }
