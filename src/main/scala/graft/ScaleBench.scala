@@ -262,6 +262,27 @@ object ScaleBench {
       t("star_q5_6m") {
         operators.ComposedQueries.regionalRevenueCore(
           lineitemK, ordersK, customerK, supplierK, nation, region).count()
+      },
+      // fleet-scale marine e2e: 10 boats × (copies × 40k) NMEA lines
+      // (multi-day — the generator rolls ~80k lines/day), every stage
+      // keyed by boat_id so the whole pipeline is 10-way-parallel per
+      // stage boundary, replay docs as the sink. Corpus cached like the
+      // parquet tables; MarineBench stays the single-boat/lines-per-sec
+      // anchor, this row is the fleet growth curve.
+      t(s"marine_fleet_10boat_${copies * 400000L / 1000}k_lines") {
+        val fleetDir = s"$out/fleet"
+        val perBoat = copies * 40000L
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fleetDir, "boat09.nmea"))) {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fleetDir))
+          (0 until 10).foreach(b =>
+            MarineBench.generate(f"$fleetDir/boat$b%02d.nmea", perBoat))
+        }
+        val wide = marine.Marine.wideTableByKey(
+          marine.Marine.readFleet(spark, fleetDir), Seq("boat_id"))
+        val races = marine.Races.splitByKey(
+          wide.filter(col("lat").isNotNull), Seq("boat_id"))
+        marine.Races.replayDocsByKey(races, Seq("boat_id"),
+          Seq("lat", "lon", "sog", "tws", "twa", "vmg")).count()
       })
 
     // SPARK_GRAFT_ONLY=star_q5_6m,band_join_1m runs a subset (dev
