@@ -156,6 +156,23 @@ object AggQueries extends QueryPack {
         round(percentile(col("value"), lit(0.75)), 4).as("q75"))
       .orderBy(col("event_type"))
 
+  /** Linear-regression aggregates: slope / intercept / r² / count of
+    * extendedprice on quantity per returnflag. Like the other moment
+    * aggregates these are one-pass co-moment merges (partial map-side,
+    * exact integer count); float drift is a low-ulp effect, so slope and
+    * r² round at 4 decimals and the large-magnitude intercept at 2 —
+    * the same absolute-tolerance class per unit value (§7.5).
+    */
+  private def aggRegression(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** arg-max / arg-min: the value carried by the extreme of a UNIQUE
     * ordering column (event_id), so ties cannot make the pick
     * nondeterministic; values pass through unrounded (no arithmetic).
@@ -212,9 +229,19 @@ object AggQueries extends QueryPack {
     "agg_pivot"         -> (aggPivot _),
     "agg_stats"         -> (aggStats _),
     "agg_median"        -> (aggMedian _),
-    "agg_histogram"     -> (aggHistogram _))
+    "agg_histogram"     -> (aggHistogram _),
+    "agg_regression"    -> (aggRegression _))
 
   val oracle: Map[String, String] = Map(
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_histogram" ->
       """WITH c AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders

@@ -216,6 +216,167 @@ object ComposedQueries extends QueryPack {
       .limit(100)
   }
 
+  /** TPC-H-Q10-shaped: customers who returned the most revenue in one
+    * quarter. Scale shape: lineitem is pre-filtered to returnflag='R' and
+    * pre-aggregated to (custkey, revenue) BEFORE touching the customer
+    * dimension — the wide name/acctbal columns never ride through the
+    * fact-fact shuffle or the aggregate. The quarter filter prunes orders
+    * at the scan; the nation lookup broadcasts; the top-20 is
+    * TakeOrderedAndProject.
+    */
+  private def complexReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_lines"))
+    val nat = broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")))
+    perCust
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("acctbal_c"), col("n_name"),
+        col("revenue_c"), col("n_lines"))
+      .orderBy(desc("revenue_c"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H-Q14-shaped: promotional revenue share for one ship-month — the
+    * conditional-sum-ratio query. Scale shape: the month filter prunes
+    * lineitem at the scan (~1/80 of rows); part is projected to
+    * (partkey, is_promo) — 9 bytes a row — before the partkey shuffle
+    * join; the final ratio is one row from two integer sums. The share is
+    * emitted in basis points over integer cents so both engines round the
+    * same double exactly once.
+    */
+  private def complexPromoShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-10-01")))
+      .select(col("l_partkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+    val prt = Tables.part(s, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    li.join(prt, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), col("rev_c")).otherwise(0L)).as("promo_rev_c"),
+        sum(col("rev_c")).as("total_rev_c"))
+      .select(col("promo_rev_c"), col("total_rev_c"),
+        round(col("promo_rev_c") * 10000.0 / col("total_rev_c"))
+          .cast("long").as("promo_bp"))
+  }
+
+  /** TPC-H-Q12-shaped: line counts by status, split into high/low order
+    * priority — conditional aggregation over a fact-fact join. Scale
+    * shape: lineitem is pruned to one ship-year at the scan and projected
+    * to the orderkey alone; orders carries only (orderkey, priority);
+    * the join shuffles on the orderkey and the aggregate output is 2
+    * rows, so the reduce side is all partial (map-side) aggregation.
+    */
+  private def complexPriorityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1999-01-01")))
+      .select(col("l_orderkey"), col("l_linestatus"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_lines"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_lines"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H-Q19-shaped: OR-of-ANDs bracket predicate across a join — the
+    * classic predicate-split test. Scale shape: the part-only half of
+    * each disjunct (brand × size) filters part BEFORE the join, and the
+    * lineitem-only envelope (quantity ≤ the widest bracket) filters
+    * lineitem at the scan, so the partkey shuffle moves ~12% of part and
+    * ~60% of lineitem; the full per-bracket predicate then runs on the
+    * joined stream. Catalyst cannot split an OR across tables by itself —
+    * doing it by hand here is exactly what a 100 TB plan needs.
+    */
+  private def complexBracketFilter(s: SparkSession, dir: String): DataFrame = {
+    val partPred =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)) ||
+      (col("p_brand") === "Brand#24" && col("p_size").between(1, 35))
+    val prt = Tables.part(s, dir)
+      .filter(partPred)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 1.0 && col("l_quantity") <= 30.0)
+      .select(col("l_partkey"), col("l_quantity"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+    val bracket =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1.0, 11.0)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10.0, 20.0)) ||
+      (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20.0, 30.0))
+    li.join(prt, col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .groupBy(col("p_brand"))
+      .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H-Q8-shaped: one supplier nation's share of a region's revenue
+    * per order-year — grouped conditional-sum ratio over a 7-table star.
+    * Scale shape: part is filtered to one type before its partkey join;
+    * customer is pre-shrunk to the EUROPE region through two broadcast
+    * dimension joins; supplier broadcasts as (suppkey, nation); the only
+    * fact-fact shuffle is lineitem⋈orders on the orderkey. Share is basis
+    * points over integer cents, 2 output rows.
+    */
+  private def complexMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val europeNations = broadcast(Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")))
+    val cust = broadcast(Tables.customer(s, dir)
+      .join(europeNations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey")))
+    val supp = broadcast(Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation")))
+    val prt = Tables.part(s, dir)
+      .filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+    li.join(prt, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_13", col("rev_c"))
+          .otherwise(0L)).as("nation_rev_c"),
+        sum(col("rev_c")).as("total_rev_c"))
+      .select(col("o_year"), col("nation_rev_c"), col("total_rev_c"),
+        round(col("nation_rev_c") * 10000.0 / col("total_rev_c"))
+          .cast("long").as("share_bp"))
+      .orderBy(col("o_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "complex_big_orders"       -> (complexBigOrders _),
     "complex_top_revenue"      -> (complexTopRevenue _),
@@ -223,7 +384,12 @@ object ComposedQueries extends QueryPack {
     "complex_nation_volume"    -> (complexNationVolume _),
     "reshape_unpivot"          -> (reshapeUnpivot _),
     "agg_bit"                  -> (aggBit _),
-    "evt_retention"            -> (evtRetention _))
+    "evt_retention"            -> (evtRetention _),
+    "complex_returned_revenue" -> (complexReturnedRevenue _),
+    "complex_promo_share"      -> (complexPromoShare _),
+    "complex_priority_buckets" -> (complexPriorityBuckets _),
+    "complex_bracket_filter"   -> (complexBracketFilter _),
+    "complex_market_share"     -> (complexMarketShare _))
 
   val oracle: Map[String, String] = Map(
     "complex_big_orders" ->
@@ -331,5 +497,89 @@ object ComposedQueries extends QueryPack {
         |  count(DISTINCT user_id) AS users
         |FROM cohorted
         |GROUP BY cohort_day, day_offset
-        |ORDER BY cohort_day, day_offset""".stripMargin)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "complex_returned_revenue" ->
+      """WITH pc AS (
+        |  SELECT o.o_custkey,
+        |    CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |    count(*) AS n_lines
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY o.o_custkey)
+        |SELECT c.c_custkey, c.c_name,
+        |  CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c,
+        |  n.n_name, pc.revenue_c, pc.n_lines
+        |FROM pc
+        |JOIN customer c ON pc.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY revenue_c DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "complex_promo_share" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |    THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS promo_rev_c,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev_c,
+        |  CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+        |      THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+        |      ELSE 0 END) * 10000.0
+        |    / sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))) AS BIGINT) AS promo_bp
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "complex_priority_buckets" ->
+      """SELECT l.l_linestatus,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l.l_linestatus
+        |ORDER BY l.l_linestatus""".stripMargin,
+    "complex_bracket_filter" ->
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE
+        |  (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |    AND l.l_quantity BETWEEN 1 AND 11)
+        |  OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+        |    AND l.l_quantity BETWEEN 10 AND 20)
+        |  OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
+        |    AND l.l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
+    "complex_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_13'
+        |    THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS nation_rev_c,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev_c,
+        |  CAST(round(sum(CASE WHEN sn.n_name = 'NATION_13'
+        |      THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+        |      ELSE 0 END) * 10000.0
+        |    / sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))) AS BIGINT) AS share_bp
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE p.p_type = 'ECONOMY'
+        |  AND r.r_name = 'EUROPE'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin)
 }

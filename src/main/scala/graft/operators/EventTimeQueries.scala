@@ -174,15 +174,67 @@ object EventTimeQueries extends QueryPack {
     zscoreCore(Tables.events(s, dir))
       .orderBy(col("event_type"), col("event_id"))
 
+  /** Hourly OHLC bars per event_type — the time-series downsampling
+    * shape. Spark side is ONE hash aggregate: open/close are
+    * min_by/max_by on an exact DECIMAL(38,0) encoding of the UNIQUE
+    * (ts, event_id) composite (ts·10⁶ + id: 19+6 digits < 38, exact
+    * integer math — a struct ordering would demote the whole agg to a
+    * non-partial SortAggregate and shuffle every fact row; the decimal
+    * keeps the buffer fixed-width, so it partial-aggregates map-side
+    * and never sorts). Ties cannot make the pick nondeterministic.
+    * Values pass through unrounded — no arithmetic touches them. Hour
+    * buckets are exact integer division on the ns epoch. (DuckDB's
+    * min_by cannot order by a composite either way, so the oracle
+    * replays open/close with two row_number windows; same result,
+    * engine-local idiom.)
+    */
+  private def evtOhlc(s: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600000000000L
+    Tables.events(s, dir)
+      .select(col("event_type"), expr(s"ts DIV $hourNs").as("hour"),
+        expr("CAST(ts AS DECIMAL(38,0)) * 1000000 + event_id").as("okey"),
+        col("value"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min_by(col("value"), col("okey")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("okey")).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling" -> (evtTumbling _),
     "evt_sliding"  -> (evtSliding _),
     "evt_session"  -> (evtSession _),
     "evt_gapfill"  -> (evtGapfill _),
     "evt_funnel"   -> (evtFunnel _),
-    "evt_zscore"   -> (evtZscore _))
+    "evt_zscore"   -> (evtZscore _),
+    "evt_ohlc"     -> (evtOhlc _))
 
   val oracle: Map[String, String] = Map(
+    "evt_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+        |    value, ts, event_id
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, hour, value,
+        |    row_number() OVER (PARTITION BY event_type, hour
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, hour
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT event_type, hour,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM r
+        |GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin,
     "evt_zscore" ->
       """WITH ev AS (
         |  SELECT event_id, event_type,

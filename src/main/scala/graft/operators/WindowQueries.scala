@@ -183,7 +183,30 @@ object WindowQueries extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Forward-fill (last observation carried forward) — the sensor/feature
+    * gap-fill shape of a training pipeline: per user, carry the most
+    * recent click value and the first purchase value seen so far, via
+    * last/first IGNORE NULLS over a running frame. Partitioned on the
+    * high-cardinality user key, so at scale this is one hash Exchange +
+    * an in-partition sort, no low-cardinality trap. Values pass through
+    * unrounded — no arithmetic touches them. Ordering (ts, event_id) is
+    * unique, so the fill is deterministic.
+    */
+  private def winFillForward(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "click", col("value")).as("click_v"),
+        when(col("event_type") === "purchase", col("value")).as("purchase_v"))
+      .select(col("user_id"), col("event_id"),
+        last(col("click_v"), ignoreNulls = true).over(w).as("last_click"),
+        first(col("purchase_v"), ignoreNulls = true).over(w).as("first_purchase"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_fill_forward"            -> (winFillForward _),
     "win_rolling_median_scalable" -> (winRollingMedianScalable _),
     "win_range_frame_scalable"    -> (winRangeFrameScalable _),
     "win_rolling_median" -> (winRollingMedian _),
@@ -198,6 +221,18 @@ object WindowQueries extends QueryPack {
     "win_first_last"     -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    // DuckDB wants IGNORE NULLS inside the argument list (same in-args
+    // placement as win_nth_value's lag), so this one is not portable
+    "win_fill_forward" ->
+      """SELECT user_id, event_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN value END
+        |    IGNORE NULLS) OVER w AS last_click,
+        |  first_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER w AS first_purchase
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // identical SQL to win_rolling_median: same answer, scalable plan
     "win_rolling_median_scalable" ->
       """SELECT event_type, event_id,

@@ -36,6 +36,29 @@ class AggQueriesSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(1) >= 12))
   }
 
+  test("agg_regression matches a driver-side least-squares recompute") {
+    val rows = AggQueries.queries("agg_regression")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val g = raw(r.getString(0))
+      val (ys, xs) = (g.map(_.getDouble(1)), g.map(_.getDouble(2)))
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+      val slope = sxy / sxx
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-3,
+        s"slope ${r.getAs[Double]("slope")} vs recomputed $slope")
+      assert(math.abs(r.getAs[Double]("intercept") - (my - slope * mx)) < 1e-1)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+      assert(r.getAs[Long]("n") == g.length.toLong)
+    }
+  }
+
   test("every queries key has matching oracle column aliases declared") {
     // All AggQueries keys are oracle-checked
     assert(AggQueries.queries.keySet == AggQueries.oracle.keySet)

@@ -155,6 +155,77 @@ class ComposedQueriesSpec extends SparkSpec {
     assert(n <= 3, s"distinct + window-min + countDistinct needs ≤3 hash shuffles, got $n")
   }
 
+  test("complex_returned_revenue aggregates before the customer join, top-20") {
+    val p = finalPlanSection(plan("complex_returned_revenue"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    // the revenue aggregate must group on o_custkey BEFORE customer's wide
+    // columns enter the stream — c_name in a HashAggregate would mean the
+    // dimension rode through the aggregation
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("o_custkey")), s"agg on o_custkey expected: $aggLines")
+    assert(!aggLines.exists(_.contains("c_name")),
+      s"customer columns must join after the aggregate: $aggLines")
+    // returnflag + quarter filters reach the scans
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_returnflag")))
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("o_orderdate")))
+  }
+
+  test("complex_returned_revenue rows are returned-only revenue, sorted desc") {
+    val rows = ComposedQueries.queries("complex_returned_revenue")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Long]("revenue_c"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+    assert(revs.forall(_ > 0))
+  }
+
+  test("complex_promo_share: promo ≤ total and basis points recompute exactly") {
+    val r = ComposedQueries.queries("complex_promo_share")(spark, sf).collect().head
+    val (promo, total, bp) =
+      (r.getAs[Long]("promo_rev_c"), r.getAs[Long]("total_rev_c"), r.getAs[Long]("promo_bp"))
+    assert(promo >= 0 && promo <= total && total > 0)
+    assert(bp == math.round(promo * 10000.0 / total), s"bp $bp drifted")
+  }
+
+  test("complex_priority_buckets: high+low equals the joined line count") {
+    val rows = ComposedQueries.queries("complex_priority_buckets")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val joined = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1999-01-01")))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(rows.map(r => r.getAs[Long]("high_lines") + r.getAs[Long]("low_lines")).sum == joined)
+  }
+
+  test("complex_bracket_filter pushes the part-side predicate before the join") {
+    val p = finalPlanSection(plan("complex_bracket_filter"))
+    // the brand×size OR must filter part's scan, and the quantity envelope
+    // must filter lineitem's scan — the hand-split that Catalyst cannot do
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("p_brand")),
+      "part-side brand/size predicate must reach the part scan")
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_quantity")),
+      "quantity envelope must reach the lineitem scan")
+    val rows = ComposedQueries.queries("complex_bracket_filter")(spark, sf).collect()
+    val brands = rows.map(_.getAs[String]("p_brand")).toSet
+    assert(brands.subsetOf(Set("Brand#12", "Brand#23", "Brand#24")))
+  }
+
+  test("complex_market_share: share in [0,10000] bp, dims broadcast, one fact-fact shuffle pair") {
+    val rows = ComposedQueries.queries("complex_market_share")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nat, tot, bp) = (r.getAs[Long]("nation_rev_c"),
+        r.getAs[Long]("total_rev_c"), r.getAs[Long]("share_bp"))
+      assert(nat >= 0 && nat <= tot && bp >= 0 && bp <= 10000)
+      assert(bp == math.round(nat * 10000.0 / tot))
+      val y = r.getAs[Long]("o_year")
+      assert(y == 1996L || y == 1997L)
+    }
+    val p = finalPlanSection(plan("complex_market_share"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"customer and supplier dims must broadcast: ${p.take(900)}")
+  }
+
   test("evt_retention day-0 cohort sizes sum to the distinct user count") {
     val df = ComposedQueries.queries("evt_retention")(spark, sf)
     val day0 = df.filter(col("day_offset") === 0)

@@ -148,6 +148,15 @@ class PlanAuditSpec extends SparkSpec {
       s"one bucket-key shuffle expected: ${p.take(600)}")
   }
 
+  test("evt_ohlc is one partial/final hash aggregate — no window, no sort before it") {
+    val p = finalPlanSection(plan("evt_ohlc"))
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      s"min_by/max_by must partial-aggregate map-side: ${p.take(600)}")
+    assert(!p.contains("Window"), s"OHLC must not lower to a window: ${p.take(600)}")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"one (event_type, hour) shuffle expected, got $n")
+  }
+
   test("whole-stage codegen covers the scalar function packs (no UDF opacity)") {
     Seq("fn_string", "fn_math", "fn_conditional", "project_expr").foreach { q =>
       val p = plan(q)

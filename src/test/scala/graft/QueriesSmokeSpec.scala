@@ -38,6 +38,49 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("evt_ohlc matches a driver-side recompute of open/high/low/close") {
+    val rows = SparkEntry.queries("evt_ohlc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hourNs = 3600000000000L
+    val raw = Tables.events(spark, sf)
+      .select("event_type", "ts", "event_id", "value").collect()
+      .groupBy(r => (r.getString(0), Math.floorDiv(r.getLong(1), hourNs)))
+    rows.foreach { r =>
+      val g = raw((r.getString(0), r.getAs[Long]("hour")))
+        .sortBy(x => (x.getLong(1), x.getLong(2)))
+      assert(r.getAs[Double]("open") == g.head.getDouble(3), "open")
+      assert(r.getAs[Double]("close") == g.last.getDouble(3), "close")
+      assert(r.getAs[Double]("high") == g.map(_.getDouble(3)).max, "high")
+      assert(r.getAs[Double]("low") == g.map(_.getDouble(3)).min, "low")
+      assert(r.getAs[Long]("n") == g.length.toLong)
+    }
+  }
+
+  test("win_fill_forward carries the latest click per user, one user-key shuffle") {
+    val df = SparkEntry.queries("win_fill_forward")(spark, sf)
+    // recompute the forward fill driver-side at sf0.001
+    val raw = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .groupBy(_.getLong(0))
+    val expected = raw.toSeq.flatMap { case (_, g) =>
+      var lastClick: Option[Double] = None
+      g.sortBy(r => (r.getLong(1), r.getLong(2))).toSeq.map { r =>
+        if (r.getString(3) == "click") lastClick = Some(r.getDouble(4))
+        r.getLong(2) -> lastClick
+      }
+    }
+    val got = df.collect().map(r =>
+      r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(2)) None else Some(r.getAs[Double]("last_click")))).toMap
+    expected.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"event $id: got ${got(id)}, expected $exp")
+    }
+    // one hash Exchange (user_id) — the presentation sort is range-partitioned
+    val p = finalPlanSection(finalizedPlan(df))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"forward fill needs exactly one hash shuffle, got $n")
+  }
+
   test("join_asof: every matched click precedes or equals its purchase") {
     SparkEntry.queries("join_asof")(spark, sf).collect()
       .foreach(r => assert(r.getLong(3) >= 0, s"negative gap for ${r.getLong(0)}"))

@@ -35,7 +35,10 @@ class SqlFrontendSpec extends SparkSpec {
     "dedup_exact", "text_lang_stats",
     "evt_zscore", "complex_nation_volume", "complex_big_orders",
     "dedup_edit_distance",
-    "win_range_frame_scalable", "agg_bit", "reshape_unpivot")
+    "win_range_frame_scalable", "agg_bit", "reshape_unpivot",
+    "agg_regression", "complex_returned_revenue", "complex_promo_share",
+    "complex_priority_buckets", "complex_bracket_filter",
+    "complex_market_share")
 
   private def registerViews(): Unit = {
     // before any events read: its ts is TIMESTAMP(NANOS) in parquet
