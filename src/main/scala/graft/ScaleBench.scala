@@ -110,6 +110,7 @@ object ScaleBench {
     val supplierK = replicateKeyed(spark, src, "supplier", copies,
       Seq("s_suppkey" -> skeyOff), out)
     val nation = spark.read.parquet(s"$src/nation.parquet")
+    val part = spark.read.parquet(s"$src/part.parquet")
     val region = spark.read.parquet(s"$src/region.parquet")
 
     def t(label: String)(f: => Long): (String, () => (Double, Long)) =
@@ -262,6 +263,19 @@ object ScaleBench {
       t("star_q5_6m") {
         operators.ComposedQueries.regionalRevenueCore(
           lineitemK, ordersK, customerK, supplierK, nation, region).count()
+      },
+      // Q8 at 10×: the 7-table grouped-share star. part stays
+      // un-replicated (dimension universes grow slower than facts — the
+      // broadcast-dim posture above), so replicated lineitem copies all
+      // resolve against the same part rows.
+      t("star_q8_6m") {
+        operators.ComposedQueries.marketShareCore(
+          lineitemK, ordersK, customerK, supplierK, nation, region, part).count()
+      },
+      // Q19 at 10×: the OR-of-ANDs predicate split — part-side filter
+      // before the join, quantity envelope at the lineitem scan.
+      t("star_q19_6m") {
+        operators.ComposedQueries.bracketFilterCore(lineitemK, part).count()
       },
       // fleet-scale marine e2e: 10 boats × (copies × 40k) NMEA lines
       // (multi-day — the generator rolls ~80k lines/day), every stage

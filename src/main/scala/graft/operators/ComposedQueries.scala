@@ -304,15 +304,19 @@ object ComposedQueries extends QueryPack {
     * joined stream. Catalyst cannot split an OR across tables by itself —
     * doing it by hand here is exactly what a 100 TB plan needs.
     */
-  private def complexBracketFilter(s: SparkSession, dir: String): DataFrame = {
+  /** The Q19 core, parameterized like [[regionalRevenueCore]] so
+    * ScaleBench's 10× run benchmarks the SAME plan as the oracle key.
+    * Unordered — callers add their own total order.
+    */
+  def bracketFilterCore(lineitem: DataFrame, part: DataFrame): DataFrame = {
     val partPred =
       (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
       (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)) ||
       (col("p_brand") === "Brand#24" && col("p_size").between(1, 35))
-    val prt = Tables.part(s, dir)
+    val prt = part
       .filter(partPred)
       .select(col("p_partkey"), col("p_brand"), col("p_size"))
-    val li = Tables.lineitem(s, dir)
+    val li = lineitem
       .filter(col("l_quantity") >= 1.0 && col("l_quantity") <= 30.0)
       .select(col("l_partkey"), col("l_quantity"),
         cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
@@ -327,8 +331,11 @@ object ComposedQueries extends QueryPack {
       .filter(bracket)
       .groupBy(col("p_brand"))
       .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_lines"))
-      .orderBy(col("p_brand"))
   }
+
+  private def complexBracketFilter(s: SparkSession, dir: String): DataFrame =
+    bracketFilterCore(Tables.lineitem(s, dir), Tables.part(s, dir))
+      .orderBy(col("p_brand"))
 
   /** TPC-H-Q8-shaped: one supplier nation's share of a region's revenue
     * per order-year — grouped conditional-sum ratio over a 7-table star.
@@ -338,28 +345,35 @@ object ComposedQueries extends QueryPack {
     * fact-fact shuffle is lineitem⋈orders on the orderkey. Share is basis
     * points over integer cents, 2 output rows.
     */
-  private def complexMarketShare(s: SparkSession, dir: String): DataFrame = {
-    val europeNations = broadcast(Tables.nation(s, dir)
-      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+  /** The Q8 core, parameterized like [[regionalRevenueCore]] so
+    * ScaleBench's 10× run benchmarks the SAME plan as the oracle key.
+    * Unordered — callers add their own total order.
+    */
+  def marketShareCore(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      part: DataFrame): DataFrame = {
+    val europeNations = broadcast(nation
+      .join(broadcast(region.filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey")))
-    val cust = broadcast(Tables.customer(s, dir)
+    val cust = broadcast(customer
       .join(europeNations, col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey")))
-    val supp = broadcast(Tables.supplier(s, dir)
-      .join(broadcast(Tables.nation(s, dir)
+    val supp = broadcast(supplier
+      .join(broadcast(nation
         .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("sn_key"))
       .select(col("s_suppkey"), col("supp_nation")))
-    val prt = Tables.part(s, dir)
+    val prt = part
       .filter(col("p_type") === "ECONOMY")
       .select(col("p_partkey"))
-    val ord = Tables.orders(s, dir)
+    val ord = orders
       .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
         col("o_orderdate") < to_timestamp(lit("1998-01-01")))
       .select(col("o_orderkey"), col("o_custkey"),
         year(col("o_orderdate")).cast("long").as("o_year"))
-    val li = Tables.lineitem(s, dir)
+    val li = lineitem
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
     li.join(prt, col("l_partkey") === col("p_partkey"))
@@ -374,8 +388,14 @@ object ComposedQueries extends QueryPack {
       .select(col("o_year"), col("nation_rev_c"), col("total_rev_c"),
         round(col("nation_rev_c") * 10000.0 / col("total_rev_c"))
           .cast("long").as("share_bp"))
-      .orderBy(col("o_year"))
   }
+
+  private def complexMarketShare(s: SparkSession, dir: String): DataFrame =
+    marketShareCore(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir),
+      Tables.part(s, dir))
+      .orderBy(col("o_year"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "complex_big_orders"       -> (complexBigOrders _),

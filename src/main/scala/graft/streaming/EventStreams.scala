@@ -84,6 +84,30 @@ object EventStreams {
       joinType)
   }
 
+  /** Hourly OHLC bars per event_type — streaming twin of the batch
+    * `evt_ohlc` key, and the same single-aggregate shape: open/close are
+    * min_by/max_by keyed on an exact DECIMAL(38,0) encoding of the
+    * unique (ts, event_id) composite, here over µs (the batch twin's ns
+    * source scales by 10³ — same total order). The aggregate merges
+    * incrementally, so out-of-order arrivals within the watermark
+    * horizon still land in event-time order; append mode emits each bar
+    * exactly once when the watermark seals its hour.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("okey",
+        expr("CAST(unix_micros(ts) AS DECIMAL(38,0)) * 1000000 + event_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("okey")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("okey")).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("bar_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** Custom stateful operator: running per-user totals via
     * flatMapGroupsWithState — the escape hatch when built-in windows
     * can't express the state machine (SURVEY.md §2.8).

@@ -33,6 +33,30 @@ class StreamingSpec extends SparkSpec {
       s"10:00 click window should close with 2 events: ${out.mkString(";")}")
   }
 
+  test("ohlc stream: out-of-order arrivals still open/close in event-time order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    // arrival order ≠ event-time order: the 10:20 row arrives FIRST, but
+    // open must be the 10:05 value and close the 10:40 value
+    input.addData(
+      StreamEvent(3, ts(20), 1, "click", 9.0),
+      StreamEvent(1, ts(5), 1, "click", 3.0))
+    input.addData(
+      StreamEvent(4, ts(40), 1, "click", 1.0), // latest ts → close (also low)
+      StreamEvent(2, ts(5), 2, "click", 7.0))  // ts tie with id 1 — id orders it after
+    // push the watermark past 11:00 to seal the 10:00 bar
+    input.addData(StreamEvent(9, Timestamp.valueOf("2024-01-01 11:30:00"), 1, "click", 5.0))
+    runToMemory(EventStreams.ohlcBars(input.toDF()), "ohlc")
+    val bars = spark.table("ohlc").collect()
+    assert(bars.length == 1, s"exactly the sealed 10:00 bar: ${bars.mkString(";")}")
+    val b = bars.head
+    assert(b.getAs[Double]("open") == 3.0, s"open must be the earliest (ts, id): $b")
+    assert(b.getAs[Double]("close") == 1.0, s"close must be the latest ts: $b")
+    assert(b.getAs[Double]("high") == 9.0 && b.getAs[Double]("low") == 1.0)
+    assert(b.getAs[Long]("n") == 4L)
+  }
+
   test("session_window stream groups within-gap events per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
