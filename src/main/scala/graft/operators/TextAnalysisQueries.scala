@@ -153,12 +153,74 @@ object TextAnalysisQueries extends QueryPack {
       .limit(50)
   }
 
+  /** Context-window chunking: split each document into fixed 64-token
+    * chunks — the sequence-packing precursor every training pipeline
+    * runs. Pure per-row explode (sequence + slice), no shuffle before
+    * the presentation sort; row growth is total_tokens/64, proportional
+    * to corpus size. `greatest(..., 1)` guards the empty doc (Spark's
+    * `sequence(0, -1)` would otherwise infer a NEGATIVE step and emit
+    * two chunks).
+    */
+  private def textChunk(s: SparkSession, dir: String): DataFrame = {
+    val budget = 64
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(words, w => w =!= "").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"),
+        explode(expr(s"sequence(0, greatest(CAST(ceil(size(toks) / $budget.0D) AS INT), 1) - 1)"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(budget.toLong), col("n_tokens") - col("chunk_id") * budget)
+          .as("chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("chunk_id") * budget + 1, lit(budget)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Train/eval decontamination: word-5-gram shingle overlap between the
+    * corpus and a held-out "benchmark" slice (doc_id ≡ 0 mod 7 within
+    * the bounded probe window). The gram equi-join is the blocked plan —
+    * never an all-pairs compare — and at real scale the eval set is tiny
+    * next to the corpus, so it broadcasts: the decontamination shape at
+    * 100 TB. Ratio = shared grams / eval grams, exact rational rounded
+    * once.
+    */
+  private def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), filter(words, w => w =!= "").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 4), " +
+          "i -> concat_ws(' ', slice(toks, i, 5)))")).as("gram"))
+      .distinct()
+    val eval_ = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("corpus_id"), col("gram"))
+    val evalSizes = broadcast(eval_.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_eval_grams")))
+    corpus.join(broadcast(eval_), "gram")
+      .groupBy(col("corpus_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(evalSizes, "eval_id")
+      // threshold on the UNROUNDED ratio (the oracle does the same) so a
+      // value rounding up to 0.5 cannot pass on one engine only
+      .withColumn("raw", col("n_shared").cast("double") / col("n_eval_grams"))
+      .filter(col("raw") >= 0.5)
+      .select(col("corpus_id"), col("eval_id"), col("n_shared"),
+        round(col("raw"), 4).as("overlap"))
+      .orderBy(col("corpus_id"), col("eval_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_langid"      -> (textLangid _),
-    "text_quality"     -> (textQuality _),
-    "text_tokens"      -> (textTokens _),
-    "text_fingerprint" -> (textFingerprint _),
-    "text_bigram_pmi"  -> (textBigramPmi _))
+    "text_langid"        -> (textLangid _),
+    "text_quality"       -> (textQuality _),
+    "text_tokens"        -> (textTokens _),
+    "text_fingerprint"   -> (textFingerprint _),
+    "text_bigram_pmi"    -> (textBigramPmi _),
+    "text_chunk"         -> (textChunk _),
+    "text_contamination" -> (textContamination _))
 
   private def duckHits(langList: String): String =
     s"len(list_filter(string_split(text, ' '), w -> list_contains([$langList], w)))"
@@ -169,6 +231,39 @@ object TextAnalysisQueries extends QueryPack {
   private val hitsFr = duckHits("'le','la','et','les','des'")
 
   val oracle: Map[String, String] = Map(
+    "text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, len(toks) AS n_tokens,
+        |    unnest(range(0, greatest(CAST(ceil(len(toks) / 64.0) AS BIGINT), 1))) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(least(64, n_tokens - chunk_id * 64) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(toks[chunk_id * 64 + 1 : chunk_id * 64 + 64], ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_contamination" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        |  FROM documents WHERE doc_id < 2000
+        |), d AS (SELECT * FROM d0 WHERE len(toks) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM d) t
+        |), ev AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 7 = 0),
+        |co AS (SELECT doc_id AS corpus_id, gram FROM grams WHERE doc_id % 7 <> 0),
+        |es AS (SELECT eval_id, count(*) AS n_eval_grams FROM ev GROUP BY eval_id),
+        |sh AS (
+        |  SELECT co.corpus_id, ev.eval_id, count(*) AS n_shared
+        |  FROM co JOIN ev ON co.gram = ev.gram
+        |  GROUP BY co.corpus_id, ev.eval_id)
+        |SELECT sh.corpus_id, sh.eval_id, sh.n_shared,
+        |  round(sh.n_shared / es.n_eval_grams, 4) AS overlap
+        |FROM sh JOIN es ON sh.eval_id = es.eval_id
+        |WHERE sh.n_shared / es.n_eval_grams >= 0.5
+        |ORDER BY sh.corpus_id, sh.eval_id""".stripMargin,
     "text_bigram_pmi" ->
       """WITH docs AS (
         |  SELECT string_split(text, ' ') AS w FROM documents WHERE lang = 'en'

@@ -38,6 +38,34 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("text_chunk reassembles every document exactly") {
+    import org.apache.spark.sql.functions._
+    val chunks = SparkEntry.queries("text_chunk")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(chunks.nonEmpty)
+    docs.foreach { d =>
+      val expected = d.getString(1).split(" ").filter(_.nonEmpty)
+      val got = chunks(d.getLong(0)).sortBy(_.getLong(1))
+      // chunk texts concatenate back to the filtered token stream
+      assert(got.map(_.getString(3)).filter(_.nonEmpty).mkString(" ") == expected.mkString(" "),
+        s"doc ${d.getLong(0)} does not reassemble")
+      // token counts sum to the doc's token count, every chunk ≤ 64
+      assert(got.map(_.getLong(2)).sum == expected.length.toLong)
+      assert(got.forall(_.getLong(2) <= 64L))
+    }
+  }
+
+  test("text_contamination finds only cross-split pairs above the threshold") {
+    val rows = SparkEntry.queries("text_contamination")(spark, sf).collect()
+    assert(rows.nonEmpty, "the synthetic corpus has known duplicates — some must straddle the split")
+    rows.foreach { r =>
+      val (c, e) = (r.getLong(0), r.getLong(1))
+      assert(c % 7 != 0 && e % 7 == 0, s"($c,$e) violates the corpus/eval split")
+      assert(r.getDouble(3) >= 0.5 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("evt_ohlc matches a driver-side recompute of open/high/low/close") {
     val rows = SparkEntry.queries("evt_ohlc")(spark, sf).collect()
     assert(rows.nonEmpty)
