@@ -277,6 +277,12 @@ object ScaleBench {
       t("star_q19_6m") {
         operators.ComposedQueries.bracketFilterCore(lineitemK, part).count()
       },
+      // decontamination at 10× (50k docs, full — no doc_id bound): the
+      // gram equi-join with the mod-7 eval side broadcast must stay
+      // blocked (never all-pairs) as the corpus grows.
+      t("contamination_50k_docs") {
+        operators.TextAnalysisQueries.contaminationCore(documents).count()
+      },
       // fleet-scale marine e2e: 10 boats × (copies × 40k) NMEA lines
       // (multi-day — the generator rolls ~80k lines/day), every stage
       // keyed by boat_id so the whole pipeline is 10-way-parallel per

@@ -185,9 +185,12 @@ object TextAnalysisQueries extends QueryPack {
     * 100 TB. Ratio = shared grams / eval grams, exact rational rounded
     * once.
     */
-  private def textContamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .filter(col("doc_id") < 2000)
+  /** The contamination core, parameterized over the bounded document
+    * slice so ScaleBench's 10× run benchmarks the SAME plan as the
+    * oracle key. Expects (doc_id, text); callers bound the input.
+    */
+  def contaminationCore(documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), filter(words, w => w =!= "").as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"),
@@ -210,8 +213,11 @@ object TextAnalysisQueries extends QueryPack {
       .filter(col("raw") >= 0.5)
       .select(col("corpus_id"), col("eval_id"), col("n_shared"),
         round(col("raw"), 4).as("overlap"))
-      .orderBy(col("corpus_id"), col("eval_id"))
   }
+
+  private def textContamination(s: SparkSession, dir: String): DataFrame =
+    contaminationCore(Tables.documents(s, dir).filter(col("doc_id") < 2000))
+      .orderBy(col("corpus_id"), col("eval_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"        -> (textLangid _),
