@@ -177,11 +177,14 @@ object EventTimeQueries extends QueryPack {
   /** Hourly OHLC bars per event_type — the time-series downsampling
     * shape. Spark side is ONE hash aggregate: open/close are
     * min_by/max_by on an exact DECIMAL(38,0) encoding of the UNIQUE
-    * (ts, event_id) composite (ts·10⁶ + id: 19+6 digits < 38, exact
+    * (ts, event_id) composite (ts·10¹² + id: 19+12 digits < 38, exact
     * integer math — a struct ordering would demote the whole agg to a
     * non-partial SortAggregate and shuffle every fact row; the decimal
     * keeps the buffer fixed-width, so it partial-aggregates map-side
-    * and never sorts). Ties cannot make the pick nondeterministic.
+    * and never sorts). Ties cannot make the pick nondeterministic;
+    * the id term needs event_id < 10¹² (a comfortable bound even at
+    * petabyte event volume) or the encoding would misorder ids against
+    * sub-µs timestamp gaps.
     * Values pass through unrounded — no arithmetic touches them. Hour
     * buckets are exact integer division on the ns epoch. (DuckDB's
     * min_by cannot order by a composite either way, so the oracle
@@ -192,7 +195,7 @@ object EventTimeQueries extends QueryPack {
     val hourNs = 3600000000000L
     Tables.events(s, dir)
       .select(col("event_type"), expr(s"ts DIV $hourNs").as("hour"),
-        expr("CAST(ts AS DECIMAL(38,0)) * 1000000 + event_id").as("okey"),
+        expr("CAST(ts AS DECIMAL(38,0)) * 1000000000000 + event_id").as("okey"),
         col("value"))
       .groupBy(col("event_type"), col("hour"))
       .agg(

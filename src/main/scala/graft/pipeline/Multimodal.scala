@@ -101,7 +101,13 @@ object Multimodal {
       val (offset, w, rawH) = (le32(b, 10), le32(b, 18), le32(b, 22))
       require(le16(b, 28) == 24 && le32(b, 30) == 0,
         "only 24bpp uncompressed BI_RGB supported")
-      (w, math.abs(rawH), offset, (w * 3 + 3) & ~3, rawH < 0)
+      require(w >= 0 && offset >= 0, s"corrupt BMP geometry: w=$w offset=$offset")
+      val (h, stride) = (math.abs(rawH), (w * 3 + 3) & ~3)
+      // a header may declare more raster than the payload carries —
+      // fail the row loudly instead of reading past the array
+      require(h == 0 || offset.toLong + (h - 1).toLong * stride + w * 3 <= b.length,
+        s"truncated BMP raster: ${b.length} bytes for ${w}x$h @ offset $offset")
+      (w, h, offset, stride, rawH < 0)
     }
 
     /** Decoded RGB raster in top-down row order, padding stripped. */
@@ -158,6 +164,8 @@ object Multimodal {
       var data: Option[(Int, Int)] = None
       while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
         val (id, len) = (tag(b, i), le32(b, i + 4))
+        require(len >= 0 && i + 8 + len <= b.length,
+          s"corrupt WAV chunk '$id': length $len at offset $i of ${b.length}")
         if (id == "fmt ") {
           require(le16(b, i + 8) == 1, "only PCM WAV supported")
           fmt = Some((le32(b, i + 12), le16(b, i + 10), le16(b, i + 22)))
@@ -221,6 +229,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.filter(_.kind == "audio").map { r =>
         val (rate, ch, bits, off, dlen) = Wav.header(r.payload)
+        // the RMS loop below reads 16-bit LE words; any other depth
+        // would pair bytes into garbage while n_frames looked right
+        require(bits == 16, s"only 16-bit PCM decode supported, got $bits-bit")
         val bytesPerSample = bits / 8
         val nFrames = dlen / (ch * bytesPerSample)
         var sumSq = 0.0

@@ -88,7 +88,8 @@ object EventStreams {
     * `evt_ohlc` key, and the same single-aggregate shape: open/close are
     * min_by/max_by keyed on an exact DECIMAL(38,0) encoding of the
     * unique (ts, event_id) composite, here over µs (the batch twin's ns
-    * source scales by 10³ — same total order). The aggregate merges
+    * source scales by 10³ — same total order; both need
+    * event_id < 10¹²). The aggregate merges
     * incrementally, so out-of-order arrivals within the watermark
     * horizon still land in event-time order; append mode emits each bar
     * exactly once when the watermark seals its hour.
@@ -97,7 +98,7 @@ object EventStreams {
     events
       .withWatermark("ts", "10 minutes")
       .withColumn("okey",
-        expr("CAST(unix_micros(ts) AS DECIMAL(38,0)) * 1000000 + event_id"))
+        expr("CAST(unix_micros(ts) AS DECIMAL(38,0)) * 1000000000000 + event_id"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         min_by(col("value"), col("okey")).as("open"),

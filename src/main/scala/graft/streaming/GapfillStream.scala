@@ -9,8 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class GapfillRow(event_type: String, h_s: Long, n: Long)
 
-/** Per-key state: the last PRESENT hour already emitted (-1 until the
-  * key's first hour seals) and the still-open (hour → count) pairs.
+/** Per-key state: the last PRESENT hour already emitted
+  * (`Long.MinValue` until the key's first hour seals — a sentinel no
+  * real hour can collide with, unlike -1, which is a legitimate
+  * pre-epoch hour id under the floorDiv binning below) and the
+  * still-open (hour → count) pairs.
   */
 case class GapfillState(lastPresent: Long, pending: List[(Long, Long)])
 
@@ -48,7 +51,7 @@ object GapfillStream {
       .flatMapGroupsWithState[GapfillState, GapfillRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, rows: Iterator[StreamEvent], state: GroupState[GapfillState]) =>
-          val prev = state.getOption.getOrElse(GapfillState(-1L, Nil))
+          val prev = state.getOption.getOrElse(GapfillState(Long.MinValue, Nil))
           // floorDiv, not /: pre-epoch timestamps must bin to the hour
           // BELOW, agreeing with the sealing floor on the watermark
           val incoming = rows.map(e => math.floorDiv(e.ts.getTime, hourMs))
@@ -61,12 +64,12 @@ object GapfillStream {
           var last = prev.lastPresent
           val out = closed.sortBy(_._1).flatMap { case (h, n) =>
             val zeros =
-              if (last >= 0) (last + 1 until h).map(GapfillRow(key, _, 0L))
+              if (last != Long.MinValue) (last + 1 until h).map(GapfillRow(key, _, 0L))
               else Seq.empty
             last = h
             zeros :+ GapfillRow(key, h, n)
           }
-          if (pending.isEmpty && last < 0) state.remove()
+          if (pending.isEmpty && last == Long.MinValue) state.remove()
           else {
             state.update(GapfillState(last, pending))
             // wake when the earliest open hour's end passes the watermark

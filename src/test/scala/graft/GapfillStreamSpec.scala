@@ -53,6 +53,20 @@ class GapfillStreamSpec extends SparkSpec {
       "exactly one grid row per (type, hour)")
   }
 
+  test("pre-epoch rows are late-dropped by Spark's initial watermark (documented bound)") {
+    // Spark initializes the watermark at epoch 0, so ts < 1970 is "late"
+    // in the very first batch and never reaches the stateful operator —
+    // the reason GapfillState's no-hour-yet sentinel (Long.MinValue, not
+    // -1) can't collide in practice, pinned here so a framework change
+    // that starts delivering such rows fails loudly instead of silently
+    // colliding with a real hour id.
+    val events = Seq(
+      StreamEvent(1, Timestamp.valueOf("1969-12-31 18:30:00"), 1, "view", 1.0),
+      StreamEvent(2, Timestamp.valueOf("1969-12-31 22:30:00"), 2, "view", 1.0))
+    val got = runStream(Seq(events), "gap_preepoch")
+    assert(got.isEmpty, s"pre-epoch rows should be framework-dropped: $got")
+  }
+
   test("out-of-order hours inside the watermark land in the right bins") {
     val events = Seq(
       StreamEvent(1, at(0, 12), 1, "view", 1.0),

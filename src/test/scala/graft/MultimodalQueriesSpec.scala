@@ -94,6 +94,38 @@ class MultimodalQueriesSpec extends SparkSpec {
     assert(math.abs(d.rms - 0.5) < 1e-6)
   }
 
+  test("corrupt payloads fail loudly instead of hanging or reading garbage") {
+    import graft.pipeline.Multimodal
+    // negative RIFF chunk length: the chunk walk once stepped 0 bytes
+    // and spun forever — must now throw with the offset in the message
+    val wav = Multimodal.Wav.encodePcm16(8000, 1, Array.fill(100)(1000.toShort))
+    val badLen = wav.clone()
+    badLen(16) = 0xF8.toByte; badLen(17) = 0xFF.toByte
+    badLen(18) = 0xFF.toByte; badLen(19) = 0xFF.toByte
+    val e1 = intercept[IllegalArgumentException](Multimodal.Wav.header(badLen))
+    assert(e1.getMessage.contains("corrupt WAV chunk"))
+    // truncated BMP raster: header declares more rows than the payload
+    val bmp = Multimodal.Bmp.encode(3, 2, Array.fill(18)(7.toByte))
+    val truncated = bmp.take(bmp.length - 5)
+    val e2 = intercept[IllegalArgumentException](Multimodal.Bmp.pixels(truncated))
+    assert(e2.getMessage.contains("truncated BMP raster"))
+  }
+
+  test("non-16-bit PCM is refused, not decoded into garbage rms") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaRecord
+    // hand-build an 8-bit PCM header (encodePcm16 can't): patch bits=8
+    val wav = Multimodal.Wav.encodePcm16(8000, 1, Array.fill(100)(1000.toShort))
+    val eightBit = wav.clone()
+    eightBit(34) = 8.toByte // fmt chunk bitsPerSample
+    val media = spark.createDataset(Seq(MediaRecord(9L, "audio", eightBit)))
+    val err = intercept[org.apache.spark.SparkException](
+      Multimodal.decodeAudio(media).collect())
+    assert(err.getCause.getMessage.contains("16-bit"),
+      s"expected the bit-depth refusal: ${err.getCause.getMessage}")
+  }
+
   test("synthetic corpus round-trips through the real decoders") {
     val media = graft.pipeline.Multimodal.syntheticMedia(spark, 32)
     val images = graft.pipeline.Multimodal.decodeImages(media).collect()
