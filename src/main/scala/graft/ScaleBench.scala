@@ -283,6 +283,15 @@ object ScaleBench {
       t("contamination_50k_docs") {
         operators.TextAnalysisQueries.contaminationCore(documents).count()
       },
+      // chunked sequence packing at 10×: parallelism = #(source, chunk)
+      // sub-ranges, not #sources — the scale form of the text_pack key.
+      t("pack_chunked_50k_docs") {
+        pipeline.Packing.packChunked(
+          documents.select(col("source"), col("doc_id"),
+            expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long")
+              .as("n_tokens")),
+          budget = 256L, chunkSize = 1000L).count()
+      },
       // fleet-scale marine e2e: 10 boats × (copies × 40k) NMEA lines
       // (multi-day — the generator rolls ~80k lines/day), every stage
       // keyed by boat_id so the whole pipeline is 10-way-parallel per

@@ -219,7 +219,24 @@ object TextAnalysisQueries extends QueryPack {
     contaminationCore(Tables.documents(s, dir).filter(col("doc_id") < 2000))
       .orderBy(col("corpus_id"), col("eval_id"))
 
+  /** Sequence packing: greedy 256-token first-fit bins per source in
+    * doc_id order — `graft.pipeline.Packing.packGreedy` over the token
+    * counts (see Packing's scaladoc for the exact-vs-chunked trade; the
+    * chunked scale path is spec-certified against this form). The DuckDB
+    * twin replays the same fold as a recursive CTE stepping one doc per
+    * source per iteration — pure integer state, so the oracle is exact.
+    */
+  private def textPack(s: SparkSession, dir: String): DataFrame = {
+    val withTokens = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(filter(words, w => w =!= "")).cast("long").as("n_tokens"))
+    graft.pipeline.Packing.packGreedy(withTokens, budget = 256L)
+      .toDF()
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack"          -> (textPack _),
     "text_langid"        -> (textLangid _),
     "text_quality"       -> (textQuality _),
     "text_tokens"        -> (textTokens _),
@@ -237,6 +254,30 @@ object TextAnalysisQueries extends QueryPack {
   private val hitsFr = duckHits("'le','la','et','les','des'")
 
   val oracle: Map[String, String] = Map(
+    // the greedy fold as a recursive CTE: one doc per source advances
+    // per iteration (rn joins rn+1), carrying (bin_id, fill) — the same
+    // integer state machine Packing.fold runs
+    "text_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS n,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), pack AS (
+        |  SELECT source, doc_id, n, rn,
+        |    CAST(0 AS BIGINT) AS bin_id, CAST(n AS BIGINT) AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.n, d.rn,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.n > 256
+        |         THEN p.bin_id + 1 ELSE p.bin_id END,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.n > 256
+        |         THEN CAST(d.n AS BIGINT) ELSE p.fill + d.n END
+        |  FROM d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1
+        |)
+        |SELECT source, doc_id, CAST(n AS BIGINT) AS n_tokens, bin_id
+        |FROM pack
+        |ORDER BY source, doc_id""".stripMargin,
     "text_chunk" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
