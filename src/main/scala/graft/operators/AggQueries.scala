@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 
@@ -215,7 +216,30 @@ object AggQueries extends QueryPack {
         count(lit(1)).as("n"))
       .orderBy(col("c_nationkey"))
 
+  /** Deterministic MODE per group: the most frequent quantity, smallest
+    * value on count ties (a bare `mode()` leaves tie survivors to the
+    * engine — unusable under a hash compare). Two-level plan: the
+    * (flag, qty) count aggregate is map-side partial on the fact, and
+    * the row_number window runs over the tiny counts table (groups ×
+    * ≤50 distinct quantities), never the fact — the window's
+    * low-cardinality partition key is safe BECAUSE its input is already
+    * aggregate-sized. Quantities compare as exact integer cents.
+    */
+  private def aggMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(desc("n"), asc("qty_c"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("qty_c").as("mode_qty_c"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode"          -> (aggMode _),
     "agg_minmax_by"     -> (aggMinmaxBy _),
     "agg_count_if"      -> (aggCountIf _),
     "agg_string"        -> (aggString _),
@@ -233,6 +257,22 @@ object AggQueries extends QueryPack {
     "agg_regression"    -> (aggRegression _))
 
   val oracle: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    count(*) AS n
+        |  FROM lineitem
+        |  GROUP BY l_returnflag, qty_c),
+        |ranked AS (
+        |  SELECT l_returnflag, qty_c, n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY n DESC, qty_c ASC) AS rk
+        |  FROM counts)
+        |SELECT l_returnflag, qty_c AS mode_qty_c, n
+        |FROM ranked
+        |WHERE rk = 1
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_regression" ->
       """SELECT l_returnflag,
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,

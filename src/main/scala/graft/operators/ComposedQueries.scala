@@ -390,6 +390,141 @@ object ComposedQueries extends QueryPack {
           .cast("long").as("share_bp"))
   }
 
+  /** TPC-H-Q4-shaped: order counts per priority where at least one line
+    * shipped more than 90 days after the order date — EXISTS with a
+    * correlated inequality against an OUTER column (richer than the
+    * plain equi-EXISTS of join_semi). Scale shape: orders is pruned to
+    * one year at the scan; lineitem is projected to (orderkey, shipdate)
+    * before the left-semi join's orderkey shuffle; the aggregate output
+    * is 5 rows, all partial map-side.
+    */
+  private def complexOrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H-Q13-shaped: the distribution of per-customer order counts
+    * (how many customers placed k orders), orders filtered by priority,
+    * customers with none kept at k = 0 via the outer join. Scale shape:
+    * orders pre-aggregates to (custkey, count) BEFORE touching customer —
+    * the left join then moves one small row per customer instead of one
+    * per order, and the second aggregate's domain is tiny (distinct
+    * counts), so it is all map-side partial.
+    */
+  private def complexCustDistribution(s: SparkSession, dir: String): DataFrame = {
+    val oc = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("o_count"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("o_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H-Q17-shaped: revenue from small-quantity lines — lines whose
+    * quantity is below half their part's average quantity, one brand.
+    * The oracle states it as TWO correlated scalar subqueries (count and
+    * sum per part); this plan is the decorrelated form a 100 TB run
+    * needs: the per-part totals pre-aggregate ONCE, restricted to the
+    * brand's partkeys via a broadcast semi-filter, and the re-join
+    * shares the aggregate's partkey hash partitioning. The "below half
+    * the average" test is exact integer math — qty·2·n < Σqty in cents —
+    * so membership can never drift between engines the way a double
+    * average comparison could.
+    */
+  private def complexSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val bp = broadcast(Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey")))
+    val li = Tables.lineitem(s, dir)
+      .join(bp, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(col("qty_c")).as("sum_qty_c"))
+      .withColumnRenamed("l_partkey", "pp_partkey")
+    li.join(perPart, col("l_partkey") === col("pp_partkey"))
+      .filter(col("qty_c") * 2 * col("n") < col("sum_qty_c"))
+      .agg(sum(col("price_c")).as("rev_c"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H-Q21-shaped: suppliers who alone held up a multi-supplier
+    * order — a late line (90-day rule as in Q4) on an order with ≥ 2
+    * suppliers where NO other supplier was late. The oracle states it as
+    * EXISTS + NOT EXISTS; this plan computes the per-order supplier
+    * profile (distinct suppliers, distinct LATE suppliers) in one
+    * aggregate over the already-joined stream, then keeps late lines on
+    * orders with (n_supp ≥ 2, n_late_supp = 1) — the only-late-supplier
+    * condition, since the line's own supplier is late by construction.
+    * Scale shape: one orderkey shuffle feeds both the profile aggregate
+    * and the qualifying-line join (AQE reuses the partitioning); the
+    * supplier dimension broadcasts; top-20 is TakeOrderedAndProject.
+    */
+  private def complexWaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lo = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+    val perOrder = lo.groupBy(col("o_orderkey").as("po_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select(col("po_orderkey"))
+    val supp = broadcast(Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name")))
+    lo.filter(col("late"))
+      .join(perOrder, col("o_orderkey") === col("po_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H-Q22-shaped: per-nation count and balance of rich, inactive
+    * customers — balance above the average positive balance of a nation
+    * slice, and no urgent order ever (every customer here has SOME
+    * order, so the anti-join condition is priority-scoped). The
+    * above-average test is exact integers (bal·n > Σbal in cents); the
+    * global average is ONE row broadcast into the scan-level filter.
+    * Scale shape: the anti join shuffles on the custkey; everything
+    * before it is a scan-level filter plus a 1-row cross join.
+    */
+  private def complexSalesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.customer(s, dir)
+      .filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val tot = slice.filter(col("bal_c") > 0)
+      .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("sum_c"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    slice.crossJoin(broadcast(tot))
+      .filter(col("bal_c") * col("n") > col("sum_c"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("bal_c_sum"))
+      .orderBy(col("c_nationkey"))
+  }
+
   private def complexMarketShare(s: SparkSession, dir: String): DataFrame =
     marketShareCore(
       Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
@@ -409,7 +544,12 @@ object ComposedQueries extends QueryPack {
     "complex_promo_share"      -> (complexPromoShare _),
     "complex_priority_buckets" -> (complexPriorityBuckets _),
     "complex_bracket_filter"   -> (complexBracketFilter _),
-    "complex_market_share"     -> (complexMarketShare _))
+    "complex_market_share"     -> (complexMarketShare _),
+    "complex_order_priority"   -> (complexOrderPriority _),
+    "complex_cust_distribution" -> (complexCustDistribution _),
+    "complex_small_qty_revenue" -> (complexSmallQtyRevenue _),
+    "complex_waiting_suppliers" -> (complexWaitingSuppliers _),
+    "complex_sales_opportunity" -> (complexSalesOpportunity _))
 
   val oracle: Map[String, String] = Map(
     "complex_big_orders" ->
@@ -601,5 +741,70 @@ object ComposedQueries extends QueryPack {
         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY o_year
-        |ORDER BY o_year""".stripMargin)
+        |ORDER BY o_year""".stripMargin,
+    "complex_order_priority" ->
+      """SELECT o.o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+    "complex_cust_distribution" ->
+      """WITH co AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "complex_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#23'
+        |  AND 2 * CAST(round(l.l_quantity * 100) AS BIGINT)
+        |      * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT sum(CAST(round(l2.l_quantity * 100) AS BIGINT))
+        |       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "complex_waiting_suppliers" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin,
+    "complex_sales_opportunity" ->
+      """WITH tot AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_c
+        |  FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9)
+        |    AND CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+        |SELECT c.c_nationkey, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c_sum
+        |FROM customer c, tot
+        |WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
+        |  AND CAST(round(c.c_acctbal * 100) AS BIGINT) * tot.n > tot.sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin)
 }

@@ -207,6 +207,37 @@ object EventTimeQueries extends QueryPack {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Rolling 7-day distinct active users per observed day (DAU + weekly
+    * actives) — the engagement shape every corpus-freshness dashboard
+    * runs. A RANGE-frame `count(DISTINCT)` window doesn't exist in
+    * either engine, and the naive day×day self-join is quadratic in
+    * days; instead each PRE-SHRUNK (user, day) pair — one row per user
+    * per active day, the dedup that makes 100 TB of raw events
+    * irrelevant — explodes to the ≤7 window days it can serve, and one
+    * hash aggregate counts distinct users per day. Linear in (user, day)
+    * pairs, bounded 7× expansion, no window over a low-cardinality key.
+    * The observed-days broadcast join drops ghost days past the data's
+    * edge (a window must END on an observed day to exist).
+    */
+  private def evtRollingActive(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts DIV $dayNs").as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    val expanded = ud
+      .select(col("user_id"), col("day").as("day0"),
+        explode(sequence(lit(0L), lit(6L))).as("o"))
+      .select(col("user_id"), col("day0"), (col("day0") + col("o")).as("day"))
+    expanded.join(broadcast(days), "day")
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(col("user_id")).as("active_7d"),
+        countDistinct(when(col("day0") === col("day"), col("user_id")))
+          .as("active_1d"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling" -> (evtTumbling _),
     "evt_sliding"  -> (evtSliding _),
@@ -214,7 +245,8 @@ object EventTimeQueries extends QueryPack {
     "evt_gapfill"  -> (evtGapfill _),
     "evt_funnel"   -> (evtFunnel _),
     "evt_zscore"   -> (evtZscore _),
-    "evt_ohlc"     -> (evtOhlc _))
+    "evt_ohlc"     -> (evtOhlc _),
+    "evt_rolling_active" -> (evtRollingActive _))
 
   val oracle: Map[String, String] = Map(
     "evt_ohlc" ->
