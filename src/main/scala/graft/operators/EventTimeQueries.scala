@@ -249,6 +249,21 @@ object EventTimeQueries extends QueryPack {
     "evt_rolling_active" -> (evtRollingActive _))
 
   val oracle: Map[String, String] = Map(
+    "evt_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |ex AS (
+        |  SELECT ud.user_id, ud.day AS day0, ud.day + g.o AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) g)
+        |SELECT ex.day,
+        |  count(DISTINCT ex.user_id) AS active_7d,
+        |  count(DISTINCT CASE WHEN ex.day0 = ex.day THEN ex.user_id END) AS active_1d
+        |FROM ex
+        |JOIN days d ON ex.day = d.day
+        |GROUP BY ex.day
+        |ORDER BY ex.day""".stripMargin,
     "evt_ohlc" ->
       """WITH b AS (
         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
