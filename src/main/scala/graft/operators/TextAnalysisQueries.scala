@@ -235,7 +235,98 @@ object TextAnalysisQueries extends QueryPack {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Gopher-style repetition diagnostics per document: distinct-token
+    * fraction, top-token fraction, and duplicate-bigram fraction — the
+    * quality gates that catch boilerplate and generated spam. Counting
+    * goes through explode → (doc, gram) → per-doc aggregates (two
+    * co-partitioned doc_id shuffles, linear in tokens) rather than a
+    * per-row O(len²) nested array scan: at 100 TB the grouped count is
+    * the shape that partial-aggregates map-side. Ratios are divisions
+    * of exact per-doc integers rounded once — bit-identical on both
+    * engines.
+    */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), words.as("w"))
+    val tokCounts = docs
+      .select(col("doc_id"), explode_outer(col("w")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+    val perDocTok = tokCounts.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+    val biCounts = docs
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode_outer(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+    val perDocBi = biCounts.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bi"), count(lit(1)).as("n_bi_distinct"))
+    perDocTok.join(perDocBi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_n"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("distinct_frac"),
+        round(col("top_n").cast("double") / col("n_tokens"), 4).as("top_frac"),
+        round(coalesce(
+          (col("n_bi") - col("n_bi_distinct")).cast("double") / col("n_bi"),
+          lit(0.0)), 4).as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 retrieval scoring (k1 = 1.2, b = 0.75) of the corpus against a
+    * fixed 3-term query — the ranking function a data pipeline uses to
+    * mine topical subsets. Plan: term postings come from one explode
+    * filtered AT THE SCAN to the query terms (the fact shuffle carries
+    * only matching (doc, term) rows); document lengths are a second
+    * single-scan aggregate; df and the global (N, Σdl) are tiny
+    * broadcasts. Per-term weights land in fixed columns via conditional
+    * aggregation — the final score is a FIXED-ORDER three-term sum, so
+    * no floating addition ever depends on partition order; both engines
+    * assemble identical doubles and round once.
+    */
+  private def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "vector", "scan")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(s, dir).select(col("doc_id"), words.as("w"))
+    val dl = docs.select(col("doc_id"),
+      size(filter(col("w"), w => w =!= "")).cast("long").as("dl"))
+    val consts = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode_outer(col("w")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(consts))
+      // idf = ln(1 + (N − df + 0.5)/(df + 0.5)); tf-sat denominator uses
+      // dl/avgdl = dl·N/Σdl — every operand an exact integer, promoted
+      // in the same order both engines replay
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("wgt",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") * col("n_docs") / col("sum_dl"))))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("tok") === terms(0), col("wgt"))).as("w0"),
+        sum(when(col("tok") === terms(1), col("wgt"))).as("w1"),
+        sum(when(col("tok") === terms(2), col("wgt"))).as("w2"),
+        count(lit(1)).as("n_terms_hit"))
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(coalesce(col("w0"), lit(0.0)) + coalesce(col("w1"), lit(0.0)) +
+          coalesce(col("w2"), lit(0.0)), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition"    -> (textRepetition _),
+    "text_bm25"          -> (textBm25 _),
     "text_pack"          -> (textPack _),
     "text_langid"        -> (textLangid _),
     "text_quality"       -> (textQuality _),
@@ -254,6 +345,66 @@ object TextAnalysisQueries extends QueryPack {
   private val hitsFr = duckHits("'le','la','et','les','des'")
 
   val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok FROM docs),
+        |tc AS (
+        |  SELECT doc_id, tok, count(*) AS n
+        |  FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+        |pt AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct, max(n) AS top_n
+        |  FROM tc GROUP BY doc_id),
+        |bg0 AS (
+        |  SELECT d.doc_id, d.w[i] || ' ' || d.w[i + 1] AS bg
+        |  FROM docs d, unnest(range(1, len(d.w))) AS u(i)),
+        |bc AS (SELECT doc_id, bg, count(*) AS n FROM bg0 GROUP BY doc_id, bg),
+        |pb AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bi,
+        |    count(*) AS n_bi_distinct
+        |  FROM bc GROUP BY doc_id)
+        |SELECT pt.doc_id, pt.n_tokens, pt.n_distinct, pt.top_n,
+        |  round(CAST(pt.n_distinct AS DOUBLE) / pt.n_tokens, 4) AS distinct_frac,
+        |  round(CAST(pt.top_n AS DOUBLE) / pt.n_tokens, 4) AS top_frac,
+        |  round(coalesce(
+        |    CAST(pb.n_bi - pb.n_bi_distinct AS DOUBLE) / pb.n_bi, 0.0), 4)
+        |    AS dup_bigram_frac
+        |FROM pt LEFT JOIN pb ON pt.doc_id = pb.doc_id
+        |ORDER BY pt.doc_id""".stripMargin,
+    "text_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dlt AS (
+        |  SELECT doc_id, len(list_filter(w, x -> x <> '')) AS dl FROM docs),
+        |cst AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |  FROM dlt),
+        |tok AS (SELECT doc_id, unnest(w) AS tok FROM docs),
+        |tfq AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM tok WHERE tok IN ('join', 'vector', 'scan')
+        |  GROUP BY doc_id, tok),
+        |dfq AS (SELECT tok, count(*) AS df FROM tfq GROUP BY tok),
+        |wg AS (
+        |  SELECT t.doc_id, t.tok,
+        |    ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * (1.0 - 0.75
+        |          + 0.75 * CAST(l.dl AS DOUBLE) * c.n_docs / c.sum_dl)) AS wgt
+        |  FROM tfq t
+        |  JOIN dfq d ON t.tok = d.tok
+        |  JOIN dlt l ON t.doc_id = l.doc_id
+        |  CROSS JOIN cst c)
+        |SELECT doc_id, count(*) AS n_terms_hit,
+        |  round(coalesce(sum(CASE WHEN tok = 'join' THEN wgt END), 0.0)
+        |      + coalesce(sum(CASE WHEN tok = 'vector' THEN wgt END), 0.0)
+        |      + coalesce(sum(CASE WHEN tok = 'scan' THEN wgt END), 0.0), 4)
+        |    AS score
+        |FROM wg
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
     // the greedy fold as a recursive CTE: one doc per source advances
     // per iteration (rn joins rn+1), carrying (bin_id, fill) — the same
     // integer state machine Packing.fold runs
