@@ -147,7 +147,35 @@ object JoinQueries extends QueryPack {
   private def joinAsofNative(s: SparkSession, dir: String): DataFrame =
     asofBody(s, dir, graft.plans.AsofMergeJoin.backward(_, _, _, _, _, _))
 
+  /** The band join through the OPTIMIZER RULE (graft.plans.BandJoinRewrite,
+    * registered imperatively like the asof strategy): a pure
+    * `abs(a − b) <= c` inner join over integer value-cents, which stock
+    * Spark plans as a nested loop. The rule rewrites it to a bucketed
+    * equi-join (3-bucket probe explode), turning O(|A|·|B|) compares
+    * into a hash join — the same certify-the-custom-operator-directly
+    * pattern as join_asof_native: DuckDB answers the plain inequality
+    * join, our engine answers through the rewritten plan, and the hash
+    * compare certifies the rewrite end-to-end (the secondary a_id<b_id
+    * conjunct rides as a post-filter and must survive untouched).
+    */
+  private def joinBandNative(s: SparkSession, dir: String): DataFrame = {
+    if (!s.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
+      s.experimental.extraOptimizations =
+        graft.plans.BandJoinRewrite +: s.experimental.extraOptimizations
+    val ev = Tables.events(s, dir)
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("a_id"),
+        round(col("value") * 100).cast("long").as("a_c"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("b_id"),
+        round(col("value") * 100).cast("long").as("b_c"))
+    a.join(b, abs(col("a_c") - col("b_c")) <= 10 && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), (col("a_c") - col("b_c")).as("delta_c"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_band_native" -> (joinBandNative _),
     "join_asof_native" -> (joinAsofNative _),
     "join_inner"       -> (joinInner _),
     "join_broadcast"   -> (joinBroadcast _),
@@ -201,6 +229,16 @@ object JoinQueries extends QueryPack {
         |FROM (SELECT * FROM events WHERE event_id < 500) a
         |JOIN (SELECT * FROM events WHERE event_id >= 500 AND event_id < 1000) b
         |  ON a.value < b.value AND b.value - a.value < 1.0
+        |ORDER BY a_id, b_id""".stripMargin,
+    "join_band_native" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id, CAST(round(value * 100) AS BIGINT) AS a_c
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT event_id AS b_id, CAST(round(value * 100) AS BIGINT) AS b_c
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a_id, b_id, a_c - b_c AS delta_c
+        |FROM a JOIN b ON abs(a_c - b_c) <= 10 AND a_id < b_id
         |ORDER BY a_id, b_id""".stripMargin,
     "join_asof" -> asofOracleSql,
     // identical oracle text on purpose (shared val): the two keys are

@@ -157,6 +157,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 1, s"one (event_type, hour) shuffle expected, got $n")
   }
 
+  test("join_band_native plans a bucketed hash join, never a nested loop") {
+    val p = plan("join_band_native")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"BandJoinRewrite must have fired: ${p.take(800)}")
+    // the bucket probe explode and the equi-join it feeds
+    assert(p.contains("Generate explode"), p.take(800))
+    assert(p.contains("__band_bucket"), p.take(800))
+  }
+
   test("whole-stage codegen covers the scalar function packs (no UDF opacity)") {
     Seq("fn_string", "fn_math", "fn_conditional", "project_expr").foreach { q =>
       val p = plan(q)

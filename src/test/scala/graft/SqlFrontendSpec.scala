@@ -38,7 +38,10 @@ class SqlFrontendSpec extends SparkSpec {
     "win_range_frame_scalable", "agg_bit", "reshape_unpivot",
     "agg_regression", "complex_returned_revenue", "complex_promo_share",
     "complex_priority_buckets", "complex_bracket_filter",
-    "complex_market_share")
+    "complex_market_share",
+    "complex_order_priority", "complex_cust_distribution",
+    "complex_small_qty_revenue", "complex_waiting_suppliers",
+    "complex_sales_opportunity", "agg_mode", "join_band_native")
 
   private def registerViews(): Unit = {
     // before any events read: its ts is TIMESTAMP(NANOS) in parquet
