@@ -277,6 +277,42 @@ object ScaleBench {
       t("star_q19_6m") {
         operators.ComposedQueries.bracketFilterCore(lineitemK, part).count()
       },
+      // Q4 at 10×: the correlated-inequality EXISTS semi join — one
+      // orderkey shuffle of two thin projections.
+      t("star_q4_semi_6m") {
+        operators.ComposedQueries.orderPriorityCore(lineitemK, ordersK).count()
+      },
+      // Q13 at 10×: orders pre-aggregated per custkey BEFORE the outer
+      // join with customer; count-distribution agg domain stays tiny.
+      t("star_q13_outer_6m") {
+        operators.ComposedQueries.custDistributionCore(ordersK, customerK).count()
+      },
+      // Q21 at 10×: per-order supplier profile + only-late-supplier
+      // join sharing the orderkey partitioning.
+      t("star_q21_profile_6m") {
+        operators.ComposedQueries.waitingSuppliersCore(
+          lineitemK, ordersK, supplierK).count()
+      },
+      // the band-join OPTIMIZER RULE at 1M events: the plain inequality
+      // join Spark would nested-loop (~200k × 200k compares at 10×)
+      // runs as the rewritten bucketed equi-join — same code path as
+      // the join_band_native oracle key, rule and all.
+      t("band_rule_1m") {
+        operators.JoinQueries.bandNativeCore(events).count()
+      },
+      // rolling 7-day distinct actives at 1M events: linear (user, day)
+      // dedup + bounded 7× expansion.
+      t("rolling_active_1m") {
+        operators.EventTimeQueries.rollingActiveCore(events).count()
+      },
+      // repetition diagnostics + BM25 at 10× (50k docs, full corpus):
+      // grouped gram counts and scan-filtered postings must stay linear.
+      t("repetition_50k_docs") {
+        operators.TextAnalysisQueries.repetitionCore(documents).count()
+      },
+      t("bm25_50k_docs") {
+        operators.TextAnalysisQueries.bm25Core(documents).count()
+      },
       // decontamination at 10× (50k docs, full — no doc_id bound): the
       // gram equi-join with the mod-7 eval side broadcast must stay
       // blocked (never all-pairs) as the corpus grows.

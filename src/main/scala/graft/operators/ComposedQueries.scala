@@ -398,20 +398,27 @@ object ComposedQueries extends QueryPack {
     * before the left-semi join's orderkey shuffle; the aggregate output
     * is 5 rows, all partial map-side.
     */
-  private def complexOrderPriority(s: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(s, dir)
+  /** The Q4 core, parameterized like [[regionalRevenueCore]] so
+    * ScaleBench's 10× run benchmarks the SAME plan as the oracle key.
+    * Unordered — callers add their own total order.
+    */
+  def orderPriorityCore(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val ord = orders
       .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
         col("o_orderdate") < to_timestamp(lit("1997-01-01")))
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    val li = lineitem.select(col("l_orderkey"), col("l_shipdate"))
     ord.join(li,
         col("o_orderkey") === col("l_orderkey") &&
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
         "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
-      .orderBy(col("o_orderpriority"))
   }
+
+  private def complexOrderPriority(s: SparkSession, dir: String): DataFrame =
+    orderPriorityCore(Tables.lineitem(s, dir), Tables.orders(s, dir))
+      .orderBy(col("o_orderpriority"))
 
   /** TPC-H-Q13-shaped: the distribution of per-customer order counts
     * (how many customers placed k orders), orders filtered by priority,
@@ -421,18 +428,25 @@ object ComposedQueries extends QueryPack {
     * per order, and the second aggregate's domain is tiny (distinct
     * counts), so it is all map-side partial.
     */
-  private def complexCustDistribution(s: SparkSession, dir: String): DataFrame = {
-    val oc = Tables.orders(s, dir)
+  /** The Q13 core, parameterized like [[regionalRevenueCore]] so
+    * ScaleBench's 10× run benchmarks the SAME plan as the oracle key.
+    * Unordered — callers add their own total order.
+    */
+  def custDistributionCore(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val oc = orders
       .filter(col("o_orderpriority") =!= "1-URGENT")
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("o_count"))
-    Tables.customer(s, dir).select(col("c_custkey"))
+    customer.select(col("c_custkey"))
       .join(oc, col("c_custkey") === col("o_custkey"), "left")
       .select(coalesce(col("o_count"), lit(0L)).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
-      .orderBy(desc("custdist"), desc("c_count"))
   }
+
+  private def complexCustDistribution(s: SparkSession, dir: String): DataFrame =
+    custDistributionCore(Tables.orders(s, dir), Tables.customer(s, dir))
+      .orderBy(desc("custdist"), desc("c_count"))
 
   /** TPC-H-Q17-shaped: revenue from small-quantity lines — lines whose
     * quantity is below half their part's average quantity, one brand.
@@ -472,11 +486,16 @@ object ComposedQueries extends QueryPack {
     * and the qualifying-line join (AQE reuses the partitioning); the
     * supplier dimension broadcasts; top-20 is TakeOrderedAndProject.
     */
-  private def complexWaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(s, dir)
+  /** The Q21 core, parameterized like [[regionalRevenueCore]] so
+    * ScaleBench's 10× run benchmarks the SAME plan as the oracle key.
+    * Unordered/unlimited — callers add their own total order + top-k.
+    */
+  def waitingSuppliersCore(lineitem: DataFrame, orders: DataFrame,
+                           supplier: DataFrame): DataFrame = {
+    val ord = orders
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val lo = Tables.lineitem(s, dir)
+    val lo = lineitem
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
@@ -487,16 +506,19 @@ object ComposedQueries extends QueryPack {
         countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .select(col("po_orderkey"))
-    val supp = broadcast(Tables.supplier(s, dir)
-      .select(col("s_suppkey"), col("s_name")))
+    val supp = broadcast(supplier.select(col("s_suppkey"), col("s_name")))
     lo.filter(col("late"))
       .join(perOrder, col("o_orderkey") === col("po_orderkey"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
+  }
+
+  private def complexWaitingSuppliers(s: SparkSession, dir: String): DataFrame =
+    waitingSuppliersCore(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.supplier(s, dir))
       .orderBy(desc("numwait"), asc("s_name"))
       .limit(20)
-  }
 
   /** TPC-H-Q22-shaped: per-nation count and balance of rich, inactive
     * customers — balance above the average positive balance of a nation

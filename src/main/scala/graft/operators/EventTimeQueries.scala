@@ -219,9 +219,9 @@ object EventTimeQueries extends QueryPack {
     * The observed-days broadcast join drops ghost days past the data's
     * edge (a window must END on an observed day to exist).
     */
-  private def evtRollingActive(s: SparkSession, dir: String): DataFrame = {
+  def rollingActiveCore(events: DataFrame): DataFrame = {
     val dayNs = 86400000000000L
-    val ud = Tables.events(s, dir)
+    val ud = events
       .select(col("user_id"), expr(s"ts DIV $dayNs").as("day"))
       .distinct()
     val days = ud.select(col("day")).distinct()
@@ -235,8 +235,10 @@ object EventTimeQueries extends QueryPack {
         countDistinct(col("user_id")).as("active_7d"),
         countDistinct(when(col("day0") === col("day"), col("user_id")))
           .as("active_1d"))
-      .orderBy(col("day"))
   }
+
+  private def evtRollingActive(s: SparkSession, dir: String): DataFrame =
+    rollingActiveCore(Tables.events(s, dir)).orderBy(col("day"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling" -> (evtTumbling _),

@@ -158,21 +158,23 @@ object JoinQueries extends QueryPack {
     * compare certifies the rewrite end-to-end (the secondary a_id<b_id
     * conjunct rides as a post-filter and must survive untouched).
     */
-  private def joinBandNative(s: SparkSession, dir: String): DataFrame = {
+  def bandNativeCore(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     if (!s.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
       s.experimental.extraOptimizations =
         graft.plans.BandJoinRewrite +: s.experimental.extraOptimizations
-    val ev = Tables.events(s, dir)
-    val a = ev.filter(col("event_type") === "click")
+    val a = events.filter(col("event_type") === "click")
       .select(col("event_id").as("a_id"),
         round(col("value") * 100).cast("long").as("a_c"))
-    val b = ev.filter(col("event_type") === "purchase")
+    val b = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("b_id"),
         round(col("value") * 100).cast("long").as("b_c"))
     a.join(b, abs(col("a_c") - col("b_c")) <= 10 && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), (col("a_c") - col("b_c")).as("delta_c"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  private def joinBandNative(s: SparkSession, dir: String): DataFrame =
+    bandNativeCore(Tables.events(s, dir)).orderBy(col("a_id"), col("b_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_band_native" -> (joinBandNative _),

@@ -245,8 +245,11 @@ object TextAnalysisQueries extends QueryPack {
     * of exact per-doc integers rounded once — bit-identical on both
     * engines.
     */
-  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), words.as("w"))
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    repetitionCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  def repetitionCore(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"), words.as("w"))
     val tokCounts = docs
       .select(col("doc_id"), explode_outer(col("w")).as("tok"))
       .filter(col("tok") =!= "")
@@ -270,7 +273,6 @@ object TextAnalysisQueries extends QueryPack {
         round(coalesce(
           (col("n_bi") - col("n_bi_distinct")).cast("double") / col("n_bi"),
           lit(0.0)), 4).as("dup_bigram_frac"))
-      .orderBy(col("doc_id"))
   }
 
   /** BM25 retrieval scoring (k1 = 1.2, b = 0.75) of the corpus against a
@@ -284,11 +286,16 @@ object TextAnalysisQueries extends QueryPack {
     * no floating addition ever depends on partition order; both engines
     * assemble identical doubles and round once.
     */
-  private def textBm25(s: SparkSession, dir: String): DataFrame = {
+  private def textBm25(s: SparkSession, dir: String): DataFrame =
+    bm25Core(Tables.documents(s, dir))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+
+  def bm25Core(documents: DataFrame): DataFrame = {
     val terms = Seq("join", "vector", "scan")
     val k1 = 1.2
     val b = 0.75
-    val docs = Tables.documents(s, dir).select(col("doc_id"), words.as("w"))
+    val docs = documents.select(col("doc_id"), words.as("w"))
     val dl = docs.select(col("doc_id"),
       size(filter(col("w"), w => w =!= "")).cast("long").as("dl"))
     val consts = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -320,8 +327,6 @@ object TextAnalysisQueries extends QueryPack {
       .select(col("doc_id"), col("n_terms_hit"),
         round(coalesce(col("w0"), lit(0.0)) + coalesce(col("w1"), lit(0.0)) +
           coalesce(col("w2"), lit(0.0)), 4).as("score"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(20)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
