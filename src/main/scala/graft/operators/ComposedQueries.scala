@@ -495,23 +495,33 @@ object ComposedQueries extends QueryPack {
     val ord = orders
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val lo = lineitem
+    // ONE pass over the joined fact: collapse straight to per-(order,
+    // supplier) late-line counts (map-side partial). Everything after —
+    // the order profile, the only-late-supplier filter, numwait itself
+    // (= Σ late lines of the single late supplier on qualifying orders)
+    // — derives from that collapsed table, so the fact is never
+    // re-joined and no multi-distinct Expand doubles it. (The first cut
+    // used two countDistincts and a second pass over the join for the
+    // late lines: 2× the fact traffic for the same answer.)
+    val perOrderSupp = lineitem
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .withColumn("late",
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
-    val perOrder = lo.groupBy(col("o_orderkey").as("po_orderkey"))
-      .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .groupBy(col("o_orderkey"), col("l_suppkey"))
+      .agg(sum(when(
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"), 1L)
+        .otherwise(0L)).as("n_late_lines"))
+    val qual = perOrderSupp
+      .groupBy(col("o_orderkey").as("po_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .select(col("po_orderkey"))
     val supp = broadcast(supplier.select(col("s_suppkey"), col("s_name")))
-    lo.filter(col("late"))
-      .join(perOrder, col("o_orderkey") === col("po_orderkey"))
+    perOrderSupp.filter(col("n_late_lines") > 0)
+      .join(qual, col("o_orderkey") === col("po_orderkey"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
   }
 
   private def complexWaitingSuppliers(s: SparkSession, dir: String): DataFrame =
