@@ -502,7 +502,13 @@ object ComposedQueries extends QueryPack {
     // — derives from that collapsed table, so the fact is never
     // re-joined and no multi-distinct Expand doubles it. (The first cut
     // used two countDistincts and a second pass over the join for the
-    // late lines: 2× the fact traffic for the same answer.)
+    // late lines: 2× the fact traffic for the same answer.) The LAZY
+    // localCheckpoint makes the single pass PHYSICAL: Spark does not
+    // CSE a DataFrame subtree referenced twice, so without it both
+    // consumers would re-scan and re-join the fact (plan-audited);
+    // checkpointing the narrow collapsed table — orders × suppliers
+    // per order, a fraction of the fact — is exactly what a 100 TB
+    // pipeline materializes. Lazy, so Bench still times the compute.
     val perOrderSupp = lineitem
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -510,6 +516,7 @@ object ComposedQueries extends QueryPack {
       .agg(sum(when(
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"), 1L)
         .otherwise(0L)).as("n_late_lines"))
+      .localCheckpoint(false)
     val qual = perOrderSupp
       .groupBy(col("o_orderkey").as("po_orderkey"))
       .agg(count(lit(1)).as("n_supp"),

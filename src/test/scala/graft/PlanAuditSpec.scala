@@ -157,6 +157,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 1, s"one (event_type, hour) shuffle expected, got $n")
   }
 
+  test("complex_waiting_suppliers scans the lineitem fact exactly once") {
+    // the whole point of the per-(order, supplier) collapse: profile,
+    // only-late-supplier filter, and numwait all derive from one pass.
+    // The collapsed table is localCheckpoint'ed, so the final plan must
+    // show ZERO parquet scans of the fact (the single scan lives in the
+    // checkpoint's lineage) and reference the materialized RDD instead —
+    // without the checkpoint Spark re-expands the subtree per consumer
+    // and the fact is scanned twice.
+    val p = finalPlanSection(plan("complex_waiting_suppliers"))
+    val liScans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(liScans == 0,
+      s"fact must come from the checkpointed collapse, got $liScans scans")
+    assert(p.contains("ExistingRDD"),
+      s"checkpointed collapsed table expected in plan: ${p.take(600)}")
+  }
+
+  test("evt_rolling_active broadcasts the observed-days table; no day-by-day self-join") {
+    val p = plan("evt_rolling_active")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the 7-day window must come from bounded expansion, not a range self-join")
+  }
+
+  test("agg_mode windows over the counts aggregate, never the fact") {
+    // row_number's sort must see one row per (flag, qty) — i.e. a
+    // HashAggregate below the Window in the same plan
+    val p = finalPlanSection(plan("agg_mode"))
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, p.take(400))
+    assert(p.contains("partial_count"), "fact-side partial aggregation expected")
+  }
+
   test("join_band_native plans a bucketed hash join, never a nested loop") {
     val p = plan("join_band_native")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
