@@ -300,6 +300,12 @@ object ScaleBench {
       t("band_rule_1m") {
         operators.JoinQueries.bandNativeCore(events).count()
       },
+      // the point-in-interval RULE at 1M events: ~200k attribution
+      // windows × ~200k clicks nested-loop in stock Spark; the
+      // IntervalJoinRewrite bucketed plan joins on the bin hash.
+      t("interval_rule_1m") {
+        operators.JoinQueries.intervalNativeCore(events).count()
+      },
       // rolling 7-day distinct actives at 1M events: linear (user, day)
       // dedup + bounded 7× expansion.
       t("rolling_active_1m") {

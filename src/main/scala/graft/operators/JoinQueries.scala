@@ -176,8 +176,42 @@ object JoinQueries extends QueryPack {
   private def joinBandNative(s: SparkSession, dir: String): DataFrame =
     bandNativeCore(Tables.events(s, dir)).orderBy(col("a_id"), col("b_id"))
 
+  /** Point-in-interval range join through the OPTIMIZER RULE
+    * (graft.plans.IntervalJoinRewrite): every purchase opens a 600 s
+    * attribution window [ts, ts+600]; count and sum (exact value-cents)
+    * the clicks landing in ANY window — deliberately no user equality,
+    * the shape stock Spark can only nested-loop. The rule buckets the
+    * click at floorDiv(sec, w) once and explodes the window to its
+    * covered buckets, so the join is a hash equi-join; DuckDB answers
+    * the plain inequality join and the hash compare certifies the
+    * rewrite end-to-end (the join_band_native pattern). Width = the
+    * window length: ≤2 probe rows per interval, the optimum for
+    * fixed-length windows.
+    */
+  def intervalNativeCore(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    if (!s.experimental.extraOptimizations.contains(graft.plans.IntervalJoinRewrite))
+      s.experimental.extraOptimizations =
+        graft.plans.IntervalJoinRewrite +: s.experimental.extraOptimizations
+    s.conf.set(graft.plans.IntervalJoinRewrite.widthKey, "600")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"),
+        expr("ts DIV 1000000000").as("lo"),
+        (expr("ts DIV 1000000000") + 600L).as("hi"))
+    val c = events.filter(col("event_type") === "click")
+      .select(expr("ts DIV 1000000000").as("pt"),
+        round(col("value") * 100).cast("long").as("c_cents"))
+    c.join(p, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("c_cents")).as("click_cents"))
+  }
+
+  private def joinIntervalNative(s: SparkSession, dir: String): DataFrame =
+    intervalNativeCore(Tables.events(s, dir)).orderBy(col("p_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_band_native" -> (joinBandNative _),
+    "join_interval_native" -> (joinIntervalNative _),
     "join_asof_native" -> (joinAsofNative _),
     "join_inner"       -> (joinInner _),
     "join_broadcast"   -> (joinBroadcast _),
@@ -242,6 +276,20 @@ object JoinQueries extends QueryPack {
         |SELECT a_id, b_id, a_c - b_c AS delta_c
         |FROM a JOIN b ON abs(a_c - b_c) <= 10 AND a_id < b_id
         |ORDER BY a_id, b_id""".stripMargin,
+    "join_interval_native" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id,
+        |         epoch_ns(ts) // 1000000000 AS lo,
+        |         epoch_ns(ts) // 1000000000 + 600 AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT epoch_ns(ts) // 1000000000 AS pt,
+        |         CAST(round(value * 100) AS BIGINT) AS c_cents
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p_id, count(*) AS n_clicks, CAST(sum(c_cents) AS BIGINT) AS click_cents
+        |FROM c JOIN p ON pt >= lo AND pt <= hi
+        |GROUP BY p_id
+        |ORDER BY p_id""".stripMargin,
     "join_asof" -> asofOracleSql,
     // identical oracle text on purpose (shared val): the two keys are
     // two implementations (composed window vs native merge operator) of

@@ -190,6 +190,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), "fact-side partial aggregation expected")
   }
 
+  test("join_interval_native plans a bucketed hash join, never a nested loop") {
+    val p = plan("join_interval_native")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IntervalJoinRewrite must have fired: ${p.take(800)}")
+    assert(p.contains("__iv_bucket"), s"bin-bucket key expected: ${p.take(600)}")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "per-window aggregation must partial-aggregate map-side")
+  }
+
   test("join_band_native plans a bucketed hash join, never a nested loop") {
     val p = plan("join_band_native")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
