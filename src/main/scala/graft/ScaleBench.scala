@@ -306,6 +306,11 @@ object ScaleBench {
       t("interval_rule_1m") {
         operators.JoinQueries.intervalNativeCore(events).count()
       },
+      // SCD2 dimension build at 1M events: change-collapse + validity
+      // intervals in one user_id shuffle shared by both windows.
+      t("scd2_1m") {
+        operators.ComposedQueries.scd2Core(events).count()
+      },
       // rolling 7-day distinct actives at 1M events: linear (user, day)
       // dedup + bounded 7× expansion.
       t("rolling_active_1m") {

@@ -564,6 +564,34 @@ object ComposedQueries extends QueryPack {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Type-2 slowly-changing-dimension build from an event stream — the
+    * warehouse ETL shape: each signup carries a value tier (exact
+    * integer cents DIV 5000); consecutive equal tiers collapse
+    * (change detection via lag), and each surviving change opens a
+    * validity interval closed by the NEXT change (lead), open-ended for
+    * the current row. Scale shape: ONE hash Exchange on user_id feeds
+    * both windows — the change filter preserves partitioning and sort
+    * order, so lag, filter, and lead share a single shuffle+sort
+    * (plan-audited). Per-user state never materializes anywhere except
+    * the sorted partition — the same shape at 1e9 users.
+    */
+  def scd2Core(events: DataFrame): DataFrame = {
+    val base = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), cents(col("value")).as("val_c"),
+        col("ts").as("tns"), col("event_id"))
+      .withColumn("tier", expr("val_c DIV 5000"))
+    val w = Window.partitionBy("user_id").orderBy(col("tns"), col("event_id"))
+    base.withColumn("prev", lag(col("tier"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("tier"))
+      .withColumn("valid_to_ns", lead(col("tns"), 1).over(w))
+      .select(col("user_id"), col("tier"),
+        expr("tns DIV 1000000000").as("valid_from_s"),
+        expr("valid_to_ns DIV 1000000000").as("valid_to_s"))
+  }
+
+  private def complexScd2(s: SparkSession, dir: String): DataFrame =
+    scd2Core(Tables.events(s, dir)).orderBy(col("user_id"), col("valid_from_s"))
+
   private def complexMarketShare(s: SparkSession, dir: String): DataFrame =
     marketShareCore(
       Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
@@ -588,7 +616,8 @@ object ComposedQueries extends QueryPack {
     "complex_cust_distribution" -> (complexCustDistribution _),
     "complex_small_qty_revenue" -> (complexSmallQtyRevenue _),
     "complex_waiting_suppliers" -> (complexWaitingSuppliers _),
-    "complex_sales_opportunity" -> (complexSalesOpportunity _))
+    "complex_sales_opportunity" -> (complexSalesOpportunity _),
+    "complex_scd2"             -> (complexScd2 _))
 
   val oracle: Map[String, String] = Map(
     "complex_big_orders" ->
@@ -845,5 +874,23 @@ object ComposedQueries extends QueryPack {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c.c_nationkey
-        |ORDER BY c.c_nationkey""".stripMargin)
+        |ORDER BY c.c_nationkey""".stripMargin,
+    "complex_scd2" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) // 5000 AS tier,
+        |    epoch_ns(ts) AS tns, event_id
+        |  FROM events WHERE event_type = 'signup'),
+        |chg AS (
+        |  SELECT user_id, tier, tns, event_id,
+        |    lag(tier) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+        |  FROM s),
+        |runs AS (
+        |  SELECT user_id, tier, tns, event_id FROM chg
+        |  WHERE prev IS NULL OR prev <> tier)
+        |SELECT user_id, tier,
+        |  tns // 1000000000 AS valid_from_s,
+        |  (lead(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)) // 1000000000 AS valid_to_s
+        |FROM runs
+        |ORDER BY user_id, valid_from_s""".stripMargin)
 }

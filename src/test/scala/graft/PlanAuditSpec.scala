@@ -190,6 +190,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), "fact-side partial aggregation expected")
   }
 
+  test("complex_scd2 shares one user_id shuffle across lag, filter, and lead") {
+    // the change filter preserves partitioning + sort, so both windows
+    // must ride a single Exchange (the other is the final ORDER BY)
+    val p = finalPlanSection(plan("complex_scd2"))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"one user_id shuffle expected, got $n: ${p.take(600)}")
+  }
+
   test("join_interval_native plans a bucketed hash join, never a nested loop") {
     val p = plan("join_interval_native")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
