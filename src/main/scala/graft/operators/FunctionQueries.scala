@@ -175,7 +175,36 @@ object FunctionQueries extends QueryPack {
         datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("days_since"))
       .orderBy(col("o_orderkey"))
 
+  /** MapType surface: build a word→length map from the first 5 distinct
+    * words, merge, filter, and transform it — all outputs are
+    * order-insensitive scalars (sizes, sums, a sorted-keys string, one
+    * lookup), because engines disagree on map iteration order and
+    * parquet MAP cells are unhashable in the driver compare. The oracle
+    * re-derives the same scalars with list functions: the oracle states
+    * SEMANTICS, the Spark side exercises map_from_arrays / map_concat /
+    * map_filter / transform_values / map_keys / map_values /
+    * element_at. All codegen'd expressions — no UDFs.
+    */
+  private def fnMap(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(slice(filter(split(col("text"), " "), w => w =!= ""), 1, 5)).as("w5"))
+      .select(
+        col("doc_id"),
+        map_from_arrays(col("w5"), transform(col("w5"), w => length(w))).as("m"))
+      .select(
+        col("doc_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        aggregate(map_values(col("m")), lit(0), (a, x) => a + x).cast("long").as("sum_len"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"),
+        element_at(col("m"), "the").cast("long").as("the_len"),
+        size(map_filter(col("m"), (k, v) => v > 3)).cast("long").as("n_long"),
+        aggregate(map_values(transform_values(col("m"), (k, v) => v * 2)),
+          lit(0), (a, x) => a + x).cast("long").as("sum_len_2x"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_map"            -> (fnMap _),
     "fn_hash"           -> (fnHash _),
     "fn_interval"       -> (fnInterval _),
     "fn_string"         -> (fnString _),
@@ -188,6 +217,20 @@ object FunctionQueries extends QueryPack {
     "explode_wordcount" -> (explodeWordcount _))
 
   val oracle: Map[String, String] = Map(
+    "fn_map" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 5)) AS w5
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(w5) AS BIGINT) AS n_keys,
+        |  CAST(list_sum(list_transform(w5, x -> length(x))) AS BIGINT) AS sum_len,
+        |  array_to_string(list_sort(w5), ',') AS keys_csv,
+        |  CAST(CASE WHEN list_contains(w5, 'the') THEN 3 END AS BIGINT) AS the_len,
+        |  CAST(length(list_filter(w5, x -> length(x) > 3)) AS BIGINT) AS n_long,
+        |  CAST(2 * list_sum(list_transform(w5, x -> length(x))) AS BIGINT) AS sum_len_2x
+        |FROM w
+        |ORDER BY doc_id""".stripMargin,
     "fn_interval" ->
       """SELECT o_orderkey,
         |  CAST(epoch(o_orderdate + INTERVAL 100 DAY) AS BIGINT) AS plus100d_s,
