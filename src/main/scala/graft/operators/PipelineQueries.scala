@@ -109,6 +109,31 @@ object PipelineQueries extends QueryPack {
       .limit(10)
   }
 
+  /** Int8 scalar quantization + integer dot-product top-k — the
+    * memory-bandwidth lever every 100 TB ANN system pulls (4× smaller
+    * vectors than float32, SIMD-friendly integer math). Quantizer:
+    * q = clamp(round(x · 256), ±int8) — 256 is a power of two, so the
+    * double multiply is EXACT and the only rounding is `round` itself,
+    * which both engines do half-away-from-zero; scores are integer
+    * sums (≤ 128²·64 per pair, far under 2^53), so ranking has zero
+    * float drift end-to-end. Same broadcast-probe shape as
+    * sim_cosine_topk: quantization is a scan-level transform, the
+    * probe is one row, and the top-k is TakeOrderedAndProject.
+    */
+  private def simQuantizedTopk(s: SparkSession, dir: String): DataFrame = {
+    def quant(c: Column): Column = transform(c, x =>
+      greatest(least(round(x.cast("double") * 256), lit(127.0)), lit(-128.0)).cast("int"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("q"))
+    val probe = emb.filter(col("vec_id") === 0).select(col("q").as("p"))
+    emb.crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("q"), col("p"), (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** Per-label centroid L2 norm — clustering-shaped reassembly via
     * posexplode → per-(label, position) mean → norm over positions.
     */
@@ -162,6 +187,7 @@ object PipelineQueries extends QueryPack {
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_components"   -> (dedupComponents _),
     "sim_cosine_topk"    -> (simCosineTopk _),
+    "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_label_centroid" -> (simLabelCentroid _),
     "text_lang_stats"    -> (textLangStats _),
     "text_tfidf_top"     -> (textTfidfTop _))
@@ -228,6 +254,19 @@ object PipelineQueries extends QueryPack {
         |SELECT vec_id, round(cos, 4) AS sim
         |FROM scored
         |ORDER BY sim DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "sim_quantized_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(greatest(least(round(CAST(x AS DOUBLE) * 256), 127), -128) AS INTEGER)) AS qv
+        |  FROM embeddings),
+        |probe AS (SELECT qv AS p FROM q WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(list_reduce(list_transform(list_zip(qv, p),
+        |    x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT)), (s, x) -> s + x) AS BIGINT) AS score
+        |FROM q, probe
+        |ORDER BY score DESC, vec_id ASC
         |LIMIT 10""".stripMargin,
     "sim_label_centroid" ->
       """WITH comps AS (

@@ -38,6 +38,18 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("sim_quantized_topk ranks the probe first and recalls most exact neighbors") {
+    val q = SparkEntry.queries("sim_quantized_topk")(spark, sf).collect()
+    assert(q.length == 10)
+    assert(q.head.getLong(0) == 0L, "the probe must be its own best match")
+    // int8 quantization should preserve the neighborhood: ≥7/10 overlap
+    // with the exact cosine top-10 (same probe, same corpus)
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val recall = q.map(_.getLong(0)).count(exact.contains)
+    assert(recall >= 7, s"quantized top-10 recalled only $recall/10 exact neighbors")
+  }
+
   test("text_chunk reassembles every document exactly") {
     import org.apache.spark.sql.functions._
     val chunks = SparkEntry.queries("text_chunk")(spark, sf).collect()
