@@ -84,6 +84,10 @@ object ScaleBench {
     val events = replicate(spark, src, "events", copies, Seq("event_id", "user_id"), out)
     val documents = replicate(spark, src, "documents", copies, Seq("doc_id"), out)
     val embeddings = replicate(spark, src, "embeddings", copies, Seq("vec_id"), out)
+    // the materialized int8 store (the ETL write): built on first use —
+    // i.e. inside the warm pass — so the timed pass probes it alone
+    lazy val quantizedStore =
+      operators.PipelineQueries.quantizeVectors(embeddings).localCheckpoint()
 
     // star-join corpus: one offset per KEY DOMAIN, maxed across every
     // table sharing it, so replicated facts join replicated dims
@@ -223,6 +227,27 @@ object ScaleBench {
       t("ann_lsh_topk_20k") {
         val probe = embeddings.filter(col("vec_id") === 0)
         pipeline.Similarity.annTopK(embeddings, probe, 10).count()
+      },
+      // int8-quantized brute force beside the float one: same corpus,
+      // same probe. End-to-end (quantize at scan + integer dot — the
+      // sim_quantized_topk key's exact plan) pays the transform each
+      // query; the deployment shape quantizes ONCE (the ETL write, 4×
+      // smaller on disk) and probes the materialized int8 table — the
+      // lazy val below materializes in the warm pass, so the timed pass
+      // measures the probe alone, like every post-ETL query would.
+      t("quantized_topk_20k") {
+        operators.PipelineQueries.quantizedTopkCore(embeddings).count()
+      },
+      t("quantized_probe_20k") {
+        operators.PipelineQueries.quantizedProbeTopk(quantizedStore).count()
+      },
+      t("float_brute_topk_20k") {
+        val probe = embeddings.filter(col("vec_id") === 0)
+          .select(col("embedding").as("probe"))
+        embeddings.crossJoin(broadcast(probe))
+          .select(col("vec_id"),
+            pipeline.Similarity.dot(col("embedding"), col("probe")).as("dp"))
+          .orderBy(desc("dp"), asc("vec_id")).limit(10).count()
       },
       // the IVF (k-means inverted file) scale path beside the sign-LSH
       // one: build once per timing pass (fit cost is part of the story),

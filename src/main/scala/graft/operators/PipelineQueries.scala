@@ -120,19 +120,31 @@ object PipelineQueries extends QueryPack {
     * sim_cosine_topk: quantization is a scan-level transform, the
     * probe is one row, and the top-k is TakeOrderedAndProject.
     */
-  private def simQuantizedTopk(s: SparkSession, dir: String): DataFrame = {
-    def quant(c: Column): Column = transform(c, x =>
-      greatest(least(round(x.cast("double") * 256), lit(127.0)), lit(-128.0)).cast("int"))
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), quant(col("embedding")).as("q"))
-    val probe = emb.filter(col("vec_id") === 0).select(col("q").as("p"))
-    emb.crossJoin(broadcast(probe))
+  /** Quantize once (the ETL write in a real deployment — int8 vectors
+    * are what lands on disk, 4× smaller than float32).
+    */
+  def quantizeVectors(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        greatest(least(round(x.cast("double") * 256), lit(127.0)), lit(-128.0)).cast("int"))
+        .as("q"))
+
+  /** Probe the quantized table: integer dot + top-k, zero float drift. */
+  def quantizedProbeTopk(quantized: DataFrame): DataFrame = {
+    val probe = quantized.filter(col("vec_id") === 0).select(col("q").as("p"))
+    quantized.crossJoin(broadcast(probe))
       .select(col("vec_id"),
         aggregate(zip_with(col("q"), col("p"), (a, b) => (a * b).cast("long")),
           lit(0L), (acc, x) => acc + x).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
   }
+
+  def quantizedTopkCore(embeddings: DataFrame): DataFrame =
+    quantizedProbeTopk(quantizeVectors(embeddings))
+
+  private def simQuantizedTopk(s: SparkSession, dir: String): DataFrame =
+    quantizedTopkCore(Tables.embeddings(s, dir))
 
   /** Per-label centroid L2 norm — clustering-shaped reassembly via
     * posexplode → per-(label, position) mean → norm over positions.
