@@ -336,6 +336,12 @@ object ScaleBench {
       t("scd2_1m") {
         operators.ComposedQueries.scd2Core(events).count()
       },
+      // global epoch shuffle at 10× (50k docs): the bucketed global
+      // rank — 256 parallel windows + a broadcast offset table, never a
+      // single-partition sort of the corpus.
+      t("shuffle_order_50k") {
+        operators.SamplingQueries.shuffleOrderCore(documents).count()
+      },
       // rolling 7-day distinct actives at 1M events: linear (user, day)
       // dedup + bounded 7× expansion.
       t("rolling_active_1m") {

@@ -56,7 +56,41 @@ object SamplingQueries extends QueryPack {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic global training shuffle: every doc gets its position
+    * in the md5-ordered permutation — the epoch shuffle of a training
+    * pipeline, reproducible across engines, runs, and layouts.
+    *
+    * The SCALABLE global rank: a global `row_number() OVER (ORDER BY h)`
+    * is a single-partition window — the classic 100 TB killer. Instead,
+    * bucket by the hash's first hex byte (a PREFIX of the sort key, so
+    * bucket order ≡ hash order), rank inside each bucket in parallel,
+    * and add per-bucket offsets from a 256-row cumulative table (its
+    * window is over the tiny aggregate, never the corpus). Positions
+    * are identical to the naive global window by construction; the
+    * oracle states the naive form and the hash compare certifies the
+    * decomposition.
+    */
+  def shuffleOrderCore(documents: DataFrame): DataFrame = {
+    val h = documents
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val offsets = h.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .orderBy("bucket")) - col("n"))
+      .select(col("bucket").as("ob"), col("off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+    h.join(broadcast(offsets), col("bucket") === col("ob"))
+      .select(col("doc_id"),
+        (row_number().over(w).cast("long") + col("off")).as("pos"))
+  }
+
+  private def sampleShuffle(s: SparkSession, dir: String): DataFrame =
+    shuffleOrderCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_shuffle"    -> (sampleShuffle _),
     "sample_hash"       -> (sampleHash _),
     "sample_stratified" -> (sampleStratified _),
     "sample_split"      -> (sampleSplit _),
@@ -65,6 +99,11 @@ object SamplingQueries extends QueryPack {
   // 0x-prefixed hex cast = Spark's conv(hex, 16, 10); thresholds are
   // round(fraction * 65536)
   val oracle: Map[String, String] = Map(
+    "sample_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "sample_hash" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents

@@ -190,6 +190,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), "fact-side partial aggregation expected")
   }
 
+  test("sample_shuffle ranks inside hash buckets — never a single-partition window") {
+    // the corpus-sized window must partition by bucket; only the
+    // 256-row offset table may see an unpartitioned window
+    val p = finalPlanSection(plan("sample_shuffle"))
+    assert(p.contains("hashpartitioning(bucket"),
+      s"corpus window must shuffle on the hash bucket: ${p.take(600)}")
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 1, s"only the tiny offset table may single-partition, got $single")
+  }
+
   test("complex_scd2 shares one user_id shuffle across lag, filter, and lead") {
     // the change filter preserves partitioning + sort, so both windows
     // must ride a single Exchange (the other is the final ORDER BY)
