@@ -318,6 +318,23 @@ object ScaleBench {
         operators.ComposedQueries.waitingSuppliersCore(
           lineitemK, ordersK, supplierK).count()
       },
+      // Q9 at 10×: the part filter shrinks the fact before the orderkey
+      // shuffle; profit stays exact-integer end-to-end.
+      t("star_q9_profit_6m") {
+        operators.ComposedQueries.productProfitCore(
+          lineitemK, ordersK, part, supplierK, nation).count()
+      },
+      // Q15 at 10×: per-supplier quarter revenue + scalar-max filter —
+      // the whole reduction is two tiny aggregates over one fact scan.
+      t("star_q15_top_6m") {
+        operators.ComposedQueries.topSupplierCore(lineitemK, supplierK).count()
+      },
+      // Q16 at 10×: the distinct (partkey, suppkey) pre-shrink is the
+      // fact pass; anti + broadcast dims after.
+      t("star_q16_variety_6m") {
+        operators.ComposedQueries.supplierVarietyCore(
+          lineitemK, part, supplierK).count()
+      },
       // the band-join OPTIMIZER RULE at 1M events: the plain inequality
       // join Spark would nested-loop (~200k × 200k compares at 10×)
       // runs as the rewritten bucketed equi-join — same code path as

@@ -564,6 +564,91 @@ object ComposedQueries extends QueryPack {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H-Q9-shaped (adapted — no partsupp table, so unit cost is the
+    * part's retail price): product-line profit per (supplier nation,
+    * order year) for parts with "red" in the name. Profit is exact
+    * integers end-to-end: revenue cents − cost cents × integral
+    * quantity. Scale shape: the name-filtered part dim (≈13%)
+    * broadcasts and shrinks the fact BEFORE the orderkey shuffle —
+    * lineitem⋈orders is the only fact-fact exchange; supplier and
+    * nation broadcast; ≤ nations × years groups, all map-side partial.
+    */
+  def productProfitCore(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+                        supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val redParts = part.filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("unit_cost_c"))
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"),
+      round(col("l_quantity")).cast("long").as("qty"))
+    val ord = orders.select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"))
+    li.join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("rev_c") - col("unit_cost_c") * col("qty")).as("profit_c"))
+  }
+
+  private def complexProductProfit(s: SparkSession, dir: String): DataFrame =
+    productProfitCore(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.part(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))
+      .orderBy(col("n_name"), col("o_year"))
+
+  /** TPC-H-Q15-shaped: the supplier(s) with the maximum revenue over one
+    * quarter — the revenue-equals-scalar-max pattern. The per-supplier
+    * aggregate is tiny (one row per supplier, map-side partial); the max
+    * is ONE row broadcast back as a filter; the supplier dim broadcasts
+    * for the name. No window, no global sort — ties all surface, exact
+    * integer cents make "equal to max" deterministic.
+    */
+  def topSupplierCore(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_c"))
+    val mx = rev.agg(max(col("rev_c")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_c") === col("mx"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_c"))
+  }
+
+  private def complexTopSupplier(s: SparkSession, dir: String): DataFrame =
+    topSupplierCore(Tables.lineitem(s, dir), Tables.supplier(s, dir))
+      .orderBy(col("s_suppkey"))
+
+  /** TPC-H-Q16-shaped (adapted — the part-supplier relation is the
+    * DISTINCT (l_partkey, l_suppkey) pairs; the excluded-supplier set is
+    * the negative-balance suppliers): how many distinct suppliers can
+    * deliver each surviving (brand, type, size) combination, excluded
+    * suppliers anti-joined out. Scale shape: the pair distinct
+    * pre-shrinks the fact once on (partkey, suppkey); the ~6-row
+    * exclusion list broadcasts as an anti join; the filtered part dim
+    * broadcasts; count-distinct runs two-level on a tiny group domain.
+    */
+  def supplierVarietyCore(lineitem: DataFrame, part: DataFrame,
+                          supplier: DataFrame): DataFrame = {
+    val ps = lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excluded = supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val pf = part.filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 14, 21))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    ps.join(excluded, ps("l_suppkey") === excluded("s_suppkey"), "left_anti")
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  private def complexSupplierVariety(s: SparkSession, dir: String): DataFrame =
+    supplierVarietyCore(Tables.lineitem(s, dir), Tables.part(s, dir),
+      Tables.supplier(s, dir))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+
   /** Type-2 slowly-changing-dimension build from an event stream — the
     * warehouse ETL shape: each signup carries a value tier (exact
     * integer cents DIV 5000); consecutive equal tiers collapse
@@ -617,7 +702,10 @@ object ComposedQueries extends QueryPack {
     "complex_small_qty_revenue" -> (complexSmallQtyRevenue _),
     "complex_waiting_suppliers" -> (complexWaitingSuppliers _),
     "complex_sales_opportunity" -> (complexSalesOpportunity _),
-    "complex_scd2"             -> (complexScd2 _))
+    "complex_scd2"             -> (complexScd2 _),
+    "complex_product_profit"   -> (complexProductProfit _),
+    "complex_top_supplier"     -> (complexTopSupplier _),
+    "complex_supplier_variety" -> (complexSupplierVariety _))
 
   val oracle: Map[String, String] = Map(
     "complex_big_orders" ->
@@ -892,5 +980,40 @@ object ComposedQueries extends QueryPack {
         |  tns // 1000000000 AS valid_from_s,
         |  (lead(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)) // 1000000000 AS valid_to_s
         |FROM runs
-        |ORDER BY user_id, valid_from_s""".stripMargin)
+        |ORDER BY user_id, valid_from_s""".stripMargin,
+    "complex_product_profit" ->
+      """SELECT n_name,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |           - CAST(round(p_retailprice * 100) AS BIGINT)
+        |             * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS profit_c
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year""".stripMargin,
+    "complex_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rev_c
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_c = (SELECT max(rev_c) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "complex_supplier_variety" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 14, 21)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
 }

@@ -190,6 +190,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), "fact-side partial aggregation expected")
   }
 
+  test("complex_product_profit broadcasts all three dims; one fact-fact exchange") {
+    // the name-filtered part must shrink the fact BEFORE the orderkey
+    // shuffle: ≥3 broadcast joins, and the only wide exchanges are the
+    // orderkey join and the (nation, year) aggregate
+    val p = finalPlanSection(plan("complex_product_profit"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(600))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"expected ≤2 hash exchanges (orderkey join + agg), got $n")
+  }
+
   test("sample_shuffle ranks inside hash buckets — never a single-partition window") {
     // the corpus-sized window must partition by bucket; only the
     // 256-row offset table may see an unpartitioned window

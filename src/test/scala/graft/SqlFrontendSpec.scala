@@ -41,7 +41,9 @@ class SqlFrontendSpec extends SparkSpec {
     "complex_market_share",
     "complex_order_priority", "complex_cust_distribution",
     "complex_small_qty_revenue", "complex_waiting_suppliers",
-    "complex_sales_opportunity", "agg_mode", "join_band_native")
+    "complex_sales_opportunity", "agg_mode", "join_band_native",
+    "complex_product_profit", "complex_top_supplier",
+    "complex_supplier_variety")
 
   private def registerViews(): Unit = {
     // before any events read: its ts is TIMESTAMP(NANOS) in parquet
