@@ -13,16 +13,19 @@ object Bench {
   /** Renders the two stdout lines: (per-query map line, compact total line).
     * Failed queries (negative sentinel) are listed by name and EXCLUDED from
     * the total — a -1 folded into the sum would make a broken round look
-    * faster. The total line stays short and bounded (first 10 failure names
+    * faster. The total line stays short and bounded (up to 30 failure names
     * plus a "failed_n" count — a 98-failure round must not grow the line
-    * past the driver's fixed-size stdout tail) and is printed LAST.
+    * past the driver's fixed-size stdout tail; past 30 the list ends with
+    * "..." so a reader can SEE it is truncated rather than reconcile it
+    * against failed_n) and is printed LAST.
     */
   def render(results: Seq[(String, Double)], sfDir: String): (String, String) = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failedJson = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = (failed.take(30) ++ (if (failed.size > 30) Seq("...") else Nil))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Locale.ROOT: under a comma-decimal default locale f"%.3f" would emit
     // "30,868" — invalid JSON — and silently break the driver's tail parse.
     val totalStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))

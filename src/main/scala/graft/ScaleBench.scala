@@ -81,7 +81,8 @@ object ScaleBench {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val lineitem = replicate(spark, src, "lineitem", copies, Seq("l_orderkey"), out)
-    val events = replicate(spark, src, "events", copies, Seq("event_id", "user_id"), out)
+    val events = Tables.normalizeEventsTs(
+      replicate(spark, src, "events", copies, Seq("event_id", "user_id"), out))
     val documents = replicate(spark, src, "documents", copies, Seq("doc_id"), out)
     val embeddings = replicate(spark, src, "embeddings", copies, Seq("vec_id"), out)
     // the materialized int8 store (the ETL write): built on first use —

@@ -27,17 +27,14 @@ object Tables {
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
       .computeIfAbsent(s"$dir/$name.parquet", p => spark.read.parquet(p))
 
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    * read as a timestamp. Read it as a raw ns-since-epoch long instead and
-    * expose `ts_utc` (µs precision, exact integer division — no float
-    * noise) alongside. Oracle queries must still never emit raw ns
-    * (SURVEY.md §7.5): derive second-granular values from `ts_utc`/`ts`.
+  /** `events` with a real timestamp column `ts_utc` (µs precision)
+    * alongside the canonical ns-long `ts`. Oracle queries must still never
+    * emit raw ns (SURVEY.md §7.5): derive second-granular values from
+    * `ts_utc`/`ts`.
     */
-  def eventsTs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+  def eventsTs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
       .withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -46,10 +43,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** Canonical events reader: `ts` is ALWAYS ns-since-epoch BIGINT here,
+    * whatever the parquet physical type. The corpus has shipped as both
+    * TIMESTAMP(NANOS) (Spark 4 refuses to read it as a timestamp; the
+    * legacy flag surfaces it as a raw ns long) and TIMESTAMP(MICROS)
+    * (reads as TimestampType; `unix_micros × 1000` is exact integer
+    * math). Every downstream operator does exact integer-ns arithmetic
+    * on `ts`, so normalizing once at the reader keeps all bucket/gap/
+    * interval math engine-stable (SURVEY.md §7.5.4) across generations.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    normalizeEventsTs(table(s, d, "events"))
   }
+
+  /** Normalize an events frame so `ts` is ns-since-epoch BIGINT whatever
+    * the physical type it was read as (nanos-as-long passes through;
+    * timestamp types convert via exact integer `unix_micros × 1000`).
+    * Parquet written by pandas/arrow surfaces as TIMESTAMP_NTZ, which
+    * `unix_micros` rejects — the NTZ→LTZ cast interprets the wall time
+    * in the session zone, so UTC is pinned here (it is already every
+    * entry point's setting; the oracle reads the same naive µs values
+    * as-is, i.e. as UTC). Shared by the catalog reader above and
+    * ScaleBench's replicated corpus reader.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts AS timestamp)) * 1000"))
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

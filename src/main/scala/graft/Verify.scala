@@ -17,6 +17,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev convenience (mirrors Bench): SPARK_GRAFT_ONLY=k1,k2 dumps just
     // those keys; the driver never sets it, so its runs dump everything
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (n, _) => EnvOnly.keep(n) }
       .foreach { case (name, fn) =>
@@ -24,6 +25,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +43,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A key that THROWS must not vanish from the round's correctness
+    // picture (an all-pass report over the surviving keys overstates
+    // coverage — round-6 advice): dump an explicit failure manifest
+    // beside the parquet so any downstream compare can surface the gap,
+    // and exit non-zero so the run itself is visibly broken.
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
     spark.stop()
+    // rc stays 0 either way: the driver must still DuckDB-compare the
+    // keys that DID dump — the manifest, not the exit code, carries the
+    // failure signal.
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} key(s) FAILED: " +
+        failures.keys.mkString(", "))
   }
 }

@@ -30,15 +30,25 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(totalLine.startsWith("""{"metric":"total""""))
   }
 
-  test("an all-failed round keeps the total line bounded: 10 names + a count") {
+  test("an all-failed round keeps the total line bounded: 30 names + a count") {
     val many = (1 to 98).map(i => f"very_long_query_name_$i%03d" -> -1.0)
     val (_, totalLine) = Bench.render(many, "/root/testdata/sf0.1")
     assert(totalLine.contains("\"failed_n\":98"))
-    // only the first 10 names are listed, so the line cannot approach the
-    // driver's 2000-char tail window no matter how many queries break
-    assert(totalLine.contains("very_long_query_name_010"))
-    assert(!totalLine.contains("very_long_query_name_011"))
-    assert(totalLine.length <= 500, s"total line too long: ${totalLine.length}")
+    // only the first 30 names are listed (with an explicit "..." marker),
+    // so the line cannot approach the driver's 2000-char tail window no
+    // matter how many queries break
+    assert(totalLine.contains("very_long_query_name_030"))
+    assert(!totalLine.contains("very_long_query_name_031"))
+    assert(totalLine.contains("\"...\""))
+    assert(totalLine.length <= 1100, s"total line too long: ${totalLine.length}")
+  }
+
+  test("a realistic failure count lists every name: failed matches failed_n") {
+    val many = (1 to 13).map(i => f"broken_$i%02d" -> -1.0) ++ Seq("q_ok" -> 0.5)
+    val (_, totalLine) = Bench.render(many, "/root/testdata/sf0.1")
+    assert(totalLine.contains("\"failed_n\":13"))
+    (1 to 13).foreach(i => assert(totalLine.contains(f"broken_$i%02d")))
+    assert(!totalLine.contains("\"...\""))
   }
 
   test("total formatting is locale-independent") {
