@@ -360,6 +360,17 @@ object ScaleBench {
       t("shuffle_order_50k") {
         operators.SamplingQueries.shuffleOrderCore(documents).count()
       },
+      // greedy token-budget selection: the bucketed global prefix sum —
+      // parallelism = #(n_chars DIV 64) buckets, never one partition
+      t("token_budget_50k_docs") {
+        operators.SamplingQueries.tokenBudgetCore(documents).count()
+      },
+      // temperature mixing: two tiny aggregates + broadcast membership
+      // filter — expect scan-bound flatness
+      t("temperature_mix_50k_docs") {
+        pipeline.Sampling.temperature(documents, col("lang"), col("doc_id"), 0.5)
+          .count()
+      },
       // rolling 7-day distinct actives at 1M events: linear (user, day)
       // dedup + bounded 7× expansion.
       t("rolling_active_1m") {

@@ -684,7 +684,31 @@ object ComposedQueries extends QueryPack {
       Tables.part(s, dir))
       .orderBy(col("o_year"))
 
+  /** TPC-H-Q6-shaped: forecast revenue — the pure scan-bound
+    * filter+aggregate, the query whose whole cost is how little the scan
+    * reads. Scale shape: the shipdate range pushes to the parquet scan
+    * (row-group pruning on a date-sorted layout), the projection is 3
+    * columns, and the answer is ONE partial-aggregated row — no shuffle
+    * moves data, only the 1-row partials. Discount matches on exact
+    * integer percent (the stored double rounds identically in both
+    * engines); revenue = Σ cents·pct is exact integer 10⁻⁴-dollars.
+    */
+  def forecastRevenueCore(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_quantity") < 24)
+      .select((cents(col("l_extendedprice")) *
+        round(col("l_discount") * 100).cast("long")).as("rev_cp"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"))
+      .filter(col("disc_pct").between(5, 7))
+      .agg(sum(col("rev_cp")).as("revenue_cp"), count(lit(1)).as("n_lines"))
+
+  private def complexForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    forecastRevenueCore(Tables.lineitem(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_forecast_revenue" -> (complexForecastRevenue _),
     "complex_big_orders"       -> (complexBigOrders _),
     "complex_top_revenue"      -> (complexTopRevenue _),
     "complex_regional_revenue" -> (complexRegionalRevenue _),
@@ -833,6 +857,16 @@ object ComposedQueries extends QueryPack {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |ORDER BY revenue_c DESC, c_custkey ASC
         |LIMIT 20""".stripMargin,
+    "complex_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cp,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 24
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin,
     "complex_promo_share" ->
       """SELECT
         |  CAST(sum(CASE WHEN p.p_type = 'PROMO'

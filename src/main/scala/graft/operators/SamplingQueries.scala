@@ -89,7 +89,62 @@ object SamplingQueries extends QueryPack {
   private def sampleShuffle(s: SparkSession, dir: String): DataFrame =
     shuffleOrderCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
+  /** Temperature-reweighted language mixing (T = 2, target half the
+    * corpus): the corpus is en-heavy, so flattening keeps low-resource
+    * languages at a visibly higher acceptance rate than English — the
+    * standard multilingual rebalancing step. Delegates to
+    * `Sampling.temperature`; membership is data-derived but still a pure
+    * integer-exact function of (doc_id, per-lang counts), so DuckDB
+    * replays it bit-for-bit.
+    */
+  private def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperature(Tables.documents(s, dir),
+        col("lang"), col("doc_id"), 0.5)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Greedy corpus selection under a global token budget — the data-
+    * selection step of training-set construction: rank docs best-first
+    * and keep the prefix whose cumulative size fits the budget (here
+    * 40% of total chars; chars stand in for tokens — the corpus has no
+    * tokenizer column — and "best" is longest-first with doc_id ties).
+    *
+    * The SCALABLE global prefix sum: a naive `sum() OVER (ORDER BY …)`
+    * is a single-partition window. Instead rows bucket by `n_chars DIV
+    * 64` — a range bucketing of the SORT KEY itself, so bucket-descending
+    * order is exactly global order (equal keys can't split across
+    * buckets; the sample_shuffle hex-prefix trick, generalized to a
+    * numeric key) — cumulate inside each bucket in parallel, and re-base
+    * with per-bucket offsets from a tiny windowed aggregate. Membership
+    * is the exact-integer cross-multiply `cum·5 ≤ total·2` — no float
+    * division. The oracle states the naive single-window form; the hash
+    * compare certifies the decomposition (the ScalableWindows
+    * discipline, applied to corpus selection).
+    */
+  def tokenBudgetCore(documents: DataFrame): DataFrame = {
+    val d = documents.select(col("doc_id"), col("n_chars"))
+      .withColumn("bucket", expr("n_chars DIV 64"))
+    val tot = d.agg(sum(col("n_chars")).as("total_chars"))
+    val offsets = d.groupBy("bucket").agg(sum(col("n_chars")).as("bsum"))
+      .withColumn("off",
+        sum(col("bsum")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("bucket"))) - col("bsum"))
+      .select(col("bucket").as("ob"), col("off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(desc("n_chars"), col("doc_id"))
+    d.join(broadcast(offsets), col("bucket") === col("ob"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("n_chars")).over(w) + col("off"))
+      .filter(col("cum") * 5 <= col("total_chars") * 2)
+      .select(col("doc_id"), col("n_chars"), col("cum"))
+  }
+
+  private def sampleTokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_token_budget" -> (sampleTokenBudget _),
+    "sample_temperature" -> (sampleTemperature _),
     "sample_shuffle"    -> (sampleShuffle _),
     "sample_hash"       -> (sampleHash _),
     "sample_stratified" -> (sampleStratified _),
@@ -99,6 +154,31 @@ object SamplingQueries extends QueryPack {
   // 0x-prefixed hex cast = Spark's conv(hex, 16, 10); thresholds are
   // round(fraction * 65536)
   val oracle: Map[String, String] = Map(
+    "sample_token_budget" ->
+      """WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |           FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT doc_id, n_chars, cum
+        |FROM r CROSS JOIN t
+        |WHERE cum * 5 <= total_chars * 2
+        |ORDER BY doc_id""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot,
+        |             CAST(sum(w) AS BIGINT) AS sw FROM c)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN c USING (lang) CROSS JOIN t
+        |WHERE CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INTEGER) AS HUGEINT)
+        |        * t.sw * c.n
+        |      < CAST(round(t.ntot * 0.5) AS HUGEINT) * c.w * 65536
+        |ORDER BY d.doc_id""".stripMargin,
     "sample_shuffle" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos

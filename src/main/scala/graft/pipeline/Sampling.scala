@@ -64,6 +64,38 @@ object Sampling {
     df.filter(hash16(key) * lit(weightCap) < weight.cast("long") * lit(65536L))
   }
 
+  /** Deterministic TEMPERATURE-reweighted stratum mixing (T = 2): the
+    * multilingual corpus-balancing step — sample so each stratum's share
+    * moves from proportional (∝ n_s) toward uniform, keeping low-resource
+    * strata at a higher rate. Stratum weight w_s = ⌊√n_s⌋ (n^(1/T));
+    * expected take from stratum s is `target·N · w_s/Σw`, so row
+    * membership is `hash16·Σw·n_s < M·w_s·65536` with M = round(target·N)
+    * — ALL integer cross-multiplication (the weighted-Bernoulli trick,
+    * lifted to data-derived per-stratum rates). ⌊√n⌋ is engine-exact:
+    * IEEE sqrt is correctly rounded, so on an integer-valued double it
+    * cannot straddle the floor boundary. The products are done in
+    * decimal(38,0) — at 10¹² rows a BIGINT would overflow
+    * (65535·N·n_s ≈ 10²⁸) but 38 digits hold to ~10¹⁶ rows. Acceptance
+    * self-caps at 1: h < 65536 always, so when M·w_s ≥ Σw·n_s every row
+    * passes. Two tiny broadcast joins (strata counts + one totals row)
+    * on top of a scan-level filter — nothing shuffles the corpus.
+    */
+  def temperature(df: DataFrame, stratum: Column, key: Column,
+                  targetFraction: Double): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      "targetFraction must be in (0,1]")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+    val tot = counts.agg(sum(col("__n")).as("__ntot"), sum(col("__w")).as("__sw"))
+    df.join(broadcast(counts), stratum === col("__stratum"))
+      .crossJoin(broadcast(tot))
+      .filter(dec(hash16(key)) * col("__sw") * col("__n") <
+        dec(round(col("__ntot") * lit(targetFraction))) * col("__w") * lit(65536L))
+      .drop("__stratum", "__n", "__w", "__ntot", "__sw")
+  }
+
   /** Deterministic train/val/test assignment by hash16 range. Fractions
     * are cumulative cut points in [0,1], e.g. (0.8, 0.9) → 80/10/10.
     * Membership is a pure function of the key: re-running over a grown

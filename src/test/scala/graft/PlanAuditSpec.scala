@@ -236,6 +236,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__band_bucket"), p.take(800))
   }
 
+  test("complex_forecast_revenue pushes the shipdate range to the scan; one 1-row agg") {
+    val p = plan("complex_forecast_revenue")
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_shipdate")),
+      s"shipdate range must reach the parquet scan: ${p.take(600)}")
+    assert(p.contains("partial_"), "1-row answer must partial-aggregate map-side")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"Q6 reads 4 columns, not the fact width: $readSchema")
+  }
+
+  test("sample_temperature joins only via broadcast — the corpus never sort-merges") {
+    val p = plan("sample_temperature")
+    val finalSection = finalPlanSection(p)
+    // corpus rows reach the filter through broadcast joins (stratum
+    // counts + the 1-row totals); the only hash exchanges in the plan
+    // carry per-stratum COUNT partials (≤ #strata rows per partition),
+    // never corpus rows — at 100 TB the wide side is scan+filter only
+    assert(!finalSection.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against the tiny sides: ${finalSection.take(800)}")
+    assert("BroadcastExchange".r.findAllIn(finalSection).nonEmpty, finalSection.take(800))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(hashExchanges <= 2,
+      s"only the two stratum-count partial aggs may hash-exchange: ${finalSection.take(800)}")
+  }
+
+  test("sample_token_budget cumulates inside buckets — never a single-partition window") {
+    val p = plan("sample_token_budget")
+    val finalSection = finalPlanSection(p)
+    // the corpus window must partition by the bucket; the only
+    // SinglePartition exchange allowed feeds the tiny per-bucket offsets
+    // window (#buckets rows), mirroring the sample_shuffle audit
+    assert(finalSection.contains("hashpartitioning(bucket"),
+      s"corpus window must run per bucket: ${finalSection.take(800)}")
+    val corpusWindowSingle = finalSection.linesIterator
+      .exists(l => l.contains("Window") && l.contains("n_chars") &&
+        l.contains("doc_id") && !l.contains("bucket"))
+    assert(!corpusWindowSingle,
+      s"found a corpus-wide window not keyed by bucket: ${finalSection.take(800)}")
+  }
+
+  test("dedup_incremental intersects via the word equi-join, never batch×corpus") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"),
+      s"batch and corpus tokens must equi-join on the word: ${p.take(800)}")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "intersection counts must partial-aggregate map-side")
+  }
+
   test("whole-stage codegen covers the scalar function packs (no UDF opacity)") {
     Seq("fn_string", "fn_math", "fn_conditional", "project_expr").foreach { q =>
       val p = plan(q)

@@ -65,6 +65,48 @@ class SamplingSpec extends SparkSpec {
       s"keep rate $rate should track mean weight ratio $ratio")
   }
 
+  test("temperature mixing flattens: low-resource strata keep a higher rate") {
+    val kept = Sampling.temperature(docs, col("lang"), col("doc_id"), 0.5)
+    // per-lang acceptance rates: en (the head) must be kept at a strictly
+    // lower rate than the rarest lang — the point of T=2 flattening
+    val rates = kept.groupBy("lang").count()
+      .join(docs.groupBy("lang").agg(count(lit(1)).as("n")), "lang")
+      .select(col("lang"), (col("count") / col("n")).as("rate"), col("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val (headLang, _) = rates.maxBy(_._2._2)
+    val (tailLang, _) = rates.minBy(_._2._2)
+    assert(rates(headLang)._1 < rates(tailLang)._1,
+      s"head $headLang must be downweighted vs tail $tailLang: $rates")
+    // overall mass lands near the target (loose band: per-stratum
+    // rounding + hash granularity)
+    val rate = kept.count().toDouble / docs.count()
+    assert(rate > 0.35 && rate < 0.65, s"target 0.5, got $rate")
+    // membership stays key-pure under repartitioning (the df.sample()
+    // failure mode); extent-purity does NOT hold here by design — the
+    // rates themselves derive from the corpus counts
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperature(docs.repartition(11), col("lang"), col("doc_id"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "membership must not depend on partitioning")
+  }
+
+  test("token-budget selection equals the naive global-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val got = operators.SamplingQueries.tokenBudgetCore(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val total = docs.agg(sum(col("n_chars"))).head.getLong(0)
+    val naive = docs
+      .withColumn("cum", sum(col("n_chars")).over(
+        Window.orderBy(desc("n_chars"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") * 5 <= lit(total) * 2)
+      .select(col("doc_id"), col("cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == naive,
+      s"bucketed prefix sum must match the naive window: ${got.size} vs ${naive.size} rows")
+    assert(got.nonEmpty, "the 40% budget must select a non-empty prefix")
+  }
+
   test("split assigns every row exactly one bucket with ~80/10/10 mass") {
     val counts = docs.withColumn("split", Sampling.split(col("doc_id"), 0.8, 0.9))
       .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -43,7 +43,8 @@ class SqlFrontendSpec extends SparkSpec {
     "complex_small_qty_revenue", "complex_waiting_suppliers",
     "complex_sales_opportunity", "agg_mode", "join_band_native",
     "complex_product_profit", "complex_top_supplier",
-    "complex_supplier_variety")
+    "complex_supplier_variety",
+    "complex_forecast_revenue", "sample_token_budget")
 
   private def registerViews(): Unit = {
     // before any events read: its ts is TIMESTAMP(NANOS) in parquet
