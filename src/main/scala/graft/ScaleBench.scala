@@ -371,6 +371,18 @@ object ScaleBench {
         pipeline.Sampling.temperature(documents, col("lang"), col("doc_id"), 0.5)
           .count()
       },
+      // incremental dedup at scale: the batch half against the corpus
+      // half via exact-collapse + banded-LSH blocking (the
+      // dedup_incremental key's scale twin — candidates by bucket
+      // co-occurrence over UNIQUE texts; the uncollapsed form is c² in
+      // the copy count and unusable on this replicated corpus)
+      t("incremental_dedup_50k_docs") {
+        val split = documents.agg(expr("(max(doc_id)+1) DIV 2")).head.getLong(0)
+        pipeline.Dedup.incrementalBestMatchCollapsed(
+          documents.filter(col("doc_id") >= split),
+          documents.filter(col("doc_id") < split),
+          "doc_id", "text", 0.8).count()
+      },
       // rolling 7-day distinct actives at 1M events: linear (user, day)
       // dedup + bounded 7× expansion.
       t("rolling_active_1m") {

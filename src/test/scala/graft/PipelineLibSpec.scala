@@ -29,6 +29,55 @@ class PipelineLibSpec extends SparkSpec {
       s"missing ${exactPairs.diff(found)}")
   }
 
+  test("Dedup.incrementalBestMatch: sound matches, full recall on exact dups") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.1")
+    val split = d.agg(expr("(max(doc_id)+1) DIV 2")).head.getLong(0)
+    val corpus = d.filter(col("doc_id") < split)
+    val batch = d.filter(col("doc_id") >= split)
+    val got = Dedup.incrementalBestMatch(batch, corpus, "doc_id", "text", 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // soundness: every reported match really is a ≥0.99-Jaccard pair
+    // (exact confirm is part of the operator, so spot-check the texts)
+    val texts = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (n, o) =>
+      val (tn, to) = (texts(n).split(" ").toSet, texts(o).split(" ").toSet)
+      val jac = tn.intersect(to).size.toDouble / tn.union(to).size
+      assert(jac >= 0.99, s"$n -> $o reported but jaccard $jac")
+    }
+    // recall on sure things: a batch doc whose text appears verbatim in
+    // the corpus collides in every band, so it MUST be matched
+    val exactCross = batch.select(col("text"), col("doc_id").as("n"))
+      .join(corpus.select(col("text"), col("doc_id").as("o")), "text")
+      .select("n").distinct().collect().map(_.getLong(0)).toSet
+    assert(exactCross.nonEmpty, "sf0.1 contains cross-split duplicate texts")
+    assert(exactCross.subsetOf(got.keySet),
+      s"missing exact-dup matches for ${exactCross.diff(got.keySet)}")
+  }
+
+  test("Dedup.incrementalBestMatchCollapsed equals the uncollapsed form") {
+    // sf0.1 has verbatim duplicate texts, so the collapse is exercised
+    // for real (reps < docs) and must change nothing in the output
+    val d = Tables.documents(spark, "/root/testdata/sf0.1")
+    val split = d.agg(expr("(max(doc_id)+1) DIV 2")).head.getLong(0)
+    val corpus = d.filter(col("doc_id") < split)
+    val batch = d.filter(col("doc_id") >= split)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), math.round(r.getDouble(2) * 1e9)))).toMap
+    val direct = toMap(Dedup.incrementalBestMatch(batch, corpus, "doc_id", "text", 0.8))
+    val collapsed = toMap(Dedup.incrementalBestMatchCollapsed(batch, corpus, "doc_id", "text", 0.8))
+    assert(corpus.select("text").distinct().count() < corpus.count() ||
+      batch.select("text").distinct().count() < batch.count(),
+      "collapse must actually shrink a side for this test to bite")
+    assert(collapsed == direct, {
+      val onlyD = direct.keySet.diff(collapsed.keySet)
+      val onlyC = collapsed.keySet.diff(direct.keySet)
+      val diff = direct.keySet.intersect(collapsed.keySet)
+        .filter(k => direct(k) != collapsed(k)).take(5)
+      s"only-direct=$onlyD only-collapsed=$onlyC differing=$diff"
+    })
+  }
+
   test("Dedup.simhash: identical texts get identical fingerprints") {
     val fp = Dedup.simhash(docs.limit(50), "doc_id", "text")
     assert(fp.count() == 50)
