@@ -32,6 +32,32 @@ class TablesContractSpec extends SparkSpec {
     assert(bad == 0, s"$bad rows where ts_utc drifts from ts")
   }
 
+  test("every table still carries the columns the operators compile against") {
+    // drift guard: the driver regenerates testdata between rounds (the
+    // round-6 ts-type flip broke 13 keys) — fail HERE, by table, rather
+    // than in 131 scattered key errors, when a regen renames or drops a
+    // column the packs depend on
+    val required = Map(
+      "region"    -> Seq("r_regionkey", "r_name"),
+      "nation"    -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer"  -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      "supplier"  -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part"      -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      "orders"    -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"),
+      "lineitem"  -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"),
+      "events"    -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    val missing = required.flatMap { case (t, cols) =>
+      val have = Tables.table(spark, sf, t).columns.toSet
+      cols.filterNot(have).map(c => s"$t.$c")
+    }
+    assert(missing.isEmpty, s"testdata drift — missing columns: $missing")
+  }
+
   test("normalizeEventsTs is identity on an already-long ts and exact on timestamps") {
     import spark.implicits._
     val longDf = Seq((1L, 1700000000123456789L)).toDF("event_id", "ts")
