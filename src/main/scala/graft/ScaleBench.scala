@@ -431,6 +431,44 @@ object ScaleBench {
           wide.filter(col("lat").isNotNull), Seq("boat_id"))
         marine.Races.replayDocsByKey(races, Seq("boat_id"),
           Seq("lat", "lon", "sog", "tws", "twa", "vmg")).count()
+      },
+      // streaming dedup-on-ingest throughput: 100k synthetic docs
+      // (20k template families of ~5 near-dup members — controlled dup
+      // density, NOT the replicated corpus whose copies² candidates
+      // degenerate any pairwise confirm) streamed through the real file
+      // source into DedupStream; wall covers ingest + LSH state +
+      // candidate emission to a noop sink. Family-SPECIFIC tokens must
+      // dominate each doc (6 of 7 here): tokens shared by every doc
+      // would win most minhash components and collapse the whole corpus
+      // into one bucket, degenerating per-bucket matching to O(n²)
+      // (measured: a 4-shared-token variant ran >15 min)
+      t("stream_dedup_ingest_100k") {
+        import spark.implicits._
+        val n = 100000L
+        val dir = s"$out/stream_docs_v2"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+          spark.range(n).select(
+            col("id").as("doc_id"),
+            expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"),
+            concat_ws(" ",
+              (0 until 6).map(i =>
+                concat(lit(s"t${i}_"), pmod(col("id"), lit(20000L)))) :+
+                concat(lit("salt"), col("id")): _*).as("text"))
+            .coalesce(8).write.mode("overwrite").parquet(dir)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("stream-dedup-ckpt").toString
+        val src = spark.readStream
+          .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+          .option("maxFilesPerTrigger", 2)
+          .parquet(dir)
+          .as[graft.streaming.StreamDoc]
+        val q = graft.streaming.DedupStream.matches(src, 0.5)
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        n
       })
 
     // SPARK_GRAFT_ONLY=star_q5_6m,band_join_1m runs a subset (dev
