@@ -46,32 +46,38 @@ object Tables {
   /** Canonical events reader: `ts` is ALWAYS ns-since-epoch BIGINT here,
     * whatever the parquet physical type. The corpus has shipped as both
     * TIMESTAMP(NANOS) (Spark 4 refuses to read it as a timestamp; the
-    * legacy flag surfaces it as a raw ns long) and TIMESTAMP(MICROS)
-    * (reads as TimestampType; `unix_micros × 1000` is exact integer
-    * math). Every downstream operator does exact integer-ns arithmetic
-    * on `ts`, so normalizing once at the reader keeps all bucket/gap/
-    * interval math engine-stable (SURVEY.md §7.5.4) across generations.
+    * legacy flag `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it
+    * as a raw ns long — set it AT SESSION CONSTRUCTION, as every entry
+    * point here does; this reader is pure and mutates no session state)
+    * and TIMESTAMP(MICROS) (reads as TimestampType; `unix_micros × 1000`
+    * is exact integer math). Every downstream operator does exact
+    * integer-ns arithmetic on `ts`, so normalizing once at the reader
+    * keeps all bucket/gap/interval math engine-stable (SURVEY.md §7.5.4)
+    * across generations.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     normalizeEventsTs(table(s, d, "events"))
-  }
 
   /** Normalize an events frame so `ts` is ns-since-epoch BIGINT whatever
     * the physical type it was read as (nanos-as-long passes through;
     * timestamp types convert via exact integer `unix_micros × 1000`).
     * Parquet written by pandas/arrow surfaces as TIMESTAMP_NTZ, which
     * `unix_micros` rejects — the NTZ→LTZ cast interprets the wall time
-    * in the session zone, so UTC is pinned here (it is already every
-    * entry point's setting; the oracle reads the same naive µs values
-    * as-is, i.e. as UTC). Shared by the catalog reader above and
-    * ScaleBench's replicated corpus reader.
+    * in the session zone, so the session zone MUST be UTC (the oracle
+    * reads the same naive µs values as-is, i.e. as UTC). This is
+    * asserted, not set: a reader must not mutate global session state
+    * (round-6 advice). Every entry point (Bench/Verify/ScaleBench/
+    * SparkSpec) pins UTC in its builder. Shared by the catalog reader
+    * above and ScaleBench's replicated corpus reader.
     */
   def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
       case _ =>
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts normalization interprets NTZ wall times in the session zone; " +
+          s"need spark.sql.session.timeZone=UTC at session construction, got '$tz'")
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr(
             "unix_micros(cast(ts AS timestamp)) * 1000"))

@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // set at construction (not inside Tables.events — readers are pure):
+      // lets a NANOS-typed events parquet read as the canonical ns long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,8 +49,7 @@ object Verify {
     // A key that THROWS must not vanish from the round's correctness
     // picture (an all-pass report over the surviving keys overstates
     // coverage — round-6 advice): dump an explicit failure manifest
-    // beside the parquet so any downstream compare can surface the gap,
-    // and exit non-zero so the run itself is visibly broken.
+    // beside the parquet so any downstream compare can surface the gap.
     val failJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)

@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct non-empty whitespace tokens — THE tokenization for every
+  /** Distinct non-empty single-space tokens — THE tokenization for every
     * signature and for the Jaccard confirm (one definition, so the
-    * LSH-candidate/confirm contract cannot desynchronize).
+    * LSH-candidate/confirm contract cannot desynchronize). The literal
+    * single-space split deliberately matches the oracle twins
+    * (`string_split(text, ' ')` in DuckDB SQL) and
+    * `streaming/DedupStream.tokensOf` — round-6 advice flagged that a
+    * `\s+` regex here would silently desynchronize the batch scale path
+    * from its certified twins on text containing tabs/newlines/double
+    * spaces. Change all three together or none.
     */
   private def tokensOf(textCol: Column): Column =
-    filter(array_distinct(split(textCol, "\\s+")), t => t =!= "")
+    filter(array_distinct(split(textCol, " ")), t => t =!= "")
 
   /** Exact dedup, deterministic survivor (min id): one hash-partitioned
     * aggregate keyed by the text. (A hash-only shuffle with in-group
@@ -211,7 +217,7 @@ object Dedup {
     * Returns (idCol, simhash BIGINT).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode_outer(split(col(textCol), "\\s+")).as("tok"))
+    df.select(col(idCol), explode_outer(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("h", xxhash64(col("tok")))
       .select(col(idCol), col("h"), explode_outer(sequence(lit(0), lit(63))).as("j"))

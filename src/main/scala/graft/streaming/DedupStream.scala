@@ -107,9 +107,16 @@ object DedupStream {
     import docs.sparkSession.implicits._
     docs
       // fan out BEFORE the watermark: the tag must sit on a top-level
-      // column of the dataset that reaches the stateful operator
-      .flatMap(d => bandKeys(d.text, k, bands)
-        .map(b => BucketDoc(b, d.doc_id, d.ts, d.text)))
+      // column of the dataset that reaches the stateful operator.
+      // Token-less docs (empty/whitespace text) are dropped here: they
+      // all share the identical all-MinValue signature, so indexing them
+      // would funnel every empty doc into the same band buckets — O(n²)
+      // state and pairwise work for zero possible emissions (jaccard is
+      // NaN, never ≥ threshold). Dropping them changes no output.
+      .flatMap(d =>
+        if (tokensOf(d.text).isEmpty) Nil
+        else bandKeys(d.text, k, bands)
+          .map(b => BucketDoc(b, d.doc_id, d.ts, d.text)))
       .withWatermark("ts", watermark)
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[DedupBucketState, BucketMatch](
