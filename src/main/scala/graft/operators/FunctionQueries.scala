@@ -203,7 +203,37 @@ object FunctionQueries extends QueryPack {
           lit(0), (a, x) => a + x).cast("long").as("sum_len_2x"))
       .orderBy(col("doc_id"))
 
+  /** Nested-type emission, certified end-to-end through the driver's
+    * compare (round-7 probe). RAW nested cells cannot pass that gate:
+    * the driver sorts rows with pandas `sort_values` before hashing, and
+    * both ndarray (ARRAY) and dict (STRUCT) cells are unorderable there
+    * — probed directly this round and pinned in tools/preflight.py's
+    * rejection. So nested values are certified through their canonical
+    * JSON serialization instead: per-user event digest as a SORTED array
+    * of (event_type, cnt) structs, plus the same entries as a map. Both
+    * engines render compact JSON with keys in struct-field/entry order,
+    * so the pre-agg (making event_type unique per user) + explicit sort
+    * give one deterministic byte string.
+    *
+    * Scale shape: two keyed hash aggregates (partial map-side combine on
+    * (user_id, event_type), then per-user collect of ≤ |event types|
+    * entries) — no window, no single partition; digest size is bounded
+    * by event-type cardinality, not event count.
+    */
+  private def nestedEventDigest(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(
+        to_json(array_sort(collect_list(struct(col("event_type"), col("cnt")))))
+          .as("digest"),
+        to_json(map_from_entries(array_sort(collect_list(
+          struct(col("event_type").as("key"), col("cnt").as("value")))))).as("type_counts"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nested_event_digest" -> (nestedEventDigest _),
     "fn_map"            -> (fnMap _),
     "fn_hash"           -> (fnHash _),
     "fn_interval"       -> (fnInterval _),
@@ -217,6 +247,16 @@ object FunctionQueries extends QueryPack {
     "explode_wordcount" -> (explodeWordcount _))
 
   val oracle: Map[String, String] = Map(
+    "nested_event_digest" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  to_json(list_sort(list(struct_pack(event_type := event_type, cnt := cnt)))) AS digest,
+        |  to_json(map_from_entries(list_sort(list(struct_pack(k := event_type, v := cnt))))) AS type_counts
+        |FROM c
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "fn_map" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -68,10 +68,15 @@ def main():
             continue
         # The driver sorts rows with pandas sort_values over every column
         # before hashing; list/array cells are unhashable there and crash
-        # the compare (fn_array, round 1). Reject them outright — checking
-        # every row, since a null first row would mask a later list cell.
+        # the compare (fn_array, round 1), and dict cells (STRUCT columns)
+        # are unorderable the same way (probed round 7: TypeError "'<' not
+        # supported between instances of 'dict'"). Reject both outright —
+        # checking every row, since a null first row would mask a later
+        # nested cell. Nested values must go through JSON serialization
+        # (see nested_event_digest).
         def is_listy(v):
-            return isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+            return (isinstance(v, (list, tuple, dict))
+                    or type(v).__name__ == "ndarray")
         bad_cols = [c for df in (duck, spark) for c in df.columns
                     if len(df) and df[c].map(is_listy).any()]
         if bad_cols:
