@@ -203,6 +203,34 @@ object FunctionQueries extends QueryPack {
           lit(0), (a, x) => a + x).cast("long").as("sum_len_2x"))
       .orderBy(col("doc_id"))
 
+  /** The regex function family — regexp_replace / regexp_extract_all /
+    * regexp_count / rlike / LIKE-with-escape / regex split — on part
+    * names. Every pattern is restricted to the RE2 ∩ java.util.regex
+    * common subset (character classes, anchors, \b, alternation): no
+    * backreferences or lookaround, which RE2 (DuckDB's engine) rejects.
+    * Cross-engine traps pinned here: DuckDB regexp_replace needs the 'g'
+    * flag to match Spark's replace-ALL default, DuckDB's array_to_string
+    * on an EMPTY list is NULL (string_agg semantics) where Spark's
+    * array_join is '' (oracle coalesces), and booleans are cast to
+    * BIGINT to stay in the well-tested scalar compare space. extract_all
+    * emits through array_join (nested cells cannot pass the compare —
+    * see nestedEventDigest). Pure per-row projection: codegen'd, scan-
+    * bound, no shuffle.
+    */
+  private def fnRegex(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("masked"),
+        regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels"),
+        array_join(regexp_extract_all(col("p_name"), lit("\\b[aeiou][a-z]*"), lit(0)), ",")
+          .as("vowel_words"),
+        col("p_name").rlike("^[b-d]").cast("long").as("starts_bcd"),
+        expr("replace(p_name, ' ', '_') LIKE '%!_%' ESCAPE '!'").cast("long").as("multi_word"),
+        regexp_replace(col("p_brand"), "[0-9]", "#").as("brand_masked"),
+        size(split(col("p_name"), "\\s+")).cast("long").as("n_words"))
+      .orderBy(col("p_partkey"))
+
   /** Nested-type emission, certified end-to-end through the driver's
     * compare (round-7 probe). RAW nested cells cannot pass that gate:
     * the driver sorts rows with pandas `sort_values` before hashing, and
@@ -234,6 +262,7 @@ object FunctionQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nested_event_digest" -> (nestedEventDigest _),
+    "fn_regex"          -> (fnRegex _),
     "fn_map"            -> (fnMap _),
     "fn_hash"           -> (fnHash _),
     "fn_interval"       -> (fnInterval _),
@@ -247,6 +276,17 @@ object FunctionQueries extends QueryPack {
     "explode_wordcount" -> (explodeWordcount _))
 
   val oracle: Map[String, String] = Map(
+    "fn_regex" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS masked,
+        |  CAST(length(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+        |  coalesce(array_to_string(regexp_extract_all(p_name, '\b[aeiou][a-z]*'), ','), '') AS vowel_words,
+        |  CAST(regexp_matches(p_name, '^[b-d]') AS BIGINT) AS starts_bcd,
+        |  CAST(replace(p_name, ' ', '_') LIKE '%!_%' ESCAPE '!' AS BIGINT) AS multi_word,
+        |  regexp_replace(p_brand, '[0-9]', '#', 'g') AS brand_masked,
+        |  CAST(length(regexp_split_to_array(p_name, '\s+')) AS BIGINT) AS n_words
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
     "nested_event_digest" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS cnt
