@@ -1,0 +1,442 @@
+package graft
+
+/** Spark-dialect SQL twins for the oracle keys whose DuckDB oracle text
+  * is NOT ANSI-portable (DuckDB `//`, `list_*`/`string_split` list math,
+  * `quantile_cont`, in-args `IGNORE NULLS`, `epoch_ns`, hex-literal
+  * casts). The engine's primary surface is the DataFrame API; for a
+  * SQL-first user this object is the certified path to those operators:
+  * each entry runs through `spark.sql` over the canonical table views
+  * (with `events.ts` normalized to ns-BIGINT, the Tables contract) and
+  * returns exactly the rows and column names of the corresponding
+  * `SparkEntry.queries` plan. SqlFrontendSpec asserts that equivalence
+  * for every entry; together with the ~70 keys whose DuckDB oracle text
+  * already runs unmodified on Spark, the SQL surface covers 100+ of the
+  * oracle inventory.
+  *
+  * Dialect mapping notes (DuckDB → Spark), pinned once here:
+  *  - `//` integer division → `DIV`
+  *  - `string_split`/`list_*` → `split`/`filter`/`transform`/`aggregate`
+  *    higher-order functions (1-based `element_at`, `slice`)
+  *  - `CAST('0x'||h AS INT)` hex decode → `conv(h, 16, 10)`
+  *  - `quantile_cont(x, q) OVER w` → `percentile(x, q) OVER w`
+  *  - in-args `IGNORE NULLS` (`lag(x IGNORE NULLS)`) → postfix
+  *    `lag(x) IGNORE NULLS OVER w`
+  *  - `epoch_ns(ts)` → `ts` itself (the view already carries ns BIGINT)
+  *  - `unnest(range(a, b))` → `explode(sequence(a, b - 1))`
+  *  - HUGEINT cross-multiplies → DECIMAL(38,0)
+  */
+object SqlTwins {
+
+  private val stopEn = "'the','and','of','to','in'"
+  private def hits(list: String) =
+    s"CAST(size(filter(split(text, ' '), w -> w IN ($list))) AS BIGINT)"
+
+  val sql: Map[String, String] = Map(
+    // ---- §2.3 subqueries: DuckDB `//` → DIV ----
+    "subq_scalar_uncorr" ->
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    * (SELECT count(*) FROM orders) * 10000
+        |    DIV (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) FROM orders)
+        |    AS ratio_bp
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // ---- §2.4 aggregation ----
+    "agg_string" ->
+      """SELECT c_nationkey,
+        |  array_join(array_sort(collect_list(c_name)), ',') AS names,
+        |  count(*) AS n
+        |FROM customer
+        |WHERE c_custkey < 50
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "agg_median" ->
+      """SELECT event_type,
+        |  round(percentile(value, 0.25), 4) AS q25,
+        |  round(percentile(value, 0.5), 4) AS q50,
+        |  round(percentile(value, 0.75), 4) AS q75
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "agg_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |g AS (
+        |  SELECT cents DIV 2500000 AS bucket, count(*) AS n_orders,
+        |    sum(cents) AS sum_cents, min(cents) AS min_cents, max(cents) AS max_cents
+        |  FROM b GROUP BY cents DIV 2500000)
+        |SELECT bucket, bucket * 25000 AS bucket_lo_usd,
+        |  n_orders, sum_cents, min_cents, max_cents
+        |FROM g
+        |ORDER BY bucket""".stripMargin,
+
+    // ---- §2.5 windows ----
+    "win_nth_value" ->
+      """SELECT c_nationkey, c_custkey,
+        |  nth_value(c_acctbal, 2) OVER w AS second_best,
+        |  lag(CASE WHEN c_acctbal > 0 THEN c_acctbal END, 1) IGNORE NULLS OVER w AS prev_pos_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id, 1) OVER w AS prev_id,
+        |  lead(event_id, 1) OVER w AS next_id,
+        |  (ts - lag(ts, 1) OVER w) DIV 1000000000 AS gap_s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "win_rolling_median" ->
+      """SELECT event_type, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS v_c,
+        |  percentile(CAST(round(value * 100) AS BIGINT), 0.5)
+        |    OVER (PARTITION BY event_type ORDER BY event_id
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_c
+        |FROM events
+        |ORDER BY event_type, event_id""".stripMargin,
+    // identical text to win_rolling_median: same answer, and the DataFrame
+    // twin is the scalable plan
+    "win_rolling_median_scalable" ->
+      """SELECT event_type, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS v_c,
+        |  percentile(CAST(round(value * 100) AS BIGINT), 0.5)
+        |    OVER (PARTITION BY event_type ORDER BY event_id
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_c
+        |FROM events
+        |ORDER BY event_type, event_id""".stripMargin,
+    "win_fill_forward" ->
+      """SELECT user_id, event_id,
+        |  last(CASE WHEN event_type = 'click' THEN value END) IGNORE NULLS OVER w AS last_click,
+        |  first(CASE WHEN event_type = 'purchase' THEN value END) IGNORE NULLS OVER w AS first_purchase
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // ---- §2.7 scalar functions / generators ----
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  substring(p_name, 1, 4) AS name4,
+        |  upper(p_name) AS name_up,
+        |  lower(p_type) AS type_lo,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  trim(concat('  ', p_name, '  ')) AS name_trim,
+        |  regexp_replace(p_name, ' ', '_') AS name_us,
+        |  lpad(CAST(p_size AS STRING), 4, '0') AS size_pad,
+        |  element_at(split(p_name, ' '), 1) AS first_word,
+        |  CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT) AS brand_no,
+        |  CAST(instr(p_name, 'e') AS BIGINT) AS e_pos
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd') AS month_start,
+        |  datediff(to_date(o_orderdate), to_date('1995-01-01')) AS days_since,
+        |  date_format(date_add(to_date(o_orderdate), 30), 'yyyy-MM-dd') AS due_date,
+        |  CAST(weekday(o_orderdate) + 1 AS BIGINT) AS isodow,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  unix_timestamp(o_orderdate) AS epoch_s
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT event_id,
+        |  round(abs(value - 100.0), 2) AS abs_dev,
+        |  CAST(floor(value) AS BIGINT) AS flr,
+        |  CAST(ceil(value) AS BIGINT) AS cl,
+        |  round(sqrt(value), 6) AS sq,
+        |  round(pow(value, 2), 4) AS p2,
+        |  round(ln(value + 1.0), 6) AS ln1p,
+        |  round(log10(value + 1.0), 6) AS lg,
+        |  round(value % 7.0D, 2) AS m7,
+        |  CAST(signum(value - 100.0) AS INT) AS sgn,
+        |  round(sin(radians(value)), 6) AS sn,
+        |  round(cos(radians(value)), 6) AS cs,
+        |  round(atan2(value, 100.0), 6) AS at2,
+        |  round(degrees(atan2(value, 100.0)), 4) AS at2d
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  array_contains(split(text, ' '), 'the') AS has_the,
+        |  CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  concat_ws(',', slice(sort_array(split(text, ' ')), 1, 3)) AS first3_sorted,
+        |  CAST(size(filter(split(text, ' '), w -> length(w) > 5)) AS BIGINT) AS n_long,
+        |  CAST(aggregate(transform(split(text, ' '), w -> length(w)), 0,
+        |    (acc, x) -> acc + x) AS BIGINT) AS total_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(get_json_object(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  get_json_object(props, '$.missing') IS NULL AS no_miss
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT event_id,
+        |  event_id & 255 AS b_and,
+        |  event_id | 4096 AS b_or,
+        |  event_id ^ user_id AS b_xor,
+        |  shiftleft(event_id, 3) AS shl,
+        |  shiftright(event_id, 2) AS shr,
+        |  CAST(bit_count(event_id) AS BIGINT) AS nbits
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "fn_hash" ->
+      """SELECT doc_id,
+        |  md5(text) AS h_md5,
+        |  sha2(text, 256) AS h_sha256,
+        |  substring(md5(concat(lang, '|', source)), 1, 8) AS h_part
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "fn_interval" ->
+      """SELECT o_orderkey,
+        |  unix_timestamp(o_orderdate + INTERVAL '100' DAY) AS plus100d_s,
+        |  unix_timestamp(o_orderdate + INTERVAL '3' MONTH) AS plus3mo_s,
+        |  unix_timestamp(date_trunc('month', o_orderdate)
+        |    + INTERVAL '1' MONTH - INTERVAL '1' DAY) AS month_end_s,
+        |  CAST(datediff(to_date(o_orderdate), '1995-01-01') AS BIGINT) AS days_since
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "fn_map" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    array_distinct(slice(filter(split(text, ' '), x -> x != ''), 1, 5)) AS w5
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    map_from_arrays(w5, transform(w5, x -> length(x))) AS m
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(size(m) AS BIGINT) AS n_keys,
+        |  CAST(aggregate(map_values(m), 0, (a, x) -> a + x) AS BIGINT) AS sum_len,
+        |  concat_ws(',', array_sort(map_keys(m))) AS keys_csv,
+        |  CAST(element_at(m, 'the') AS BIGINT) AS the_len,
+        |  CAST(size(map_filter(m, (k, v) -> v > 3)) AS BIGINT) AS n_long,
+        |  CAST(aggregate(map_values(transform_values(m, (k, v) -> v * 2)), 0,
+        |    (a, x) -> a + x) AS BIGINT) AS sum_len_2x
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+    "fn_regex" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '*') AS masked,
+        |  CAST(regexp_count(p_name, '[aeiou]') AS BIGINT) AS n_vowels,
+        |  array_join(regexp_extract_all(p_name, '\\b[aeiou][a-z]*', 0), ',') AS vowel_words,
+        |  CAST(p_name RLIKE '^[b-d]' AS BIGINT) AS starts_bcd,
+        |  CAST(replace(p_name, ' ', '_') LIKE '%!_%' ESCAPE '!' AS BIGINT) AS multi_word,
+        |  regexp_replace(p_brand, '[0-9]', '#') AS brand_masked,
+        |  CAST(size(split(p_name, '\\s+')) AS BIGINT) AS n_words
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "explode_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT explode(split(text, ' ')) AS word FROM documents) t
+        |WHERE word != ''
+        |GROUP BY word
+        |ORDER BY n DESC, word ASC
+        |LIMIT 100""".stripMargin,
+    "nested_event_digest" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  to_json(array_sort(collect_list(struct(event_type, cnt)))) AS digest,
+        |  to_json(map_from_entries(array_sort(collect_list(
+        |    named_struct('key', event_type, 'value', cnt))))) AS type_counts
+        |FROM c
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // ---- §2.8 event-time (ts is ns BIGINT on the canonical view) ----
+    "evt_tumbling" ->
+      """SELECT (ts DIV 3600000000000) * 3600 AS wstart_s, event_type,
+        |  count(*) AS n,
+        |  CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c
+        |FROM events
+        |GROUP BY ts DIV 3600000000000, event_type
+        |ORDER BY wstart_s, event_type""".stripMargin,
+    "evt_sliding" ->
+      """SELECT wstart_s, event_type, count(*) AS n
+        |FROM (
+        |  SELECT explode(array((ts DIV 1800000000000 - 1) * 1800,
+        |                       (ts DIV 1800000000000) * 1800)) AS wstart_s,
+        |         event_type
+        |  FROM events) t
+        |GROUP BY wstart_s, event_type
+        |ORDER BY wstart_s, event_type""".stripMargin,
+    "evt_ohlc" ->
+      """WITH r AS (
+        |  SELECT event_type, ts DIV 3600000000000 AS hour, value,
+        |    row_number() OVER (PARTITION BY event_type, ts DIV 3600000000000
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, ts DIV 3600000000000
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, hour,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM r
+        |GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin,
+    "evt_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, ts DIV 86400000000000 AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |ex AS (
+        |  SELECT ud.user_id, ud.day AS day0, ud.day + g.o AS day
+        |  FROM ud CROSS JOIN (SELECT explode(sequence(0, 6)) AS o) g)
+        |SELECT ex.day,
+        |  count(DISTINCT ex.user_id) AS active_7d,
+        |  count(DISTINCT CASE WHEN ex.day0 = ex.day THEN ex.user_id END) AS active_1d
+        |FROM ex
+        |JOIN days d ON ex.day = d.day
+        |GROUP BY ex.day
+        |ORDER BY ex.day""".stripMargin,
+
+    // ---- §2.9 sampling: hex decode via conv(h, 16, 10) ----
+    "sample_hash" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) < 6554
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
+    "sample_split" ->
+      """SELECT lang,
+        |  CASE WHEN h < 52429 THEN 'train'
+        |       WHEN h < 58982 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars
+        |FROM (SELECT lang, n_chars,
+        |        CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) AS h
+        |      FROM documents) t
+        |GROUP BY lang, CASE WHEN h < 52429 THEN 'train'
+        |                    WHEN h < 58982 THEN 'val'
+        |                    ELSE 'test' END
+        |ORDER BY lang, split""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) * 2000
+        |      < n_chars * 65536
+        |ORDER BY doc_id""".stripMargin,
+    // the naive single-window statement of the semantics; the DataFrame
+    // twin is the 256-bucket parallel decomposition
+    "sample_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS pos
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n) AS ntot, sum(w) AS sw FROM c)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN c USING (lang) CROSS JOIN t
+        |WHERE CAST(conv(substring(md5(CAST(d.doc_id AS STRING)), 1, 4), 16, 10) AS DECIMAL(38,0))
+        |        * t.sw * c.n
+        |      < CAST(round(t.ntot * 0.5) AS DECIMAL(38,0)) * c.w * 65536
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // ---- §2.11 text analysis ----
+    "text_langid" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    ${hits(stopEn)} AS n_en,
+        |    ${hits("'der','die','und','das','ist'")} AS n_de,
+        |    ${hits("'el','la','de','que','los'")} AS n_es,
+        |    ${hits("'le','la','et','les','des'")} AS n_fr
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN greatest(n_en, n_de, n_es, n_fr) = 0 THEN 'unknown'
+        |       WHEN n_en = greatest(n_en, n_de, n_es, n_fr) THEN 'en'
+        |       WHEN n_de = greatest(n_en, n_de, n_es, n_fr) THEN 'de'
+        |       WHEN n_es = greatest(n_en, n_de, n_es, n_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  n_en, n_de, n_es, n_fr
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT) AS n_tokens,
+        |    ${hits(stopEn)} AS n_stop,
+        |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) AS BIGINT) AS n_punct,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / size(filter(split(text, ' '), w -> w != '')) AS awl,
+        |    CAST(${hits(stopEn)} AS DOUBLE)
+        |      / size(filter(split(text, ' '), w -> w != '')) AS sr
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_stop, n_punct,
+        |  round(awl, 4) AS avg_word_len,
+        |  round(sr, 4) AS stop_ratio,
+        |  round(least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * (1.0 - sr / 2.0), 4) AS quality_score
+        |FROM base
+        |ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT) AS ws_tokens,
+        |  CAST(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS BIGINT) AS bpe_tokens,
+        |  round(CAST(length(text) AS DOUBLE) / 4.0, 2) AS est_llm_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  aggregate(filter(split(text, ' '), w -> w != ''), CAST(0 AS BIGINT),
+        |    (acc, w) -> (acc * 31 + CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT))
+        |      % 1000000007) AS fingerprint,
+        |  md5(text) AS text_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, filter(split(text, ' '), w -> w != '') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, CAST(size(toks) AS BIGINT) AS n_tokens,
+        |    explode(sequence(0, greatest(CAST(ceil(size(toks) / 64.0D) AS INT), 1) - 1)) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  least(CAST(64 AS BIGINT), n_tokens - chunk_id * 64) AS chunk_tokens,
+        |  concat_ws(' ', slice(toks, chunk_id * 64 + 1, 64)) AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_repetition" ->
+      """WITH docs AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, explode(w) AS tok FROM docs),
+        |tc AS (SELECT doc_id, tok, count(*) AS n
+        |       FROM tok WHERE tok != '' GROUP BY doc_id, tok),
+        |pt AS (SELECT doc_id, sum(n) AS n_tokens, count(*) AS n_distinct,
+        |         max(n) AS top_n
+        |       FROM tc GROUP BY doc_id),
+        |bg0 AS (SELECT doc_id, explode(transform(sequence(1, size(w) - 1),
+        |          i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))) AS bg
+        |        FROM docs WHERE size(w) >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS n FROM bg0 GROUP BY doc_id, bg),
+        |pb AS (SELECT doc_id, sum(n) AS n_bi, count(*) AS n_bi_distinct
+        |       FROM bc GROUP BY doc_id)
+        |SELECT pt.doc_id, pt.n_tokens, pt.n_distinct, pt.top_n,
+        |  round(CAST(pt.n_distinct AS DOUBLE) / pt.n_tokens, 4) AS distinct_frac,
+        |  round(CAST(pt.top_n AS DOUBLE) / pt.n_tokens, 4) AS top_frac,
+        |  round(coalesce(CAST(pb.n_bi - pb.n_bi_distinct AS DOUBLE) / pb.n_bi, 0.0), 4)
+        |    AS dup_bigram_frac
+        |FROM pt LEFT JOIN pb ON pt.doc_id = pb.doc_id
+        |ORDER BY pt.doc_id""".stripMargin)
+}

@@ -47,11 +47,13 @@ class SqlFrontendSpec extends SparkSpec {
     "complex_forecast_revenue", "sample_token_budget")
 
   private def registerViews(): Unit = {
-    // before any events read: its ts is TIMESTAMP(NANOS) in parquet
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings")
+      "lineitem", "documents", "embeddings")
       .foreach(t => Tables.table(spark, sf, t).createOrReplaceTempView(t))
+    // the CANONICAL events surface (ts normalized to ns BIGINT, the
+    // Tables contract) — the SqlTwins event-time texts do integer ns
+    // arithmetic on it; no portable key reads a raw-typed ts
+    Tables.events(spark, sf).createOrReplaceTempView("events")
   }
 
   test("portable oracle SQL runs unchanged via spark.sql and matches the DataFrame plans") {
@@ -87,5 +89,43 @@ class SqlFrontendSpec extends SparkSpec {
     assert(missing.isEmpty, s"whitelist names unknown keys: $missing")
     assert(portable.size * 2 > SparkEntry.oracleSql.size,
       "SQL front-end demo should cover more than half the inventory")
+  }
+
+  test("Spark-dialect SQL twins match the DataFrame plans row-for-row") {
+    registerViews()
+    val failures = SqlTwins.sql.toSeq.sortBy(_._1).flatMap { case (key, sql) =>
+      try {
+        val viaSql = spark.sql(sql)
+        val viaDf = SparkEntry.queries(key)(spark, sf)
+        val sqlCols = viaSql.columns.map(_.toLowerCase).toSeq
+        val dfCols = viaDf.columns.map(_.toLowerCase).toSeq
+        if (sqlCols != dfCols)
+          Some(s"$key: columns $sqlCols vs $dfCols")
+        else {
+          val a = viaSql.collect()
+          val b = viaDf.collect()
+          if (a.length != b.length) Some(s"$key: ${a.length} vs ${b.length} rows")
+          else a.zip(b).collectFirst {
+            case (ra, rb) if ra != rb => s"$key: first differing row $ra vs $rb"
+          }
+        }
+      } catch {
+        case e: Exception =>
+          Some(s"$key: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/${SqlTwins.sql.size} twins diverged:\n${failures.mkString("\n")}")
+  }
+
+  test("portable + twin SQL coverage reaches 100 keys") {
+    val unknown = SqlTwins.sql.keySet.filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty, s"twins name unknown keys: $unknown")
+    val overlap = SqlTwins.sql.keySet.intersect(portable.toSet)
+    assert(overlap.isEmpty,
+      s"twins duplicate already-portable keys: $overlap")
+    val covered = (portable.toSet ++ SqlTwins.sql.keySet).size
+    assert(covered >= 100,
+      s"SQL surface covers $covered/${SparkEntry.oracleSql.size} keys; want >= 100")
   }
 }
