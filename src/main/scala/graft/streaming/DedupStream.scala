@@ -15,12 +15,27 @@ case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
   */
 case class BucketMatch(doc_id: Long, o_id: Long, jaccard: Double)
 
-/** Per-bucket state: the sealed LSH index slice (ts kept so a LATE
-  * arrival — FMGWS receives rows behind the watermark rather than
-  * dropping them — still matches only its event-time priors) + the
-  * watermark-buffered arrivals. Both lists carry (tsMs, doc_id, tokens).
+/** One EXACT-COLLAPSED index entry: a distinct token set plus its
+  * occurrence FRONTIER — the (tsMs, doc_id) pairs, ascending in (ts, id)
+  * with STRICTLY DECREASING ids (each kept occurrence has a smaller id
+  * than every earlier one). That prefix-min-id frontier is the minimal
+  * state that answers the tie-break query exactly: for a doc sealing at
+  * (ts, id), "min prior id among all verbatim copies" is the LAST
+  * frontier occurrence strictly before (ts, id). A copy whose id is not
+  * below the running minimum can never win a (max jaccard, min id)
+  * tie-break — some earlier, smaller-id copy is prior whenever it is —
+  * so it is dropped at insert. With ids roughly increasing in event time
+  * (every real ingest), the frontier is ONE occurrence per distinct
+  * text: state is bounded by distinct texts, not stream length.
   */
-case class DedupBucketState(indexed: List[(Long, Long, Array[String])],
+case class IndexEntry(toks: Array[String], occs: List[(Long, Long)])
+
+/** Per-bucket state: the sealed, exact-collapsed LSH index slice (ts
+  * kept so a LATE arrival — FMGWS receives rows behind the watermark
+  * rather than dropping them — still matches only its event-time
+  * priors) + the watermark-buffered arrivals (tsMs, doc_id, tokens).
+  */
+case class DedupBucketState(indexed: List[IndexEntry],
                             pending: List[(Long, Long, Array[String])])
 
 /** One (bucket, doc) fan-out record. Flat — the watermark must tag a
@@ -49,12 +64,18 @@ case class BucketDoc(bucket: Long, doc_id: Long, ts: Timestamp, text: String)
   *  - an event-time timeout re-fires quiet buckets so buffered docs
   *    still seal.
   *
-  * State: the per-bucket token index grows with the stream — that is
-  * the operator's honest cost, identical to the persisted LSH index a
-  * batch pipeline maintains (pipeline/Dedup.incrementalBestMatch
-  * documents the same), not a leak. A deployment bounds it the same way
-  * batch does: exact-collapse upstream (dedup verbatim copies before
-  * indexing) and periodic compaction of the sink.
+  * State: the per-bucket index is EXACT-COLLAPSED in-state (round-6
+  * advice item, closed round 7): verbatim copies share one [[IndexEntry]]
+  * whose occurrence frontier keeps only prefix-min ids, so index size is
+  * bounded by DISTINCT texts (× bands), not stream length — the same
+  * bound the batch scale path gets from
+  * `Dedup.incrementalBestMatchCollapsed`. Collapsing changes no
+  * best-match answer (certified vs the uncollapsed brute replay): per
+  * distinct prior text the stream emits exactly the candidate the
+  * (max jaccard, min id) tie-break would select, and redundant
+  * same-text/larger-id candidates are the only emissions dropped. Near-
+  * duplicate (non-verbatim) texts still get distinct entries — bounding
+  * THAT is a threshold question, not a state-representation one.
   */
 object DedupStream {
 
@@ -95,6 +116,23 @@ object DedupStream {
     val sa = a.toSet
     val inter = b.count(sa.contains)
     inter.toDouble / (a.length + b.length - inter)
+  }
+
+  /** Insert an occurrence into an entry's frontier: place it at its
+    * (ts, id) position, then re-apply the prefix-min-id filter (an
+    * occurrence survives only with an id strictly below every earlier
+    * one's). In-order ingest appends and immediately drops non-minimal
+    * ids — frontier length 1; only a LATE smaller-id copy grows it.
+    */
+  private def insertOcc(e: IndexEntry, ts: Long, id: Long): IndexEntry = {
+    val (before, after) = e.occs.partition(o =>
+      o._1 < ts || (o._1 == ts && o._2 < id))
+    val merged = before ::: ((ts, id) :: after)
+    val kept = merged.foldLeft((List.empty[(Long, Long)], Long.MaxValue)) {
+      case ((acc, minId), o) =>
+        if (o._2 < minId) (o :: acc, o._2) else (acc, minId)
+    }._1.reverse
+    e.copy(occs = kept)
   }
 
   /** The candidate stream. Input needs no prior watermark — one is set
@@ -138,15 +176,27 @@ object DedupStream {
               // event-time priors only: a late doc (sealed behind its
               // peers) must not match docs from its event-time future —
               // the only late-data deviation is a MISSED match on docs
-              // already emitted, never a wrong one
-              val hits = index.flatMap { case (ots, oid, otoks) =>
-                if (ots > ts || (ots == ts && oid >= id)) None
-                else {
-                  val j = jaccard(toks, otoks)
-                  if (j >= threshold) Some(BucketMatch(id, oid, j)) else None
-                }
+              // already emitted, never a wrong one. Per distinct prior
+              // text, emit the ONE candidate the (max jaccard, min id)
+              // tie-break selects: the last frontier occurrence strictly
+              // before (ts, id) — occs ascend in (ts, id) with strictly
+              // decreasing ids, so "last prior" IS "min prior id".
+              val hits = index.flatMap { e =>
+                e.occs.takeWhile(o =>
+                    o._1 < ts || (o._1 == ts && o._2 < id))
+                  .lastOption.flatMap { case (_, oid) =>
+                    val j = jaccard(toks, e.toks)
+                    if (j >= threshold) Some(BucketMatch(id, oid, j)) else None
+                  }
               }
-              index = (ts, id, toks) :: index
+              // exact-collapse insert: a verbatim copy extends its
+              // entry's frontier; a new text gets a fresh entry
+              val (same, rest) = index.partition(e =>
+                e.toks.length == toks.length && e.toks.sameElements(toks))
+              index = same match {
+                case e :: _ => insertOcc(e, ts, id) :: rest
+                case Nil    => IndexEntry(toks, List((ts, id))) :: rest
+              }
               hits
           }
           state.update(DedupBucketState(index, pending))

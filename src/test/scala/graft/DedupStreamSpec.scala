@@ -146,6 +146,49 @@ class DedupStreamSpec extends SparkSpec {
       "the late doc must not match its event-time future")
   }
 
+  test("exact-collapse bounds state by DISTINCT texts; answers match the uncollapsed brute") {
+    // 40 distinct texts × 5 verbatim copies, ids increasing with event
+    // time (every real ingest) → the frontier must stay at ONE
+    // occurrence per distinct text per bucket: total index rows ==
+    // Σ_text |distinct band keys|, NOT ×5 for the copies. The best-match
+    // answers must still equal the brute replay over ALL copies.
+    val docs = (0 until 200).map { i =>
+      val fam = i % 40
+      StreamDoc(i.toLong, at(i / 4),
+        s"alpha$fam beta$fam gamma$fam delta$fam epsilon$fam")
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup-state").toString
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = DedupStream.matches(input.toDS(), threshold)
+      .writeStream.format("memory").queryName("dedup_state")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    docs.grouped(50).foreach { b => input.addData(b); q.processAllAvailable() }
+    input.addData(farFuture); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_state").as[BucketMatch].collect().toSeq
+      .filterNot(_.doc_id == farFuture.doc_id)
+    assert(bestOf(got) == bruteBest(docs),
+      "collapse must not change any best-match answer")
+    // read the live operator state through the state-store source
+    val state = spark.read.format("statestore").load(ckpt)
+    val entries = state.selectExpr("sum(size(value.groupState.indexed))")
+      .collect()(0).getLong(0)
+    val occs = state.selectExpr(
+      "sum(aggregate(value.groupState.indexed, 0L, (a, e) -> a + size(e.occs)))")
+      .collect()(0).getLong(0)
+    // the far-future sentinel advances the watermark but never seals
+    // itself (nothing follows it), so it sits in pending, not the index
+    val expected = docs.map(_.text).distinct
+      .map(t => DedupStream.bandKeys(t, 16, 4).size.toLong).sum
+    assert(entries == expected,
+      s"index entries $entries != distinct-text bound $expected (uncollapsed would be ~5x)")
+    assert(occs == expected,
+      s"frontier occurrences $occs != $expected — in-order ingest must keep 1 occ/text")
+  }
+
   test("bestMatches reduces the candidate table with the (jac, -id) tie-break") {
     import spark.implicits._
     val cands = Seq(
