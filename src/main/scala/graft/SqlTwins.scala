@@ -302,6 +302,185 @@ object SqlTwins {
         |GROUP BY ex.day
         |ORDER BY ex.day""".stripMargin,
 
+    "evt_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CASE WHEN prev_ts IS NULL OR ts - prev_ts > 1800000000000
+        |         THEN 1 ELSE 0 END AS BIGINT) AS new_session
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM y)
+        |SELECT user_id, session_id,
+        |  count(*) AS n_events,
+        |  (max(ts) - min(ts)) DIV 1000000000 AS duration_s,
+        |  min(ts) DIV 1000000000 AS start_s
+        |FROM z
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "evt_gapfill" ->
+      """WITH a AS (
+        |  SELECT event_type, ts DIV 3600000000000 AS h, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY event_type, ts DIV 3600000000000),
+        |b AS (
+        |  SELECT event_type, h, n,
+        |    lead(h, 1) OVER (PARTITION BY event_type ORDER BY h) AS next_h
+        |  FROM a),
+        |c AS (
+        |  SELECT event_type, h, n,
+        |    explode(sequence(h, coalesce(next_h - 1, h))) AS hh
+        |  FROM b)
+        |SELECT event_type, hh * 3600 AS h_s,
+        |  CASE WHEN hh = h THEN n ELSE CAST(0 AS BIGINT) END AS n
+        |FROM c
+        |ORDER BY event_type, h_s""".stripMargin,
+    "evt_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS v_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_type, v_ts,
+        |    min(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+        |      OVER (PARTITION BY user_id) AS c_ts
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, v_ts, c_ts,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+        |      OVER (PARTITION BY user_id) AS p_ts
+        |  FROM g)
+        |SELECT user_id,
+        |  min(v_ts) DIV 1000000000 AS view_s,
+        |  min(c_ts) DIV 1000000000 AS click_s,
+        |  min(p_ts) DIV 1000000000 AS purchase_s
+        |FROM h
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "evt_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, ts DIV 86400000000000 AS day FROM events),
+        |c AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM ud)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(DISTINCT user_id) AS users
+        |FROM c
+        |GROUP BY cohort_day, day - cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // ---- §2.12 composed stars whose oracle text uses epoch_ns ----
+    "complex_top_revenue" ->
+      """SELECT o.o_orderkey,
+        |  unix_timestamp(o.o_orderdate) AS odate_s,
+        |  o.o_orderpriority,
+        |  sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS revenue_c,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l.l_shipdate >= TIMESTAMP '1999-01-01'
+        |GROUP BY o.o_orderkey, unix_timestamp(o.o_orderdate), o.o_orderpriority
+        |ORDER BY revenue_c DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "complex_regional_revenue" ->
+      """SELECT n.n_name,
+        |  sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS revenue_c,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '2000-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY revenue_c DESC, n_name ASC""".stripMargin,
+
+    // ---- §2.11 corpus statistics over exploded tokens ----
+    "text_bigram_pmi" ->
+      """WITH docs AS (SELECT split(text, ' ') AS w FROM documents WHERE lang = 'en'),
+        |toks AS (SELECT explode(w) AS word FROM docs),
+        |toks2 AS (SELECT word FROM toks WHERE word != ''),
+        |uni AS (SELECT word, count(*) AS c FROM toks2 GROUP BY word),
+        |n AS (SELECT count(*) AS n_tok FROM toks2),
+        |bi0 AS (SELECT explode(transform(sequence(1, size(w) - 1),
+        |          i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))) AS p
+        |        FROM docs WHERE size(w) >= 2),
+        |bi AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bi0 WHERE p.w1 != '' AND p.w2 != ''),
+        |nb AS (SELECT count(*) AS n_big FROM bi),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi
+        |        GROUP BY w1, w2 HAVING count(*) >= 10)
+        |SELECT c12.w1, c12.w2, c12.c12,
+        |  round(ln((CAST(c12.c12 AS DOUBLE) * n.n_tok * n.n_tok) /
+        |    (CAST(nb.n_big AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
+        |FROM c12
+        |JOIN uni u1 ON u1.word = c12.w1
+        |JOIN uni u2 ON u2.word = c12.w2
+        |CROSS JOIN n CROSS JOIN nb
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC
+        |LIMIT 50""".stripMargin,
+    "text_bm25" ->
+      """WITH docs AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |dlt AS (SELECT doc_id, CAST(size(filter(w, x -> x != '')) AS BIGINT) AS dl FROM docs),
+        |cst AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dlt),
+        |tok AS (SELECT doc_id, explode(w) AS tok FROM docs),
+        |tfq AS (SELECT doc_id, tok, count(*) AS tf
+        |        FROM tok WHERE tok IN ('join', 'vector', 'scan') GROUP BY doc_id, tok),
+        |dfq AS (SELECT tok, count(*) AS df FROM tfq GROUP BY tok),
+        |wg AS (
+        |  SELECT t.doc_id, t.tok,
+        |    ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * (1.0 - 0.75
+        |          + 0.75 * CAST(l.dl AS DOUBLE) * c.n_docs / c.sum_dl)) AS wgt
+        |  FROM tfq t
+        |  JOIN dfq d ON t.tok = d.tok
+        |  JOIN dlt l ON t.doc_id = l.doc_id
+        |  CROSS JOIN cst c)
+        |SELECT doc_id, count(*) AS n_terms_hit,
+        |  round(coalesce(sum(CASE WHEN tok = 'join' THEN wgt END), 0.0)
+        |      + coalesce(sum(CASE WHEN tok = 'vector' THEN wgt END), 0.0)
+        |      + coalesce(sum(CASE WHEN tok = 'scan' THEN wgt END), 0.0), 4)
+        |    AS score
+        |FROM wg
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+    "text_contamination" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, filter(split(text, ' '), w -> w != '') AS toks
+        |  FROM documents WHERE doc_id < 2000),
+        |d AS (SELECT * FROM d0 WHERE size(toks) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, explode(transform(sequence(1, size(toks) - 4),
+        |      i -> concat_ws(' ', slice(toks, i, 5)))) AS gram
+        |    FROM d) t),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 7 = 0),
+        |co AS (SELECT doc_id AS corpus_id, gram FROM grams WHERE doc_id % 7 != 0),
+        |es AS (SELECT eval_id, count(*) AS n_eval_grams FROM ev GROUP BY eval_id),
+        |sh AS (SELECT co.corpus_id, ev.eval_id, count(*) AS n_shared
+        |       FROM co JOIN ev ON co.gram = ev.gram
+        |       GROUP BY co.corpus_id, ev.eval_id)
+        |SELECT sh.corpus_id, sh.eval_id, sh.n_shared,
+        |  round(CAST(sh.n_shared AS DOUBLE) / es.n_eval_grams, 4) AS overlap
+        |FROM sh JOIN es ON sh.eval_id = es.eval_id
+        |WHERE CAST(sh.n_shared AS DOUBLE) / es.n_eval_grams >= 0.5
+        |ORDER BY sh.corpus_id, sh.eval_id""".stripMargin,
+
     // ---- §2.9 sampling: hex decode via conv(h, 16, 10) ----
     "sample_hash" ->
       """SELECT doc_id, lang, n_chars
