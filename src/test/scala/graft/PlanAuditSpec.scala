@@ -285,13 +285,35 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("whole-stage codegen covers the scalar function packs (no UDF opacity)") {
-    Seq("fn_string", "fn_math", "fn_conditional", "project_expr").foreach { q =>
-      val p = plan(q)
-      // codegen spans print as "WholeStageCodegen" or the "*(n)" prefix
-      assert(p.contains("WholeStageCodegen") || p.contains("*("),
-        s"$q fell out of codegen: ${p.take(300)}")
-      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
-        s"$q must not use UDFs")
-    }
+    Seq("fn_string", "fn_math", "fn_conditional", "project_expr", "fn_regex")
+      .foreach { q =>
+        val p = plan(q)
+        // codegen spans print as "WholeStageCodegen" or the "*(n)" prefix
+        assert(p.contains("WholeStageCodegen") || p.contains("*("),
+          s"$q fell out of codegen: ${p.take(300)}")
+        assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+          s"$q must not use UDFs")
+      }
+  }
+
+  test("fn_regex is scan-bound: no shuffle before the presentation sort") {
+    val p = finalPlanSection(plan("fn_regex"))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 0,
+      s"a per-row regex projection must not shuffle: ${p.take(600)}")
+  }
+
+  test("nested_event_digest is two partial hash aggregates, no window") {
+    val p = finalPlanSection(plan("nested_event_digest"))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"hash aggregation expected: ${p.take(600)}")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    assert(!p.contains("Window"),
+      s"the digest must come from aggregates, not a window: ${p.take(600)}")
+    // (user_id, event_type) counts then per-user collect: exactly the
+    // two keyed hash Exchanges, plus the ORDER BY's range partitioning
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2,
+      s"expected 2 hash Exchanges, got $hashExchanges: ${p.take(800)}")
   }
 }
