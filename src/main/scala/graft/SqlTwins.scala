@@ -9,9 +9,14 @@ package graft
   * (with `events.ts` normalized to ns-BIGINT, the Tables contract) and
   * returns exactly the rows and column names of the corresponding
   * `SparkEntry.queries` plan. SqlFrontendSpec asserts that equivalence
-  * for every entry; together with the ~70 keys whose DuckDB oracle text
-  * already runs unmodified on Spark, the SQL surface covers 100+ of the
-  * oracle inventory.
+  * for every entry; together with the keys whose DuckDB oracle text
+  * already runs unmodified on Spark, the SQL surface covers 132 of the
+  * 133 oracle keys. The single exception is `dedup_components`: its
+  * transitive closure is a CYCLIC fixpoint needing UNION-distinct
+  * recursion, which Spark's recursive CTEs do not support
+  * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed; UNION ALL on a
+  * cyclic graph never terminates), so connected components remain a
+  * DataFrame-only surface (pipeline/Dedup.clusters).
   *
   * Dialect mapping notes (DuckDB → Spark), pinned once here:
   *  - `//` integer division → `DIV`
@@ -30,6 +35,23 @@ object SqlTwins {
   private val stopEn = "'the','and','of','to','in'"
   private def hits(list: String) =
     s"CAST(size(filter(split(text, ' '), w -> w IN ($list))) AS BIGINT)"
+
+  /** The VectorDot custom expression's exact op sequence in SQL: float →
+    * double promotion per element, left-to-right double accumulation —
+    * `zip_with` + `aggregate` replay it bit-identically.
+    */
+  private def dot(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** 16-bit simhash per-bit majority sums, generated (16 repetitive
+    * terms): sum over words of ±1 per bit of the word hash.
+    */
+  private val simhashBitSums = (0 until 16)
+    .map(j => s"sum(2 * ((wh DIV ${1L << j}) % 2) - 1) AS s$j").mkString(",\n    ")
+  private val simhashFp = (0 until 16)
+    .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
 
   val sql: Map[String, String] = Map(
     // ---- §2.3 subqueries: DuckDB `//` → DIV ----
@@ -378,6 +400,24 @@ object SqlTwins {
         |ORDER BY cohort_day, day_offset""".stripMargin,
 
     // ---- §2.12 composed stars whose oracle text uses epoch_ns ----
+    "complex_scd2" ->
+      """WITH base AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) DIV 5000 AS tier,
+        |    ts AS tns, event_id
+        |  FROM events WHERE event_type = 'signup'),
+        |chg AS (
+        |  SELECT user_id, tier, tns, event_id FROM (
+        |    SELECT user_id, tier, tns, event_id,
+        |      lag(tier, 1) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+        |    FROM base) x
+        |  WHERE prev IS NULL OR prev != tier)
+        |SELECT user_id, tier,
+        |  tns DIV 1000000000 AS valid_from_s,
+        |  lead(tns, 1) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+        |    DIV 1000000000 AS valid_to_s
+        |FROM chg
+        |ORDER BY user_id, valid_from_s""".stripMargin,
     "complex_top_revenue" ->
       """SELECT o.o_orderkey,
         |  unix_timestamp(o.o_orderdate) AS odate_s,
@@ -535,7 +575,259 @@ object SqlTwins {
         |      < CAST(round(t.ntot * 0.5) AS DECIMAL(38,0)) * c.w * 65536
         |ORDER BY d.doc_id""".stripMargin,
 
+    // ---- §2.3 joins: as-of via correlated max, interval as range SQL ----
+    // The SQL twin states the SEMANTICS (stock Spark plans it as a
+    // nested-loop/shuffle join); the DataFrame keys are the scale plans
+    // (AsofMergeJoin exec, IntervalJoinRewrite bucketing).
+    "join_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+        |    (SELECT max(c.ts) FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS c_ts
+        |  FROM p)
+        |SELECT m.p_id, m.user_id, c.event_id AS click_id,
+        |  (m.p_ts - c.ts) DIV 1000000000 AS gap_s
+        |FROM m JOIN c ON c.user_id = m.user_id AND c.ts = m.c_ts
+        |ORDER BY p_id""".stripMargin,
+    "join_asof_native" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+        |    (SELECT max(c.ts) FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS c_ts
+        |  FROM p)
+        |SELECT m.p_id, m.user_id, c.event_id AS click_id,
+        |  (m.p_ts - c.ts) DIV 1000000000 AS gap_s
+        |FROM m JOIN c ON c.user_id = m.user_id AND c.ts = m.c_ts
+        |ORDER BY p_id""".stripMargin,
+    "join_interval_native" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, ts DIV 1000000000 AS lo,
+        |    ts DIV 1000000000 + 600 AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT ts DIV 1000000000 AS pt,
+        |    CAST(round(value * 100) AS BIGINT) AS c_cents
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p_id, count(*) AS n_clicks, sum(c_cents) AS click_cents
+        |FROM c JOIN p ON pt >= lo AND pt <= hi
+        |GROUP BY p_id
+        |ORDER BY p_id""".stripMargin,
+
+    // ---- §2.11 sequence packing: the greedy fold as a RECURSIVE CTE
+    // (Spark 4.1 supports UNION ALL recursion; the acyclic rn → rn+1
+    // step terminates. UNION-distinct recursion is NOT supported, which
+    // is why dedup_components — a cyclic transitive closure — has no
+    // twin and stays a DataFrame-only surface.) ----
+    "text_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |    CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), pack AS (
+        |  SELECT source, doc_id, n, rn,
+        |    CAST(0 AS BIGINT) AS bin_id, n AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.n, d.rn,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.n > 256
+        |         THEN p.bin_id + 1 ELSE p.bin_id END,
+        |    CASE WHEN p.fill > 0 AND p.fill + d.n > 256
+        |         THEN d.n ELSE p.fill + d.n END
+        |  FROM d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1
+        |)
+        |SELECT source, doc_id, n AS n_tokens, bin_id
+        |FROM pack
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // ---- §2.9 multimodal metadata ----
+    "mm_binary_meta" ->
+      """SELECT doc_id, lang,
+        |  CAST(length(encode(text, 'UTF-8')) AS BIGINT) AS n_bytes,
+        |  CAST((length(encode(text, 'UTF-8')) + 255) DIV 256 AS BIGINT) AS n_frames,
+        |  base64(encode(substring(text, 1, 12), 'UTF-8')) AS b64_head,
+        |  md5(encode(text, 'UTF-8')) AS content_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // ---- §2.11 dedup / similarity ----
+    "dedup_near_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, explode(array_distinct(split(text, ' '))) AS word
+        |    FROM documents WHERE doc_id < 300) t
+        |  WHERE word != ''),
+        |sizes AS (SELECT doc_id, count(*) AS n_words FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM tok a JOIN tok b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |j AS (
+        |  SELECT i.a_id, i.b_id,
+        |    i.n_inter / (sa.n_words + sb.n_words - i.n_inter) AS jac
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.a_id
+        |  JOIN sizes sb ON sb.doc_id = i.b_id)
+        |SELECT a_id, b_id, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    array_distinct(transform(sequence(1, length(text) - 2),
+        |      i -> substring(text, i, 3))) AS grams
+        |  FROM documents WHERE doc_id < 150 AND length(text) >= 3),
+        |e AS (SELECT doc_id, size(grams) AS n_grams, explode(grams) AS gram FROM g),
+        |j AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.n_grams AS na, b.n_grams AS nb, CAST(count(*) AS INT) AS n_inter
+        |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_grams, b.n_grams)
+        |SELECT a_id, b_id, round(n_inter / (na + nb - n_inter), 4) AS jaccard
+        |FROM j WHERE n_inter / (na + nb - n_inter) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(conv(substring(md5(word), 1, 4), 16, 10) AS BIGINT) AS wh
+        |  FROM (SELECT doc_id, explode(split(text, ' ')) AS word
+        |        FROM documents WHERE doc_id < 300) t
+        |  WHERE word != ''),
+        |s AS (
+        |  SELECT doc_id,
+        |    $simhashBitSums
+        |  FROM w GROUP BY doc_id),
+        |f AS (SELECT doc_id, $simhashFp AS fp FROM s)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(a.fp ^ b.fp) AS BIGINT) AS hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(a.fp ^ b.fp) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    filter(array_distinct(split(text, ' ')), w -> w != '') AS toks,
+        |    transform(array_distinct(split(text, ' ')), w -> md5(w)) AS h0x,
+        |    transform(array_distinct(split(text, ' ')), w -> md5(concat('#', w))) AS h1x
+        |  FROM documents WHERE doc_id < 300),
+        |sg AS (
+        |  SELECT doc_id, toks,
+        |    array(
+        |      concat(array_min(transform(h0x, h -> substring(h, 1, 8))),
+        |             array_min(transform(h0x, h -> substring(h, 9, 8)))),
+        |      concat(array_min(transform(h0x, h -> substring(h, 17, 8))),
+        |             array_min(transform(h0x, h -> substring(h, 25, 8)))),
+        |      concat(array_min(transform(h1x, h -> substring(h, 1, 8))),
+        |             array_min(transform(h1x, h -> substring(h, 9, 8)))),
+        |      concat(array_min(transform(h1x, h -> substring(h, 17, 8))),
+        |             array_min(transform(h1x, h -> substring(h, 25, 8))))) AS buckets
+        |  FROM d),
+        |e AS (SELECT doc_id, toks, posexplode(buckets) AS (band, bucket) FROM sg),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.toks AS ta, b.toks AS tb
+        |  FROM e a JOIN e b ON a.band = b.band AND a.bucket = b.bucket
+        |                   AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.toks, b.toks),
+        |j AS (
+        |  SELECT a_id, b_id, size(array_intersect(ta, tb)) AS n_inter,
+        |    size(ta) AS na, size(tb) AS nb
+        |  FROM cand)
+        |SELECT a_id, b_id, round(n_inter / (na + nb - n_inter), 4) AS jaccard
+        |FROM j WHERE n_inter / (na + nb - n_inter) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 600),
+        |sp AS (SELECT (max(doc_id) + 1) DIV 2 AS split FROM d),
+        |tok AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, explode(array_distinct(split(text, ' '))) AS word FROM d) t
+        |  WHERE word != ''),
+        |sizes AS (SELECT doc_id, count(*) AS n_words FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT n.doc_id AS n_id, o.doc_id AS o_id, count(*) AS n_inter
+        |  FROM tok n CROSS JOIN sp JOIN tok o
+        |    ON n.word = o.word AND n.doc_id >= sp.split AND o.doc_id < sp.split
+        |  GROUP BY n.doc_id, o.doc_id),
+        |best AS (
+        |  SELECT n_id,
+        |    max_by(named_struct('o_id', o_id, 'jac', jac),
+        |           named_struct('jac', jac, 'neg', -o_id)) AS b
+        |  FROM (
+        |    SELECT i.n_id, i.o_id,
+        |      i.n_inter / (sn.n_words + so.n_words - i.n_inter) AS jac
+        |    FROM inter i
+        |    JOIN sizes sn ON sn.doc_id = i.n_id
+        |    JOIN sizes so ON so.doc_id = i.o_id) x
+        |  WHERE jac >= 0.5
+        |  GROUP BY n_id)
+        |SELECT d.doc_id, best.b.o_id AS dup_of, round(best.b.jac, 4) AS jaccard
+        |FROM d CROSS JOIN sp
+        |LEFT JOIN best ON d.doc_id = best.n_id
+        |WHERE d.doc_id >= sp.split
+        |ORDER BY d.doc_id""".stripMargin,
+    "sim_cosine_topk" ->
+      s"""WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(${dot("embedding", "p")}
+        |    / (sqrt(${dot("embedding", "embedding")}) * sqrt(${dot("p", "p")})), 4) AS sim
+        |FROM embeddings CROSS JOIN probe
+        |ORDER BY sim DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(${dot("embedding", "embedding")}) AS norm
+        |  FROM embeddings WHERE vec_id < 300),
+        |c AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    ${dot("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, round(cos, 4) AS cos_sim
+        |FROM c WHERE cos >= 0.40
+        |ORDER BY a_id, b_id""".stripMargin,
+    "sim_quantized_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    transform(embedding, x ->
+        |      CAST(greatest(least(round(CAST(x AS DOUBLE) * 256), 127.0D), -128.0D) AS INT)) AS q
+        |  FROM embeddings),
+        |probe AS (SELECT q AS p FROM q WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  aggregate(zip_with(q, p, (a, b) -> CAST(a * b AS BIGINT)),
+        |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS score
+        |FROM q CROSS JOIN probe
+        |ORDER BY score DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "sim_label_centroid" ->
+      """WITH comps AS (
+        |  SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m
+        |  FROM (SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings) t
+        |  GROUP BY label, pos),
+        |norms AS (
+        |  SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm
+        |  FROM comps GROUP BY label),
+        |counts AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT CAST(norms.label AS BIGINT) AS label, n_vecs, centroid_norm
+        |FROM norms JOIN counts ON norms.label = counts.label
+        |ORDER BY label""".stripMargin,
+
     // ---- §2.11 text analysis ----
+    "text_tfidf_top" ->
+      """WITH tok AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, explode(split(text, ' ')) AS word FROM documents) t
+        |  WHERE word != ''),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.word,
+        |  round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+        |FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+        |ORDER BY tfidf DESC, doc_id ASC, word ASC
+        |LIMIT 100""".stripMargin,
     "text_langid" ->
       s"""WITH scored AS (
         |  SELECT doc_id, lang AS labeled_lang,

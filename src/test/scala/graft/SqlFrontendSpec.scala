@@ -124,8 +124,12 @@ class SqlFrontendSpec extends SparkSpec {
     val overlap = SqlTwins.sql.keySet.intersect(portable.toSet)
     assert(overlap.isEmpty,
       s"twins duplicate already-portable keys: $overlap")
-    val covered = (portable.toSet ++ SqlTwins.sql.keySet).size
-    assert(covered >= 100,
-      s"SQL surface covers $covered/${SparkEntry.oracleSql.size} keys; want >= 100")
+    val covered = portable.toSet ++ SqlTwins.sql.keySet
+    val uncovered = SparkEntry.oracleSql.keySet -- covered
+    // dedup_components is the ONE permitted gap: cyclic transitive
+    // closure needs UNION-distinct recursion, unsupported in Spark's
+    // recursive CTEs (see the SqlTwins scaladoc)
+    assert(uncovered.subsetOf(Set("dedup_components")),
+      s"keys without a certified SQL path: ${uncovered.toSeq.sorted}")
   }
 }
