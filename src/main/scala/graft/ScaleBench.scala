@@ -120,6 +120,24 @@ object ScaleBench {
 
     val dupDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "100000").toLong
 
+    /** Generate (once) the 10-boat fleet corpus; both the batch fleet row
+      * and the streaming NMEA row read the SAME directory, so their
+      * lines/s compare on identical input. Completion is marked by a
+      * sentinel written AFTER the last boat — a run killed mid-generation
+      * leaves no marker and the next run regenerates (checking only the
+      * last file's existence would accept a truncated corpus).
+      */
+    def ensureFleet(fleetDir: String, perBoat: Long): String = {
+      val marker = java.nio.file.Paths.get(fleetDir, "_FLEET_OK")
+      if (!java.nio.file.Files.exists(marker)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fleetDir))
+        (0 until 10).foreach(b =>
+          MarineBench.generate(f"$fleetDir/boat$b%02d.nmea", perBoat))
+        java.nio.file.Files.createFile(marker)
+      }
+      fleetDir
+    }
+
     def t(label: String)(f: => Long): (String, () => (Double, Long)) =
       label -> { () =>
         f // warm
@@ -420,13 +438,7 @@ object ScaleBench {
       // parquet tables; MarineBench stays the single-boat/lines-per-sec
       // anchor, this row is the fleet growth curve.
       t(s"marine_fleet_10boat_${copies * 400000L / 1000}k_lines") {
-        val fleetDir = s"$out/fleet"
-        val perBoat = copies * 40000L
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fleetDir, "boat09.nmea"))) {
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fleetDir))
-          (0 until 10).foreach(b =>
-            MarineBench.generate(f"$fleetDir/boat$b%02d.nmea", perBoat))
-        }
+        val fleetDir = ensureFleet(s"$out/fleet", copies * 40000L)
         val wide = marine.Marine.wideTableByKey(
           marine.Marine.readFleet(spark, fleetDir), Seq("boat_id"))
         val races = marine.Races.splitByKey(
@@ -439,17 +451,11 @@ object ScaleBench {
       // per-minute speed aggregates) over the SAME fleet corpus as the
       // batch fleet row above, so the lines/s numbers sit side by side
       // in BASELINE.md (round-6 verdict gap: batch fleet had a rate,
-      // streaming ingest did not).
+      // streaming ingest did not). n = MEASURED input rows summed from
+      // the query progress, not the nominal corpus size — a truncated
+      // corpus would otherwise record an inflated rate silently.
       t(s"stream_nmea_ingest_${copies * 400000L / 1000}k_lines") {
-        val fleetDir = s"$out/fleet"
-        val perBoat = copies * 40000L
-        if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(fleetDir, "boat09.nmea"))) {
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(fleetDir))
-          (0 until 10).foreach(b =>
-            MarineBench.generate(f"$fleetDir/boat$b%02d.nmea", perBoat))
-        }
+        val fleetDir = ensureFleet(s"$out/fleet", copies * 40000L)
         val ckpt = java.nio.file.Files
           .createTempDirectory("stream-nmea-ckpt").toString
         val q = graft.streaming.NmeaStream.minuteStats(
@@ -458,8 +464,9 @@ object ScaleBench {
           .option("checkpointLocation", ckpt)
           .outputMode("append").start()
         q.processAllAvailable()
+        val n = q.recentProgress.map(_.numInputRows).sum
         q.stop()
-        copies * 400000L
+        n
       },
       // streaming dedup-on-ingest throughput: 100k synthetic docs
       // (20k template families of ~5 near-dup members — controlled dup
@@ -508,34 +515,42 @@ object ScaleBench {
       // distinct-texts bound at scale (the unit spec proves it exactly
       // at 200 docs). SPARK_GRAFT_STREAM_DOCS overrides N (500k for the
       // BASELINE curve).
-      t(s"stream_dedup_dup_ingest_${dupDocs / 1000}k") {
-        import spark.implicits._
-        val fams = dupDocs / 10
-        val dir = s"$out/stream_docs_dup_$dupDocs"
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
-          spark.range(dupDocs).select(
-            col("id").as("doc_id"),
-            expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"),
-            concat_ws(" ",
-              (0 until 7).map(i =>
-                concat(lit(s"d${i}_"), pmod(col("id"), lit(fams)))): _*).as("text"))
-            .coalesce(8).write.mode("overwrite").parquet(dir)
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("stream-dedup-dup-ckpt").toString
-        val src = spark.readStream
-          .schema("doc_id LONG, ts TIMESTAMP, text STRING")
-          .option("maxFilesPerTrigger", 2)
-          .parquet(dir)
-          .as[graft.streaming.StreamDoc]
-        val q = graft.streaming.DedupStream.matches(src, 0.5)
-          .writeStream.format("noop")
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").start()
-        q.processAllAvailable()
-        q.stop()
-        spark.read.format("statestore").load(ckpt)
-          .selectExpr("sum(size(value.groupState.indexed))")
-          .collect()(0).getLong(0)
+      {
+        // index entry count is read back once, on the WARM pass, so the
+        // timed pass measures only the stream run — a statestore scan
+        // inside the timed window would bias the recorded ingest rate
+        var dupEntries = -1L
+        t(s"stream_dedup_dup_ingest_${dupDocs / 1000}k") {
+          import spark.implicits._
+          val fams = dupDocs / 10
+          val dir = s"$out/stream_docs_dup_$dupDocs"
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+            spark.range(dupDocs).select(
+              col("id").as("doc_id"),
+              expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"),
+              concat_ws(" ",
+                (0 until 7).map(i =>
+                  concat(lit(s"d${i}_"), pmod(col("id"), lit(fams)))): _*).as("text"))
+              .coalesce(8).write.mode("overwrite").parquet(dir)
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("stream-dedup-dup-ckpt").toString
+          val src = spark.readStream
+            .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(dir)
+            .as[graft.streaming.StreamDoc]
+          val q = graft.streaming.DedupStream.matches(src, 0.5)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          q.processAllAvailable()
+          q.stop()
+          if (dupEntries < 0)
+            dupEntries = spark.read.format("statestore").load(ckpt)
+              .selectExpr("sum(size(value.groupState.indexed))")
+              .collect()(0).getLong(0)
+          dupEntries
+        }
       })
 
     // SPARK_GRAFT_ONLY=star_q5_6m,band_join_1m runs a subset (dev

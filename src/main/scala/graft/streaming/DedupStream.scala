@@ -96,8 +96,14 @@ object DedupStream {
     * hashed per band slice. Pure function of the text — the spec replays
     * it for the brute expectation.
     */
-  private[graft] def bandKeys(text: String, k: Int, bands: Int): Seq[Long] = {
-    val toks = tokensOf(text)
+  private[graft] def bandKeys(text: String, k: Int, bands: Int): Seq[Long] =
+    bandKeysOf(tokensOf(text), k, bands)
+
+  /** [[bandKeys]] over pre-computed tokens, so the ingest fan-out
+    * tokenizes each doc once (the empty-doc guard already needs the
+    * token array).
+    */
+  private def bandKeysOf(toks: Array[String], k: Int, bands: Int): Seq[Long] = {
     val base = toks.map(t => mix(t.hashCode.toLong))
     val sig = Array.tabulate(k) { j =>
       if (base.isEmpty) Long.MinValue
@@ -151,10 +157,12 @@ object DedupStream {
       // would funnel every empty doc into the same band buckets — O(n²)
       // state and pairwise work for zero possible emissions (jaccard is
       // NaN, never ≥ threshold). Dropping them changes no output.
-      .flatMap(d =>
-        if (tokensOf(d.text).isEmpty) Nil
-        else bandKeys(d.text, k, bands)
-          .map(b => BucketDoc(b, d.doc_id, d.ts, d.text)))
+      .flatMap { d =>
+        val toks = tokensOf(d.text)
+        if (toks.isEmpty) Nil
+        else bandKeysOf(toks, k, bands)
+          .map(b => BucketDoc(b, d.doc_id, d.ts, d.text))
+      }
       .withWatermark("ts", watermark)
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[DedupBucketState, BucketMatch](

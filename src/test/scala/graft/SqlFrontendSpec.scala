@@ -118,7 +118,7 @@ class SqlFrontendSpec extends SparkSpec {
       s"${failures.size}/${SqlTwins.sql.size} twins diverged:\n${failures.mkString("\n")}")
   }
 
-  test("portable + twin SQL coverage reaches 100 keys") {
+  test("every oracle key except dedup_components has a certified SQL path") {
     val unknown = SqlTwins.sql.keySet.filterNot(SparkEntry.queries.contains)
     assert(unknown.isEmpty, s"twins name unknown keys: $unknown")
     val overlap = SqlTwins.sql.keySet.intersect(portable.toSet)
