@@ -408,6 +408,17 @@ object ScaleBench {
       t("rolling_active_1m") {
         operators.EventTimeQueries.rollingActiveCore(events).count()
       },
+      // nested-JSON digest at 1M events (round-7 key): two keyed hash
+      // aggregates; digest size bounded by event-type cardinality, so
+      // output stays #users rows however the event count grows.
+      t("nested_digest_1m") {
+        events.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("user_id"))
+          .agg(to_json(array_sort(collect_list(struct(col("event_type"), col("cnt")))))
+            .as("digest"))
+          .count()
+      },
       // repetition diagnostics + BM25 at 10× (50k docs, full corpus):
       // grouped gram counts and scan-filtered postings must stay linear.
       t("repetition_50k_docs") {
