@@ -130,7 +130,7 @@ object DedupStream {
     * one's). In-order ingest appends and immediately drops non-minimal
     * ids — frontier length 1; only a LATE smaller-id copy grows it.
     */
-  private def insertOcc(e: IndexEntry, ts: Long, id: Long): IndexEntry = {
+  private[graft] def insertOcc(e: IndexEntry, ts: Long, id: Long): IndexEntry = {
     val (before, after) = e.occs.partition(o =>
       o._1 < ts || (o._1 == ts && o._2 < id))
     val merged = before ::: ((ts, id) :: after)
@@ -140,6 +140,16 @@ object DedupStream {
     }._1.reverse
     e.copy(occs = kept)
   }
+
+  /** The frontier's tie-break query: the LAST occurrence strictly before
+    * (ts, id) — because occs ascend in (ts, id) with strictly decreasing
+    * ids, this IS "min id among all copies prior to (ts, id)" (the
+    * FrontierPropertySpec pins that equivalence against a brute model
+    * over random insert orders, i.e. arbitrary late arrivals).
+    */
+  private[graft] def bestPrior(occs: List[(Long, Long)],
+                               ts: Long, id: Long): Option[(Long, Long)] =
+    occs.takeWhile(o => o._1 < ts || (o._1 == ts && o._2 < id)).lastOption
 
   /** The candidate stream. Input needs no prior watermark — one is set
     * here on `ts`.
@@ -190,12 +200,10 @@ object DedupStream {
               // before (ts, id) — occs ascend in (ts, id) with strictly
               // decreasing ids, so "last prior" IS "min prior id".
               val hits = index.flatMap { e =>
-                e.occs.takeWhile(o =>
-                    o._1 < ts || (o._1 == ts && o._2 < id))
-                  .lastOption.flatMap { case (_, oid) =>
-                    val j = jaccard(toks, e.toks)
-                    if (j >= threshold) Some(BucketMatch(id, oid, j)) else None
-                  }
+                bestPrior(e.occs, ts, id).flatMap { case (_, oid) =>
+                  val j = jaccard(toks, e.toks)
+                  if (j >= threshold) Some(BucketMatch(id, oid, j)) else None
+                }
               }
               // exact-collapse insert: a verbatim copy extends its
               // entry's frontier; a new text gets a fresh entry
