@@ -514,8 +514,10 @@ object ScaleBench {
           .option("checkpointLocation", ckpt)
           .outputMode("append").start()
         q.processAllAvailable()
+        // measured docs from the query progress, like the NMEA row
+        val read = q.recentProgress.map(_.numInputRows).sum
         q.stop()
-        n
+        read
       },
       // VERBATIM-duplicated ingest: N docs = N/10 distinct texts × 10
       // copies — the corpus shape whose copies made the round-6
