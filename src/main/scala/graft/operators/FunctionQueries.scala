@@ -248,8 +248,13 @@ object FunctionQueries extends QueryPack {
     * entries) — no window, no single partition; digest size is bounded
     * by event-type cardinality, not event count.
     */
-  private def nestedEventDigest(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+  /** The digest core over any events-shaped input — shared by the oracle
+    * key, ScaleBench, and the streaming twin's spec (which certifies the
+    * incrementally-maintained stream digest byte-equal to this batch
+    * form).
+    */
+  def nestedDigestCore(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("user_id"))
@@ -258,7 +263,9 @@ object FunctionQueries extends QueryPack {
           .as("digest"),
         to_json(map_from_entries(array_sort(collect_list(
           struct(col("event_type").as("key"), col("cnt").as("value")))))).as("type_counts"))
-      .orderBy(col("user_id"))
+
+  private def nestedEventDigest(s: SparkSession, dir: String): DataFrame =
+    nestedDigestCore(Tables.events(s, dir)).orderBy(col("user_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nested_event_digest" -> (nestedEventDigest _),
