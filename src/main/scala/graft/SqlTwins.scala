@@ -10,8 +10,8 @@ package graft
   * returns exactly the rows and column names of the corresponding
   * `SparkEntry.queries` plan. SqlFrontendSpec asserts that equivalence
   * for every entry; together with the keys whose DuckDB oracle text
-  * already runs unmodified on Spark, the SQL surface covers 132 of the
-  * 133 oracle keys. The single exception is `dedup_components`: its
+  * already runs unmodified on Spark, the SQL surface covers 136 of the
+  * 137 oracle keys. The single exception is `dedup_components`: its
   * transitive closure is a CYCLIC fixpoint needing UNION-distinct
   * recursion, which Spark's recursive CTEs do not support
   * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed; UNION ALL on a
@@ -574,6 +574,23 @@ object SqlTwins {
         |        * t.sw * c.n
         |      < CAST(round(t.ntot * 0.5) AS DECIMAL(38,0)) * c.w * 65536
         |ORDER BY d.doc_id""".stripMargin,
+    "sample_epochs" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY lang),
+        |m AS (SELECT max(n) AS nmax FROM c),
+        |e AS (SELECT c.lang, c.n, least(3 * c.n, m.nmax) AS ee
+        |      FROM c CROSS JOIN m),
+        |r AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(e.ee DIV e.n AS BIGINT)
+        |      + CASE WHEN CAST(conv(substring(md5(CAST(d.doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)
+        |               * e.n < (e.ee % e.n) * 65536
+        |             THEN 1 ELSE 0 END AS n_replicas
+        |  FROM documents d JOIN e USING (lang))
+        |SELECT doc_id, lang, n_replicas,
+        |  CAST(t.replica AS BIGINT) AS replica
+        |FROM r LATERAL VIEW explode(sequence(1, n_replicas)) t AS replica
+        |ORDER BY doc_id, replica""".stripMargin,
 
     // ---- §2.3 joins: as-of via correlated max, interval as range SQL ----
     // The SQL twin states the SEMANTICS (stock Spark plans it as a
@@ -909,5 +926,67 @@ object SqlTwins {
         |  round(coalesce(CAST(pb.n_bi - pb.n_bi_distinct AS DOUBLE) / pb.n_bi, 0.0), 4)
         |    AS dup_bigram_frac
         |FROM pt LEFT JOIN pb ON pt.doc_id = pb.doc_id
-        |ORDER BY pt.doc_id""".stripMargin)
+        |ORDER BY pt.doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, filter(split(text, ' '), w -> w != '') AS toks
+        |  FROM documents),
+        |d2 AS (SELECT * FROM d WHERE size(toks) >= 3),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, concat_ws(' ', slice(toks, i, 3)) AS gram
+        |  FROM (SELECT doc_id, toks, explode(sequence(1, size(toks) - 2)) AS i
+        |        FROM d2) t),
+        |gc AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
+        |SELECT g.doc_id,
+        |  count(*) AS n_grams,
+        |  count(*) FILTER (WHERE gc.df >= 3) AS n_boiler,
+        |  round(CAST(count(*) FILTER (WHERE gc.df >= 3) AS DOUBLE) / count(*), 4)
+        |    AS boiler_frac
+        |FROM grams g JOIN gc ON g.gram = gc.gram
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_wchars,
+        |    ${hits(stopEn)} AS n_stop,
+        |    CAST(size(filter(split(text, ' '),
+        |      w -> w != '' AND w RLIKE '[a-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))
+        |      AS BIGINT) AS n_sym
+        |  FROM documents),
+        |rules AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(CASE WHEN n_tokens BETWEEN 30 AND 100000 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS r_len,
+        |    CAST(CASE WHEN n_wchars >= n_tokens * 3 AND n_wchars <= n_tokens * 10
+        |      THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+        |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+        |    CAST(CASE WHEN n_alpha * 10 >= n_tokens * 8 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS r_alpha,
+        |    CAST(CASE WHEN n_sym * 10 <= n_tokens THEN 1 ELSE 0 END
+        |      AS BIGINT) AS r_sym
+        |  FROM base)
+        |SELECT doc_id, n_tokens, r_len, r_wordlen, r_stop, r_alpha, r_sym,
+        |  r_len * r_wordlen * r_stop * r_alpha * r_sym AS keep
+        |FROM rules
+        |ORDER BY doc_id""".stripMargin,
+    "sim_knn_label" ->
+      s"""WITH pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS nbr_id,
+        |    ${dot("a.embedding", "b.embedding")}
+        |    / (sqrt(${dot("a.embedding", "a.embedding")})
+        |       * sqrt(${dot("b.embedding", "b.embedding")})) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id != b.vec_id),
+        |r AS (
+        |  SELECT vec_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY cos DESC, nbr_id) AS rnk
+        |  FROM pairs)
+        |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id,
+        |  round(cos, 4) AS sim
+        |FROM r WHERE rnk <= 3
+        |ORDER BY vec_id, rnk""".stripMargin)
 }

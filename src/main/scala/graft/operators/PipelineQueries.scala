@@ -109,6 +109,42 @@ object PipelineQueries extends QueryPack {
       .limit(10)
   }
 
+  /** BLOCKED exact kNN graph: top-3 cosine neighbors per vector WITHIN
+    * its label block — the per-class neighbor structure of hard-negative
+    * mining and kNN-classifier eval. Blocking bounds the quadratic to
+    * each block (the bounded-confirm-slice discipline of the dedup
+    * family); the corpus-wide unblocked graph is the ANN indexes' job
+    * (pipeline/IvfIndex, pipeline/CosineANN — block-free at scale via
+    * partition-pruned probes). The neighbor side is a broadcast of the
+    * (id, label, vec) projection, so the probe side never shuffles for
+    * the join; at block sizes past broadcast range the same plan becomes
+    * a label-keyed co-partitioned self-join. The rank ≤ 3 filter runs
+    * through WindowGroupLimit (plan-audited): each map task keeps only
+    * its local top-3 per vec_id BEFORE the window exchange, so the
+    * shuffle carries O(k·|vectors|), not the full pair fan-out. Raw
+    * cosine is the fixed-fold double (bit-identical cross-engine);
+    * ranking happens on the raw value, display rounds once.
+    */
+  private def simKnnLabel(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val nbrs = emb.select(col("vec_id").as("nbr_id"),
+      col("label").as("nbr_label"), col("embedding").as("nbr_emb"))
+    val pairs = emb
+      .join(broadcast(nbrs),
+        col("label") === col("nbr_label") && col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos",
+        dot(col("embedding"), col("nbr_emb")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            sqrt(dot(col("nbr_emb"), col("nbr_emb")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(desc("cos"), asc("nbr_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
+        col("nbr_id"), round(col("cos"), 4).as("sim"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
   /** Int8 scalar quantization + integer dot-product top-k — the
     * memory-bandwidth lever every 100 TB ANN system pulls (4× smaller
     * vectors than float32, SIMD-friendly integer math). Quantizer:
@@ -198,6 +234,7 @@ object PipelineQueries extends QueryPack {
     "dedup_exact"        -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_components"   -> (dedupComponents _),
+    "sim_knn_label"      -> (simKnnLabel _),
     "sim_cosine_topk"    -> (simCosineTopk _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_label_centroid" -> (simLabelCentroid _),
@@ -255,6 +292,27 @@ object PipelineQueries extends QueryPack {
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE n_inter / (sa.n_words + sb.n_words - n_inter) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+    "sim_knn_label" -> {
+      def dd(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), " +
+          s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x)"
+      s"""WITH pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS nbr_id,
+        |    ${dd("a.embedding", "b.embedding")}
+        |    / (sqrt(${dd("a.embedding", "a.embedding")})
+        |       * sqrt(${dd("b.embedding", "b.embedding")})) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT vec_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY cos DESC, nbr_id) AS rnk
+        |  FROM pairs)
+        |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id,
+        |  round(cos, 4) AS sim
+        |FROM r WHERE rnk <= 3
+        |ORDER BY vec_id, rnk""".stripMargin
+    },
     "sim_cosine_topk" ->
       """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
         |scored AS (

@@ -142,7 +142,24 @@ object SamplingQueries extends QueryPack {
   private def sampleTokenBudget(s: SparkSession, dir: String): DataFrame =
     tokenBudgetCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
+  /** Per-language epoch upsampling (cap 3): each language replicated
+    * toward the largest language's row count — the UP-sampling half of
+    * training mixture construction beside sample_temperature's
+    * down-sampling. The corpus is en-heavy, so low-resource languages
+    * land at 2-3 epochs (zh's 2.9 fractional epoch resolves per row by
+    * hash) while en stays at 1. Delegates to `Sampling.epochs`; replica
+    * counts are a pure integer-exact function of (doc_id, per-lang
+    * counts), so DuckDB replays the replication bit-for-bit, fractional
+    * epochs included.
+    */
+  private def sampleEpochs(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochs(Tables.documents(s, dir), col("lang"), col("doc_id"),
+        cap = 3L)
+      .select(col("doc_id"), col("lang"), col("n_replicas"), col("replica"))
+      .orderBy(col("doc_id"), col("replica"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_epochs" -> (sampleEpochs _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "sample_temperature" -> (sampleTemperature _),
     "sample_shuffle"    -> (sampleShuffle _),
@@ -154,6 +171,23 @@ object SamplingQueries extends QueryPack {
   // 0x-prefixed hex cast = Spark's conv(hex, 16, 10); thresholds are
   // round(fraction * 65536)
   val oracle: Map[String, String] = Map(
+    "sample_epochs" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY lang),
+        |m AS (SELECT max(n) AS nmax FROM c),
+        |e AS (SELECT c.lang, c.n, least(3 * c.n, m.nmax) AS ee
+        |      FROM c CROSS JOIN m),
+        |r AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(e.ee // e.n AS BIGINT)
+        |      + CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+        |               * e.n < (e.ee % e.n) * 65536
+        |             THEN 1 ELSE 0 END AS n_replicas
+        |  FROM documents d JOIN e USING (lang))
+        |SELECT doc_id, lang, n_replicas,
+        |  CAST(u.replica AS BIGINT) AS replica
+        |FROM r, unnest(range(1, n_replicas + 1)) AS u(replica)
+        |ORDER BY doc_id, replica""".stripMargin,
     "sample_token_budget" ->
       """WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars
         |           FROM documents),

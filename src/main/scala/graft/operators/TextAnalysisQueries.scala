@@ -329,7 +329,87 @@ object TextAnalysisQueries extends QueryPack {
           coalesce(col("w2"), lit(0.0)), 4).as("score"))
   }
 
+  /** Corpus-level BOILERPLATE detection: word-3-grams shared by ≥ 3
+    * DISTINCT documents are "boilerplate" — the cross-document
+    * repeated-fragment diagnostic of C4/RefinedWeb-style cleaning, the
+    * complement of text_repetition's WITHIN-document stats. Per doc:
+    * distinct-gram count, boilerplate-gram count, and their ratio.
+    *
+    * Plan: the decontamination shape turned on the corpus itself —
+    * explode DISTINCT grams per doc, one hash agg counts documents per
+    * gram (map-side partial), rejoin on gram (co-partitioned with the
+    * agg, no extra exchange), re-aggregate per doc. Never an all-pairs
+    * compare; both shuffles carry (doc, gram) rows linear in text size.
+    * The ratio divides exact per-doc integers once — bit-identical on
+    * both engines.
+    */
+  private def textBoilerplate(s: SparkSession, dir: String): DataFrame =
+    boilerplateCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  def boilerplateCore(documents: DataFrame): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), filter(words, w => w =!= "").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3)))")).as("gram"))
+      .distinct()
+    val gramDf = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(gramDf, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 3, 1)).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_grams"), 4)
+          .as("boiler_frac"))
+  }
+
+  /** Gopher-style QUALITY-FILTER RULE BATTERY: the boolean gates of a
+    * pre-training cleaning pass (Rae et al. 2021's document filters,
+    * adapted to this corpus's scale) — token count in [30, 100k], mean
+    * word length in [3, 10], ≥ 2 stopword hits, ≥ 80% alphabetic words,
+    * symbol-to-token ratio ≤ 10% — and the conjunctive keep decision.
+    * text_quality is the CONTINUOUS scoring twin; this is the hard
+    * filter a pipeline actually drops rows with.
+    *
+    * Every rule is an exact INTEGER cross-comparison (3·n ≤ chars ≤
+    * 10·n, 10·alpha ≥ 8·n, …) — no float thresholds to drift
+    * cross-engine. Pure per-row scan, zero hash exchanges
+    * (plan-audited): the only shape a quality pass over 100 TB can
+    * afford.
+    */
+  private def textGopherRules(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("toks", filter(words, w => w =!= ""))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_wchars",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("n_stop", hitCount("en"))
+      .withColumn("n_alpha",
+        size(filter(col("toks"), w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_sym",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("long"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") >= 30 && col("n_tokens") <= 100000, 1L)
+          .otherwise(0L).as("r_len"),
+        when(col("n_wchars") >= col("n_tokens") * 3 &&
+          col("n_wchars") <= col("n_tokens") * 10, 1L)
+          .otherwise(0L).as("r_wordlen"),
+        when(col("n_stop") >= 2, 1L).otherwise(0L).as("r_stop"),
+        when(col("n_alpha") * 10 >= col("n_tokens") * 8, 1L)
+          .otherwise(0L).as("r_alpha"),
+        when(col("n_sym") * 10 <= col("n_tokens"), 1L)
+          .otherwise(0L).as("r_sym"))
+      .withColumn("keep",
+        col("r_len") * col("r_wordlen") * col("r_stop") * col("r_alpha") *
+          col("r_sym"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate"   -> (textBoilerplate _),
+    "text_gopher_rules"  -> (textGopherRules _),
     "text_repetition"    -> (textRepetition _),
     "text_bm25"          -> (textBm25 _),
     "text_pack"          -> (textPack _),
@@ -350,6 +430,50 @@ object TextAnalysisQueries extends QueryPack {
   private val hitsFr = duckHits("'le','la','et','les','des'")
 
   val oracle: Map[String, String] = Map(
+    "text_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        |  FROM documents),
+        |d2 AS (SELECT * FROM d WHERE len(toks) >= 3),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM d2) t),
+        |gc AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
+        |SELECT g.doc_id,
+        |  count(*) AS n_grams,
+        |  count(*) FILTER (WHERE gc.df >= 3) AS n_boiler,
+        |  round(CAST(count(*) FILTER (WHERE gc.df >= 3) AS DOUBLE) / count(*), 4)
+        |    AS boiler_frac
+        |FROM grams g JOIN gc ON g.gram = gc.gram
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+        |    length(replace(text, ' ', '')) AS n_wchars,
+        |    $hitsEn AS n_stop,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w <> '' AND regexp_matches(w, '[a-z]'))) AS n_alpha,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+        |      AS n_sym
+        |  FROM documents),
+        |rules AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(CASE WHEN n_tokens BETWEEN 30 AND 100000 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS r_len,
+        |    CAST(CASE WHEN n_wchars >= n_tokens * 3 AND n_wchars <= n_tokens * 10
+        |      THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+        |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+        |    CAST(CASE WHEN n_alpha * 10 >= n_tokens * 8 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS r_alpha,
+        |    CAST(CASE WHEN n_sym * 10 <= n_tokens THEN 1 ELSE 0 END
+        |      AS BIGINT) AS r_sym
+        |  FROM base)
+        |SELECT doc_id, n_tokens, r_len, r_wordlen, r_stop, r_alpha, r_sym,
+        |  r_len * r_wordlen * r_stop * r_alpha * r_sym AS keep
+        |FROM rules
+        |ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -96,6 +96,42 @@ object Sampling {
       .drop("__stratum", "__n", "__w", "__ntot", "__sw")
   }
 
+  /** Deterministic EPOCH UPSAMPLING: replicate each row of stratum s
+    * e_s = min(cap, n_max / n_s) times — fractional epochs resolved per
+    * row by hash membership — the domain-rebalancing replication step of
+    * training-mix construction (every source upsampled toward the
+    * largest source's row count, capped so rare strata never explode).
+    * Where temperature() DOWN-samples toward a flat mix, this
+    * UP-samples: both postures exist in real pipelines.
+    *
+    * Integer-exact: with E = min(cap·n_s, n_max), a row's replica count
+    * is (E div n_s) + [hash16·n_s < (E mod n_s)·65536] — pure integer
+    * cross-multiplies (hash16 < 2¹⁶, n_s ≤ 10¹² keeps every product
+    * far under 2⁶³), so replica counts replay bit-for-bit in any
+    * engine, and per-stratum expected row count is exactly E (each
+    * stratum lands within 1/65536 of its fractional epoch).
+    *
+    * Plan: one tiny per-stratum count agg broadcast back, a 1-row max
+    * broadcast, then a scan-level `sequence` explode — the corpus
+    * itself never shuffles; output grows by exactly Σ_s e_s·n_s rows.
+    * Emits the input row plus (n_replicas, replica = 1..n_replicas).
+    */
+  def epochs(df: DataFrame, stratum: Column, key: Column, cap: Long): DataFrame = {
+    require(cap >= 1, "cap must be at least 1")
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val nmax = counts.agg(max(col("__n")).as("__nmax"))
+    df.join(broadcast(counts), stratum === col("__stratum"))
+      .crossJoin(broadcast(nmax))
+      .withColumn("__e", least(lit(cap) * col("__n"), col("__nmax")))
+      .withColumn("n_replicas",
+        expr("__e DIV __n") +
+          when(hash16(key) * col("__n") < (col("__e") % col("__n")) * 65536L, 1L)
+            .otherwise(0L))
+      .withColumn("replica", explode(expr("sequence(1L, n_replicas)")))
+      .drop("__stratum", "__n", "__nmax", "__e")
+  }
+
   /** Deterministic train/val/test assignment by hash16 range. Fractions
     * are cumulative cut points in [0,1], e.g. (0.8, 0.9) → 80/10/10.
     * Membership is a pure function of the key: re-running over a grown

@@ -303,6 +303,50 @@ class PlanAuditSpec extends SparkSpec {
       s"a per-row regex projection must not shuffle: ${p.take(600)}")
   }
 
+  test("text_gopher_rules is scan-bound: a per-row rule battery never shuffles") {
+    val p = finalPlanSection(plan("text_gopher_rules"))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 0,
+      s"a per-row quality filter must not shuffle: ${p.take(600)}")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "rule battery must stay in codegen expressions")
+  }
+
+  test("sample_epochs joins only via broadcast — the corpus never sort-merges") {
+    val p = finalPlanSection(plan("sample_epochs"))
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must broadcast-join the tiny stratum counts: ${p.take(800)}")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    // only per-stratum count partial aggs may hash-exchange (≤ #strata
+    // rows each; the counts subtree is planned twice — once for the
+    // broadcast join, once under the 1-row max); the corpus itself
+    // reaches the explode through scan → broadcast joins only
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 2,
+      s"only the stratum-count aggs may hash-exchange: ${p.take(800)}")
+    assert(p.contains("Generate explode"),
+      "replication must be a generator, not a join against a numbers table")
+  }
+
+  test("sim_knn_label broadcasts the neighbor side and group-limits before the rank exchange") {
+    val p = finalPlanSection(plan("sim_knn_label"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the label-blocked self-join must broadcast the neighbor projection: ${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "blocking must make this an equi-join")
+    // rank<=3 must push into WindowGroupLimit so each map task ships only
+    // its local top-3 per vec_id, not the full per-label pair fan-out
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must prune map-side via WindowGroupLimit: ${p.take(800)}")
+  }
+
+  test("text_boilerplate counts gram df via hash aggregation, never an all-pairs compare") {
+    val p = finalPlanSection(plan("text_boilerplate"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram df must come from an equi-join, not doc×doc: ${p.take(800)}")
+    assert(p.contains("partial_"), "gram df must partial-aggregate map-side")
+  }
+
   test("nested_event_digest is two partial hash aggregates, no window") {
     val p = finalPlanSection(plan("nested_event_digest"))
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
