@@ -442,6 +442,35 @@ object ScaleBench {
               .as("n_tokens")),
           budget = 256L, chunkSize = 1000L).count()
       },
+      // boilerplate 3-gram df at 10× (50k docs): the grouped gram-count
+      // + co-partitioned rejoin must stay linear in total grams — the
+      // decontamination shape turned on the corpus itself.
+      t("boilerplate_50k_docs") {
+        operators.TextAnalysisQueries.boilerplateCore(documents).count()
+      },
+      // Gopher rule battery at 10×: a pure per-row scan — the row exists
+      // to certify it STAYS scan-bound (time ≈ scan time) as data grows.
+      t("gopher_rules_50k_docs") {
+        operators.TextAnalysisQueries.gopherRulesCore(documents).count()
+      },
+      // epoch upsampling at 10×: broadcast counts + scan-level sequence
+      // explode; output grows by the replication factor, input never
+      // shuffles.
+      t("epochs_50k_docs") {
+        pipeline.Sampling.epochs(documents, col("lang"), col("doc_id"),
+          cap = 3L).count()
+      },
+      // label-blocked exact kNN at 10× corpus, FIXED 2k probe slice:
+      // per-probe cost grows linearly with the block (10× pairs vs the
+      // sf0.1 key), which is the deployable posture — probe batches are
+      // bounded per task. The FULL 20k×20k self-graph is the quadratic
+      // ceiling, measured once at 88 s (BASELINE.md) — past that scale
+      // the per-label graph is the ANN indexes' job (ann_lsh_topk /
+      // ivf_topk rows above), probing buckets instead of whole blocks.
+      t("knn_label_probe2k_corpus20k") {
+        operators.PipelineQueries.knnLabelAgainst(
+          embeddings.filter(col("vec_id") < 2000), embeddings).count()
+      },
       // fleet-scale marine e2e: 10 boats × (copies × 40k) NMEA lines
       // (multi-day — the generator rolls ~80k lines/day), every stage
       // keyed by boat_id so the whole pipeline is 10-way-parallel per

@@ -125,9 +125,19 @@ object PipelineQueries extends QueryPack {
     * cosine is the fixed-fold double (bit-identical cross-engine);
     * ranking happens on the raw value, display rounds once.
     */
-  private def simKnnLabel(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val nbrs = emb.select(col("vec_id").as("nbr_id"),
+  private def simKnnLabel(s: SparkSession, dir: String): DataFrame =
+    knnLabelCore(Tables.embeddings(s, dir))
+
+  def knnLabelCore(emb: DataFrame): DataFrame = knnLabelAgainst(emb, emb)
+
+  /** The probe/corpus split of the blocked kNN graph: neighbors come
+    * from `corpus`, rows are produced per `probes` vector. The oracle
+    * key self-joins (probes = corpus); the bounded form prices per-probe
+    * cost independently of probe-set size (ScaleBench's posture).
+    */
+  def knnLabelAgainst(probes: DataFrame, corpus: DataFrame): DataFrame = {
+    val emb = probes
+    val nbrs = corpus.select(col("vec_id").as("nbr_id"),
       col("label").as("nbr_label"), col("embedding").as("nbr_emb"))
     val pairs = emb
       .join(broadcast(nbrs),

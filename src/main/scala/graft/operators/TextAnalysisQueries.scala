@@ -379,7 +379,10 @@ object TextAnalysisQueries extends QueryPack {
     * afford.
     */
   private def textGopherRules(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    gopherRulesCore(Tables.documents(s, dir))
+
+  def gopherRulesCore(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), col("text"))
       .withColumn("toks", filter(words, w => w =!= ""))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
