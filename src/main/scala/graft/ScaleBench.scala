@@ -471,6 +471,21 @@ object ScaleBench {
         operators.PipelineQueries.knnLabelAgainst(
           embeddings.filter(col("vec_id") < 2000), embeddings).count()
       },
+      // the composed cleaning decision at 10×: cost ≈ max(sub-plans),
+      // dominated by the gram-df gate; the doc_id rejoins add no
+      // super-linear term. Summing `keep` (not count()) forces every
+      // gate: a bare count lets Catalyst prune the unused gate columns
+      // and ELIMINATE the left join + window entirely (measured 0.87 s
+      // of nothing).
+      // (sum of the three gate columns, not `keep`: on the replicated
+      // corpus every 3-gram is shared by the 10 copies, so r_boiler=0
+      // and keep=0 for every doc — correct on a 10×-duplicated corpus,
+      // but a 0 rows metric would read as a broken row)
+      t("pipeline_clean_50k_docs") {
+        operators.PipelineQueries.cleanCore(documents)
+          .agg(sum(col("r_quality") + col("r_survivor") + col("r_boiler")))
+          .head.getLong(0)
+      },
       // fleet-scale marine e2e: 10 boats × (copies × 40k) NMEA lines
       // (multi-day — the generator rolls ~80k lines/day), every stage
       // keyed by boat_id so the whole pipeline is 10-way-parallel per

@@ -10,8 +10,8 @@ package graft
   * returns exactly the rows and column names of the corresponding
   * `SparkEntry.queries` plan. SqlFrontendSpec asserts that equivalence
   * for every entry; together with the keys whose DuckDB oracle text
-  * already runs unmodified on Spark, the SQL surface covers 136 of the
-  * 137 oracle keys. The single exception is `dedup_components`: its
+  * already runs unmodified on Spark, the SQL surface covers 137 of the
+  * 138 oracle keys. The single exception is `dedup_components`: its
   * transitive closure is a CYCLIC fixpoint needing UNION-distinct
   * recursion, which Spark's recursive CTEs do not support
   * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed; UNION ALL on a
@@ -927,6 +927,51 @@ object SqlTwins {
         |    AS dup_bigram_frac
         |FROM pt LEFT JOIN pb ON pt.doc_id = pb.doc_id
         |ORDER BY pt.doc_id""".stripMargin,
+    "pipeline_clean" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_wchars,
+        |    ${hits(stopEn)} AS n_stop,
+        |    CAST(size(filter(split(text, ' '),
+        |      w -> w != '' AND w RLIKE '[a-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))
+        |      AS BIGINT) AS n_sym
+        |  FROM documents),
+        |gopher AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(CASE WHEN n_tokens BETWEEN 30 AND 100000
+        |           AND n_wchars >= n_tokens * 3 AND n_wchars <= n_tokens * 10
+        |           AND n_stop >= 2 AND n_alpha * 10 >= n_tokens * 8
+        |           AND n_sym * 10 <= n_tokens
+        |         THEN 1 ELSE 0 END AS BIGINT) AS r_quality
+        |  FROM base),
+        |surv AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+        |         THEN 1 ELSE 0 END AS BIGINT) AS r_survivor
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, concat_ws(' ', slice(toks, i, 3)) AS gram
+        |  FROM (SELECT doc_id, toks, explode(sequence(1, size(toks) - 2)) AS i
+        |        FROM (SELECT doc_id, filter(split(text, ' '), w -> w != '') AS toks
+        |              FROM documents) d0
+        |        WHERE size(toks) >= 3) t),
+        |gc AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+        |boiler AS (
+        |  SELECT g.doc_id,
+        |    CAST(CASE WHEN count(*) FILTER (WHERE gc.df >= 3) * 2 < count(*)
+        |         THEN 1 ELSE 0 END AS BIGINT) AS rb
+        |  FROM grams g JOIN gc ON g.gram = gc.gram
+        |  GROUP BY g.doc_id)
+        |SELECT s.doc_id, s.lang, gp.n_tokens,
+        |  gp.r_quality, s.r_survivor,
+        |  coalesce(b.rb, CAST(1 AS BIGINT)) AS r_boiler,
+        |  gp.r_quality * s.r_survivor * coalesce(b.rb, CAST(1 AS BIGINT)) AS keep
+        |FROM surv s
+        |JOIN gopher gp ON s.doc_id = gp.doc_id
+        |LEFT JOIN boiler b ON s.doc_id = b.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "text_boilerplate" ->
       """WITH d AS (
         |  SELECT doc_id, filter(split(text, ' '), w -> w != '') AS toks

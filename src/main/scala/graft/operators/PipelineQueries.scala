@@ -240,7 +240,52 @@ object PipelineQueries extends QueryPack {
       .limit(100)
   }
 
+  /** END-TO-END corpus cleaning decision — THE query a training-data
+    * pipeline ships: per document, the three certified gates composed
+    * into one keep/drop row with per-gate reasons.
+    *   r_quality  — the Gopher rule battery (text_gopher_rules' keep)
+    *   r_survivor — exact-dup survivorship: doc_id = min(doc_id) over
+    *                identical text (one text-keyed window — no rejoin of
+    *                the survivor table on the full text)
+    *   r_boiler   — boilerplate gate n_boiler·2 < n_grams in EXACT
+    *                integers (no float threshold); docs too short to
+    *                have 3-grams pass vacuously (they already fail
+    *                r_quality's length rule)
+    * keep = r_quality · r_survivor · r_boiler.
+    *
+    * Plan: three linear sub-plans over the same scan — a zero-exchange
+    * rule scan, one window keyed by text (high-cardinality at scale),
+    * the gram-df agg — then two doc_id equi-joins (co-partitioned with
+    * the gram re-agg). Never all-pairs; every shuffle linear in corpus
+    * size. This is the composition story: each gate is individually
+    * oracle-certified, and so is the composition.
+    */
+  private def pipelineClean(s: SparkSession, dir: String): DataFrame =
+    cleanCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  def cleanCore(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val surv = docs.select(col("doc_id"), col("lang"),
+      when(col("doc_id") === min("doc_id").over(w), 1L).otherwise(0L)
+        .as("r_survivor"))
+    val gopher = TextAnalysisQueries.gopherRulesCore(docs)
+      .select(col("doc_id").as("g_id"), col("n_tokens"),
+        col("keep").as("r_quality"))
+    val boiler = TextAnalysisQueries.boilerplateCore(docs)
+      .select(col("doc_id").as("b_id"),
+        when(col("n_boiler") * 2 < col("n_grams"), 1L).otherwise(0L)
+          .as("rb"))
+    surv.join(gopher, col("doc_id") === col("g_id"))
+      .join(boiler, col("doc_id") === col("b_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("r_quality"), col("r_survivor"),
+        coalesce(col("rb"), lit(1L)).as("r_boiler"))
+      .withColumn("keep",
+        col("r_quality") * col("r_survivor") * col("r_boiler"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean"     -> (pipelineClean _),
     "dedup_exact"        -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_components"   -> (dedupComponents _),
@@ -252,6 +297,52 @@ object PipelineQueries extends QueryPack {
     "text_tfidf_top"     -> (textTfidfTop _))
 
   val oracle: Map[String, String] = Map(
+    "pipeline_clean" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+        |    length(replace(text, ' ', '')) AS n_wchars,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','and','of','to','in'))) AS n_stop,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w <> '' AND regexp_matches(w, '[a-z]'))) AS n_alpha,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+        |      AS n_sym
+        |  FROM documents),
+        |gopher AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(CASE WHEN n_tokens BETWEEN 30 AND 100000
+        |           AND n_wchars >= n_tokens * 3 AND n_wchars <= n_tokens * 10
+        |           AND n_stop >= 2 AND n_alpha * 10 >= n_tokens * 8
+        |           AND n_sym * 10 <= n_tokens
+        |         THEN 1 ELSE 0 END AS BIGINT) AS r_quality
+        |  FROM base),
+        |surv AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+        |         THEN 1 ELSE 0 END AS BIGINT) AS r_survivor
+        |  FROM documents),
+        |d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        |      FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        |        FROM d WHERE len(toks) >= 3) t),
+        |gc AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+        |boiler AS (
+        |  SELECT g.doc_id,
+        |    CAST(CASE WHEN count(*) FILTER (WHERE gc.df >= 3) * 2 < count(*)
+        |         THEN 1 ELSE 0 END AS BIGINT) AS rb
+        |  FROM grams g JOIN gc ON g.gram = gc.gram
+        |  GROUP BY g.doc_id)
+        |SELECT s.doc_id, s.lang, gp.n_tokens,
+        |  gp.r_quality, s.r_survivor,
+        |  coalesce(b.rb, 1) AS r_boiler,
+        |  gp.r_quality * s.r_survivor * coalesce(b.rb, 1) AS keep
+        |FROM surv s
+        |JOIN gopher gp ON s.doc_id = gp.doc_id
+        |LEFT JOIN boiler b ON s.doc_id = b.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents

@@ -379,7 +379,7 @@ object TextAnalysisQueries extends QueryPack {
     * afford.
     */
   private def textGopherRules(s: SparkSession, dir: String): DataFrame =
-    gopherRulesCore(Tables.documents(s, dir))
+    gopherRulesCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
   def gopherRulesCore(documents: DataFrame): DataFrame =
     documents
@@ -408,7 +408,6 @@ object TextAnalysisQueries extends QueryPack {
       .withColumn("keep",
         col("r_len") * col("r_wordlen") * col("r_stop") * col("r_alpha") *
           col("r_sym"))
-      .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_boilerplate"   -> (textBoilerplate _),

@@ -347,6 +347,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "gram df must partial-aggregate map-side")
   }
 
+  test("pipeline_clean composes three linear sub-plans — no all-pairs, one text window") {
+    val p = finalPlanSection(plan("pipeline_clean"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"composition must stay equi-joined on doc_id: ${p.take(800)}")
+    assert(p.contains("partial_"), "gram df must partial-aggregate map-side")
+    // exactly one window (dup survivorship keyed by text — high
+    // cardinality at scale); rules and gates are aggregates/scans
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows >= 1, s"survivorship window expected: ${p.take(600)}")
+  }
+
   test("nested_event_digest is two partial hash aggregates, no window") {
     val p = finalPlanSection(plan("nested_event_digest"))
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
