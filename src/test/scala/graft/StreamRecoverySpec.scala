@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{BucketMatch, DedupStream, StreamDoc}
+import graft.streaming.{BucketMatch, DedupStream, GroupedItem, HeavyHitter, HeavyHittersStream, StreamDoc}
 
 /** Checkpoint recovery for the stateful streams: stop a query mid-stream
   * and restart it from the same checkpoint — the per-key state (the LSH
@@ -60,5 +60,42 @@ class StreamRecoverySpec extends SparkSpec {
       DedupStream.tokensOf("alpha beta gamma delta epsilon"),
       DedupStream.tokensOf("alpha beta gamma delta"))
     assert(got.exists(m => math.abs(m.jaccard - j) < 1e-12))
+  }
+
+  test("HeavyHittersStream counters survive a query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("hh-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("hh-out").toString
+    val input = MemoryStream[GroupedItem]
+
+    // Update-mode operator → a file sink (append-only) can't take it
+    // directly; foreachBatch is the checkpoint-compatible upsert shim a
+    // real deployment uses for this operator
+    def start() =
+      HeavyHittersStream.heavyHitters(input.toDS(), k = 4)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[HeavyHitter], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+
+    // run 1: 10 hits on item "a" land in state, then the query stops
+    val q1 = start()
+    input.addData((1 to 10).map(_ => GroupedItem("g", "a")))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2: 1 more hit — est for "a" must be 11, proving the 10 carried
+    // across the restart rather than restarting from zero
+    val q2 = start()
+    input.addData(Seq(GroupedItem("g", "a")))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val last = spark.read.parquet(out).as[HeavyHitter].collect()
+      .filter(h => h.group == "g" && h.item == "a").map(_.est).max
+    assert(last == 11L, s"counter must resume at 10 after restart, got $last")
   }
 }
