@@ -26,6 +26,9 @@ object Multimodal {
   case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
                           n_samples: Long, duration_s: Double, rms: Double)
 
+  case class ResizedImage(media_id: Long, format: String, width: Int,
+                          height: Int, payload: Array[Byte])
+
   /** PPM/PGM: `P6`(RGB)/`P5`(gray), then w, h, maxval as ASCII tokens
     * separated by whitespace, `#` comments legal between tokens, ONE
     * whitespace byte, then the raster.
@@ -34,6 +37,11 @@ object Multimodal {
     def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
       require(rgb.length == w * h * 3, "P6 raster must be w*h*3 bytes")
       s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+    }
+
+    def encodeGray(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+      require(gray.length == w * h, "P5 raster must be w*h bytes")
+      s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ gray
     }
 
     /** @return (width, height, channels, rasterOffset) */
@@ -218,6 +226,58 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init would go here (codec context, arena buffer)
       rows.filter(_.kind == "image").map(r => decodePayload(r.media_id, r.payload))
+    }
+  }
+
+  /** Decoded raster of an image payload: (w, h, channels, pixels) for
+    * PPM/PGM directly and BMP via its row-unpadded pixel walk.
+    */
+  private def rasterOf(payload: Array[Byte]): (Int, Int, Int, Array[Byte]) =
+    if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
+      val (w, h, px) = Bmp.pixels(payload)
+      (w, h, 3, px)
+    } else {
+      val (w, h, c, off) = Ppm.header(payload)
+      (w, h, c, payload.slice(off, off + w * h * c))
+    }
+
+  /** NEAREST-NEIGHBOR resize of the decoded raster, re-encoded as
+    * PPM/PGM (the normalization step before a vision model's fixed
+    * input size). Source index per output pixel is the floor mapping
+    * `src = dst * srcDim / outDim` — pure integer math, so the result
+    * is deterministic across engines/partitionings, and resizing to the
+    * source size is the IDENTITY on the raster (golden-spec'd). Same
+    * mapPartitions one-init-per-partition batch shape as decode; output
+    * payload size is exactly outW·outH·channels + header, independent
+    * of input size — the property that bounds shuffle width when a
+    * 100 TB image corpus normalizes to a model's input resolution.
+    */
+  def resizeImages(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedImage] = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "image").map { r =>
+        val (w, h, c, px) = rasterOf(r.payload)
+        val out = new Array[Byte](outW * outH * c)
+        var y = 0
+        while (y < outH) {
+          val sy = y * h / outH
+          var x = 0
+          while (x < outW) {
+            val sx = x * w / outW
+            var ch = 0
+            while (ch < c) {
+              out((y * outW + x) * c + ch) = px((sy * w + sx) * c + ch)
+              ch += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImage(r.media_id, if (c == 3) "ppm" else "pgm", outW, outH,
+          if (c == 3) Ppm.encode(outW, outH, out)
+          else Ppm.encodeGray(outW, outH, out))
+      }
     }
   }
 

@@ -141,4 +141,63 @@ class MultimodalQueriesSpec extends SparkSpec {
       assert(d.rms > 0.0)
     }
   }
+
+  test("resize to the source size is the identity on the raster") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaRecord
+    val rgb = Array.tabulate(4 * 3 * 3)(i => (i * 7 % 251).toByte)
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "image", Multimodal.Ppm.encode(4, 3, rgb)),
+      MediaRecord(2L, "image", Multimodal.Bmp.encode(4, 3, rgb))))
+    val out = Multimodal.resizeImages(media, 4, 3).collect().sortBy(_.media_id)
+    assert(out.length == 2 && out.forall(r => r.width == 4 && r.height == 3))
+    // both re-encode as P6 of the SAME raster — BMP's padding gone
+    val expect = Multimodal.Ppm.encode(4, 3, rgb)
+    out.foreach(r => assert(r.payload.sameElements(expect),
+      s"media ${r.media_id} raster changed under identity resize"))
+  }
+
+  test("2x nearest-neighbor downscale picks exactly the floor-mapped source pixels") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaRecord
+    // gradient raster: pixel (x, y) has value (10x, 20y, x+y) — closed form
+    val w = 8; val h = 6
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      rgb((y * w + x) * 3) = (10 * x).toByte
+      rgb((y * w + x) * 3 + 1) = (20 * y).toByte
+      rgb((y * w + x) * 3 + 2) = (x + y).toByte
+    }
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "image", Multimodal.Ppm.encode(w, h, rgb))))
+    val r = Multimodal.resizeImages(media, 4, 3).collect().head
+    val (rw, rh, _, off) = Multimodal.Ppm.header(r.payload)
+    assert(rw == 4 && rh == 3)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      // src = dst * srcDim / outDim = exactly (2x, 2y) here
+      assert(r.payload(off + (y * 4 + x) * 3) == (10 * 2 * x).toByte)
+      assert(r.payload(off + (y * 4 + x) * 3 + 1) == (20 * 2 * y).toByte)
+      assert(r.payload(off + (y * 4 + x) * 3 + 2) == (2 * x + 2 * y).toByte)
+    }
+  }
+
+  test("upscale duplicates source pixels; output size is outW*outH regardless of input") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaRecord
+    val rgb = Array.tabulate(2 * 2 * 3)(i => (40 * i).toByte)
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "image", Multimodal.Ppm.encode(2, 2, rgb))))
+    val r = Multimodal.resizeImages(media, 4, 4).collect().head
+    val (rw, rh, c, off) = Multimodal.Ppm.header(r.payload)
+    assert(rw == 4 && rh == 4 && c == 3)
+    assert(r.payload.length == off + 4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4; ch <- 0 until 3) {
+      val expect = rgb(((y / 2) * 2 + (x / 2)) * 3 + ch)
+      assert(r.payload(off + (y * 4 + x) * 3 + ch) == expect,
+        s"pixel ($x,$y) ch $ch must copy source (${x / 2},${y / 2})")
+    }
+  }
 }
