@@ -471,6 +471,17 @@ object ScaleBench {
         operators.PipelineQueries.knnLabelAgainst(
           embeddings.filter(col("vec_id") < 2000), embeddings).count()
       },
+      // unigram-LM scoring at 10× (50k docs): the tf-idf shuffle shape
+      // with a sorted-array fold instead of a max — must stay linear in
+      // token volume.
+      // (sum the score to force the fold — a bare count would let
+      // Catalyst prune the collect+aggregate column, as pipeline_clean's
+      // comment documents)
+      t("unigram_logprob_50k_docs") {
+        operators.TextAnalysisQueries.unigramLogprobCore(documents)
+          .agg(sum(col("sum_logp")).as("s"), count(lit(1)).as("n"))
+          .head.getLong(1)
+      },
       // the composed cleaning decision at 10×: cost ≈ max(sub-plans),
       // dominated by the gram-df gate; the doc_id rejoins add no
       // super-linear term. Summing `keep` (not count()) forces every

@@ -10,8 +10,8 @@ package graft
   * returns exactly the rows and column names of the corresponding
   * `SparkEntry.queries` plan. SqlFrontendSpec asserts that equivalence
   * for every entry; together with the keys whose DuckDB oracle text
-  * already runs unmodified on Spark, the SQL surface covers 137 of the
-  * 138 oracle keys. The single exception is `dedup_components`: its
+  * already runs unmodified on Spark, the SQL surface covers 138 of the
+  * 139 oracle keys. The single exception is `dedup_components`: its
   * transitive closure is a CYCLIC fixpoint needing UNION-distinct
   * recursion, which Spark's recursive CTEs do not support
   * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed; UNION ALL on a
@@ -927,6 +927,30 @@ object SqlTwins {
         |    AS dup_bigram_frac
         |FROM pt LEFT JOIN pb ON pt.doc_id = pb.doc_id
         |ORDER BY pt.doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, explode(filter(split(text, ' '), w -> w != '')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY word),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM wc),
+        |dwc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        |        FROM toks GROUP BY doc_id, word),
+        |terms AS (
+        |  SELECT d.doc_id, d.c,
+        |    named_struct('word', d.word,
+        |      'term', CAST(d.c AS DOUBLE) * ln(CAST(w.n AS DOUBLE) / CAST(tt.t AS DOUBLE)))
+        |      AS wt
+        |  FROM dwc d JOIN wc w USING (word) CROSS JOIN tot tt),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    aggregate(array_sort(collect_list(wt)), CAST(0.0 AS DOUBLE),
+        |      (acc, x) -> acc + x.term) AS logp
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(logp, 4) AS sum_logp,
+        |  round(logp / n_tokens, 4) AS avg_logp
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_clean" ->
       s"""WITH base AS (
         |  SELECT doc_id,

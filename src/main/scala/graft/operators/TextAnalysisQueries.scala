@@ -409,7 +409,59 @@ object TextAnalysisQueries extends QueryPack {
         col("r_len") * col("r_wordlen") * col("r_stop") * col("r_alpha") *
           col("r_sym"))
 
+  /** Unigram-LM log-probability scoring — the perplexity-proxy quality
+    * filter of CCNet-style cleaning (there a KenLM 5-gram; the unigram
+    * form is the engine-native first rung): per doc, Σ c_w · ln(n_w/N)
+    * over its word types under the CORPUS unigram distribution, plus
+    * the per-token average. Low (very negative) average ⇒ the doc is
+    * full of rare tokens — gibberish, codes, boilerplate IDs.
+    *
+    * Float determinism (the interesting part): a grouped SUM of doubles
+    * is partition-order-dependent, so the per-doc total is folded over
+    * the SORTED (word, term) array instead — collect the doc's type
+    * terms, `array_sort` (word is unique per doc → total order), then
+    * a left `aggregate` fold from 0.0. DuckDB replays the identical
+    * fold with list_sort + list_reduce. Each term is c·ln(n/N) on
+    * identical doubles (one ln per type, PMI/BM25 precedent); ties
+    * can't reorder; init-0.0 left folds agree bit-for-bit with
+    * DuckDB's first-element-init fold because 0.0 + x ≡ x here (terms
+    * are products of nonnegative counts with ln ≤ 0).
+    *
+    * Plan: two keyed shuffles (word counts; per-(doc, word) counts joined
+    * on word co-partitioned with the count agg) and the per-doc re-agg —
+    * all linear in token volume, the tf-idf shape with a fold instead of
+    * a max. Token-less docs are absent on both engines (no types to
+    * score).
+    */
+  private def textUnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    unigramLogprobCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  def unigramLogprobCore(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        explode(filter(words, w => w =!= "")).as("word"))
+    val wc = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = wc.agg(sum(col("n")).as("t"))
+    val dwc = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    dwc.join(wc, "word")
+      .crossJoin(broadcast(total))
+      .withColumn("term",
+        col("c").cast("double") *
+          log(col("n").cast("double") / col("t").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        collect_list(struct(col("word"), col("term"))).as("terms"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("aggregate(array_sort(terms), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x.term)").as("logp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("logp"), 4).as("sum_logp"),
+        round(col("logp") / col("n_tokens"), 4).as("avg_logp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_boilerplate"   -> (textBoilerplate _),
     "text_gopher_rules"  -> (textGopherRules _),
     "text_repetition"    -> (textRepetition _),
@@ -432,6 +484,32 @@ object TextAnalysisQueries extends QueryPack {
   private val hitsFr = duckHits("'le','la','et','les','des'")
 
   val oracle: Map[String, String] = Map(
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+        |    AS word
+        |  FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY word),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM wc),
+        |dwc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        |        FROM toks GROUP BY doc_id, word),
+        |terms AS (
+        |  SELECT d.doc_id, d.c,
+        |    struct_pack(word := d.word,
+        |      term := CAST(d.c AS DOUBLE) * ln(CAST(w.n AS DOUBLE) / CAST(tt.t AS DOUBLE)))
+        |      AS wt
+        |  FROM dwc d JOIN wc w USING (word) CROSS JOIN tot tt),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    list_reduce(
+        |      list_prepend(0.0, list_transform(list_sort(list(wt)), x -> x.term)),
+        |      (a, b) -> a + b) AS logp
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(logp, 4) AS sum_logp,
+        |  round(logp / n_tokens, 4) AS avg_logp
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
     "text_boilerplate" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks

@@ -358,6 +358,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows >= 1, s"survivorship window expected: ${p.take(600)}")
   }
 
+  test("text_unigram_logprob is keyed aggregates + one broadcast scalar — no window") {
+    val p = finalPlanSection(plan("text_unigram_logprob"))
+    assert(p.contains("partial_"), "word counts must partial-aggregate map-side")
+    assert(!p.contains("Window"),
+      s"per-doc fold must be an aggregate, not a window: ${p.take(600)}")
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row total must broadcast, not shuffle the terms")
+    assert(!p.contains("CartesianProduct"),
+      "the only cross join is the broadcast scalar (BroadcastNestedLoop on 1 row)")
+  }
+
   test("nested_event_digest is two partial hash aggregates, no window") {
     val p = finalPlanSection(plan("nested_event_digest"))
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
