@@ -471,6 +471,13 @@ object ScaleBench {
         operators.PipelineQueries.knnLabelAgainst(
           embeddings.filter(col("vec_id") < 2000), embeddings).count()
       },
+      // hard-negative mining at 10× corpus, the key's own 200-probe
+      // slice: cost = one corpus scan × 200 broadcast probes — must
+      // stay linear in corpus size.
+      t("hard_negatives_probe200_corpus20k") {
+        operators.PipelineQueries.hardNegativesCore(
+          embeddings.filter(col("vec_id") < 200), embeddings).count()
+      },
       // unigram-LM scoring at 10× (50k docs): the tf-idf shuffle shape
       // with a sorted-array fold instead of a max — must stay linear in
       // token volume.

@@ -10,8 +10,8 @@ package graft
   * returns exactly the rows and column names of the corresponding
   * `SparkEntry.queries` plan. SqlFrontendSpec asserts that equivalence
   * for every entry; together with the keys whose DuckDB oracle text
-  * already runs unmodified on Spark, the SQL surface covers 138 of the
-  * 139 oracle keys. The single exception is `dedup_components`: its
+  * already runs unmodified on Spark, the SQL surface covers 139 of the
+  * 140 oracle keys. The single exception is `dedup_components`: its
   * transitive closure is a CYCLIC fixpoint needing UNION-distinct
   * recursion, which Spark's recursive CTEs do not support
   * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed; UNION ALL on a
@@ -433,21 +433,8 @@ object SqlTwins {
         |GROUP BY o.o_orderkey, unix_timestamp(o.o_orderdate), o.o_orderpriority
         |ORDER BY revenue_c DESC, o_orderkey
         |LIMIT 10""".stripMargin,
-    "complex_regional_revenue" ->
-      """SELECT n.n_name,
-        |  sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS revenue_c,
-        |  count(*) AS n_lines
-        |FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
-        |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |JOIN region r ON n.n_regionkey = r.r_regionkey
-        |WHERE r.r_name = 'ASIA'
-        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-        |  AND o.o_orderdate < TIMESTAMP '2000-01-01'
-        |GROUP BY n.n_name
-        |ORDER BY revenue_c DESC, n_name ASC""".stripMargin,
+    // (complex_regional_revenue moved to SqlFrontendSpec's PORTABLE list
+    // — its DuckDB oracle text runs unmodified on spark.sql, probed)
 
     // ---- §2.11 corpus statistics over exploded tokens ----
     "text_bigram_pmi" ->
@@ -1041,6 +1028,24 @@ object SqlTwins {
         |  r_len * r_wordlen * r_stop * r_alpha * r_sym AS keep
         |FROM rules
         |ORDER BY doc_id""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""WITH pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neg_id,
+        |    ${dot("c.embedding", "p.embedding")}
+        |    / (sqrt(${dot("c.embedding", "c.embedding")})
+        |       * sqrt(${dot("p.embedding", "p.embedding")})) AS cos
+        |  FROM embeddings p JOIN embeddings c
+        |    ON p.label != c.label
+        |  WHERE p.vec_id < 200),
+        |r AS (
+        |  SELECT probe_id, neg_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos DESC, neg_id) AS rnk
+        |  FROM pairs)
+        |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, neg_id,
+        |  round(cos, 4) AS sim
+        |FROM r WHERE rnk <= 3
+        |ORDER BY probe_id, rnk""".stripMargin,
     "sim_knn_label" ->
       s"""WITH pairs AS (
         |  SELECT a.vec_id, b.vec_id AS nbr_id,

@@ -155,6 +155,42 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  /** HARD-NEGATIVE mining — the contrastive/triplet-training primitive
+    * beside sim_knn_label's positives: for each probe vector, the top-3
+    * most-similar vectors of a DIFFERENT label (the negatives a
+    * contrastive loss most needs). Different-label pairs admit no label
+    * blocking, so the probe side is a BOUNDED slice (vec_id < 200, the
+    * dedup_near_jaccard precedent) broadcast against the corpus scan —
+    * a BroadcastNestedLoopJoin where the broadcast IS 200 rows and the
+    * stream side is scanned once: linear in corpus size, the plan a
+    * 100 TB negative-miner runs per probe batch (the corpus-wide
+    * all-probes graph is ANN territory, like sim_knn_label's ceiling).
+    * WindowGroupLimit prunes to the local top-3 per probe before the
+    * rank exchange. Raw-cosine ranking; display rounds once.
+    */
+  private def simHardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegativesCore(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 200),
+      Tables.embeddings(s, dir))
+
+  def hardNegativesCore(probes: DataFrame, corpus: DataFrame): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("label").as("p_label"), col("embedding").as("p_emb"))
+    val pairs = corpus
+      .join(broadcast(p), col("label") =!= col("p_label"))
+      .withColumn("cos",
+        dot(col("embedding"), col("p_emb")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            sqrt(dot(col("p_emb"), col("p_emb")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(desc("cos"), asc("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id").as("neg_id"), round(col("cos"), 4).as("sim"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** Int8 scalar quantization + integer dot-product top-k — the
     * memory-bandwidth lever every 100 TB ANN system pulls (4× smaller
     * vectors than float32, SIMD-friendly integer math). Quantizer:
@@ -290,6 +326,7 @@ object PipelineQueries extends QueryPack {
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_components"   -> (dedupComponents _),
     "sim_knn_label"      -> (simKnnLabel _),
+    "sim_hard_negatives" -> (simHardNegatives _),
     "sim_cosine_topk"    -> (simCosineTopk _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_label_centroid" -> (simLabelCentroid _),
@@ -393,6 +430,28 @@ object PipelineQueries extends QueryPack {
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE n_inter / (sa.n_words + sb.n_words - n_inter) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+    "sim_hard_negatives" -> {
+      def dd(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), " +
+          s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x)"
+      s"""WITH pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neg_id,
+        |    ${dd("c.embedding", "p.embedding")}
+        |    / (sqrt(${dd("c.embedding", "c.embedding")})
+        |       * sqrt(${dd("p.embedding", "p.embedding")})) AS cos
+        |  FROM embeddings p JOIN embeddings c
+        |    ON p.label <> c.label
+        |  WHERE p.vec_id < 200),
+        |r AS (
+        |  SELECT probe_id, neg_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos DESC, neg_id) AS rnk
+        |  FROM pairs)
+        |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, neg_id,
+        |  round(cos, 4) AS sim
+        |FROM r WHERE rnk <= 3
+        |ORDER BY probe_id, rnk""".stripMargin
+    },
     "sim_knn_label" -> {
       def dd(a: String, b: String) =
         s"list_reduce(list_transform(list_zip($a, $b), " +

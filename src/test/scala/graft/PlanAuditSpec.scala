@@ -340,6 +340,19 @@ class PlanAuditSpec extends SparkSpec {
       s"rank filter must prune map-side via WindowGroupLimit: ${p.take(800)}")
   }
 
+  test("sim_hard_negatives broadcasts the bounded probe slice over one corpus scan") {
+    val p = finalPlanSection(plan("sim_hard_negatives"))
+    // different-label pairs admit no equi-blocking: the RIGHT plan is a
+    // BroadcastNestedLoopJoin whose broadcast side is the 200-row probe
+    // slice — linear in corpus size
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(p.contains("BroadcastExchange"), p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      "the probe slice must broadcast, never a partitioned cartesian")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must prune map-side: ${p.take(800)}")
+  }
+
   test("text_boilerplate counts gram df via hash aggregation, never an all-pairs compare") {
     val p = finalPlanSection(plan("text_boilerplate"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

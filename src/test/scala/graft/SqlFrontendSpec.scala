@@ -44,7 +44,8 @@ class SqlFrontendSpec extends SparkSpec {
     "complex_sales_opportunity", "agg_mode", "join_band_native",
     "complex_product_profit", "complex_top_supplier",
     "complex_supplier_variety",
-    "complex_forecast_revenue", "sample_token_budget")
+    "complex_forecast_revenue", "sample_token_budget",
+    "complex_regional_revenue")
 
   private def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
