@@ -113,4 +113,36 @@ object Layout {
     shaped.sortWithinPartitions(zCol).drop(zCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** SMALL-FILE COMPACTION: rewrite a parquet directory's files into
+    * ~`targetBytes` outputs at `outPath`, sized from the directory's
+    * ACTUAL on-disk bytes (a row-count heuristic misestimates by the
+    * compression ratio). The operational fix for what streaming sinks
+    * and fine-grained partitioning do to a table over time — thousands
+    * of KB-files turn every scan into a file-listing + task-overhead
+    * problem long before bytes are the bottleneck (task scheduling is
+    * per-file-split; parquet footers are per-file).
+    *
+    * Writes to a NEW directory and returns the output file count — the
+    * swap (rename/retarget readers) is the caller's move, because a
+    * safe in-place swap needs a table format's atomic commit (the
+    * documented honest limit; plain directories get
+    * write-new-then-repoint). `coalesce` (not `repartition`) merges
+    * files WITHOUT a shuffle: compaction reads each input once and
+    * writes it once — at 100 TB the difference between an IO-bound
+    * rewrite and double-shuffling the table.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1L, (onDisk + targetBytes - 1) / targetBytes)
+    spark.read.parquet(inPath)
+      .coalesce(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+  }
 }

@@ -108,6 +108,38 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
+  test("compact merges small files to the byte target without losing rows") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("compact-in").toString + "/t"
+    val out = Files.createTempDirectory("compact-out").toString + "/t"
+    // 40 deliberately tiny files (one per partition)
+    val df = (0 until 4000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    df.repartition(40).write.parquet(in)
+    val inFiles = new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 40, s"setup must produce 40 files, got $inFiles")
+
+    val fs = new org.apache.hadoop.fs.Path(in)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.getContentSummary(new org.apache.hadoop.fs.Path(in)).getLength
+    // target ≈ a quarter of the data → expect ~4 output files
+    val n = Layout.compact(spark, in, out, targetBytes = onDisk / 4 + 1)
+    val outFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(n == outFiles)
+    assert(outFiles <= 4 && outFiles >= 1,
+      s"40 small files should compact to ≤4, got $outFiles")
+    // content identical as a multiset
+    val a = spark.read.parquet(in).collect().map(_.toString).sorted
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "compaction must preserve every row exactly")
+    // and the rewrite plans NO shuffle (coalesce, not repartition)
+    val plan = spark.read.parquet(in).coalesce(n.toInt)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"compaction must not shuffle the table: ${plan.take(400)}")
+  }
+
   test("Channels.resample downsamples to fixed-width buckets") {
     import spark.implicits._
     val aligned = Seq(
