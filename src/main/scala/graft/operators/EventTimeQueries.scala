@@ -240,7 +240,43 @@ object EventTimeQueries extends QueryPack {
   private def evtRollingActive(s: SparkSession, dir: String): DataFrame =
     rollingActiveCore(Tables.events(s, dir)).orderBy(col("day"))
 
+  /** Event-type TRANSITION MATRIX — the first-order Markov model of
+    * user behavior (session-flow analysis, anomaly baselines, UX funnel
+    * discovery): per (from, to) event-type pair, the corpus-wide count
+    * of consecutive occurrences within a user's ts-ordered stream and
+    * the row-normalized transition probability. Consecutiveness is
+    * per-user `lag` over (ts, event_id) — the deterministic total order
+    * every evt_* key uses. The probability divides exact integers once,
+    * rounded once — engine-exact (no float accumulation). Oracle text
+    * is PORTABLE: ordering by raw TIMESTAMP ts in DuckDB and by the
+    * canonical ns BIGINT in Spark produces the identical order, and no
+    * ts value is emitted.
+    *
+    * Plan: ONE user_id hash exchange (the lag window), then a tiny
+    * (from, to) aggregate (≤ |types|² rows). Row totals come from a
+    * window OVER that tiny count table, not a self-join — a rejoin
+    * would plan the whole fact subtree twice (probed: 4 exchanges, the
+    * user window among them duplicated). At 100 TB the window shuffle
+    * is the only data-sized move, and it reuses the partitioning every
+    * other per-user key needs (co-schedulable in a shared pipeline).
+    */
+  private def evtTransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("to_type"),
+        lag("event_type", 1).over(byTs).as("from_type"))
+      .filter(col("from_type").isNotNull)
+    val byFrom = Window.partitionBy("from_type")
+    pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot"), 4).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_transition_matrix" -> (evtTransitionMatrix _),
     "evt_tumbling" -> (evtTumbling _),
     "evt_sliding"  -> (evtSliding _),
     "evt_session"  -> (evtSession _),
@@ -251,6 +287,23 @@ object EventTimeQueries extends QueryPack {
     "evt_rolling_active" -> (evtRollingActive _))
 
   val oracle: Map[String, String] = Map(
+    // PORTABLE: order-by on raw ts ≡ order-by on the canonical ns long,
+    // and no ts value is emitted
+    "evt_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS to_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE from_type IS NOT NULL
+        |  GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT), 4) AS p
+        |FROM c
+        |ORDER BY from_type, to_type""".stripMargin,
     "evt_rolling_active" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day

@@ -382,6 +382,20 @@ class PlanAuditSpec extends SparkSpec {
       "the only cross join is the broadcast scalar (BroadcastNestedLoop on 1 row)")
   }
 
+  test("evt_transition_matrix shuffles the fact once — the user window — then tiny aggs") {
+    val p = finalPlanSection(plan("evt_transition_matrix"))
+    // the lag window's user_id exchange is the only data-sized move;
+    // the (from, to) count partial-aggregates map-side after it, and
+    // row totals are a window over that ≤|types|² table (a rejoin would
+    // plan the fact subtree twice — probed)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 3,
+      s"user window + (from,to) agg + the tiny totals window only: ${p.take(800)}")
+    assert(p.contains("partial_"), "pair counts must partial-aggregate map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"totals must come from a window over the counts, not a rejoin: ${p.take(600)}")
+  }
+
   test("nested_event_digest is two partial hash aggregates, no window") {
     val p = finalPlanSection(plan("nested_event_digest"))
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),

@@ -45,7 +45,7 @@ class SqlFrontendSpec extends SparkSpec {
     "complex_product_profit", "complex_top_supplier",
     "complex_supplier_variety",
     "complex_forecast_revenue", "sample_token_budget",
-    "complex_regional_revenue")
+    "complex_regional_revenue", "evt_transition_matrix")
 
   private def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
