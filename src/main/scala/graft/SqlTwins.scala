@@ -276,6 +276,35 @@ object SqlTwins {
         |ORDER BY user_id""".stripMargin,
 
     // ---- §2.8 event-time (ts is ns BIGINT on the canonical view) ----
+    "evt_cohort_matrix" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, ts DIV 604800000000000 AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS w0
+        |  FROM uw),
+        |m AS (
+        |  SELECT w0 AS cohort_week, week - w0 AS week_offset,
+        |    count(*) AS n_users
+        |  FROM c GROUP BY w0, week - w0)
+        |SELECT cohort_week, week_offset, n_users,
+        |  round(CAST(n_users AS DOUBLE)
+        |    / max(CASE WHEN week_offset = 0 THEN n_users END)
+        |        OVER (PARTITION BY cohort_week), 4) AS retention
+        |FROM m
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "evt_dwell_median" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    (ts - lag(ts, 1) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id)) DIV 1000000000 AS dwell_s
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  percentile(dwell_s, 0.5) AS median_s,
+        |  max(dwell_s) AS max_s
+        |FROM d WHERE dwell_s IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "evt_tumbling" ->
       """SELECT (ts DIV 3600000000000) * 3600 AS wstart_s, event_type,
         |  count(*) AS n,

@@ -707,7 +707,55 @@ object ComposedQueries extends QueryPack {
   private def complexForecastRevenue(s: SparkSession, dir: String): DataFrame =
     forecastRevenueCore(Tables.lineitem(s, dir))
 
+  /** Customer-lifetime-value DECILES — rank every customer by exact-cents
+    * order revenue, cut the ranking into ten ntile(10) buckets, and
+    * profile each decile (count / revenue share / min / max): the
+    * whale-curve query behind every LTV analysis. All outputs are exact
+    * BIGINTs — no float leaves the plan.
+    *
+    * A global ntile is the canonical 100 TB killer: `ntile(10) OVER
+    * (ORDER BY …)` is a single-partition window over every customer.
+    * Instead the global rank comes from the range-bucketed decomposition
+    * (the sample_shuffle/token_budget discipline, here on the DESCENDING
+    * revenue key): bucket by `rev_c DIV 10⁵` — a prefix of the sort key,
+    * so descending-bucket order IS global order and equal keys never
+    * split — rank inside each bucket in parallel, re-base with offsets
+    * from a tiny per-bucket aggregate, and replay ntile's exact fill
+    * rule (first n mod 10 buckets take ⌈n/10⌉, the rest ⌊n/10⌋) in pure
+    * integer arithmetic on (rank, n). The oracle states the naive
+    * single-window ntile; the hash compare certifies the decomposition.
+    */
+  private def complexRevenueDeciles(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      .withColumn("bucket", expr("rev_c DIV 100000"))
+    val tot = r.agg(count(lit(1)).as("n_total"))
+    val offsets = r.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off",
+        sum(col("bn")).over(Window.orderBy(desc("bucket"))) - col("bn"))
+      .select(col("bucket").as("ob"), col("off"))
+    val w = Window.partitionBy("bucket").orderBy(desc("rev_c"), col("o_custkey"))
+    r.join(broadcast(offsets), col("bucket") === col("ob"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w) + col("off"))
+      // ntile(10): q = n DIV 10, m = n MOD 10; ranks 1..m(q+1) fill the
+      // first m buckets with q+1 rows, the rest get q
+      .withColumn("decile", expr(
+        """CASE WHEN rank <= (n_total % 10) * (n_total DIV 10 + 1)
+          |  THEN (rank - 1) DIV (n_total DIV 10 + 1) + 1
+          |  ELSE n_total % 10
+          |    + (rank - (n_total % 10) * (n_total DIV 10 + 1) - 1)
+          |        DIV (n_total DIV 10) + 1
+          |END""".stripMargin))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("rev_c")).as("sum_rev_c"),
+        min(col("rev_c")).as("min_rev_c"), max(col("rev_c")).as("max_rev_c"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_revenue_deciles"  -> (complexRevenueDeciles _),
     "complex_forecast_revenue" -> (complexForecastRevenue _),
     "complex_big_orders"       -> (complexBigOrders _),
     "complex_top_revenue"      -> (complexTopRevenue _),
@@ -732,6 +780,22 @@ object ComposedQueries extends QueryPack {
     "complex_supplier_variety" -> (complexSupplierVariety _))
 
   val oracle: Map[String, String] = Map(
+    "complex_revenue_deciles" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (
+        |  SELECT o_custkey, rev_c,
+        |    ntile(10) OVER (ORDER BY rev_c DESC, o_custkey) AS decile
+        |  FROM r)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(rev_c) AS BIGINT) AS sum_rev_c,
+        |  CAST(min(rev_c) AS BIGINT) AS min_rev_c,
+        |  CAST(max(rev_c) AS BIGINT) AS max_rev_c
+        |FROM t GROUP BY decile
+        |ORDER BY decile""".stripMargin,
     "complex_big_orders" ->
       """WITH po AS (
         |  SELECT l_orderkey,

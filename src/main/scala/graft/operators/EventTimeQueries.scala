@@ -275,7 +275,92 @@ object EventTimeQueries extends QueryPack {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Weekly COHORT RETENTION MATRIX — the classic cohort triangle every
+    * growth dashboard draws: users grouped by first-active week, and for
+    * each later week the count still active plus the retention rate
+    * against the cohort's own week-0 size. Week buckets are exact
+    * integer division on the ns epoch (7·86400·10⁹); the rate divides
+    * two exact BIGINTs once, rounded once (the transition-matrix float
+    * discipline).
+    *
+    * Scale shape: the corpus collapses FIRST to distinct (user, week)
+    * pairs — one hash aggregate with map-side partials, the dedup that
+    * makes raw event volume irrelevant — then the first-week window and
+    * the matrix aggregate run over that pre-shrunk table (≤ users ×
+    * weeks rows). The week-0 totals come from a window over the tiny
+    * matrix itself, never a self-join (a rejoin would plan the user
+    * subtree twice — the transition-matrix probe result, reused).
+    */
+  private def evtCohortMatrix(s: SparkSession, dir: String): DataFrame = {
+    val weekNs = 604800000000000L
+    val uw = Tables.events(s, dir)
+      .groupBy(col("user_id"), expr(s"ts DIV $weekNs").as("week"))
+      .agg(count(lit(1)).as("__n")).drop("__n")
+    val byUser = Window.partitionBy("user_id")
+    val byCohort = Window.partitionBy("cohort_week")
+    uw.withColumn("w0", min(col("week")).over(byUser))
+      .groupBy(col("w0").as("cohort_week"), (col("week") - col("w0")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("n0",
+        max(when(col("week_offset") === 0, col("n_users"))).over(byCohort))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("n0"), 4).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Inter-arrival DWELL-TIME profile — for each event type, the exact
+    * median and max of the seconds since the same user's previous event
+    * (any type): the engagement-cadence statistic behind session-gap
+    * tuning and bot detection.
+    *
+    * The scale story is the EXACT quantile without per-group buffering:
+    * `percentile()` holds every value of a group in memory, and with 5
+    * event types that is 1/5 of the corpus per buffer — the same
+    * low-cardinality trap as the naive rolling median. Instead dwell
+    * times land in a (type, dwell_s) HISTOGRAM — integer seconds, so
+    * distinct values are bounded by the corpus time range, not its row
+    * count — and the median is read off the cumulative counts: the two
+    * order statistics at 1-based positions (n−1) DIV 2 + 1 and
+    * n DIV 2 + 1 average to exactly quantile_cont(0.5) (for odd n they
+    * coincide; for even n the 0.5 interpolation IS the midpoint, and
+    * halving integer-valued doubles is float-exact). The corpus sees one
+    * user-window exchange (the lag) and one partial-aggregating
+    * histogram build; every window after that is over the tiny histogram.
+    */
+  private def evtDwellMedian(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val hist = Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("user_id"), col("event_id"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        expr("(ts - prev_ts) DIV 1000000000").as("dwell_s"))
+      .groupBy(col("event_type"), col("dwell_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy("event_type")
+    val cumW = byType.orderBy(col("dwell_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .withColumn("lo_pos", expr("(n - 1) DIV 2 + 1"))
+      .withColumn("hi_pos", expr("n DIV 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        min(when(col("cum") - col("cnt") < col("lo_pos") && col("lo_pos") <= col("cum"),
+          col("dwell_s"))).as("v_lo"),
+        min(when(col("cum") - col("cnt") < col("hi_pos") && col("hi_pos") <= col("cum"),
+          col("dwell_s"))).as("v_hi"),
+        max(col("dwell_s")).as("max_s"))
+      .select(col("event_type"), col("n"),
+        ((col("v_lo") + col("v_hi")) / 2.0).as("median_s"), col("max_s"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_cohort_matrix" -> (evtCohortMatrix _),
+    "evt_dwell_median" -> (evtDwellMedian _),
     "evt_transition_matrix" -> (evtTransitionMatrix _),
     "evt_tumbling" -> (evtTumbling _),
     "evt_sliding"  -> (evtSliding _),
@@ -287,6 +372,35 @@ object EventTimeQueries extends QueryPack {
     "evt_rolling_active" -> (evtRollingActive _))
 
   val oracle: Map[String, String] = Map(
+    "evt_cohort_matrix" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS w0
+        |  FROM uw),
+        |m AS (
+        |  SELECT w0 AS cohort_week, week - w0 AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM c GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_users,
+        |  round(CAST(n_users AS DOUBLE)
+        |    / max(CASE WHEN week_offset = 0 THEN n_users END)
+        |        OVER (PARTITION BY cohort_week), 4) AS retention
+        |FROM m
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "evt_dwell_median" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id)) // 1000000000 AS dwell_s
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  quantile_cont(dwell_s, 0.5) AS median_s,
+        |  CAST(max(dwell_s) AS BIGINT) AS max_s
+        |FROM d WHERE dwell_s IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // PORTABLE: order-by on raw ts ≡ order-by on the canonical ns long,
     // and no ts value is emitted
     "evt_transition_matrix" ->

@@ -158,7 +158,56 @@ object SamplingQueries extends QueryPack {
       .select(col("doc_id"), col("lang"), col("n_replicas"), col("replica"))
       .orderBy(col("doc_id"), col("replica"))
 
+  /** Deterministic ROUND-ROBIN INTERLEAVE across sources — the data-mix
+    * SCHEDULE of training: reading the output in `pos` order visits the
+    * sources strictly in rotation (doc k of source i sits at position
+    * (k−1)·S + i−1), so a training run consumes a stable source mixture
+    * from step one instead of whatever order the files landed in.
+    * Position is a pure integer function of (per-source rank, source
+    * index) — reproducible across engines, runs, and layouts like every
+    * sampling key.
+    *
+    * The per-source rank is a global row_number per source — a
+    * low-cardinality partition window (5 partitions forever, the
+    * text_pack trap). Instead rows bucket by `doc_id DIV 4096` (a range
+    * prefix of the per-source sort key, the token_budget discipline
+    * applied WITHIN each source): rank inside each (source, bucket) cell
+    * in parallel, re-base with per-source running offsets from a tiny
+    * (source × buckets) aggregate whose window partitions by source.
+    * The oracle states the naive per-source window; the hash compare
+    * certifies the decomposition. At larger corpora the bucket width
+    * scales with max(doc_id)/cores — the constant is a knob, not a cap.
+    */
+  def interleaveCore(documents: DataFrame): DataFrame = {
+    val d = documents.select(col("doc_id"), col("source"))
+      .withColumn("bucket", expr("doc_id DIV 4096"))
+    val srcW = org.apache.spark.sql.expressions.Window.orderBy("source")
+    val sources = d.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      .select(col("source").as("s_src"),
+        row_number().over(srcW).cast("long").as("sidx"))
+    val nSources = sources.agg(count(lit(1)).as("n_sources"))
+    val offW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bucket")
+    val offsets = d.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", sum(col("bn")).over(offW) - col("bn"))
+      .select(col("source").as("o_src"), col("bucket").as("ob"), col("off"))
+    val rnW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "bucket").orderBy("doc_id")
+    d.join(broadcast(offsets),
+        col("source") === col("o_src") && col("bucket") === col("ob"))
+      .join(broadcast(sources), col("source") === col("s_src"))
+      .crossJoin(broadcast(nSources))
+      .withColumn("rn", row_number().over(rnW) + col("off"))
+      .select(col("doc_id"), col("source"),
+        ((col("rn") - 1) * col("n_sources") + col("sidx") - 1).as("pos"))
+  }
+
+  private def sampleInterleave(s: SparkSession, dir: String): DataFrame =
+    interleaveCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_interleave" -> (sampleInterleave _),
     "sample_epochs" -> (sampleEpochs _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "sample_temperature" -> (sampleTemperature _),
@@ -171,6 +220,22 @@ object SamplingQueries extends QueryPack {
   // 0x-prefixed hex cast = Spark's conv(hex, 16, 10); thresholds are
   // round(fraction * 65536)
   val oracle: Map[String, String] = Map(
+    // PORTABLE: plain row_number / distinct / cross join ANSI
+    "sample_interleave" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents) t),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM s),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |                            ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.source,
+        |  (r.rn - 1) * ns.n_sources + s.sidx - 1 AS pos
+        |FROM r JOIN s ON r.source = s.source CROSS JOIN ns
+        |ORDER BY r.doc_id""".stripMargin,
     "sample_epochs" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
         |           FROM documents GROUP BY lang),

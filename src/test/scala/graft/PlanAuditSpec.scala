@@ -396,6 +396,64 @@ class PlanAuditSpec extends SparkSpec {
       s"totals must come from a window over the counts, not a rejoin: ${p.take(600)}")
   }
 
+  test("evt_cohort_matrix pre-shrinks to (user, week) then windows the tiny matrix") {
+    val p = finalPlanSection(plan("evt_cohort_matrix"))
+    // data-sized moves: the (user, week) dedup agg + the first-week user
+    // window; the matrix agg / cohort-totals window run over ≤ users ×
+    // weeks rows. No rejoin for the week-0 totals.
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 4,
+      s"dedup agg + user window + matrix agg + cohort window only: ${p.take(800)}")
+    assert(p.contains("partial_"), "the (user, week) dedup must partial-aggregate map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"week-0 totals must come from a window, not a self-join: ${p.take(600)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"every window here is partitioned — nothing may single-partition: ${p.take(600)}")
+  }
+
+  test("evt_dwell_median buffers a histogram, never per-group values") {
+    val p = finalPlanSection(plan("evt_dwell_median"))
+    // one corpus-sized exchange (the lag window's user partitioning);
+    // the histogram build partial-aggregates map-side and every later
+    // window/agg is over (type × distinct seconds) rows
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the lag must ride a user_id exchange: ${p.take(600)}")
+    assert(p.contains("partial_"), "histogram counts must partial-aggregate map-side")
+    assert(!p.contains("percentile"),
+      "median must come from cumulative counts, not a buffering percentile agg")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 4,
+      s"user window + histogram agg + type window only: ${p.take(800)}")
+  }
+
+  test("complex_revenue_deciles ranks inside revenue buckets — never a single-partition window") {
+    val p = finalPlanSection(plan("complex_revenue_deciles"))
+    // the per-customer table windows partitioned by the revenue-range
+    // bucket; only the tiny offsets window and the 1-row total agg may
+    // single-partition (sample_shuffle/token_budget discipline)
+    assert(p.contains("hashpartitioning(bucket"),
+      s"the rank window must shuffle on the revenue bucket: ${p.take(800)}")
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 2,
+      s"only the offsets window + 1-row total may single-partition, got $single")
+    assert(p.contains("partial_"), "per-customer revenue must partial-aggregate map-side")
+  }
+
+  test("sample_interleave ranks inside (source, bucket) cells — never a per-source-only window") {
+    val p = finalPlanSection(plan("sample_interleave"))
+    // the corpus window partitions by (source, doc_id-range bucket) —
+    // parallelism scales with the corpus, not #sources; the per-source
+    // windows in the plan are over the tiny (source × bucket) offsets
+    // and the ≤#sources index table
+    assert("hashpartitioning\\(source#\\d+, bucket".r.findFirstIn(p).isDefined,
+      s"the rank window must shuffle on (source, bucket): ${p.take(800)}")
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 2,
+      s"only the source-index window + 1-row count may single-partition, got $single")
+    assert(!p.contains("SortMergeJoin"),
+      s"offsets/index/count attach by broadcast, the corpus never sort-merges: ${p.take(600)}")
+  }
+
   test("nested_event_digest is two partial hash aggregates, no window") {
     val p = finalPlanSection(plan("nested_event_digest"))
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),

@@ -45,7 +45,8 @@ class SqlFrontendSpec extends SparkSpec {
     "complex_product_profit", "complex_top_supplier",
     "complex_supplier_variety",
     "complex_forecast_revenue", "sample_token_budget",
-    "complex_regional_revenue", "evt_transition_matrix")
+    "complex_regional_revenue", "evt_transition_matrix",
+    "complex_revenue_deciles", "sample_interleave")
 
   private def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
