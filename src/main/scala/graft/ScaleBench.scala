@@ -442,6 +442,48 @@ object ScaleBench {
               .as("n_tokens")),
           budget = 256L, chunkSize = 1000L).count()
       },
+      // median+MAD at 1M events: the corpus cost is ONE histogram build;
+      // both medians and the deviation histogram run over bins, so the
+      // curve must track the (type, cents) agg alone. (filter on mad_c
+      // forces the second-order statistics)
+      t("mad_1m") {
+        operators.AggQueries.madCore(events)
+          .filter(col("mad_c") >= 0).count()
+      },
+      // cohort retention matrix at 1M events: the (user, week) dedup is
+      // the data-sized stage; everything after runs over ≤ users×weeks
+      // rows, so the curve must track the dedup agg, not the windows.
+      // (summing retention forces the week-0 window — a bare count would
+      // prune it)
+      t("cohort_matrix_1m") {
+        operators.EventTimeQueries.cohortMatrixCore(events)
+          .agg(sum(col("retention")).as("s"), count(lit(1)).as("n"))
+          .head.getLong(1)
+      },
+      // dwell-median histogram at 1M events: one user-window pass + a
+      // (type, second) histogram whose size is time-range-bound — the
+      // exact-median cost must stay pinned to the lag shuffle as rows
+      // grow. (filter on median_s forces the order-statistic picks)
+      t("dwell_median_1m") {
+        operators.EventTimeQueries.dwellMedianCore(events)
+          .filter(col("median_s") >= 0).count()
+      },
+      // LTV deciles over the keyed 1.5M-order corpus: per-customer agg,
+      // then the bucketed global rank — never a single-partition window;
+      // cost must track the custkey agg. (summing the revenue forces the
+      // per-decile profile)
+      t("revenue_deciles_1m5_orders") {
+        operators.ComposedQueries.revenueDecilesCore(ordersK)
+          .agg(sum(col("sum_rev_c")).as("s"), count(lit(1)).as("n"))
+          .head.getLong(1)
+      },
+      // round-robin interleave at 10× (50k docs): rank cells are
+      // (source, doc_id DIV 4096) — cell count grows with the corpus, so
+      // parallelism does too; must stay linear, position math is free.
+      t("interleave_50k_docs") {
+        operators.SamplingQueries.interleaveCore(documents)
+          .filter(col("pos") >= 0).count()
+      },
       // boilerplate 3-gram df at 10× (50k docs): the grouped gram-count
       // + co-partitioned rejoin must stay linear in total grams — the
       // decontamination shape turned on the corpus itself.

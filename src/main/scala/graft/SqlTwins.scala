@@ -276,6 +276,19 @@ object SqlTwins {
         |ORDER BY user_id""".stripMargin,
 
     // ---- §2.8 event-time (ts is ns BIGINT on the canonical view) ----
+    "agg_mad" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, percentile(v_c, 0.5) AS med
+        |  FROM ev GROUP BY event_type)
+        |SELECT ev.event_type, count(*) AS n,
+        |  percentile(ev.v_c, 0.5) AS median_c,
+        |  percentile(abs(ev.v_c - m.med), 0.5) AS mad_c
+        |FROM ev JOIN m ON ev.event_type = m.event_type
+        |GROUP BY ev.event_type
+        |ORDER BY ev.event_type""".stripMargin,
     "evt_cohort_matrix" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, ts DIV 604800000000000 AS week

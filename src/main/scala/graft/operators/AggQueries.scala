@@ -238,7 +238,72 @@ object AggQueries extends QueryPack {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The two middle order statistics of a frequency histogram, per
+    * event_type: returns (event_type, n, s2) where s2 = the SUM of the
+    * values at 1-based positions (n−1) DIV 2 + 1 and n DIV 2 + 1 of the
+    * value-sorted multiset — so s2/2 is exactly `quantile_cont(0.5)`
+    * (the positions coincide for odd n; for even n the 0.5 interpolation
+    * is the midpoint, and halving integer-valued doubles is
+    * float-exact). Windows run over the HISTOGRAM, never raw rows.
+    */
+  private def histMid(hist: DataFrame, v: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val cumW = byType.orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .withColumn("lo_pos", expr("(n - 1) DIV 2 + 1"))
+      .withColumn("hi_pos", expr("n DIV 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        (min(when(col("cum") - col("cnt") < col("lo_pos") && col("lo_pos") <= col("cum"),
+          col(v))) +
+         min(when(col("cum") - col("cnt") < col("hi_pos") && col("hi_pos") <= col("cum"),
+          col(v)))).as("s2"))
+  }
+
+  /** Robust statistics per event_type: exact MEDIAN and MAD (median
+    * absolute deviation — the outlier-resistant spread measure behind
+    * robust z-scores) of value cents. MAD needs the median of
+    * |x − median(x)| — naively two buffering `percentile` passes, each
+    * holding a fifth of the corpus per group buffer at 5 types.
+    *
+    * Here the corpus is scanned ONCE: the (type, cents) frequency
+    * histogram is a sufficient statistic for BOTH medians, because the
+    * deviation histogram derives from the value histogram by the
+    * per-bin map d2 = |2·v − (v_lo+v_hi)| and re-aggregation — no
+    * second pass over raw rows, and every window in the plan runs over
+    * histogram bins (distinct cents, value-range-bounded), never the
+    * corpus. All arithmetic until the final halving is exact integers
+    * doubled to dodge the half-cent median; the emitted doubles are
+    * dyadic (s2/2, s2/4), so they equal DuckDB's interpolating
+    * quantile_cont/mad bit-for-bit.
+    */
+  def madCore(events: DataFrame): DataFrame = {
+    val hist = events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("event_type"), col("v_c"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = histMid(hist, "v_c")
+    val hist2 = hist
+      .join(broadcast(m.select(col("event_type").as("mt"), col("s2").as("m2"))),
+        col("event_type") === col("mt"))
+      .select(col("event_type"), abs(col("v_c") * 2 - col("m2")).as("d2"), col("cnt"))
+      .groupBy(col("event_type"), col("d2"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val d = histMid(hist2, "d2")
+    m.join(d.select(col("event_type").as("dt"), col("s2").as("ds2")),
+        col("event_type") === col("dt"))
+      .select(col("event_type"), col("n"),
+        (col("s2") / 2.0).as("median_c"), (col("ds2") / 4.0).as("mad_c"))
+  }
+
+  private def aggMad(s: SparkSession, dir: String): DataFrame =
+    madCore(Tables.events(s, dir)).orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mad"           -> (aggMad _),
     "agg_mode"          -> (aggMode _),
     "agg_minmax_by"     -> (aggMinmaxBy _),
     "agg_count_if"      -> (aggCountIf _),
@@ -257,6 +322,17 @@ object AggQueries extends QueryPack {
     "agg_regression"    -> (aggRegression _))
 
   val oracle: Map[String, String] = Map(
+    // mad() = quantile_cont(|x − quantile_cont(x, .5)|, .5) in DuckDB
+    // (probed); the histogram decomposition reproduces it bit-exactly
+    "agg_mad" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  quantile_cont(v_c, 0.5) AS median_c,
+        |  mad(v_c) AS mad_c
+        |FROM ev GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "agg_mode" ->
       """WITH counts AS (
         |  SELECT l_returnflag,

@@ -725,8 +725,8 @@ object ComposedQueries extends QueryPack {
     * integer arithmetic on (rank, n). The oracle states the naive
     * single-window ntile; the hash compare certifies the decomposition.
     */
-  private def complexRevenueDeciles(s: SparkSession, dir: String): DataFrame = {
-    val r = Tables.orders(s, dir)
+  def revenueDecilesCore(orders: DataFrame): DataFrame = {
+    val r = orders
       .groupBy(col("o_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
       .withColumn("bucket", expr("rev_c DIV 100000"))
@@ -751,8 +751,10 @@ object ComposedQueries extends QueryPack {
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), sum(col("rev_c")).as("sum_rev_c"),
         min(col("rev_c")).as("min_rev_c"), max(col("rev_c")).as("max_rev_c"))
-      .orderBy(col("decile"))
   }
+
+  private def complexRevenueDeciles(s: SparkSession, dir: String): DataFrame =
+    revenueDecilesCore(Tables.orders(s, dir)).orderBy(col("decile"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "complex_revenue_deciles"  -> (complexRevenueDeciles _),

@@ -291,9 +291,9 @@ object EventTimeQueries extends QueryPack {
     * matrix itself, never a self-join (a rejoin would plan the user
     * subtree twice — the transition-matrix probe result, reused).
     */
-  private def evtCohortMatrix(s: SparkSession, dir: String): DataFrame = {
+  def cohortMatrixCore(events: DataFrame): DataFrame = {
     val weekNs = 604800000000000L
-    val uw = Tables.events(s, dir)
+    val uw = events
       .groupBy(col("user_id"), expr(s"ts DIV $weekNs").as("week"))
       .agg(count(lit(1)).as("__n")).drop("__n")
     val byUser = Window.partitionBy("user_id")
@@ -305,8 +305,11 @@ object EventTimeQueries extends QueryPack {
         max(when(col("week_offset") === 0, col("n_users"))).over(byCohort))
       .select(col("cohort_week"), col("week_offset"), col("n_users"),
         round(col("n_users").cast("double") / col("n0"), 4).as("retention"))
-      .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  private def evtCohortMatrix(s: SparkSession, dir: String): DataFrame =
+    cohortMatrixCore(Tables.events(s, dir))
+      .orderBy(col("cohort_week"), col("week_offset"))
 
   /** Inter-arrival DWELL-TIME profile — for each event type, the exact
     * median and max of the seconds since the same user's previous event
@@ -327,9 +330,9 @@ object EventTimeQueries extends QueryPack {
     * user-window exchange (the lag) and one partial-aggregating
     * histogram build; every window after that is over the tiny histogram.
     */
-  private def evtDwellMedian(s: SparkSession, dir: String): DataFrame = {
+  def dwellMedianCore(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val hist = Tables.events(s, dir)
+    val hist = events
       .select(col("event_type"), col("ts"), col("user_id"), col("event_id"))
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .filter(col("prev_ts").isNotNull)
@@ -355,8 +358,10 @@ object EventTimeQueries extends QueryPack {
         max(col("dwell_s")).as("max_s"))
       .select(col("event_type"), col("n"),
         ((col("v_lo") + col("v_hi")) / 2.0).as("median_s"), col("max_s"))
-      .orderBy(col("event_type"))
   }
+
+  private def evtDwellMedian(s: SparkSession, dir: String): DataFrame =
+    dwellMedianCore(Tables.events(s, dir)).orderBy(col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_cohort_matrix" -> (evtCohortMatrix _),

@@ -426,6 +426,19 @@ class PlanAuditSpec extends SparkSpec {
       s"user window + histogram agg + type window only: ${p.take(800)}")
   }
 
+  test("agg_mad derives both medians from one histogram — no percentile, one corpus scan") {
+    val p = finalPlanSection(plan("agg_mad"))
+    assert(!p.contains("percentile"),
+      "median and MAD must come from the histogram, not buffering percentile aggs")
+    assert(p.contains("partial_"), "histogram counts must partial-aggregate map-side")
+    // the deviation histogram derives from the value histogram (broadcast
+    // median join), never a second pass over raw events
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"one corpus scan expected, got $scans: ${p.take(600)}")
+    assert(p.contains("BroadcastExchange"),
+      "the 5-row medians must broadcast back onto the histogram")
+  }
+
   test("complex_revenue_deciles ranks inside revenue buckets — never a single-partition window") {
     val p = finalPlanSection(plan("complex_revenue_deciles"))
     // the per-customer table windows partitioned by the revenue-range
