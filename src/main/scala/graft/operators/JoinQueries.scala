@@ -209,7 +209,34 @@ object JoinQueries extends QueryPack {
   private def joinIntervalNative(s: SparkSession, dir: String): DataFrame =
     intervalNativeCore(Tables.events(s, dir)).orderBy(col("p_id"))
 
+  /** SKEW-SALTED join, hash-certified: every event joins its per-type
+    * stats row, but `event_type` has 5 values — the canonical hot-key
+    * join where a plain shuffle lands the whole corpus on 5 reducers no
+    * matter how wide the cluster. `Skew.saltedJoin` spreads each hot key
+    * over 16 deterministic salt buckets (fact salts by hash(event_id),
+    * the dim replicates 16×), so reduce-side parallelism is
+    * |types|·buckets instead of |types|. The oracle states the PLAIN
+    * join; the hash compare certifies the salted decomposition
+    * row-for-row — the same discipline as the bucketed global
+    * rank/prefix-sum keys, applied to the shuffle-skew tool.
+    */
+  def skewSaltedCore(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("v_c"))
+    val dim = ev.groupBy(col("event_type").as("d_type"))
+      .agg(count(lit(1)).as("type_n"), sum(col("v_c")).as("type_sum_c"))
+      .withColumnRenamed("d_type", "event_type")
+    graft.pipeline.Skew.saltedJoin(ev, dim, "event_type",
+        col("event_id"), buckets = 16)
+      .select(col("event_id"), col("event_type"), col("v_c"),
+        col("type_n"), col("type_sum_c"))
+  }
+
+  private def joinSkewSalted(s: SparkSession, dir: String): DataFrame =
+    skewSaltedCore(Tables.events(s, dir)).orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> (joinSkewSalted _),
     "join_band_native" -> (joinBandNative _),
     "join_interval_native" -> (joinIntervalNative _),
     "join_asof_native" -> (joinAsofNative _),
@@ -225,6 +252,19 @@ object JoinQueries extends QueryPack {
     "join_asof"        -> (joinAsof _))
 
   val oracle: Map[String, String] = Map(
+    // PORTABLE: the plain-join statement of the salted decomposition
+    "join_skew_salted" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS type_n,
+        |    CAST(sum(v_c) AS BIGINT) AS type_sum_c
+        |  FROM ev GROUP BY event_type)
+        |SELECT ev.event_id, ev.event_type, ev.v_c, d.type_n, d.type_sum_c
+        |FROM ev JOIN d ON ev.event_type = d.event_type
+        |ORDER BY ev.event_id""".stripMargin,
     "join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -426,6 +426,16 @@ class PlanAuditSpec extends SparkSpec {
       s"user window + histogram agg + type window only: ${p.take(800)}")
   }
 
+  test("join_skew_salted joins on (key, salt) — the hot key spreads over salt buckets") {
+    val p = finalPlanSection(plan("join_skew_salted"))
+    // the equi-join must carry the deterministic salt beside event_type:
+    // reduce-side parallelism is |types|·buckets, not the 5 hot keys
+    assert(p.contains("__salt"),
+      s"salt column must reach the join keys: ${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      "salting composes with a plain equi-join, never a product")
+  }
+
   test("agg_mad derives both medians from one histogram — no percentile, one corpus scan") {
     val p = finalPlanSection(plan("agg_mad"))
     assert(!p.contains("percentile"),
