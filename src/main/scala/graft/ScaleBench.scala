@@ -450,6 +450,12 @@ object ScaleBench {
         operators.AggQueries.madCore(events)
           .filter(col("mad_c") >= 0).count()
       },
+      // dyadic-quantile histogram at 1M events: same posture as mad_1m —
+      // cost pins to the histogram build, not the row count
+      t("quartiles_1m") {
+        operators.AggQueries.quartilesCore(events)
+          .filter(col("q50_c") >= col("q25_c")).count()
+      },
       // cohort retention matrix at 1M events: the (user, week) dedup is
       // the data-sized stage; everything after runs over ≤ users×weeks
       // rows, so the curve must track the dedup agg, not the windows.

@@ -276,6 +276,16 @@ object SqlTwins {
         |ORDER BY user_id""".stripMargin,
 
     // ---- §2.8 event-time (ts is ns BIGINT on the canonical view) ----
+    "agg_quartiles_scalable" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  percentile(v_c, 0.25) AS q25_c,
+        |  percentile(v_c, 0.5) AS q50_c,
+        |  percentile(v_c, 0.75) AS q75_c
+        |FROM ev GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "agg_mad" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c

@@ -302,7 +302,49 @@ object AggQueries extends QueryPack {
   private def aggMad(s: SparkSession, dir: String): DataFrame =
     madCore(Tables.events(s, dir)).orderBy(col("event_type"))
 
+  /** Exact QUARTILES per event_type from the same frequency histogram —
+    * [[histMid]] generalized from the median to any DYADIC quantile:
+    * at q = k/4 the interpolation position h = (n−1)·k/4 has an exact
+    * integer part ((n−1)·k) DIV 4 and an exact dyadic fraction
+    * (rem/4 ∈ {0, ¼, ½, ¾}), so v_lo + frac·(v_hi − v_lo) replays
+    * `quantile_cont(k/4)` bit-for-bit on integer-valued doubles (the
+    * products are dyadic-exact; a non-dyadic q like 0.1 would round h
+    * itself and is deliberately NOT offered). One corpus scan, one
+    * partial-aggregating histogram build; the six order statistics
+    * (lo/hi per quartile) come out of ONE conditional aggregate over
+    * the cumulated bins — the scalable posture next to agg_median's
+    * buffering `percentile`, which holds a fifth of the corpus per
+    * group buffer at 5 types.
+    */
+  def quartilesCore(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val cumW = byType.orderBy(col("v_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("event_type"), col("v_c"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byType))
+    def at(p: org.apache.spark.sql.Column) =
+      min(when(col("cum") - col("cnt") < p && p <= col("cum"), col("v_c")))
+    val (qs, aggs) = (1 to 3).map { k =>
+      val lo = expr(s"((n - 1) * $k) DIV 4 + 1")
+      val rem = expr(s"((n - 1) * $k) % 4")
+      val cols = Seq(at(lo).as(s"lo$k"), at(lo + when(rem > 0, 1).otherwise(0)).as(s"hi$k"))
+      val q = (col(s"lo$k") + rem / 4.0 * (col(s"hi$k") - col(s"lo$k"))).as(s"q${k * 25}_c")
+      (q, cols)
+    }.unzip
+    binned.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), aggs.flatten: _*)
+      .select(col("event_type") +: col("n") +: qs: _*)
+  }
+
+  private def aggQuartilesScalable(s: SparkSession, dir: String): DataFrame =
+    quartilesCore(Tables.events(s, dir)).orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_quartiles_scalable" -> (aggQuartilesScalable _),
     "agg_mad"           -> (aggMad _),
     "agg_mode"          -> (aggMode _),
     "agg_minmax_by"     -> (aggMinmaxBy _),
@@ -322,6 +364,16 @@ object AggQueries extends QueryPack {
     "agg_regression"    -> (aggRegression _))
 
   val oracle: Map[String, String] = Map(
+    "agg_quartiles_scalable" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  quantile_cont(v_c, 0.25) AS q25_c,
+        |  quantile_cont(v_c, 0.5) AS q50_c,
+        |  quantile_cont(v_c, 0.75) AS q75_c
+        |FROM ev GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // mad() = quantile_cont(|x − quantile_cont(x, .5)|, .5) in DuckDB
     // (probed); the histogram decomposition reproduces it bit-exactly
     "agg_mad" ->

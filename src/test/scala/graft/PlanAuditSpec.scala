@@ -449,6 +449,15 @@ class PlanAuditSpec extends SparkSpec {
       "the 5-row medians must broadcast back onto the histogram")
   }
 
+  test("agg_quartiles_scalable reads all three quartiles off one histogram") {
+    val p = finalPlanSection(plan("agg_quartiles_scalable"))
+    assert(!p.contains("percentile"),
+      "quartiles must come from cumulative bin counts, not buffering percentile aggs")
+    assert(p.contains("partial_"), "histogram counts must partial-aggregate map-side")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"one corpus scan expected, got $scans: ${p.take(600)}")
+  }
+
   test("complex_revenue_deciles ranks inside revenue buckets — never a single-partition window") {
     val p = finalPlanSection(plan("complex_revenue_deciles"))
     // the per-customer table windows partitioned by the revenue-range
