@@ -363,7 +363,28 @@ object EventTimeQueries extends QueryPack {
   private def evtDwellMedian(s: SparkSession, dir: String): DataFrame =
     dwellMedianCore(Tables.events(s, dir)).orderBy(col("event_type"))
 
+  /** Event-type PATH TRIGRAMS — the second-order extension of
+    * `evt_transition_matrix` (path mining / UX flow discovery): every
+    * 3-step event-type sequence inside a user's ts-ordered stream,
+    * counted corpus-wide and ranked most-common-first (ties broken by
+    * the path itself, a deterministic total order). Two lags share the
+    * transition matrix's ONE user_id exchange; the (t1,t2,t3) aggregate
+    * is ≤ |types|³ rows, and the rank is a sort of that tiny table.
+    */
+  private def evtPathTrigram(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("t3"),
+        lag("event_type", 1).over(byTs).as("t2"),
+        lag("event_type", 2).over(byTs).as("t1"))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_path_trigram" -> (evtPathTrigram _),
     "evt_cohort_matrix" -> (evtCohortMatrix _),
     "evt_dwell_median" -> (evtDwellMedian _),
     "evt_transition_matrix" -> (evtTransitionMatrix _),
@@ -377,6 +398,19 @@ object EventTimeQueries extends QueryPack {
     "evt_rolling_active" -> (evtRollingActive _))
 
   val oracle: Map[String, String] = Map(
+    // PORTABLE: raw-ts order ≡ ns-long order, no ts emitted (the
+    // transition-matrix argument, one more lag deep)
+    "evt_path_trigram" ->
+      """WITH seq AS (
+        |  SELECT event_type AS t3,
+        |    lag(event_type, 1) OVER w AS t2,
+        |    lag(event_type, 2) OVER w AS t1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE t1 IS NOT NULL
+        |GROUP BY t1, t2, t3
+        |ORDER BY n DESC, t1, t2, t3""".stripMargin,
     "evt_cohort_matrix" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week

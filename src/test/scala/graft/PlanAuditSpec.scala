@@ -396,6 +396,18 @@ class PlanAuditSpec extends SparkSpec {
       s"totals must come from a window over the counts, not a rejoin: ${p.take(600)}")
   }
 
+  test("evt_path_trigram shares the transition matrix's single user shuffle") {
+    val p = finalPlanSection(plan("evt_path_trigram"))
+    // both lags ride one user_id window exchange; the (t1,t2,t3) agg is
+    // ≤ |types|³ rows and the rank sorts that tiny table
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 2,
+      s"user window + trigram agg only: ${p.take(800)}")
+    assert(p.contains("partial_"), "trigram counts must partial-aggregate map-side")
+    val windows = "Window".r.findAllIn(finalPlanSection(p)).size
+    assert(windows <= 1, s"both lags must share one Window operator, got $windows")
+  }
+
   test("evt_cohort_matrix pre-shrinks to (user, week) then windows the tiny matrix") {
     val p = finalPlanSection(plan("evt_cohort_matrix"))
     // data-sized moves: the (user, week) dedup agg + the first-week user

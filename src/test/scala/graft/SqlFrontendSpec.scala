@@ -46,7 +46,8 @@ class SqlFrontendSpec extends SparkSpec {
     "complex_supplier_variety",
     "complex_forecast_revenue", "sample_token_budget",
     "complex_regional_revenue", "evt_transition_matrix",
-    "complex_revenue_deciles", "sample_interleave", "join_skew_salted")
+    "complex_revenue_deciles", "sample_interleave", "join_skew_salted",
+    "evt_path_trigram")
 
   private def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
