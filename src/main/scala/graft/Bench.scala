@@ -41,7 +41,7 @@ object Bench {
     // (the same reasoning AQE applies on a cluster via advisory partition
     // sizes). Override with SPARK_GRAFT_SHUFFLE to re-measure wider.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
@@ -52,7 +52,15 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev sweep knob: SPARK_GRAFT_EXTRA_CONF="k=v,k2=v2" layers arbitrary
+    // session confs for one-off measurements (the driver never sets it,
+    // so driver runs always measure the defaults above)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(",")).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev convenience: SPARK_GRAFT_ONLY=q1,q2 times just those queries
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -69,10 +77,32 @@ object Bench {
     val fullEval = sys.env.get("SPARK_GRAFT_FULL_EVAL").contains("true")
     def exec(df: org.apache.spark.sql.DataFrame): Long =
       if (fullEval) df.queryExecution.toRdd.count() else df.count()
+    // SPARK_GRAFT_PREPARED=true: construct + analyze each DataFrame
+    // ONCE at prepare time, timing only the per-execution pipeline
+    // (count-plan build, optimizer, physical planning, AQE, the job).
+    // Measured round 8 (BASELINE.md): NO total win — 39.3 s
+    // constructed-in-clock vs 39.7 s prepared at 149 keys — so Dataset
+    // construction/analysis is NOT the per-key floor (optimizer +
+    // scheduling + execution are), and prepared mode is NOT the default
+    // because it silently hoists driver-side work some queries do at
+    // construction (dedup_components' iterative localCheckpoint loop:
+    // 1.53 s → 0.12 s, i.e. the checkpoint, not the query, gets timed).
+    // The flag stays as a measurement instrument.
+    val preparedMode = sys.env.get("SPARK_GRAFT_PREPARED").contains("true")
+    val prepared: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      ordered.map { case (name, fn) =>
+        if (preparedMode) {
+          // a query whose CONSTRUCTION throws falls back to per-call
+          // construction so the timed pass reports it as -1, same as
+          // unprepared mode (prepare must not crash the whole bench)
+          try { val df = fn(spark, sfDir); name -> (() => df) }
+          catch { case _: Throwable => name -> (() => fn(spark, sfDir)) }
+        } else name -> (() => fn(spark, sfDir))
+      }
     // warmup: compile + execute each query once (failures ignored here;
     // the timed passes report a failed query as -1)
-    ordered.foreach { case (_, fn) =>
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+    prepared.foreach { case (_, mk) =>
+      try exec(mk()) catch { case _: Throwable => () }
     }
     // several timed passes, keep each query's minimum: single-JVM timings
     // jitter ±30% from GC/JIT recompilation, and the min is the honest
@@ -80,9 +110,9 @@ object Bench {
     // 2 keeps total wall close to a single-pass run's envelope.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
     val passes = (1 to iters).map { _ =>
-      ordered.map { case (name, fn) =>
+      prepared.map { case (name, mk) =>
         val t0 = System.nanoTime()
-        val ok = try { exec(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        val ok = try { exec(mk()); true } catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }

@@ -10,8 +10,8 @@ package graft
   * returns exactly the rows and column names of the corresponding
   * `SparkEntry.queries` plan. SqlFrontendSpec asserts that equivalence
   * for every entry; together with the keys whose DuckDB oracle text
-  * already runs unmodified on Spark, the SQL surface covers 139 of the
-  * 140 oracle keys. The single exception is `dedup_components`: its
+  * already runs unmodified on Spark, the SQL surface covers 148 of the
+  * 149 oracle keys. The single exception is `dedup_components`: its
   * transitive closure is a CYCLIC fixpoint needing UNION-distinct
   * recursion, which Spark's recursive CTEs do not support
   * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed; UNION ALL on a
@@ -275,7 +275,7 @@ object SqlTwins {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
-    // ---- §2.8 event-time (ts is ns BIGINT on the canonical view) ----
+    // ---- §2.4 aggregation (histogram-quantile twins) ----
     "agg_quartiles_scalable" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
@@ -299,6 +299,8 @@ object SqlTwins {
         |FROM ev JOIN m ON ev.event_type = m.event_type
         |GROUP BY ev.event_type
         |ORDER BY ev.event_type""".stripMargin,
+
+    // ---- §2.8 event-time (ts is ns BIGINT on the canonical view) ----
     "evt_cohort_matrix" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, ts DIV 604800000000000 AS week

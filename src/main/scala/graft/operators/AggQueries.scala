@@ -244,24 +244,13 @@ object AggQueries extends QueryPack {
     * value-sorted multiset — so s2/2 is exactly `quantile_cont(0.5)`
     * (the positions coincide for odd n; for even n the 0.5 interpolation
     * is the midpoint, and halving integer-valued doubles is
-    * float-exact). Windows run over the HISTOGRAM, never raw rows.
+    * float-exact). s2 stays in the INTEGER domain so madCore can derive
+    * the deviation histogram exactly. Order-statistic read shared via
+    * [[graft.pipeline.HistogramQuantiles]].
     */
-  private def histMid(hist: DataFrame, v: String): DataFrame = {
-    val byType = Window.partitionBy("event_type")
-    val cumW = byType.orderBy(col(v))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist
-      .withColumn("cum", sum(col("cnt")).over(cumW))
-      .withColumn("n", sum(col("cnt")).over(byType))
-      .withColumn("lo_pos", expr("(n - 1) DIV 2 + 1"))
-      .withColumn("hi_pos", expr("n DIV 2 + 1"))
-      .groupBy(col("event_type"))
-      .agg(max(col("n")).as("n"),
-        (min(when(col("cum") - col("cnt") < col("lo_pos") && col("lo_pos") <= col("cum"),
-          col(v))) +
-         min(when(col("cum") - col("cnt") < col("hi_pos") && col("hi_pos") <= col("cum"),
-          col(v)))).as("s2"))
-  }
+  private def histMid(hist: DataFrame, v: String): DataFrame =
+    graft.pipeline.HistogramQuantiles.orderStats(hist, "event_type", v, 2, Seq(1))
+      .select(col("event_type"), col("n"), (col("lo1") + col("hi1")).as("s2"))
 
   /** Robust statistics per event_type: exact MEDIAN and MAD (median
     * absolute deviation — the outlier-resistant spread measure behind
@@ -317,27 +306,15 @@ object AggQueries extends QueryPack {
     * group buffer at 5 types.
     */
   def quartilesCore(events: DataFrame): DataFrame = {
-    val byType = Window.partitionBy("event_type")
-    val cumW = byType.orderBy(col("v_c"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val binned = events
+    val hist = events
       .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
       .groupBy(col("event_type"), col("v_c"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(cumW))
-      .withColumn("n", sum(col("cnt")).over(byType))
-    def at(p: org.apache.spark.sql.Column) =
-      min(when(col("cum") - col("cnt") < p && p <= col("cum"), col("v_c")))
-    val (qs, aggs) = (1 to 3).map { k =>
-      val lo = expr(s"((n - 1) * $k) DIV 4 + 1")
-      val rem = expr(s"((n - 1) * $k) % 4")
-      val cols = Seq(at(lo).as(s"lo$k"), at(lo + when(rem > 0, 1).otherwise(0)).as(s"hi$k"))
-      val q = (col(s"lo$k") + rem / 4.0 * (col(s"hi$k") - col(s"lo$k"))).as(s"q${k * 25}_c")
-      (q, cols)
-    }.unzip
-    binned.groupBy(col("event_type"))
-      .agg(max(col("n")).as("n"), aggs.flatten: _*)
-      .select(col("event_type") +: col("n") +: qs: _*)
+    val stats = graft.pipeline.HistogramQuantiles
+      .orderStats(hist, "event_type", "v_c", 4, Seq(1, 2, 3))
+    val qs = (1 to 3).map(k =>
+      graft.pipeline.HistogramQuantiles.interp(k, 4, s"q${k * 25}_c"))
+    stats.select(col("event_type") +: col("n") +: qs: _*)
   }
 
   private def aggQuartilesScalable(s: SparkSession, dir: String): DataFrame =

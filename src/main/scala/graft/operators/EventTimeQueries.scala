@@ -340,24 +340,11 @@ object EventTimeQueries extends QueryPack {
         expr("(ts - prev_ts) DIV 1000000000").as("dwell_s"))
       .groupBy(col("event_type"), col("dwell_s"))
       .agg(count(lit(1)).as("cnt"))
-    val byType = Window.partitionBy("event_type")
-    val cumW = byType.orderBy(col("dwell_s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist
-      .withColumn("cum", sum(col("cnt")).over(cumW))
-      .withColumn("n", sum(col("cnt")).over(byType))
-      .withColumn("lo_pos", expr("(n - 1) DIV 2 + 1"))
-      .withColumn("hi_pos", expr("n DIV 2 + 1"))
-      .groupBy(col("event_type"))
-      .agg(
-        max(col("n")).as("n"),
-        min(when(col("cum") - col("cnt") < col("lo_pos") && col("lo_pos") <= col("cum"),
-          col("dwell_s"))).as("v_lo"),
-        min(when(col("cum") - col("cnt") < col("hi_pos") && col("hi_pos") <= col("cum"),
-          col("dwell_s"))).as("v_hi"),
-        max(col("dwell_s")).as("max_s"))
+    graft.pipeline.HistogramQuantiles
+      .orderStats(hist, "event_type", "dwell_s", 2, Seq(1),
+        extra = Seq(max(col("dwell_s")).as("max_s")))
       .select(col("event_type"), col("n"),
-        ((col("v_lo") + col("v_hi")) / 2.0).as("median_s"), col("max_s"))
+        ((col("lo1") + col("hi1")) / 2.0).as("median_s"), col("max_s"))
   }
 
   private def evtDwellMedian(s: SparkSession, dir: String): DataFrame =

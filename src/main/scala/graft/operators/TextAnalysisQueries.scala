@@ -335,13 +335,16 @@ object TextAnalysisQueries extends QueryPack {
     * complement of text_repetition's WITHIN-document stats. Per doc:
     * distinct-gram count, boilerplate-gram count, and their ratio.
     *
-    * Plan: the decontamination shape turned on the corpus itself —
-    * explode DISTINCT grams per doc, one hash agg counts documents per
-    * gram (map-side partial), rejoin on gram (co-partitioned with the
-    * agg, no extra exchange), re-aggregate per doc. Never an all-pairs
-    * compare; both shuffles carry (doc, gram) rows linear in text size.
-    * The ratio divides exact per-doc integers once — bit-identical on
-    * both engines.
+    * Plan (r8 rework, 4 wide edges → 2): per-doc gram dedup happens IN
+    * THE ARRAY (`array_distinct` before the explode — set semantics per
+    * doc need no (doc, gram) shuffle at all), then document-frequency is
+    * a count window OVER gram on the exploded pairs (one gram exchange;
+    * the old agg-then-rejoin planned an extra exchange per side — the
+    * transition-matrix window-over-counts probe, reapplied to a
+    * high-cardinality key), then one doc_id re-aggregate. Never an
+    * all-pairs compare; both remaining shuffles carry (doc, gram) rows
+    * linear in text size. The ratio divides exact per-doc integers once
+    * — bit-identical on both engines.
     */
   private def textBoilerplate(s: SparkSession, dir: String): DataFrame =
     boilerplateCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -351,11 +354,11 @@ object TextAnalysisQueries extends QueryPack {
       .select(col("doc_id"), filter(words, w => w =!= "").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(toks) - 2), " +
-          "i -> concat_ws(' ', slice(toks, i, 3)))")).as("gram"))
-      .distinct()
-    val gramDf = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    grams.join(gramDf, "gram")
+        explode(array_distinct(expr("transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3)))"))).as("gram"))
+    grams
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gram")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("df") >= 3, 1)).as("n_boiler"))

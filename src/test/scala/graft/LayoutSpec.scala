@@ -26,6 +26,32 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() == expected)
   }
 
+  test("dynamic partition pruning: a filtered dim join prunes the partitioned fact scan") {
+    val tmp = Files.createTempDirectory("dpp").toString + "/events"
+    val events = Tables.eventsTs(spark, sf)
+    Layout.writeDatePartitioned(events, "ts_utc", tmp)
+    val fact = Layout.readPartitioned(spark, tmp)
+    // calendar dim keyed on the partition column, filtered on an
+    // ATTRIBUTE (day-of-week) the fact does not carry — only runtime
+    // dim-side evaluation (DPP) can prune the fact's partitions here,
+    // static pruning cannot see through the join
+    val dim = events.select(to_date(col("ts_utc")).as("d_date")).distinct()
+      .withColumn("d_dow", dayofweek(col("d_date")))
+    val q = fact.join(dim, col("p_date") === col("d_date"))
+      .filter(col("d_dow") === 2)
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    val got = q.collect().head
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      s"the fact scan must carry a dynamicpruningexpression partition filter: ${plan.take(800)}")
+    // correctness: DPP must not change the result vs the direct filter
+    val exp = events.filter(dayofweek(to_date(col("ts_utc"))) === 2)
+      .agg(count(lit(1)), round(sum("value"), 2)).collect().head
+    assert(got.getLong(0) == exp.getLong(0) && got.getDouble(1) == exp.getDouble(1),
+      s"DPP result ($got) must equal the direct filter ($exp)")
+    assert(got.getLong(0) > 0, "sanity: the filtered window is non-empty")
+  }
+
   test("bucketed tables join without an Exchange on the bucket key") {
     Layout.writeBucketed(
       Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),

@@ -353,11 +353,18 @@ class PlanAuditSpec extends SparkSpec {
       s"rank filter must prune map-side: ${p.take(800)}")
   }
 
-  test("text_boilerplate counts gram df via hash aggregation, never an all-pairs compare") {
+  test("text_boilerplate: per-doc gram dedup in the array, df via ONE gram window, no rejoin") {
     val p = finalPlanSection(plan("text_boilerplate"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"gram df must come from an equi-join, not doc×doc: ${p.take(800)}")
-    assert(p.contains("partial_"), "gram df must partial-aggregate map-side")
+      s"gram df must never come from doc×doc: ${p.take(800)}")
+    // r8 rework: array_distinct replaces the (doc, gram) distinct shuffle
+    // and a count window over gram replaces the agg-then-rejoin — the
+    // whole key is 2 wide edges (gram window + doc_id re-aggregate)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"df is a window over the exploded pairs, not a rejoin: ${p.take(800)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"gram window + doc_id agg only, got $exchanges: ${p.take(800)}")
+    assert(p.contains("partial_"), "the doc_id re-aggregate must partial-aggregate map-side")
   }
 
   test("pipeline_clean composes three linear sub-plans — no all-pairs, one text window") {
@@ -404,7 +411,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges <= 2,
       s"user window + trigram agg only: ${p.take(800)}")
     assert(p.contains("partial_"), "trigram counts must partial-aggregate map-side")
-    val windows = "Window".r.findAllIn(finalPlanSection(p)).size
+    val windows = "Window".r.findAllIn(p).size
     assert(windows <= 1, s"both lags must share one Window operator, got $windows")
   }
 
