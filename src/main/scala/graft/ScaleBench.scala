@@ -589,6 +589,20 @@ object ScaleBench {
       t("boilerplate_50k_docs") {
         operators.TextAnalysisQueries.boilerplateCore(documents).count()
       },
+      // bigram-LM scoring at 10× (50k docs): the w1-window shape must
+      // stay linear in bigram volume — one bigram agg + one w1 exchange
+      // serving BOTH corpus statistics (plan-audited), like unigram's
+      // tf-idf shape one order higher.
+      t("bigram_logprob_50k_docs") {
+        operators.TextAnalysisQueries.bigramLogprobCore(documents).count()
+      },
+      // robust outliers at 1M events: the two-scan-plus-broadcast shape —
+      // stats from the one-scan (type, cents) histogram (mad_1m's curve),
+      // broadcast back onto a second scan whose count is the only wide
+      // edge. Time should track ~2× the mad curve, never the corpus².
+      t("robust_outliers_1m") {
+        operators.AggQueries.robustOutliersCore(events).count()
+      },
       // Gopher rule battery at 10×: a pure per-row scan — the row exists
       // to certify it STAYS scan-bound (time ≈ scan time) as data grows.
       t("gopher_rules_50k_docs") {

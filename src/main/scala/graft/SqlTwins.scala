@@ -10,8 +10,8 @@ package graft
   * returns exactly the rows and column names of the corresponding
   * `SparkEntry.queries` plan. SqlFrontendSpec asserts that equivalence
   * for every entry; together with the keys whose DuckDB oracle text
-  * already runs unmodified on Spark, the SQL surface covers 148 of the
-  * 149 oracle keys. The single exception is `dedup_components`: its
+  * already runs unmodified on Spark, the SQL surface covers 150 of the
+  * 151 oracle keys. The single exception is `dedup_components`: its
   * transitive closure is a CYCLIC fixpoint needing UNION-distinct
   * recursion, which Spark's recursive CTEs do not support
   * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed; UNION ALL on a
@@ -286,6 +286,25 @@ object SqlTwins {
         |  percentile(v_c, 0.75) AS q75_c
         |FROM ev GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "agg_robust_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, percentile(v_c, 0.5) AS med
+        |  FROM ev GROUP BY event_type),
+        |md AS (
+        |  SELECT ev.event_type, percentile(abs(ev.v_c - m.med), 0.5) AS mad
+        |  FROM ev JOIN m ON ev.event_type = m.event_type
+        |  GROUP BY ev.event_type)
+        |SELECT ev.event_type, count(*) AS n,
+        |  count(CASE WHEN abs(4 * ev.v_c - 4 * m.med) > 3 * 4 * md.mad THEN 1 END) AS n_out,
+        |  round(CAST(count(CASE WHEN abs(4 * ev.v_c - 4 * m.med) > 3 * 4 * md.mad THEN 1 END) AS DOUBLE)
+        |    / count(*), 4) AS out_rate
+        |FROM ev JOIN m ON ev.event_type = m.event_type
+        |  JOIN md ON ev.event_type = md.event_type
+        |GROUP BY ev.event_type
+        |ORDER BY ev.event_type""".stripMargin,
     "agg_mad" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
@@ -968,6 +987,37 @@ object SqlTwins {
         |    AS dup_bigram_frac
         |FROM pt LEFT JOIN pb ON pt.doc_id = pb.doc_id
         |ORDER BY pt.doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, filter(split(text, ' '), w -> w != '') AS ws
+        |  FROM documents),
+        |v AS (
+        |  SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT explode(ws) AS w FROM t)),
+        |big AS (
+        |  SELECT doc_id, element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2
+        |  FROM (SELECT doc_id, ws, explode(sequence(1, size(ws) - 1)) AS i
+        |        FROM t WHERE size(ws) >= 2) x),
+        |dbc AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+        |        FROM big GROUP BY doc_id, w1, w2),
+        |bc AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cnt FROM dbc GROUP BY w1, w2),
+        |pc AS (SELECT w1, CAST(sum(c) AS BIGINT) AS pn FROM dbc GROUP BY w1),
+        |terms AS (
+        |  SELECT d.doc_id, d.c,
+        |    named_struct('w1', d.w1, 'w2', d.w2,
+        |      'term', CAST(d.c AS DOUBLE) *
+        |        ln(CAST(cnt + 1 AS DOUBLE) / CAST(pn + v.v AS DOUBLE))) AS wt
+        |  FROM dbc d JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    aggregate(array_sort(collect_list(wt)), CAST(0.0 AS DOUBLE),
+        |      (acc, x) -> acc + x.term) AS logp
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(logp, 4) AS sum_logp,
+        |  round(logp / n_bigrams, 4) AS avg_logp
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, explode(filter(split(text, ' '), w -> w != '')) AS word

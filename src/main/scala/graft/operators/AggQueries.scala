@@ -269,7 +269,13 @@ object AggQueries extends QueryPack {
     * dyadic (s2/2, s2/4), so they equal DuckDB's interpolating
     * quantile_cont/mad bit-for-bit.
     */
-  def madCore(events: DataFrame): DataFrame = {
+  /** The integer core shared by agg_mad and agg_robust_outliers:
+    * per event_type, (n, s2, ds2) where s2 = 2·median (of cents) and
+    * ds2 = 4·MAD — both EXACT longs (sums of bracketing order
+    * statistics, see [[histMid]]), so downstream consumers can stay in
+    * integer arithmetic and only the final presentation divides.
+    */
+  private[operators] def madInts(events: DataFrame): DataFrame = {
     val hist = events
       .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
       .groupBy(col("event_type"), col("v_c"))
@@ -284,12 +290,47 @@ object AggQueries extends QueryPack {
     val d = histMid(hist2, "d2")
     m.join(d.select(col("event_type").as("dt"), col("s2").as("ds2")),
         col("event_type") === col("dt"))
+      .select(col("event_type"), col("n"), col("s2"), col("ds2"))
+  }
+
+  def madCore(events: DataFrame): DataFrame =
+    madInts(events)
       .select(col("event_type"), col("n"),
         (col("s2") / 2.0).as("median_c"), (col("ds2") / 4.0).as("mad_c"))
-  }
 
   private def aggMad(s: SparkSession, dir: String): DataFrame =
     madCore(Tables.events(s, dir)).orderBy(col("event_type"))
+
+  /** ROBUST OUTLIER counts per event_type — the median/MAD anomaly gate
+    * (the spread measure a contaminated distribution cannot drag, unlike
+    * mean/stddev): an event is an outlier when |value − median| > 3·MAD.
+    * The decision is EXACT INTEGER arithmetic end-to-end: multiplying
+    * the inequality by 4 gives |4·v_c − 2·s2| > 3·ds2 with s2 = 2·median
+    * and ds2 = 4·MAD both integer (see [[madInts]]) — no float
+    * threshold, no 1.4826 scaling constant to drift cross-engine.
+    *
+    * Scale shape: the stats side is the one-scan histogram pipeline
+    * (tiny, ≤ |types| rows out), broadcast back onto a second corpus
+    * scan whose partial-aggregating count is the only wide edge — the
+    * same two-scan-plus-broadcast shape as evt_zscore, with the robust
+    * statistic in place of the moments.
+    */
+  def robustOutliersCore(events: DataFrame): DataFrame = {
+    val stats = madInts(events)
+      .select(col("event_type").as("st"), col("s2"), col("ds2"))
+    events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
+      .join(broadcast(stats), col("event_type") === col("st"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(abs(col("v_c") * 4 - col("s2") * 2) > col("ds2") * 3, 1))
+          .as("n_out"))
+      .select(col("event_type"), col("n"), col("n_out"),
+        round(col("n_out").cast("double") / col("n"), 4).as("out_rate"))
+  }
+
+  private def aggRobustOutliers(s: SparkSession, dir: String): DataFrame =
+    robustOutliersCore(Tables.events(s, dir)).orderBy(col("event_type"))
 
   /** Exact QUARTILES per event_type from the same frequency histogram —
     * [[histMid]] generalized from the median to any DYADIC quantile:
@@ -321,6 +362,7 @@ object AggQueries extends QueryPack {
     quartilesCore(Tables.events(s, dir)).orderBy(col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_robust_outliers" -> (aggRobustOutliers _),
     "agg_quartiles_scalable" -> (aggQuartilesScalable _),
     "agg_mad"           -> (aggMad _),
     "agg_mode"          -> (aggMode _),
@@ -341,6 +383,23 @@ object AggQueries extends QueryPack {
     "agg_regression"    -> (aggRegression _))
 
   val oracle: Map[String, String] = Map(
+    "agg_robust_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, quantile_cont(v_c, 0.5) AS med
+        |  FROM ev GROUP BY event_type),
+        |md AS (
+        |  SELECT ev.event_type, quantile_cont(abs(ev.v_c - m.med), 0.5) AS mad
+        |  FROM ev JOIN m USING (event_type) GROUP BY ev.event_type)
+        |SELECT ev.event_type, count(*) AS n,
+        |  count(*) FILTER (abs(4 * ev.v_c - 4 * m.med) > 3 * 4 * md.mad) AS n_out,
+        |  round(CAST(count(*) FILTER (abs(4 * ev.v_c - 4 * m.med) > 3 * 4 * md.mad) AS DOUBLE)
+        |    / count(*), 4) AS out_rate
+        |FROM ev JOIN m USING (event_type) JOIN md ON ev.event_type = md.event_type
+        |GROUP BY ev.event_type
+        |ORDER BY ev.event_type""".stripMargin,
     "agg_quartiles_scalable" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c

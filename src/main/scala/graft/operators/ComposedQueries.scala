@@ -626,20 +626,24 @@ object ComposedQueries extends QueryPack {
     * DISTINCT (l_partkey, l_suppkey) pairs; the excluded-supplier set is
     * the negative-balance suppliers): how many distinct suppliers can
     * deliver each surviving (brand, type, size) combination, excluded
-    * suppliers anti-joined out. Scale shape: the pair distinct
-    * pre-shrinks the fact once on (partkey, suppkey); the ~6-row
-    * exclusion list broadcasts as an anti join; the filtered part dim
-    * broadcasts; count-distinct runs two-level on a tiny group domain.
+    * suppliers anti-joined out. Scale shape (r8 rework, 3 wide edges →
+    * 2): the broadcast part filter and the ~6-row broadcast anti join
+    * both run AT THE SCAN — scan-side, exchange-free — so the only
+    * shuffled rows are part-filtered; the old explicit (partkey,
+    * suppkey) distinct was a full-fact exchange that
+    * `countDistinct(suppkey)` makes REDUNDANT (a supplier counts once
+    * per (brand, type, size) group whether deduped per part or not —
+    * the distinct aggregate's own two-phase expand dedups map-side).
     */
   def supplierVarietyCore(lineitem: DataFrame, part: DataFrame,
                           supplier: DataFrame): DataFrame = {
-    val ps = lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
     val excluded = supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     val pf = part.filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
         col("p_size").isin(1, 4, 7, 10, 14, 21))
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
-    ps.join(excluded, ps("l_suppkey") === excluded("s_suppkey"), "left_anti")
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }

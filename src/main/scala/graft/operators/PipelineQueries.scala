@@ -265,10 +265,12 @@ object PipelineQueries extends QueryPack {
     val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     // df from tf, not from a second distinct over the raw tokens: tf is
     // already one row per (doc, word), so counting rows per word IS the
-    // document frequency — one less full-width shuffle of the explode
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // document frequency. r8: df is a count WINDOW over word on tf (one
+    // word exchange) instead of agg-then-rejoin (which planned an extra
+    // exchange per side) — the boilerplate window-over-counts shape
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(df, "word")
+    tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("word")))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
       .select(col("doc_id"), col("word"), col("tfidf"))
@@ -291,10 +293,11 @@ object PipelineQueries extends QueryPack {
     *
     * Plan: three linear sub-plans over the same scan — a zero-exchange
     * rule scan, one window keyed by text (high-cardinality at scale),
-    * the gram-df agg — then two doc_id equi-joins (co-partitioned with
-    * the gram re-agg). Never all-pairs; every shuffle linear in corpus
-    * size. This is the composition story: each gate is individually
-    * oracle-certified, and so is the composition.
+    * the gram window + doc re-agg (boilerplateCore's r8 two-edge shape)
+    * — then two doc_id equi-joins (co-partitioned with the doc re-agg).
+    * Never all-pairs; every shuffle linear in corpus size. This is the
+    * composition story: each gate is individually oracle-certified, and
+    * so is the composition.
     */
   private def pipelineClean(s: SparkSession, dir: String): DataFrame =
     cleanCore(Tables.documents(s, dir)).orderBy(col("doc_id"))

@@ -463,7 +463,65 @@ object TextAnalysisQueries extends QueryPack {
         round(col("logp") / col("n_tokens"), 4).as("avg_logp"))
   }
 
+  /** BIGRAM-LM document scoring — the second-order extension of
+    * `text_unigram_logprob` (fluency-sensitive quality scoring: a doc of
+    * real sentences beats a bag of common words, which the unigram score
+    * cannot distinguish): per doc, the summed and per-bigram-averaged
+    * log of the add-1-smoothed conditional probability
+    * P(w2|w1) = (C(w1,w2) + 1) / (C(w1→) + V), with C(w1→) the corpus
+    * count of bigrams starting w1 and V the corpus vocabulary size.
+    *
+    * Float determinism is the unigram key's sorted-fold contract one
+    * order higher: per-doc (w1, w2) pairs are unique after counting, so
+    * the fold over the array_sort'ed (w1, w2, term) structs is a total
+    * order both engines replay bit-for-bit; each term is c·ln of
+    * identical exact-integer ratios (counts < 2^53).
+    *
+    * Plan: per-doc bigram counts (one hash agg), then BOTH corpus
+    * statistics ride ONE w1 exchange — the prefix-count window
+    * partitions by w1, and the (w1, w2) bigram-count window's clustering
+    * is satisfied by that same hash(w1) partitioning, so Spark plans a
+    * sort, not a second exchange (window order matters: pn first). No
+    * rejoin, no second corpus pass; the vocab scalar broadcasts.
+    */
+  private def textBigramLogprob(s: SparkSession, dir: String): DataFrame =
+    bigramLogprobCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  def bigramLogprobCore(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), filter(words, w => w =!= "").as("ws"))
+    val vocab = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val dbc = toks
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(ws) - 1), " +
+          "i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val wPre = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    val wBg = org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")
+    dbc
+      .withColumn("pn", sum(col("c")).over(wPre))
+      .withColumn("cnt", sum(col("c")).over(wBg))
+      .crossJoin(broadcast(vocab))
+      .withColumn("term", col("c").cast("double") *
+        log((col("cnt") + 1).cast("double") / (col("pn") + col("v")).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        collect_list(struct(col("w1"), col("w2"), col("term"))).as("terms"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("aggregate(array_sort(terms), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x.term)").as("logp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("logp"), 4).as("sum_logp"),
+        round(col("logp") / col("n_bigrams"), 4).as("avg_logp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_logprob" -> (textBigramLogprob _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_boilerplate"   -> (textBoilerplate _),
     "text_gopher_rules"  -> (textGopherRules _),
@@ -487,6 +545,38 @@ object TextAnalysisQueries extends QueryPack {
   private val hitsFr = duckHits("'le','la','et','les','des'")
 
   val oracle: Map[String, String] = Map(
+    "text_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |v AS (
+        |  SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ws) AS w FROM t)),
+        |big AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |        FROM t WHERE len(ws) >= 2) x),
+        |dbc AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+        |        FROM big GROUP BY doc_id, w1, w2),
+        |bc AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cnt FROM dbc GROUP BY w1, w2),
+        |pc AS (SELECT w1, CAST(sum(c) AS BIGINT) AS pn FROM dbc GROUP BY w1),
+        |terms AS (
+        |  SELECT d.doc_id, d.c,
+        |    struct_pack(w1 := d.w1, w2 := d.w2,
+        |      term := CAST(d.c AS DOUBLE) *
+        |        ln(CAST(cnt + 1 AS DOUBLE) / CAST(pn + v.v AS DOUBLE))) AS wt
+        |  FROM dbc d JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    list_reduce(
+        |      list_prepend(0.0, list_transform(list_sort(list(wt)), x -> x.term)),
+        |      (a, b) -> a + b) AS logp
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(logp, 4) AS sum_logp,
+        |  round(logp / n_bigrams, 4) AS avg_logp
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> ''))

@@ -173,6 +173,41 @@ class PlanAuditSpec extends SparkSpec {
       s"checkpointed collapsed table expected in plan: ${p.take(600)}")
   }
 
+  test("text_bigram_logprob: both corpus statistics ride ONE w1 exchange") {
+    // the prefix-count window partitions by w1; the (w1, w2) count
+    // window's clustering is satisfied by the same hash(w1), so the
+    // wide edges are exactly: per-doc bigram agg, the w1 window, the
+    // per-doc re-agg. The vocab scalar broadcasts (1 row).
+    val p = finalPlanSection(plan("text_bigram_logprob"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no pairwise or shuffled join anywhere: ${p.take(800)}")
+    // 3 main-path edges (bigram agg, w1 window, doc re-agg) + the vocab
+    // subtree's distinct-word dedup; the (w1, w2) window must NOT add a
+    // 5th — its clustering is satisfied by hash(w1), planning as a Sort
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 4,
+      s"bigram agg + w1 window + doc re-agg + vocab dedup only, got $exchanges: ${p.take(800)}")
+    val w1w2Window = "Sort \\[w1#\\d+ ASC NULLS FIRST, w2#\\d+ ASC NULLS FIRST\\], false".r
+    assert(w1w2Window.findFirstIn(p).isDefined,
+      s"the (w1, w2) window must ride the w1 exchange via a local sort: ${p.take(800)}")
+    assert(p.contains("partial_"), "bigram counts must partial-aggregate map-side")
+  }
+
+  test("complex_supplier_variety: broadcast filters at the scan, only the distinct-agg shuffles") {
+    // r8 rework: the part filter and the exclusion anti join are both
+    // broadcast (exchange-free, scan-side); the only wide edges are the
+    // countDistinct's own two-phase expand over part-FILTERED rows —
+    // the old explicit (partkey, suppkey) distinct was a full-fact
+    // exchange made redundant by the distinct aggregate
+    val p = finalPlanSection(plan("complex_supplier_variety"))
+    assert(!p.contains("SortMergeJoin"),
+      s"both joins must broadcast: ${p.take(600)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"countDistinct's two-phase agg only, got $exchanges: ${p.take(800)}")
+    assert(p.contains("partial_"), "the distinct agg must partial-aggregate map-side")
+  }
+
   test("evt_rolling_active broadcasts the observed-days table; no day-by-day self-join") {
     val p = plan("evt_rolling_active")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
