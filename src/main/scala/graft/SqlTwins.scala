@@ -10,8 +10,8 @@ package graft
   * returns exactly the rows and column names of the corresponding
   * `SparkEntry.queries` plan. SqlFrontendSpec asserts that equivalence
   * for every entry; together with the keys whose DuckDB oracle text
-  * already runs unmodified on Spark, the SQL surface covers 150 of the
-  * 151 oracle keys. The single exception is `dedup_components`: its
+  * already runs unmodified on Spark, the SQL surface covers 151 of the
+  * 152 oracle keys. The single exception is `dedup_components`: its
   * transitive closure is a CYCLIC fixpoint needing UNION-distinct
   * recursion, which Spark's recursive CTEs do not support
   * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed; UNION ALL on a
@@ -286,25 +286,6 @@ object SqlTwins {
         |  percentile(v_c, 0.75) AS q75_c
         |FROM ev GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
-    "agg_robust_outliers" ->
-      """WITH ev AS (
-        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
-        |  FROM events),
-        |m AS (
-        |  SELECT event_type, percentile(v_c, 0.5) AS med
-        |  FROM ev GROUP BY event_type),
-        |md AS (
-        |  SELECT ev.event_type, percentile(abs(ev.v_c - m.med), 0.5) AS mad
-        |  FROM ev JOIN m ON ev.event_type = m.event_type
-        |  GROUP BY ev.event_type)
-        |SELECT ev.event_type, count(*) AS n,
-        |  count(CASE WHEN abs(4 * ev.v_c - 4 * m.med) > 3 * 4 * md.mad THEN 1 END) AS n_out,
-        |  round(CAST(count(CASE WHEN abs(4 * ev.v_c - 4 * m.med) > 3 * 4 * md.mad THEN 1 END) AS DOUBLE)
-        |    / count(*), 4) AS out_rate
-        |FROM ev JOIN m ON ev.event_type = m.event_type
-        |  JOIN md ON ev.event_type = md.event_type
-        |GROUP BY ev.event_type
-        |ORDER BY ev.event_type""".stripMargin,
     "agg_mad" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
@@ -676,6 +657,17 @@ object SqlTwins {
         |  FROM p)
         |SELECT m.p_id, m.user_id, c.event_id AS click_id,
         |  (m.p_ts - c.ts) DIV 1000000000 AS gap_s
+        |FROM m JOIN c ON c.user_id = m.user_id AND c.ts = m.c_ts
+        |ORDER BY p_id""".stripMargin,
+    "join_asof_forward_native" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+        |    (SELECT min(c.ts) FROM c WHERE c.user_id = p.user_id AND c.ts >= p.ts) AS c_ts
+        |  FROM p)
+        |SELECT m.p_id, m.user_id, c.event_id AS click_id,
+        |  (c.ts - m.p_ts) DIV 1000000000 AS gap_s
         |FROM m JOIN c ON c.user_id = m.user_id AND c.ts = m.c_ts
         |ORDER BY p_id""".stripMargin,
     "join_interval_native" ->

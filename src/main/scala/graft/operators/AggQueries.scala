@@ -383,19 +383,22 @@ object AggQueries extends QueryPack {
     "agg_regression"    -> (aggRegression _))
 
   val oracle: Map[String, String] = Map(
+    // PORTABLE on purpose: `median` and `FILTER (WHERE ...)` run
+    // unmodified on both engines (DuckDB median(BIGINT) probed DOUBLE
+    // and bit-equal to quantile_cont), so this key needs no SqlTwin
     "agg_robust_outliers" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
         |  FROM events),
         |m AS (
-        |  SELECT event_type, quantile_cont(v_c, 0.5) AS med
+        |  SELECT event_type, median(v_c) AS med
         |  FROM ev GROUP BY event_type),
         |md AS (
-        |  SELECT ev.event_type, quantile_cont(abs(ev.v_c - m.med), 0.5) AS mad
+        |  SELECT ev.event_type, median(abs(ev.v_c - m.med)) AS mad
         |  FROM ev JOIN m USING (event_type) GROUP BY ev.event_type)
         |SELECT ev.event_type, count(*) AS n,
-        |  count(*) FILTER (abs(4 * ev.v_c - 4 * m.med) > 3 * 4 * md.mad) AS n_out,
-        |  round(CAST(count(*) FILTER (abs(4 * ev.v_c - 4 * m.med) > 3 * 4 * md.mad) AS DOUBLE)
+        |  count(*) FILTER (WHERE abs(4 * ev.v_c - 4 * m.med) > 3 * 4 * md.mad) AS n_out,
+        |  round(CAST(count(*) FILTER (WHERE abs(4 * ev.v_c - 4 * m.med) > 3 * 4 * md.mad) AS DOUBLE)
         |    / count(*), 4) AS out_rate
         |FROM ev JOIN m USING (event_type) JOIN md ON ev.event_type = md.event_type
         |GROUP BY ev.event_type

@@ -147,6 +147,34 @@ object JoinQueries extends QueryPack {
   private def joinAsofNative(s: SparkSession, dir: String): DataFrame =
     asofBody(s, dir, graft.plans.AsofMergeJoin.backward(_, _, _, _, _, _))
 
+  /** FORWARD as-of through the same native operator (r8): each purchase
+    * → the EARLIEST click with click.ts >= purchase.ts by the same user
+    * — the "next touch after" attribution direction (follow-up action,
+    * next quote after a trade), previously spec-only (fwd = true in
+    * AsofMergeJoinExec runs the merge over the time-reversed per-key
+    * ordering, same one-Exchange+Sort-per-side plan). Declaring it as
+    * its own oracle key certifies the forward merge path directly
+    * against DuckDB's `ASOF JOIN ... ON p.ts <= c.ts` (probed r8:
+    * forward inequality supported). ts stays exact ns BIGINT; ties are
+    * physically absent in this corpus (ns timestamps).
+    */
+  private def joinAsofForwardNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    graft.plans.AsofMergeJoin.forward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id"))
+      .filter(col("asof_ts").isNotNull)
+      .select(
+        col("p_id"),
+        col("user_id"),
+        col("asof_click_id").as("click_id"),
+        expr("(asof_ts - ts) DIV 1000000000").as("gap_s"))
+      .orderBy(col("p_id"))
+  }
+
   /** The band join through the OPTIMIZER RULE (graft.plans.BandJoinRewrite,
     * registered imperatively like the asof strategy): a pure
     * `abs(a − b) <= c` inner join over integer value-cents, which stock
@@ -240,6 +268,7 @@ object JoinQueries extends QueryPack {
     "join_band_native" -> (joinBandNative _),
     "join_interval_native" -> (joinIntervalNative _),
     "join_asof_native" -> (joinAsofNative _),
+    "join_asof_forward_native" -> (joinAsofForwardNative _),
     "join_inner"       -> (joinInner _),
     "join_broadcast"   -> (joinBroadcast _),
     "join_left"        -> (joinLeft _),
@@ -334,7 +363,14 @@ object JoinQueries extends QueryPack {
     // identical oracle text on purpose (shared val): the two keys are
     // two implementations (composed window vs native merge operator) of
     // ONE declared semantics, certified against the same DuckDB answer
-    "join_asof_native" -> asofOracleSql)
+    "join_asof_native" -> asofOracleSql,
+    "join_asof_forward_native" ->
+      """SELECT p.event_id AS p_id, p.user_id, c.event_id AS click_id,
+        |  (epoch_ns(c.ts) - epoch_ns(p.ts)) // 1000000000 AS gap_s
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p_id""".stripMargin)
 
   private lazy val asofOracleSql =
     """SELECT p.event_id AS p_id, p.user_id, c.event_id AS click_id,
