@@ -10,8 +10,8 @@ package graft
   * returns exactly the rows and column names of the corresponding
   * `SparkEntry.queries` plan. SqlFrontendSpec asserts that equivalence
   * for every entry; together with the keys whose DuckDB oracle text
-  * already runs unmodified on Spark, the SQL surface covers 151 of the
-  * 152 oracle keys. The single exception is `dedup_components`: its
+  * already runs unmodified on Spark, the SQL surface covers 153 of the
+  * 154 oracle keys. The single exception is `dedup_components`: its
   * transitive closure is a CYCLIC fixpoint needing UNION-distinct
   * recursion, which Spark's recursive CTEs do not support
   * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed; UNION ALL on a
@@ -722,6 +722,26 @@ object SqlTwins {
         |ORDER BY doc_id""".stripMargin,
 
     // ---- §2.11 dedup / similarity ----
+    "dedup_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, explode(array_distinct(split(text, ' '))) AS word
+        |    FROM documents WHERE doc_id < 300) t
+        |  WHERE word != ''),
+        |sizes AS (SELECT doc_id, count(*) AS n_words FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM tok a JOIN tok b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |c AS (
+        |  SELECT i.a_id, i.b_id, i.n_inter,
+        |    i.n_inter / least(sa.n_words, sb.n_words) AS cont
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.a_id
+        |  JOIN sizes sb ON sb.doc_id = i.b_id)
+        |SELECT a_id, b_id, n_inter, round(cont, 4) AS containment
+        |FROM c WHERE cont >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_near_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, word FROM (

@@ -361,8 +361,45 @@ object AggQueries extends QueryPack {
   private def aggQuartilesScalable(s: SparkSession, dir: String): DataFrame =
     quartilesCore(Tables.events(s, dir)).orderBy(col("event_type"))
 
+  /** WEIGHTED median per return flag — each lineitem counts `quantity`
+    * times (the reweighting statistic of sampling/mixing pipelines:
+    * token-weighted length quantiles, unit-weighted price centers). The
+    * LOWER weighted median is the smallest value whose cumulative
+    * weight reaches half the total (2·cum ≥ W) — a pure integer
+    * decision, no interpolation, so it is engine-exact by construction.
+    *
+    * Same scale posture as the rest of the histogram-quantile family:
+    * the corpus sees ONE partial-aggregating scan into a (flag, cents)
+    * → Σweight histogram; the cumulative read runs over histogram bins
+    * (bounded by the value range, not the row count). The oracle text
+    * is PORTABLE — ANSI window sums run unmodified on both engines
+    * (the cumulative default frame is RANGE-to-current in both; bins
+    * are unique per key so RANGE ≡ ROWS).
+    */
+  def weightedMedianCore(lineitem: DataFrame): DataFrame = {
+    val hist = lineitem
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("v_c"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("l_returnflag"), col("v_c"))
+      .agg(sum(col("w")).as("w"))
+    val byKey = Window.partitionBy("l_returnflag")
+    val cumW = byKey.orderBy(col("v_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("w")).over(cumW))
+      .withColumn("tot", sum(col("w")).over(byKey))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("tot")).as("total_w"),
+        min(when(col("cum") * 2 >= col("tot"), col("v_c"))).as("wmedian_c"))
+  }
+
+  private def aggWeightedMedian(s: SparkSession, dir: String): DataFrame =
+    weightedMedianCore(Tables.lineitem(s, dir)).orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_robust_outliers" -> (aggRobustOutliers _),
+    "agg_weighted_median" -> (aggWeightedMedian _),
     "agg_quartiles_scalable" -> (aggQuartilesScalable _),
     "agg_mad"           -> (aggMad _),
     "agg_mode"          -> (aggMode _),
@@ -383,6 +420,22 @@ object AggQueries extends QueryPack {
     "agg_regression"    -> (aggRegression _))
 
   val oracle: Map[String, String] = Map(
+    // PORTABLE: ANSI window sums; outer CASTs dodge DuckDB's
+    // HUGEINT window-sum widening (BASELINE gotcha)
+    "agg_weighted_median" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v_c,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY l_returnflag, v_c),
+        |c AS (
+        |  SELECT l_returnflag, v_c, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v_c) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM h)
+        |SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_w,
+        |  min(CASE WHEN cum * 2 >= tot THEN v_c END) AS wmedian_c
+        |FROM c GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // PORTABLE on purpose: `median` and `FILTER (WHERE ...)` run
     // unmodified on both engines (DuckDB median(BIGINT) probed DOUBLE
     // and bit-equal to quantile_cont), so this key needs no SqlTwin

@@ -45,7 +45,12 @@ object PipelineQueries extends QueryPack {
     * same graph; the MinHash-LSH scale twin (graft.pipeline.Dedup)
     * replaces the quadratic word self-join at 100 TB.
     */
-  private def nearJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared (a_id, b_id, n_inter, na, nb) word-overlap statistics for
+    * the bounded doc slice — one intersection pass serves BOTH the
+    * Jaccard key and the containment key (different normalizers over
+    * the same counts).
+    */
+  private def pairStats(s: SparkSession, dir: String): DataFrame = {
     val tok = tokens(s, dir, 300)
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
     val inter = tok.select(col("doc_id").as("a_id"), col("word"))
@@ -56,13 +61,33 @@ object PipelineQueries extends QueryPack {
     inter
       .join(sizes.select(col("doc_id").as("a_id"), col("n_words").as("na")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n_words").as("nb")), "b_id")
+  }
+
+  private def nearJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
       .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= 0.8)
-  }
 
   private def dedupNearJaccard(s: SparkSession, dir: String): DataFrame =
     nearJaccardPairs(s, dir)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** CONTAINMENT (overlap-coefficient) near-dup pairs ≥ 0.9: the
+    * SUBSET detector Jaccard misses — a short doc quoted inside a long
+    * one has |∩|/min(|A|,|B|) ≈ 1 while its Jaccard is tiny (min-side
+    * normalizer vs union-side). The quote/inclusion case is the other
+    * half of real corpus duplication (boilerplate wrappers, excerpt
+    * pages); a dedup pipeline thresholds both. Same one-intersection
+    * shape as the Jaccard key (shared [[pairStats]]); the ratio is a
+    * long/long double division, bit-identical cross-engine.
+    */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
+      .withColumn("cont", col("n_inter") / least(col("na"), col("nb")))
+      .filter(col("cont") >= 0.9)
+      .select(col("a_id"), col("b_id"), col("n_inter"),
+        round(col("cont"), 4).as("containment"))
       .orderBy(col("a_id"), col("b_id"))
 
   /** Connected components over the exact near-dup graph: every doc in
@@ -327,6 +352,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_clean"     -> (pipelineClean _),
     "dedup_exact"        -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
+    "dedup_containment"  -> (dedupContainment _),
     "dedup_components"   -> (dedupComponents _),
     "sim_knn_label"      -> (simKnnLabel _),
     "sim_hard_negatives" -> (simHardNegatives _),
@@ -416,6 +442,23 @@ object PipelineQueries extends QueryPack {
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
         |LEFT JOIN comp c ON c.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_containment" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 300
+        |), tok2 AS (SELECT * FROM tok WHERE word <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS n_words FROM tok2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM tok2 a JOIN tok2 b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, n_inter,
+        |  round(n_inter / least(sa.n_words, sb.n_words), 4) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE n_inter / least(sa.n_words, sb.n_words) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_near_jaccard" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
