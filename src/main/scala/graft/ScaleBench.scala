@@ -118,6 +118,9 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed-table rows below saveAsTable into the scale corpus dir,
+      // not the repo cwd
+      .config("spark.sql.warehouse.dir", s"$out/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -191,6 +194,27 @@ object ScaleBench {
           events.withColumn("ts_utc", expr("timestamp_micros(ts DIV 1000)")),
           "ts_utc", d)
       d
+    }
+
+    /** Bucketed fact tables for the co-location rows: saveAsTable
+      * CLUSTERED BY + SORTED BY orderkey INTO 32 BUCKETS. The in-memory
+      * catalog forgets tables between sessions while the warehouse
+      * DIRECTORY persists (saveAsTable would throw
+      * LOCATION_ALREADY_EXISTS); a persistent metastore registers once —
+      * the honest equivalent here is dropping the stale location and
+      * re-paying the ETL write on the warm pass.
+      */
+    def ensureBucketedFacts(): Unit = {
+      def ensure(df: DataFrame, key: String, table: String): Unit =
+        if (!spark.catalog.tableExists(table)) {
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), table)
+          loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(loc, true)
+          sources.Layout.writeBucketed(df, key, 32, table)
+        }
+      ensure(lineitemK, "l_orderkey", "lineitem_b32")
+      ensure(ordersK, "o_orderkey", "orders_b32")
     }
 
     def t(label: String)(f: => Long): (String, () => (Double, Long)) =
@@ -418,6 +442,38 @@ object ScaleBench {
       // aggregate three ways. At 100 TB the pruned scan reads 3/31 of
       // the fact's files at LISTING time — the first lever SURVEY §4
       // names for a time-series fact.
+      // BUCKETED CO-LOCATION measured end-to-end — the second storage
+      // lever next to partition pruning: both fact tables saveAsTable'd
+      // CLUSTERED BY + SORTED BY orderkey INTO 32 BUCKETS (the ETL
+      // write, paid on the warm pass). Honest attribution at THIS scale
+      // (plan-dumped): the date-filtered orders side broadcasts in both
+      // plans, so the measured 2.06 → 1.2-1.4 s win is the LAYOUT —
+      // orderkey-sorted, right-sized bucket files vs the replicated
+      // corpus's write layout. The exchange-free co-located SMJ — the
+      // lever that matters at 100 TB where neither fact side broadcasts
+      // — is asserted directly in LayoutSpec's bucketed-join plan audit.
+      t("star_q5_bucketed_6m") {
+        ensureBucketedFacts()
+        operators.ComposedQueries.regionalRevenueCore(
+          spark.table("lineitem_b32"), spark.table("orders_b32"),
+          customerK, supplierK, nation, region).count()
+      },
+      // the EXCHANGE-ELIMINATION case isolated: at 100 TB neither fact
+      // side broadcasts, so force the merge join both ways. Plain plans
+      // one orderkey Exchange+Sort per side; the bucketed+sorted tables
+      // plan NEITHER (co-located AND pre-sorted — LayoutSpec asserts the
+      // zero-Exchange plan; this pair prices it at 6M×1.5M).
+      t("bucket_smj_plain_6m") {
+        lineitemK.select(col("l_orderkey"), col("l_extendedprice")).hint("merge")
+          .join(ordersK.select(col("o_orderkey"), col("o_totalprice")).hint("merge"),
+            col("l_orderkey") === col("o_orderkey")).count()
+      },
+      t("bucket_smj_bucketed_6m") {
+        ensureBucketedFacts()
+        spark.table("lineitem_b32").select(col("l_orderkey"), col("l_extendedprice")).hint("merge")
+          .join(spark.table("orders_b32").select(col("o_orderkey"), col("o_totalprice")).hint("merge"),
+            col("l_orderkey") === col("o_orderkey")).count()
+      },
       t("prune_static_3day_1m") {
         sources.Layout.readPartitioned(spark, ensureEventsByDate())
           .filter(col("p_date").between("2024-01-10", "2024-01-12"))
