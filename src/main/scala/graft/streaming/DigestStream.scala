@@ -27,6 +27,21 @@ case class DigestTtlState(counts: Map[String, Long], maxTsMs: Long)
   */
 case class UserDigestUpdate(user_id: Long, digest: String, evicted: Boolean)
 
+/** Shared event-time TTL parsing for the lifecycle'd stateful operators
+  * (DigestStream.digestsWithTtl, HeavyHittersStream.heavyHittersWithTtl):
+  * one interval grammar, one months-are-ambiguous rejection.
+  */
+private[streaming] object EventTimeTtl {
+  def millis(ttl: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    require(iv.months == 0, s"TTL '$ttl' must be day-or-finer (calendar months vary)")
+    val ms = iv.days * 86400000L + iv.microseconds / 1000L
+    require(ms > 0, s"TTL '$ttl' must be positive")
+    ms
+  }
+}
+
 /** Per-user running state: event-type → count. */
 case class DigestState(counts: Map[String, Long])
 
@@ -115,11 +130,7 @@ object DigestStream {
   def digestsWithTtl(events: Dataset[TimedUserEvent], ttl: String,
                      watermarkDelay: String): Dataset[UserDigestUpdate] = {
     import events.sparkSession.implicits._
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
-    require(iv.months == 0, s"TTL '$ttl' must be day-or-finer (calendar months vary)")
-    val ttlMs = iv.days * 86400000L + iv.microseconds / 1000L
-    require(ttlMs > 0, s"TTL '$ttl' must be positive")
+    val ttlMs = EventTimeTtl.millis(ttl)
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[DigestTtlState, UserDigestUpdate](
