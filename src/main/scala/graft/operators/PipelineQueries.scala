@@ -28,6 +28,25 @@ object PipelineQueries extends QueryPack {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Per-source DUPLICATION REPORT — the monitoring face of the dedup
+    * family: docs, distinct contents (by md5 content hash — the shuffle
+    * carries 32-hex digests, never the texts), duplicate count and
+    * rate per source. This is the dashboard row a corpus-ingest
+    * pipeline alerts on (a source whose dup_rate jumps is re-crawling
+    * itself). One two-phase distinct aggregate; PORTABLE oracle (md5
+    * hex is identical across engines by definition).
+    */
+  private def dedupStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dups"),
+        round((col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"), 4)
+          .as("dup_rate"))
+      .orderBy(col("source"))
+
   /** Distinct word tokens per doc for a bounded doc slice. */
   private def tokens(s: SparkSession, dir: String, maxDoc: Int): DataFrame =
     Tables.documents(s, dir)
@@ -353,6 +372,7 @@ object PipelineQueries extends QueryPack {
     "dedup_exact"        -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_containment"  -> (dedupContainment _),
+    "dedup_stats"        -> (dedupStats _),
     "dedup_components"   -> (dedupComponents _),
     "sim_knn_label"      -> (simKnnLabel _),
     "sim_hard_negatives" -> (simHardNegatives _),
@@ -409,6 +429,16 @@ object PipelineQueries extends QueryPack {
         |JOIN gopher gp ON s.doc_id = gp.doc_id
         |LEFT JOIN boiler b ON s.doc_id = b.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+    // PORTABLE: md5 hex + count(DISTINCT) run unmodified on both engines
+    "dedup_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dups,
+        |  round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+        |    / count(*), 4) AS dup_rate
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents

@@ -47,7 +47,8 @@ class SqlFrontendSpec extends SparkSpec {
     "complex_forecast_revenue", "sample_token_budget",
     "complex_regional_revenue", "evt_transition_matrix",
     "complex_revenue_deciles", "sample_interleave", "join_skew_salted",
-    "evt_path_trigram", "agg_robust_outliers", "agg_weighted_median")
+    "evt_path_trigram", "agg_robust_outliers", "agg_weighted_median",
+    "dedup_stats")
 
   private def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
