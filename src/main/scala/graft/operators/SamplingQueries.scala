@@ -206,7 +206,50 @@ object SamplingQueries extends QueryPack {
   private def sampleInterleave(s: SparkSession, dir: String): DataFrame =
     interleaveCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
+  /** CLASS-BALANCED downsampling — equalize every language at the
+    * smallest class's size (the hard-balance companion of
+    * sample_temperature's soft reweighting: a probe/eval set wants
+    * exactly-equal strata, not a flattened distribution). Each class
+    * keeps its `min-count` first docs in a deterministic md5 order
+    * ("bal"-salted so the permutation is independent of
+    * sample_shuffle's), so membership is reproducible across engines,
+    * runs, and layouts, and reruns on a grown corpus evict only from
+    * the tail of the new order.
+    *
+    * The per-class md5 rank reuses the shuffle-order machinery WITH the
+    * class key: rank inside (lang, md5-prefix bucket) cells — 256
+    * buckets per class, parallelism = classes × buckets at any scale,
+    * never a 5-partition class window — re-based by a tiny broadcast
+    * (lang × bucket) offset table. The oracle states the naive
+    * per-class window; the hash compare certifies the decomposition.
+    */
+  def balancedCore(documents: DataFrame): DataFrame = {
+    val h = documents
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("bal"), col("doc_id").cast("string")).cast("binary")).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val target = documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("t"))
+    val offW = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("bucket")
+    val offsets = h.groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", sum(col("bn")).over(offW) - col("bn"))
+      .select(col("lang").as("ol"), col("bucket").as("ob"), col("off"))
+    val rnW = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "bucket").orderBy(col("h"), col("doc_id"))
+    h.join(broadcast(offsets),
+        col("lang") === col("ol") && col("bucket") === col("ob"))
+      .crossJoin(broadcast(target))
+      .withColumn("rk", row_number().over(rnW).cast("long") + col("off"))
+      .filter(col("rk") <= col("t"))
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  private def sampleBalanced(s: SparkSession, dir: String): DataFrame =
+    balancedCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_balanced" -> (sampleBalanced _),
     "sample_interleave" -> (sampleInterleave _),
     "sample_epochs" -> (sampleEpochs _),
     "sample_token_budget" -> (sampleTokenBudget _),
@@ -220,6 +263,24 @@ object SamplingQueries extends QueryPack {
   // 0x-prefixed hex cast = Spark's conv(hex, 16, 10); thresholds are
   // round(fraction * 65536)
   val oracle: Map[String, String] = Map(
+    // PORTABLE: md5/'||'/STRING alias/row_number all run unmodified on
+    // both engines (probed); the naive per-class window here certifies
+    // the bucketed decomposition in the Spark plan
+    "sample_balanced" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5('bal' || CAST(doc_id AS STRING)) AS h
+        |  FROM documents),
+        |t AS (
+        |  SELECT min(n) AS t FROM (
+        |    SELECT count(*) AS n FROM documents GROUP BY lang) x),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk
+        |  FROM h)
+        |SELECT doc_id, lang, rk
+        |FROM r CROSS JOIN t
+        |WHERE rk <= t
+        |ORDER BY doc_id""".stripMargin,
     // PORTABLE: plain row_number / distinct / cross join ANSI
     "sample_interleave" ->
       """WITH s AS (

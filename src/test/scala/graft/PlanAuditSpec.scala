@@ -525,6 +525,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "per-customer revenue must partial-aggregate map-side")
   }
 
+  test("sample_balanced ranks inside (lang, md5-bucket) cells — never a per-class-only window") {
+    val p = finalPlanSection(plan("sample_balanced"))
+    // the corpus window partitions by (lang, md5-prefix bucket) —
+    // parallelism = classes × 256 at any scale; the lang-only window in
+    // the plan is over the tiny (lang × bucket) offsets aggregate
+    assert("hashpartitioning\\(lang#\\d+, bucket".r.findFirstIn(p).isDefined,
+      s"the rank window must shuffle on (lang, bucket): ${p.take(800)}")
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 1,
+      s"only the 1-row min-count aggregate may single-partition, got $single")
+    assert(!p.contains("SortMergeJoin"),
+      s"offsets/target attach by broadcast, the corpus never sort-merges: ${p.take(600)}")
+  }
+
   test("sample_interleave ranks inside (source, bucket) cells — never a per-source-only window") {
     val p = finalPlanSection(plan("sample_interleave"))
     // the corpus window partitions by (source, doc_id-range bucket) —
