@@ -10,8 +10,8 @@ package graft
   * returns exactly the rows and column names of the corresponding
   * `SparkEntry.queries` plan. SqlFrontendSpec asserts that equivalence
   * for every entry; together with the keys whose DuckDB oracle text
-  * already runs unmodified on Spark, the SQL surface covers 155 of the
-  * 156 oracle keys. The single exception is `dedup_components`: its
+  * already runs unmodified on Spark, the SQL surface covers 156 of the
+  * 157 oracle keys. The single exception is `dedup_components`: its
   * transitive closure is a CYCLIC fixpoint needing UNION-distinct
   * recursion, which Spark's recursive CTEs do not support
   * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed; UNION ALL on a
@@ -669,6 +669,19 @@ object SqlTwins {
         |SELECT m.p_id, m.user_id, c.event_id AS click_id,
         |  (c.ts - m.p_ts) DIV 1000000000 AS gap_s
         |FROM m JOIN c ON c.user_id = m.user_id AND c.ts = m.c_ts
+        |ORDER BY p_id""".stripMargin,
+    "join_asof_within" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+        |    (SELECT max(c.ts) FROM c
+        |     WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        |       AND p.ts - c.ts <= 86400000000000) AS c_ts
+        |  FROM p)
+        |SELECT m.p_id, m.user_id, c.event_id AS click_id,
+        |  (m.p_ts - c.ts) DIV 1000000000 AS gap_s
+        |FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.ts = m.c_ts
         |ORDER BY p_id""".stripMargin,
     "join_interval_native" ->
       """WITH p AS (

@@ -361,20 +361,24 @@ object AggQueries extends QueryPack {
   private def aggQuartilesScalable(s: SparkSession, dir: String): DataFrame =
     quartilesCore(Tables.events(s, dir)).orderBy(col("event_type"))
 
-  /** WEIGHTED median per return flag — each lineitem counts `quantity`
+  /** WEIGHTED quartiles per return flag — each lineitem counts `quantity`
     * times (the reweighting statistic of sampling/mixing pipelines:
     * token-weighted length quantiles, unit-weighted price centers). The
-    * LOWER weighted median is the smallest value whose cumulative
-    * weight reaches half the total (2·cum ≥ W) — a pure integer
-    * decision, no interpolation, so it is engine-exact by construction.
+    * LOWER weighted quantile at k/4 is the smallest value whose
+    * cumulative weight reaches k/4 of the total (4·cum ≥ k·W) — a pure
+    * integer decision, no interpolation, so it is engine-exact by
+    * construction; k = 2 is the lower weighted median.
     *
     * Same scale posture as the rest of the histogram-quantile family:
     * the corpus sees ONE partial-aggregating scan into a (flag, cents)
-    * → Σweight histogram; the cumulative read runs over histogram bins
-    * (bounded by the value range, not the row count). The oracle text
-    * is PORTABLE — ANSI window sums run unmodified on both engines
-    * (the cumulative default frame is RANGE-to-current in both; bins
-    * are unique per key so RANGE ≡ ROWS).
+    * → Σweight histogram; the cumulative read is the SHARED
+    * [[graft.pipeline.HistogramQuantiles.lowerQuantiles]] (a weighted
+    * multiset IS a frequency histogram, so the helper's `cnt` column
+    * carries the weight), running over histogram bins — bounded by the
+    * value range, not the row count. The oracle text is PORTABLE — ANSI
+    * window sums run unmodified on both engines (the cumulative default
+    * frame is RANGE-to-current in both; bins are unique per key so
+    * RANGE ≡ ROWS).
     */
   def weightedMedianCore(lineitem: DataFrame): DataFrame = {
     val hist = lineitem
@@ -382,16 +386,12 @@ object AggQueries extends QueryPack {
         round(col("l_extendedprice") * 100).cast("long").as("v_c"),
         col("l_quantity").cast("long").as("w"))
       .groupBy(col("l_returnflag"), col("v_c"))
-      .agg(sum(col("w")).as("w"))
-    val byKey = Window.partitionBy("l_returnflag")
-    val cumW = byKey.orderBy(col("v_c"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist
-      .withColumn("cum", sum(col("w")).over(cumW))
-      .withColumn("tot", sum(col("w")).over(byKey))
-      .groupBy(col("l_returnflag"))
-      .agg(max(col("tot")).as("total_w"),
-        min(when(col("cum") * 2 >= col("tot"), col("v_c"))).as("wmedian_c"))
+      .agg(sum(col("w")).as("cnt"))
+    graft.pipeline.HistogramQuantiles
+      .lowerQuantiles(hist, "l_returnflag", "v_c", 4, Seq(1, 2, 3))
+      .select(col("l_returnflag"), col("n").as("total_w"),
+        col("wq1").as("wq25_c"), col("wq2").as("wmedian_c"),
+        col("wq3").as("wq75_c"))
   }
 
   private def aggWeightedMedian(s: SparkSession, dir: String): DataFrame =
@@ -433,7 +433,9 @@ object AggQueries extends QueryPack {
         |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
         |  FROM h)
         |SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_w,
-        |  min(CASE WHEN cum * 2 >= tot THEN v_c END) AS wmedian_c
+        |  min(CASE WHEN cum * 4 >= tot THEN v_c END) AS wq25_c,
+        |  min(CASE WHEN cum * 4 >= tot * 2 THEN v_c END) AS wmedian_c,
+        |  min(CASE WHEN cum * 4 >= tot * 3 THEN v_c END) AS wq75_c
         |FROM c GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // PORTABLE on purpose: `median` and `FILTER (WHERE ...)` run

@@ -175,6 +175,37 @@ object JoinQueries extends QueryPack {
       .orderBy(col("p_id"))
   }
 
+  /** TOLERANCE as-of (pandas merge_asof `tolerance`, the common
+    * production form: sensor alignment with a max staleness bound) —
+    * the last spec-only member of the as-of family, now oracle-certified
+    * (round-9): each purchase keeps ALL rows (left semantics) and its
+    * latest-prior-click attribution is NULLED when the gap exceeds one
+    * day of event time. For the backward direction the bound needs no
+    * second search: the latest prior click is the NEAREST prior, so if
+    * it is out of tolerance every prior click is — [[AsofJoin.within]]
+    * is exactly "latest prior click within the bound", which the DuckDB
+    * correlated-max oracle states directly. ts stays exact ns BIGINT;
+    * the overflow-clamped window arithmetic is exercised by the spec,
+    * the corpus certifies the in/out/null three-way split (probed: ~1/3
+    * of purchases in tolerance, most out, some unmatched, at all 3 SFs).
+    */
+  private def joinAsofWithin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    val joined = AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts",
+      Seq("click_id"))
+    AsofJoin.within(joined, "ts", 86400L * 1000000000L)
+      .select(
+        col("p_id"),
+        col("user_id"),
+        col("asof_click_id").as("click_id"),
+        expr("(ts - asof_ts) DIV 1000000000").as("gap_s"))
+      .orderBy(col("p_id"))
+  }
+
   /** The band join through the OPTIMIZER RULE (graft.plans.BandJoinRewrite,
     * registered imperatively like the asof strategy): a pure
     * `abs(a − b) <= c` inner join over integer value-cents, which stock
@@ -278,7 +309,8 @@ object JoinQueries extends QueryPack {
     "join_anti"        -> (joinAnti _),
     "join_cross"       -> (joinCross _),
     "join_theta_range" -> (joinThetaRange _),
-    "join_asof"        -> (joinAsof _))
+    "join_asof"        -> (joinAsof _),
+    "join_asof_within" -> (joinAsofWithin _))
 
   val oracle: Map[String, String] = Map(
     // PORTABLE: the plain-join statement of the salted decomposition
@@ -370,6 +402,27 @@ object JoinQueries extends QueryPack {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p_id""".stripMargin,
+    // correlated-max oracle (DuckDB's ASOF JOIN has no tolerance): for
+    // the backward direction "latest prior within the bound" IS the
+    // tolerance-filtered latest prior, so the bound rides inside the
+    // max subquery; the LEFT join keeps unattributed purchases as nulls
+    "join_asof_within" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_ns(ts) AS tns
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tns
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p_id, user_id, tns,
+        |    (SELECT max(c.tns) FROM c
+        |     WHERE c.user_id = p.user_id AND c.tns <= p.tns
+        |       AND p.tns - c.tns <= 86400000000000) AS c_tns
+        |  FROM p)
+        |SELECT m.p_id, m.user_id, c.event_id AS click_id,
+        |  (m.tns - m.c_tns) // 1000000000 AS gap_s
+        |FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.tns = m.c_tns
         |ORDER BY p_id""".stripMargin)
 
   private lazy val asofOracleSql =

@@ -40,12 +40,6 @@ object HistogramQuantiles {
     */
   def orderStats(hist: DataFrame, key: String, v: String, den: Int,
       ks: Seq[Int], extra: Seq[Column] = Nil): DataFrame = {
-    val byKey = Window.partitionBy(key)
-    val cumW = byKey.orderBy(col(v))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val binned = hist
-      .withColumn("cum", sum(col("cnt")).over(cumW))
-      .withColumn("n", sum(col("cnt")).over(byKey))
     def at(p: Column) =
       min(when(col("cum") - col("cnt") < p && p <= col("cum"), col(v)))
     val aggs = ks.flatMap { k =>
@@ -54,8 +48,39 @@ object HistogramQuantiles {
       Seq(at(lo).as(s"lo$k"),
         at(lo + when(rem > 0, 1).otherwise(0)).as(s"hi$k"))
     }
-    binned.groupBy(col(key))
+    binned(hist, key, v).groupBy(col(key))
       .agg(max(col("n")).as("n"), (aggs ++ extra): _*)
+  }
+
+  /** Per `key`: total weight `n`, and for each numerator k in `ks` the
+    * LOWER weighted quantile `wq$k` — the smallest value whose cumulative
+    * weight reaches k/den of the total (`den·cum ≥ k·n`, a pure integer
+    * decision, no interpolation, so it is engine-exact by construction).
+    * The histogram's `cnt` column IS the weight (a weighted multiset and
+    * a frequency histogram are the same object); with unit counts and
+    * den = 2 this is the classic lower median. Same scale shape as
+    * [[orderStats]]: every window runs over histogram bins.
+    */
+  def lowerQuantiles(hist: DataFrame, key: String, v: String, den: Int,
+      ks: Seq[Int], extra: Seq[Column] = Nil): DataFrame = {
+    val aggs = ks.map { k =>
+      min(when(col("cum") * den >= col("n") * k, col(v))).as(s"wq$k")
+    }
+    binned(hist, key, v).groupBy(col(key))
+      .agg(max(col("n")).as("n"), (aggs ++ extra): _*)
+  }
+
+  /** The shared cumulative read: per (key, v) bin, the running weight
+    * `cum` (≤ v) and the key total `n` — incremental frames over
+    * histogram bins only, never raw rows.
+    */
+  private def binned(hist: DataFrame, key: String, v: String): DataFrame = {
+    val byKey = Window.partitionBy(key)
+    val cumW = byKey.orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byKey))
   }
 
   /** The interpolated quantile at k/den from [[orderStats]]' output

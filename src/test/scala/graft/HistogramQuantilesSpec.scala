@@ -61,6 +61,42 @@ class HistogramQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("lowerQuantiles matches the brute weighted lower quantile") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    (1 to 5).foreach { trial =>
+      // per key: (value, weight) pairs with ties on the value axis
+      val data = (0 until 5).flatMap { key =>
+        val n = rnd.nextInt(30) + 1
+        (0 until n).map(_ =>
+          (s"k$key", rnd.nextInt(10).toLong - 2, rnd.nextInt(7).toLong + 1))
+      }
+      val hist = data.toDF("key", "v", "w")
+        .groupBy(col("key"), col("v")).agg(sum(col("w")).as("cnt"))
+      for (den <- Seq(2, 4)) {
+        val ks = 1 until den
+        val got = HistogramQuantiles.lowerQuantiles(hist, "key", "v", den, ks)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), ks.map(i => r.getLong(i + 1)))).toMap
+        data.groupBy(_._1).foreach { case (key, rows) =>
+          val tot = rows.map(_._3).sum
+          val bins = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+            .toSeq.sortBy(_._1)
+          val (gotN, gotQs) = got(key)
+          assert(gotN == tot, s"trial $trial key $key total weight")
+          ks.foreach { k =>
+            // brute: smallest v whose cumulative weight reaches k/den
+            val want = bins.scanLeft(("", 0L)) { case ((_, c), (v, w)) =>
+              (v.toString, c + w)
+            }.drop(1).find(_._2 * den >= tot * k).get._1.toLong
+            assert(gotQs(k - 1) == want,
+              s"trial $trial key $key wq$k/$den: got ${gotQs(k - 1)} want $want")
+          }
+        }
+      }
+    }
+  }
+
   test("extra aggregates ride the same group-by") {
     import spark.implicits._
     val hist = Seq(("a", 1L, 3L), ("a", 5L, 1L), ("b", 2L, 2L))
