@@ -490,7 +490,13 @@ object TextAnalysisQueries extends QueryPack {
   def bigramLogprobCore(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), filter(words, w => w =!= "").as("ws"))
-    val vocab = toks.select(explode(col("ws")).as("w"))
+    // array_distinct BEFORE the explode (the boilerplate-key trick): the
+    // distinct agg sees per-doc TYPES, not the full token volume — same V
+    // by definition (distinct of per-doc distincts), ~20% off the key.
+    // Probed alternative (r9): deriving V from dbc's w1 ∪ w2 does NOT
+    // reuse dbc's exchange (column pruning splits the subtrees → 3 scans,
+    // 6 exchanges) and measures slower.
+    val vocab = toks.select(explode(array_distinct(col("ws"))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val dbc = toks
       .filter(size(col("ws")) >= 2)

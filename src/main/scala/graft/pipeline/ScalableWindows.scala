@@ -173,24 +173,42 @@ object ScalableWindows {
       .withColumn("__tsum", last("__psum").over(bw))
       .withColumn("__tcnt", last("__pcnt").over(bw))
 
-    // (2) cumulative bucket totals over OCCUPIED buckets only; the
-    // bucket's last row is where the strictly-increasing count peaks
+    // (2) cumulative bucket totals, read AT the referenced ids in ONE
+    // window pass (round-9 rework): the occupied-bucket totals and the
+    // distinct referenced ids (each row references its frame's two
+    // cross-bucket edges, b−1 and lob — emitted by one explode, not a
+    // two-branch union that rebuilt the ties subtree per branch)
+    // interleave in one ordered stream per key; a running sum puts
+    // cum(largest occupied id ≤ x) on each ref row directly — a ref
+    // sorts AFTER a real bucket with the same id (__ref 0-before-1),
+    // and an id below every occupied bucket reads the empty prefix,
+    // exactly 0 (empty buckets contribute 0, so this equals a
+    // densified cum(x) without ever materializing the bucket axis).
+    // Replaces the previous separate cum window + backward-as-of
+    // resolution; still bin-bounded rows, never raw rows.
     val totals = pref.filter(col("__pcnt") === col("__tcnt"))
-      .select((part :+ col("__b") :+ col("__tsum") :+ col("__tcnt")): _*)
-    val cw = Window.partitionBy(part: _*).orderBy("__b")
+      .select((part :+ col("__b") :+ lit(0).as("__ref")
+        :+ col("__tsum") :+ col("__tcnt")): _*)
+    val refs = ties
+      .select((part :+ explode(array(col("__b") - 1,
+        bucketOf(col("__v") - band))).as("__b")): _*)
+      .distinct()
+      .select((part :+ col("__b") :+ lit(1).as("__ref")
+        :+ lit(0L).as("__tsum") :+ lit(0L).as("__tcnt")): _*)
+    val cw = Window.partitionBy(part: _*).orderBy(col("__b"), col("__ref"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = totals
+    val resolved = totals.union(refs)
       .withColumn("__csum", sum("__tsum").over(cw))
       .withColumn("__ccnt", sum("__tcnt").over(cw))
-      .select((part :+ col("__b") :+ col("__csum") :+ col("__ccnt")): _*)
-    val refs = ties.select((part :+ (col("__b") - 1).as("__rb")): _*)
-      .union(ties.select((part :+ bucketOf(col("__v") - band).as("__rb")): _*))
-      .distinct()
-    val resolved = AsofJoin.backward(refs, cum, partCols, "__rb", "__b")
-    val cumHi = resolved.select((part :+ col("__rb").as("__hb")
-      :+ col("asof___csum").as("__hsum") :+ col("asof___ccnt").as("__hcnt")): _*)
-    val cumLo = resolved.select((part :+ col("__rb").as("__lb")
-      :+ col("asof___csum").as("__lsum") :+ col("asof___ccnt").as("__lcnt")): _*)
+      .filter(col("__ref") === 1)
+      .select((part :+ col("__b").as("__rb")
+        :+ col("__csum") :+ col("__ccnt")): _*)
+    // the hi/lo lookups below broadcast the SAME canonical relation —
+    // alias-qualified joins instead of renamed projections, so the two
+    // BroadcastExchanges canonicalize equal and the second reuses the
+    // first's build (one resolved computation, not two)
+    val cumHi = resolved.as("hi")
+    val cumLo = resolved.as("lo")
 
     // (3) suffix of bucket b at distinct value w, arithmetically:
     // everything in the bucket from w up = total − prefix(w) + w's ties
@@ -205,15 +223,18 @@ object ScalableWindows {
     val answers = AsofJoin.forward(probe, suffix, partCols :+ "__lob", "__t", "__w")
       .withColumn("__hb", col("__b") - 1)
       .withColumn("__lb", col("__lob"))
-      .join(broadcast(cumHi), partCols :+ "__hb", "left")
-      .join(broadcast(cumLo), partCols :+ "__lb", "left")
+      .as("a")
+      .join(broadcast(cumHi), partCols.map(c => col(s"a.$c") === col(s"hi.$c"))
+        .foldLeft(col("a.__hb") === col("hi.__rb"))(_ && _), "left")
+      .join(broadcast(cumLo), partCols.map(c => col(s"a.$c") === col(s"lo.$c"))
+        .foldLeft(col("a.__lb") === col("lo.__rb"))(_ && _), "left")
       .withColumn(sumName,
-        col("__psum") + coalesce(col("__hsum"), lit(0L)) -
-          coalesce(col("__lsum"), lit(0L)) + coalesce(col("asof___ssum"), lit(0L)))
+        col("a.__psum") + coalesce(col("hi.__csum"), lit(0L)) -
+          coalesce(col("lo.__csum"), lit(0L)) + coalesce(col("a.asof___ssum"), lit(0L)))
       .withColumn(cntName,
-        col("__pcnt") + coalesce(col("__hcnt"), lit(0L)) -
-          coalesce(col("__lcnt"), lit(0L)) + coalesce(col("asof___scnt"), lit(0L)))
-      .select((partCols.map(c => col(c).as(s"__k_$c")) :+ col("__v")
+        col("a.__pcnt") + coalesce(col("hi.__ccnt"), lit(0L)) -
+          coalesce(col("lo.__ccnt"), lit(0L)) + coalesce(col("a.asof___scnt"), lit(0L)))
+      .select((partCols.map(c => col(s"a.$c").as(s"__k_$c")) :+ col("a.__v")
         :+ col(sumName) :+ col(cntName)): _*)
 
     // (5) the fact's second and last touch: equi-join on (key, v).
