@@ -65,34 +65,69 @@ object ScaleBench {
     spark.read.parquet(target)
   }
 
-  /** Churning-user digest stream for the state-lifecycle rows: 200k
-    * users × 1 event each, in 20 cohorts spaced 1200 s apart in event
-    * time (written once, range-sorted so file-source batches arrive in
-    * time order). Runs the digest stream to completion and returns the
-    * state operator's RETAINED row count from its progress metrics —
-    * `ttl = true` runs [[graft.streaming.DigestStream.digestsWithTtl]]
-    * ("600 seconds"), so only cohorts inside the trailing TTL window
-    * survive; `ttl = false` runs the NoTimeout [[graft.streaming
-    * .DigestStream.digests]], whose state is the all-time user count.
+  /** Write a streaming corpus as EXPLICITLY SEQUENCED cohort files:
+    * one parquet write per cohort under `dir/cNN`, then every file's
+    * mtime is pinned to `base + i` seconds — FileStreamSource orders
+    * candidate files by modification time (ms granularity; a single
+    * job's part files can tie), so a one-shot sorted write can still
+    * be LISTED out of event-time order and batches would arrive
+    * time-shuffled (round-8 advice). Pinned mtimes make batch arrival
+    * order deterministic and event-time-monotone regardless of
+    * listing ties. Readers glob `dir/c*`.
+    */
+  private def writeSequencedCohorts(spark: SparkSession, dir: String,
+      cohorts: Int)(cohort: Int => org.apache.spark.sql.DataFrame): Unit = {
+    val done = java.nio.file.Paths.get(dir, "_ALL_COHORTS")
+    if (java.nio.file.Files.exists(done)) return
+    val base = 1700000000000L
+    (0 until cohorts).foreach { i =>
+      val sub = f"$dir/c$i%02d"
+      cohort(i).coalesce(1).write.mode("overwrite").parquet(sub)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(sub))
+      try files.forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+      } finally files.close()
+    }
+    java.nio.file.Files.createFile(done)
+  }
+
+  /** Churning-user digest stream for the state-lifecycle and
+    * throughput rows: `users` users × `evPerUser` events each, in 20
+    * cohorts spaced 1200 s apart in event time (sequenced cohort
+    * files — see [[writeSequencedCohorts]]). Runs the digest stream to
+    * completion and returns the state operator's RETAINED row count
+    * from its progress metrics — `ttl = true` runs
+    * [[graft.streaming.DigestStream.digestsWithTtl]] ("600 seconds"),
+    * so only cohorts inside the trailing TTL window survive;
+    * `ttl = false` runs the NoTimeout
+    * [[graft.streaming.DigestStream.digests]], whose state is the
+    * all-time user count.
     */
   private def streamDigestStateRows(spark: SparkSession, dir: String,
-                                    ttl: Boolean): Long = {
+                                    ttl: Boolean, users: Long = 200000L,
+                                    evPerUser: Int = 1): Long = {
     import spark.implicits._
-    val users = 200000L
-    val cohorts = 20L
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
-      spark.range(users).select(
-        col("id").as("user_id"),
-        concat(lit("t"), pmod(col("id"), lit(5))).as("event_type"),
-        expr(s"timestamp_micros(1700000000000000 + " +
-          s"(id DIV ${users / cohorts}) * 1200 * 1000000)").as("ts"))
-        .orderBy("ts")
-        .write.mode("overwrite").parquet(dir)
+    val cohorts = 20
+    val perCohort = users / cohorts
+    writeSequencedCohorts(spark, dir, cohorts) { i =>
+      // cohort i's users emit their events inside [start, start+300 s],
+      // then go idle — the 600 s TTL drops them mid-next-cohort
+      spark.range(i * perCohort, (i + 1) * perCohort)
+        .select(col("id").as("user_id"),
+          explode(expr(s"sequence(0, ${evPerUser - 1})")).as("j"))
+        .select(col("user_id"),
+          concat(lit("t"), pmod(col("user_id") + col("j"), lit(5)))
+            .as("event_type"),
+          expr(s"timestamp_micros(1700000000000000 + " +
+            s"CAST($i * 1200 + j * ${300 / math.max(evPerUser - 1, 1)} " +
+            s"AS BIGINT) * 1000000)").as("ts"))
+    }
     val ckpt = java.nio.file.Files
       .createTempDirectory("digest-state-ckpt").toString
     val src = spark.readStream
       .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
-      .option("maxFilesPerTrigger", 4).parquet(dir)
+      .option("maxFilesPerTrigger", 4).parquet(s"$dir/c*")
     val ds =
       if (ttl) graft.streaming.DigestStream.digestsWithTtl(
         src.as[graft.streaming.TimedUserEvent], "600 seconds", "0 seconds")
@@ -848,10 +883,68 @@ object ScaleBench {
       // NoTimeout twin below returns ~200k on the identical corpus: the
       // all-time-users growth the TTL exists to cap.
       t("stream_digest_ttl_state_200k_users") {
-        streamDigestStateRows(spark, s"$out/digest_churn", ttl = true)
+        streamDigestStateRows(spark, s"$out/digest_churn_seq", ttl = true)
       },
       t("stream_digest_nottl_state_200k_users") {
-        streamDigestStateRows(spark, s"$out/digest_churn", ttl = false)
+        streamDigestStateRows(spark, s"$out/digest_churn_seq", ttl = false)
+      },
+      // TTL lifecycle THROUGHPUT (round-9): the same churn shape at 1M
+      // events (200k users × 5), timed — the returned n is the input
+      // row count, so sec prices the eviction machinery (timeout
+      // bookkeeping + final-flush emissions) against the NoTimeout
+      // twin on the identical corpus; rows/s = n / sec
+      t("stream_digest_ttl_1m_events") {
+        streamDigestStateRows(spark, s"$out/digest_churn_1m", ttl = true,
+          evPerUser = 5)
+        1000000L
+      },
+      t("stream_digest_nottl_1m_events") {
+        streamDigestStateRows(spark, s"$out/digest_churn_1m", ttl = false,
+          evPerUser = 5)
+        1000000L
+      },
+      // TTL'd LSH-index lifecycle under churn (round-9): the dup-ingest
+      // corpus re-cut into sequenced cohorts; with the 600 s TTL the
+      // retained index holds only texts ACTIVE inside the trailing
+      // window (family recurrence gap is fams s >> ttl, so entries die
+      // between copies) — the returned n is the retained entry count
+      // read back on the warm pass, vs the distinct-texts bound of the
+      // NoTimeout dup row above
+      {
+        var ttlEntries = -1L
+        t("stream_dedup_ttl_state_50k") {
+          import spark.implicits._
+          val n = 50000L
+          val fams = n / 10
+          val dir = s"$out/stream_docs_dup_ttl_$n"
+          writeSequencedCohorts(spark, dir, 20) { i =>
+            spark.range(i * n / 20, (i + 1) * n / 20).select(
+              col("id").as("doc_id"),
+              expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"),
+              concat_ws(" ",
+                (0 until 7).map(j =>
+                  concat(lit(s"d${j}_"), pmod(col("id"), lit(fams)))): _*).as("text"))
+          }
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("stream-dedup-ttl-ckpt").toString
+          val src = spark.readStream
+            .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+            .option("maxFilesPerTrigger", 4)
+            .parquet(s"$dir/c*")
+            .as[graft.streaming.StreamDoc]
+          val q = graft.streaming.DedupStream
+            .matchesWithTtl(src, 0.5, "600 seconds")
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          q.processAllAvailable()
+          q.stop()
+          if (ttlEntries < 0)
+            ttlEntries = spark.read.format("statestore").load(ckpt)
+              .selectExpr("coalesce(sum(size(value.groupState.indexed)), 0L)")
+              .collect()(0).getLong(0)
+          ttlEntries
+        }
       })
 
     // SPARK_GRAFT_ONLY=star_q5_6m,band_join_1m runs a subset (dev

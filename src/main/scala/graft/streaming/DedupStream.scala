@@ -27,8 +27,14 @@ case class BucketMatch(doc_id: Long, o_id: Long, jaccard: Double)
   * so it is dropped at insert. With ids roughly increasing in event time
   * (every real ingest), the frontier is ONE occurrence per distinct
   * text: state is bounded by distinct texts, not stream length.
+  *
+  * `lastTs` is the text's RECENCY clock for the TTL lifecycle: the max
+  * event time of ANY verbatim copy seen since the entry's creation —
+  * the collapse may drop a redundant copy from the frontier, but a
+  * dropped copy still proves the text is around and refreshes its TTL.
   */
-case class IndexEntry(toks: Array[String], occs: List[(Long, Long)])
+case class IndexEntry(toks: Array[String], occs: List[(Long, Long)],
+                      lastTs: Long = Long.MinValue)
 
 /** Per-bucket state: the sealed, exact-collapsed LSH index slice (ts
   * kept so a LATE arrival — FMGWS receives rows behind the watermark
@@ -156,7 +162,55 @@ object DedupStream {
     */
   def matches(docs: Dataset[StreamDoc], threshold: Double,
               k: Int = 16, bands: Int = 4,
-              watermark: String = "10 minutes"): Dataset[BucketMatch] = {
+              watermark: String = "10 minutes"): Dataset[BucketMatch] =
+    matchesImpl(docs, threshold, k, bands, watermark, ttlMs = None)
+
+  /** The candidate stream WITH A STATE LIFECYCLE (round-9, the natural
+    * third application of the shared event-time TTL after
+    * DigestStream/HeavyHittersStream): the LSH index is the operator
+    * whose state is genuinely unbounded — distinct texts × bands,
+    * forever. Here an entry is evicted once its text has been IDLE for
+    * `ttl` of event time (no verbatim copy seen — `lastTs`, the max
+    * copy time, is the clock base, so the collapse never shortens a
+    * text's life). State is then bounded by texts ACTIVE inside the
+    * trailing TTL window, under any churn; fully-idle buckets drop
+    * their state row entirely.
+    *
+    * Semantics and determinism: eviction is EVENT-TIME-EXACT at match
+    * time — a sealing doc at ts matches an indexed text iff the text
+    * has a copy prior to (ts, id) AND its latest prior copy is within
+    * `ttl` of ts (dead entries are dropped in the same pass). Because
+    * sealed docs process in (ts, id) order, emissions are a pure
+    * function of event time — split-invariant (spec-certified against
+    * a brute replay with the same eviction rule). The watermark-based
+    * sweep between batches only drops entries already dead for every
+    * doc still ahead of the watermark, so it never changes an
+    * emission for watermark-compliant data.
+    *
+    * The two documented deviations, both bounded and benign:
+    *  - a LATE doc (sealing behind the watermark) can MISS a match
+    *    against an entry the sweep already dropped — the same
+    *    miss-never-wrong contract late docs already have vs the
+    *    non-TTL stream's "emitted priors" rule;
+    *  - a text REAPPEARING after eviction restarts its provenance:
+    *    the new copy matches nothing (its past is evicted) and later
+    *    copies attribute to IT, not the pre-eviction minimum id —
+    *    deliberately, mirroring the digest's re-hydration contract.
+    *    A pipeline needing all-time canonical ids merges the sink's
+    *    match table with a periodic batch `dedup_incremental` pass
+    *    over the archived corpus (which recovers exactly the pairs
+    *    whose recency gap exceeded the TTL); the hot state holds only
+    *    the active window.
+    */
+  def matchesWithTtl(docs: Dataset[StreamDoc], threshold: Double,
+                     ttl: String, k: Int = 16, bands: Int = 4,
+                     watermark: String = "10 minutes"): Dataset[BucketMatch] =
+    matchesImpl(docs, threshold, k, bands, watermark,
+      ttlMs = Some(EventTimeTtl.millis(ttl)))
+
+  private def matchesImpl(docs: Dataset[StreamDoc], threshold: Double,
+                          k: Int, bands: Int, watermark: String,
+                          ttlMs: Option[Long]): Dataset[BucketMatch] = {
     require(k % bands == 0, s"k=$k must divide into $bands bands")
     import docs.sparkSession.implicits._
     docs
@@ -191,6 +245,11 @@ object DedupStream {
           var index = st.indexed
           val out = sealedNow.sortBy(x => (x._1, x._2)).flatMap {
             case (ts, id, toks) =>
+              // event-time-exact TTL at match time: an entry whose text
+              // has been idle past ttl at THIS doc's event time is dead
+              // for it — dropped before matching, in sealing order, so
+              // the eviction is a pure function of event time
+              ttlMs.foreach(t => index = index.filter(_.lastTs + t >= ts))
               // event-time priors only: a late doc (sealed behind its
               // peers) must not match docs from its event-time future —
               // the only late-data deviation is a MISSED match on docs
@@ -206,19 +265,34 @@ object DedupStream {
                 }
               }
               // exact-collapse insert: a verbatim copy extends its
-              // entry's frontier; a new text gets a fresh entry
+              // entry's frontier (and refreshes the recency clock);
+              // a new text gets a fresh entry
               val (same, rest) = index.partition(e =>
                 e.toks.length == toks.length && e.toks.sameElements(toks))
               index = same match {
-                case e :: _ => insertOcc(e, ts, id) :: rest
-                case Nil    => IndexEntry(toks, List((ts, id))) :: rest
+                case e :: _ =>
+                  insertOcc(e, ts, id).copy(lastTs = math.max(e.lastTs, ts)) :: rest
+                case Nil => IndexEntry(toks, List((ts, id)), ts) :: rest
               }
               hits
           }
-          state.update(DedupBucketState(index, pending))
-          // quiet buckets: wake when the earliest buffered doc can seal
-          pending.map(_._1).minOption.foreach(t =>
-            state.setTimeoutTimestamp(math.max(t + 1, wm + 1)))
+          // quiet-bucket sweep: entries already dead for every doc still
+          // ahead of the watermark free their state even with no sealing
+          // traffic (late docs behind the watermark can only MISS)
+          ttlMs.foreach(t => index = index.filter(_.lastTs + t >= wm))
+          if (index.isEmpty && pending.isEmpty) {
+            // fully-idle bucket: drop the whole state row — bucket count
+            // is then bounded by the active-text set, not all-time
+            if (state.exists) state.remove()
+          } else {
+            state.update(DedupBucketState(index, pending))
+            // wakeups: the earliest buffered doc's seal time, or (TTL'd)
+            // the earliest entry's eviction deadline
+            val wake = pending.map(_._1 + 1) ++
+              ttlMs.toList.flatMap(t => index.map(_.lastTs + t + 1))
+            wake.minOption.foreach(ti =>
+              state.setTimeoutTimestamp(math.max(ti, wm + 1)))
+          }
           out.iterator
       }
   }
