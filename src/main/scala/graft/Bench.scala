@@ -17,11 +17,17 @@ object Bench {
     * plus a "failed_n" count — a 98-failure round must not grow the line
     * past the driver's fixed-size stdout tail; past 30 the list ends with
     * "..." so a reader can SEE it is truncated rather than reconcile it
-    * against failed_n) and is printed LAST.
+    * against failed_n) and is printed LAST. Per-query values are rounded
+    * to ms on the stdout line (the driver's ~2000-char tail window cuts
+    * the HEAD of the per-query line; ms precision ≈ halves each entry so
+    * ~2× the keys stay visible — the full-precision map goes to the
+    * [[perKeyJson]] file artifact instead).
     */
   def render(results: Seq[(String, Double)], sfDir: String): (String, String) = {
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = (failed.take(30) ++ (if (failed.size > 30) Seq("...") else Nil))
@@ -52,13 +58,33 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
-    // dev sweep knob: SPARK_GRAFT_EXTRA_CONF="k=v,k2=v2" layers arbitrary
+    // dev sweep knob: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" layers arbitrary
     // session confs for one-off measurements (the driver never sets it,
-    // so driver runs always measure the defaults above)
+    // so driver runs always measure the defaults above). Entries split
+    // on ';' — and on ',' ONLY where the next segment looks like a conf
+    // key (round-8 advice: a value legitimately containing commas, e.g.
+    // spark.executor.extraJavaOptions, must not be mis-split into
+    // malformed fragments); each applied pair is logged to stderr so a
+    // sweep run can see what was actually set.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
-      .flatMap(_.split(",")).filter(_.contains("="))
+      .flatMap(_.split(";"))
+      .flatMap { seg =>
+        // within a ';' segment, re-join ','-fragments that do NOT start
+        // a new key=... entry back onto the previous entry's value
+        // "starts a new entry" = a DOTTED key beginning with a letter
+        // ("spark.sql.x=..."), so a value fragment like "-Db=2" inside
+        // extraJavaOptions can never be mistaken for one
+        seg.split(",").foldLeft(List.empty[String]) { (acc, frag) =>
+          if (frag.matches("[A-Za-z][A-Za-z0-9_-]*(\\.[A-Za-z0-9_-]+)+=.*")
+              || acc.isEmpty) frag :: acc
+          else (acc.head + "," + frag) :: acc.tail
+        }.reverse
+      }
+      .filter(_.contains("="))
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+        val Array(k, v) = kv.split("=", 2)
+        System.err.println(s"[bench] extra conf: $k=$v")
+        builder.config(k, v)
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -121,8 +147,32 @@ object Bench {
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val (queriesLine, totalLine) = render(results, sfDir)
+    // full-precision per-key artifact ON DISK (round-8 advice: the
+    // driver's BENCH_r*.json keeps only a fixed-size stdout tail, which
+    // truncates the per-key map — keys early in the alphabet become
+    // invisible to regression triage). The file lands in the repo cwd,
+    // so the round's closing commit preserves every key's timing.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_PERKEY.json"),
+      perKeyJson(results, sfDir) + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] per-key artifact write failed: ${e.getMessage}")
+    }
     println(queriesLine)
     println(totalLine)
     spark.stop()
+  }
+
+  /** The on-disk per-key artifact: full-precision seconds per key plus
+    * the same total/failed summary as the stdout total line.
+    */
+  def perKeyJson(results: Seq[(String, Double)], sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val totalStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+    s"""{"metric":"queries_full","total":$totalStr,"n":${results.size},""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","queries":$qs}"""
   }
 }

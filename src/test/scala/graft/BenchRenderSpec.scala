@@ -16,9 +16,29 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(totalLine.contains("\"failed\":[\"q_broken\"]"))
     // the total line must fit any plausible tail window on its own
     assert(totalLine.length <= 160, s"total line too long: ${totalLine.length}")
-    // per-query detail lives on the other line, not the total line
-    assert(queriesLine.contains("\"q_ok\":1.25"))
+    // per-query detail lives on the other line, not the total line —
+    // ms-rounded (the tail window cuts the line's head; shorter values
+    // keep ~2x the keys visible), full precision in the file artifact
+    assert(queriesLine.contains("\"q_ok\":1.250"))
     assert(!totalLine.contains("q_ok"))
+  }
+
+  test("per-key artifact keeps full precision and the summary fields") {
+    val results = Seq("q_ok" -> 1.256823555, "q_broken" -> -1.0)
+    val json = Bench.perKeyJson(results, "/sf")
+    assert(json.contains("\"q_ok\":1.256823555"))
+    assert(json.contains("\"failed\":[\"q_broken\"]"))
+    assert(json.contains("\"total\":1.257"))
+    assert(json.contains("\"n\":2"))
+  }
+
+  test("per-query stdout values are locale-independent") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY) // comma-decimal
+      val (queriesLine, _) = Bench.render(Seq("q" -> 1.5), "sf")
+      assert(queriesLine.contains("\"q\":1.500"), queriesLine)
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("no failures yields an empty failed list and a <=130-char line") {
