@@ -190,6 +190,72 @@ class LayoutSpec extends SparkSpec {
     assert(b.isNullAt(b.fieldIndex("hdg")), "b never saw hdg — no cross-boat leak")
   }
 
+  test("merged applies SQL MERGE semantics: update-all, insert, matched-delete, tombstone no-op") {
+    import spark.implicits._
+    val target = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, null.asInstanceOf[String], 99.0, false), // update: null overwrites
+      (5L, "e", 50.0, false),                       // insert
+      (3L, "c", 0.0, true),                         // matched delete
+      (9L, "x", 0.0, true))                         // tombstone for absent key: no-op
+      .toDF("k", "name", "v", "del")
+    val got = Layout.merged(target, changes, Seq("k"), Some("del"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).orNull, r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10.0), (2L, null, 99.0), (4L, "d", 40.0), (5L, "e", 50.0)),
+      got.toSeq.toString)
+  }
+
+  test("merged raises on more than one change row per key, like SQL MERGE") {
+    import spark.implicits._
+    val target = Seq((1L, 1.0)).toDF("k", "v")
+    val changes = Seq((1L, 2.0), (1L, 3.0)).toDF("k", "v")
+    val e = intercept[Exception] {
+      Layout.merged(target, changes, Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("more than one change row")),
+      s"wrong failure: $e")
+  }
+
+  test("mergeDatePartitioned rewrites ONLY the partitions the changes touch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("merge").toString + "/t"
+    val target = (0 until 40).map(i =>
+      (i.toLong, s"n$i", java.sql.Date.valueOf(s"2024-01-0${i % 4 + 1}")))
+      .toDF("k", "name", "p_date")
+    target.write.partitionBy("p_date").parquet(root)
+    val untouched = new java.io.File(s"$root/p_date=2024-01-04")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toSeq
+    val changes = Seq(
+      (0L, "UPDATED", java.sql.Date.valueOf("2024-01-01"), false),
+      (100L, "NEW", java.sql.Date.valueOf("2024-01-02"), false),
+      (200L, "FRESH-PART", java.sql.Date.valueOf("2024-01-09"), false),
+      (1L, "", java.sql.Date.valueOf("2024-01-02"), true))
+      .toDF("k", "name", "p_date", "del")
+    val swapped = Layout.mergeDatePartitioned(
+      spark, root, changes, Seq("k"), deleteCol = Some("del"))
+    assert(swapped == 3, s"2024-01-01/02/09 swapped, got $swapped")
+    val back = spark.read.parquet(root)
+    assert(back.filter(col("k") === 0L).head().getString(1) == "UPDATED")
+    assert(back.filter(col("k") === 100L).count() == 1)
+    assert(back.filter(col("k") === 200L &&
+      col("p_date") === "2024-01-09").count() == 1)
+    assert(back.filter(col("k") === 1L).count() == 0, "deleted row gone")
+    assert(back.count() == 40 - 1 + 2)
+    // the untouched partition's files were not rewritten
+    val after = new java.io.File(s"$root/p_date=2024-01-04")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toSeq
+    assert(after == untouched, "untouched partition must keep its exact files")
+  }
+
   test("Sketches.approxQuantiles brackets the exact median") {
     val q = Sketches.approxQuantiles(
       Tables.events(spark, sf), "event_type", "value", Seq(0.5))
