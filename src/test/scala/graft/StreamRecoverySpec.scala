@@ -62,6 +62,54 @@ class StreamRecoverySpec extends SparkSpec {
     assert(got.exists(m => math.abs(m.jaccard - j) < 1e-12))
   }
 
+  test("matchesWithTtl state AND eviction clock survive a query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup-ttl-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("dedup-ttl-out").toString
+    val input = MemoryStream[StreamDoc]
+    def sec(s: Int): Timestamp = new Timestamp(1700000000000L + s * 1000L)
+
+    def start() =
+      DedupStream.matchesWithTtl(input.toDS(), 0.5, "300 seconds",
+          watermark = "1 minute")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // run 1: doc 1 seals into the index, with its TTL clock in state
+    val q1 = start()
+    input.addData(Seq(StreamDoc(1, sec(0), "alpha beta gamma delta")))
+    q1.processAllAvailable()
+    input.addData(Seq(StreamDoc(900, sec(100), "watermark advancer words")))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2, same checkpoint: doc 2 (in TTL of doc 1's clock) must match
+    // the recovered entry; doc 4 arrives past the TTL of the text's last
+    // copy (doc 2 at 120 s; 800 − 120 > 300) — the recovered+refreshed
+    // clock must evict, so it matches NOTHING
+    val q2 = start()
+    input.addData(Seq(StreamDoc(2, sec(120), "alpha beta gamma delta epsilon")))
+    q2.processAllAvailable()
+    input.addData(Seq(StreamDoc(901, sec(300), "mid advancer tokens here")))
+    q2.processAllAvailable()
+    input.addData(Seq(StreamDoc(4, sec(800), "alpha beta gamma delta")))
+    q2.processAllAvailable()
+    input.addData(Seq(StreamDoc(902, sec(2000), "far future advancer")))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out).as[BucketMatch].collect()
+    val doc2 = got.filter(_.doc_id == 2L)
+    assert(doc2.nonEmpty && doc2.forall(_.o_id == 1L),
+      s"doc 2 must match the entry indexed before the restart: ${got.toSeq}")
+    assert(!got.exists(_.doc_id == 4L),
+      s"doc 4 is past the TTL of the text's last copy — the eviction " +
+        s"clock must survive the restart: ${got.toSeq}")
+  }
+
   test("HeavyHittersStream counters survive a query restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
