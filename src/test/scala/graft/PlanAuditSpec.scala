@@ -193,6 +193,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "bigram counts must partial-aggregate map-side")
   }
 
+  test("win_range_frame_scalable: the r9 fused cumulative read keeps the subtree count down") {
+    // the occupied-bucket cumulative and the referenced-id resolution
+    // fuse into ONE window over their union (refs from a single
+    // explode), and the hi/lo lookups broadcast one canonical aliased
+    // relation — the fact and ties subtrees must not multiply back up
+    // (pre-rework: 9 scans / 21 exchanges; reworked: 7 / 17)
+    val p = finalPlanSection(plan("win_range_frame_scalable"))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 7, s"subtree duplication crept back: $scans scans")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 17, s"$exchanges hash exchanges: ${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), "no pairwise join anywhere")
+  }
+
   test("complex_supplier_variety: broadcast filters at the scan, only the distinct-agg shuffles") {
     // r8 rework: the part filter and the exclusion anti join are both
     // broadcast (exchange-free, scan-side); the only wide edges are the
