@@ -99,6 +99,25 @@ class ScalableWindowsSpec extends SparkSpec {
     assertSame(twin, naiveRange(df, 20L), Seq("event_type", "event_id"))
   }
 
+  test("property: random multisets, bands, and bucket widths stay exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    (1 to 3).foreach { trial =>
+      val n = rnd.nextInt(300) + 100
+      val rows = (0 until n).map { i =>
+        ("t" + rnd.nextInt(3), i.toLong, (rnd.nextInt(200) - 100).toLong)
+      }
+      val df = rows.toDF("event_type", "event_id", "v_c")
+        .select("event_id", "event_type", "v_c")
+      val band = rnd.nextInt(50) + 1L
+      val bucket = rnd.nextInt(band.toInt) + 1L
+      val twin = ScalableWindows.trailingRangeSumCount(
+        df, Seq("event_type"), "v_c", band = band, bucketWidth = bucket,
+        "band_sum_c", "band_n")
+      assertSame(twin, naiveRange(df, band), Seq("event_type", "event_id"))
+    }
+  }
+
   test("an extreme outlier value cannot blow up the bucket axis") {
     import spark.implicits._
     // one value at 10^15 with bucketWidth 10 would have forced a 10^14-
