@@ -120,8 +120,11 @@ object PipelineQueries extends QueryPack {
     * product a 100 TB dedup pipeline actually ships.
     */
   private def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    // the pair list is grouped (unique) with a_id < b_id strict, so the
+    // components loop can skip its edge-dedup shuffle
     val comp = graft.pipeline.Dedup.clusters(
-      nearJaccardPairs(s, dir).select(col("a_id"), col("b_id")))
+      nearJaccardPairs(s, dir).select(col("a_id"), col("b_id")),
+      dedupEdges = false)
     Tables.documents(s, dir).filter(col("doc_id") < 300).select(col("doc_id"))
       .join(comp, col("doc_id") === comp("id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("component"))

@@ -100,10 +100,17 @@ class PipelineLibSpec extends SparkSpec {
 
   test("Dedup.clusters refuses to return partially-propagated labels") {
     import spark.implicits._
-    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    // a 12-node path: seed + one round + pointer jump reaches ~4 hops,
+    // so maxIter = 1 cannot label the far end and must throw (a 4-node
+    // chain converges legitimately in one round)
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     intercept[IllegalStateException] {
       Dedup.clusters(chain, maxIter = 1).collect()
     }
+    // and the same graph converges cleanly with headroom
+    val got = Dedup.clusters(chain, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 11L).forall(got(_) == 0L), s"path must collapse to 0: $got")
   }
 
   test("Dedup.survivors keeps one doc per near-dup cluster plus untouched docs") {
