@@ -64,12 +64,61 @@ object CoreQueries extends QueryPack {
       .filter(col("o_orderkey") < 600)
       .orderBy(col("o_orderkey"))
 
+  /** MERGE/upsert certified as a RELATION: the write side's
+    * `Layout.merged` (SQL MERGE semantics as one full-outer join) run
+    * over a data-derived change set and hash-compared against the
+    * oracle's literal CASE/FULL-OUTER restatement of MERGE. Target =
+    * customer (key, nation, balance cents); changes = per-customer
+    * lifetime spend from orders — ~2/3 of keyed customers get their
+    * balance UPDATED to lifetime spend (every 5th tombstones → DELETE),
+    * keys shifted by +1 000 000 never match → INSERT (every 11th of
+    * those carries a tombstone for an absent key → no-op), and the
+    * o_custkey % 3 = 2 slice is held out of the change set so untouched
+    * targets survive verbatim at every SF. All three MERGE branches and
+    * both no-op paths land in one deterministic integer-typed output.
+    * Scale shape: the one equi-join `merged` plans — changes broadcast
+    * when small, else key-shuffled both sides; the per-key uniqueness
+    * guard rides the change side as a window, never a second pass.
+    */
+  private def etlMerge(s: SparkSession, dir: String): DataFrame = {
+    def cents(c: org.apache.spark.sql.Column) =
+      round(c * 100).cast("long")
+    val tgt = Tables.customer(s, dir).select(
+      col("c_custkey").as("ckey"),
+      col("c_nationkey").cast("long").as("nkey"),
+      cents(col("c_acctbal")).as("bal_c"))
+    val spend = Tables.orders(s, dir)
+      .filter(col("o_custkey") % 3 =!= 2)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend_c"))
+    // 1-or-2 change rows per spend row via a conditional array explode —
+    // a union of two projections of `spend` would re-scan and re-agg
+    // orders (Spark does not CSE a twice-referenced subtree)
+    val baseRow = struct(
+      col("o_custkey").as("ckey"),
+      (col("o_custkey") % 25).as("nkey"),
+      col("spend_c").as("bal_c"),
+      (col("o_custkey") % 5 === 0).as("del"))
+    val insRow = struct(
+      (col("o_custkey") + 1000000L).as("ckey"),
+      ((col("o_custkey") + 1000000L) % 25).as("nkey"),
+      col("spend_c").as("bal_c"),
+      (col("o_custkey") % 11 === 0).as("del"))
+    val changes = spend
+      .select(explode(when(col("o_custkey") % 7 === 0, array(baseRow, insRow))
+        .otherwise(array(baseRow))).as("r"))
+      .select(col("r.ckey"), col("r.nkey"), col("r.bal_c"), col("r.del"))
+    graft.sources.Layout.merged(tgt, changes, Seq("ckey"), Some("del"))
+      .orderBy(col("ckey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_parquet"              -> (scanParquet _),
     "scan_projection_pushdown"  -> (scanProjectionPushdown _),
     "project_expr"              -> (projectExpr _),
     "filter_pred"               -> (filterPred _),
-    "filter_null_handling"      -> (filterNullHandling _))
+    "filter_null_handling"      -> (filterNullHandling _),
+    "etl_merge"                 -> (etlMerge _))
 
   val oracle: Map[String, String] = Map(
     "scan_parquet" -> "SELECT count(*) AS n FROM lineitem",
@@ -98,5 +147,34 @@ object CoreQueries extends QueryPack {
         |  nullif(o_orderstatus, 'F') IS NULL AS is_f
         |FROM orders
         |WHERE o_orderkey < 600
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    // the oracle restates MERGE literally: FULL OUTER on the key,
+    // matched-delete filtered, CASE picks the change row wholesale when
+    // present. Presence = c.ckey IS NOT NULL (change keys are never
+    // null here); integer cents/CASTs per §7.5
+    "etl_merge" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey AS ckey, CAST(c_nationkey AS BIGINT) AS nkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer
+        |), sp AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c
+        |  FROM orders WHERE o_custkey % 3 <> 2 GROUP BY o_custkey
+        |), chg AS (
+        |  SELECT o_custkey AS ckey, o_custkey % 25 AS nkey,
+        |         spend_c AS bal_c, o_custkey % 5 = 0 AS del
+        |  FROM sp
+        |  UNION ALL
+        |  SELECT o_custkey + 1000000, (o_custkey + 1000000) % 25,
+        |         spend_c, o_custkey % 11 = 0
+        |  FROM sp WHERE o_custkey % 7 = 0
+        |)
+        |SELECT
+        |  CASE WHEN c.ckey IS NOT NULL THEN c.ckey ELSE t.ckey END AS ckey,
+        |  CASE WHEN c.ckey IS NOT NULL THEN c.nkey ELSE t.nkey END AS nkey,
+        |  CASE WHEN c.ckey IS NOT NULL THEN c.bal_c ELSE t.bal_c END AS bal_c
+        |FROM tgt t FULL OUTER JOIN chg c ON t.ckey = c.ckey
+        |WHERE NOT (c.ckey IS NOT NULL AND c.del)
+        |ORDER BY ckey""".stripMargin)
 }
