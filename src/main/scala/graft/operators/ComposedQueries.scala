@@ -478,13 +478,13 @@ object ComposedQueries extends QueryPack {
     * order — a late line (90-day rule as in Q4) on an order with ≥ 2
     * suppliers where NO other supplier was late. The oracle states it as
     * EXISTS + NOT EXISTS; this plan computes the per-order supplier
-    * profile (distinct suppliers, distinct LATE suppliers) in one
-    * aggregate over the already-joined stream, then keeps late lines on
-    * orders with (n_supp ≥ 2, n_late_supp = 1) — the only-late-supplier
-    * condition, since the line's own supplier is late by construction.
-    * Scale shape: one orderkey shuffle feeds both the profile aggregate
-    * and the qualifying-line join (AQE reuses the partitioning); the
-    * supplier dimension broadcasts; top-20 is TakeOrderedAndProject.
+    * profile (distinct suppliers, distinct LATE suppliers) as WINDOWS
+    * over the collapsed per-(order, supplier) table, then keeps late
+    * lines on orders with (n_supp ≥ 2, n_late_supp = 1) — the
+    * only-late-supplier condition, since the line's own supplier is late
+    * by construction. Scale shape: ONE orderkey exchange feeds the
+    * collapse aggregate AND both profile windows; the supplier dimension
+    * broadcasts; top-20 is TakeOrderedAndProject.
     */
   /** The Q21 core, parameterized like [[regionalRevenueCore]] so
     * ScaleBench's 10× run benchmarks the SAME plan as the oracle key.
@@ -496,36 +496,37 @@ object ComposedQueries extends QueryPack {
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
     // ONE pass over the joined fact: collapse straight to per-(order,
-    // supplier) late-line counts (map-side partial). Everything after —
-    // the order profile, the only-late-supplier filter, numwait itself
-    // (= Σ late lines of the single late supplier on qualifying orders)
-    // — derives from that collapsed table, so the fact is never
-    // re-joined and no multi-distinct Expand doubles it. (The first cut
-    // used two countDistincts and a second pass over the join for the
-    // late lines: 2× the fact traffic for the same answer.) The LAZY
-    // localCheckpoint makes the single pass PHYSICAL: Spark does not
-    // CSE a DataFrame subtree referenced twice, so without it both
-    // consumers would re-scan and re-join the fact (plan-audited);
-    // checkpointing the narrow collapsed table — orders × suppliers
-    // per order, a fraction of the fact — is exactly what a 100 TB
-    // pipeline materializes. Lazy, so Bench still times the compute.
+    // supplier) late-line counts. Everything after — the order profile,
+    // the only-late-supplier filter, numwait itself (= Σ late lines of
+    // the single late supplier on qualifying orders) — rides the SAME
+    // hash(o_orderkey) exchange as WINDOWS: the explicit repartition
+    // satisfies both the collapse aggregate's clustered distribution
+    // (its grouping keys are a superset of the partitioning) and the
+    // profile windows' partitionBy, so neither plans its own shuffle.
+    // This replaces the earlier localCheckpoint + profile re-aggregate +
+    // qualifying-order rejoin: the checkpoint materialization and one
+    // exchange gone for the same answer, and the fact subtree is
+    // referenced ONCE so no CSE hazard remains. Map-side combine before
+    // the repartition is deliberately forgone — orders carry ~1 line per
+    // (order, supplier), so pre-collapse combining would shrink the
+    // shuffle by ~nothing while costing the shared partitioning.
     val perOrderSupp = lineitem
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          1L).otherwise(0L).as("late"))
+      .repartition(col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("l_suppkey"))
-      .agg(sum(when(
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"), 1L)
-        .otherwise(0L)).as("n_late_lines"))
-      .localCheckpoint(false)
-    val qual = perOrderSupp
-      .groupBy(col("o_orderkey").as("po_orderkey"))
-      .agg(count(lit(1)).as("n_supp"),
-        sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"))
-      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .select(col("po_orderkey"))
+      .agg(sum(col("late")).as("n_late_lines"))
+    val byOrder = Window.partitionBy(col("o_orderkey"))
     val supp = broadcast(supplier.select(col("s_suppkey"), col("s_name")))
-    perOrderSupp.filter(col("n_late_lines") > 0)
-      .join(qual, col("o_orderkey") === col("po_orderkey"))
+    perOrderSupp
+      .withColumn("n_supp", count(lit(1)).over(byOrder))
+      .withColumn("n_late_supp",
+        sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).over(byOrder))
+      .filter(col("n_late_lines") > 0 &&
+        col("n_supp") >= 2 && col("n_late_supp") === 1)
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(sum(col("n_late_lines")).as("numwait"))

@@ -157,20 +157,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 1, s"one (event_type, hour) shuffle expected, got $n")
   }
 
-  test("complex_waiting_suppliers scans the lineitem fact exactly once") {
+  test("complex_waiting_suppliers: one fact scan, profile windows ride the collapse exchange") {
     // the whole point of the per-(order, supplier) collapse: profile,
     // only-late-supplier filter, and numwait all derive from one pass.
-    // The collapsed table is localCheckpoint'ed, so the final plan must
-    // show ZERO parquet scans of the fact (the single scan lives in the
-    // checkpoint's lineage) and reference the materialized RDD instead —
-    // without the checkpoint Spark re-expands the subtree per consumer
-    // and the fact is scanned twice.
+    // The profile is WINDOWS over the collapsed table, sharing the
+    // explicit hash(o_orderkey) repartition with the collapse aggregate
+    // — so the fact appears ONCE (no checkpoint, no rejoin) and the only
+    // hash exchanges are that repartition plus the final s_name
+    // aggregate's.
     val p = finalPlanSection(plan("complex_waiting_suppliers"))
     val liScans = "lineitem\\.parquet".r.findAllIn(p).size
-    assert(liScans == 0,
-      s"fact must come from the checkpointed collapse, got $liScans scans")
-    assert(p.contains("ExistingRDD"),
-      s"checkpointed collapsed table expected in plan: ${p.take(600)}")
+    assert(liScans == 1, s"fact must be scanned exactly once, got $liScans")
+    assert(!p.contains("ExistingRDD"),
+      s"no checkpoint materialization expected: ${p.take(600)}")
+    assert(p.contains("Window"), s"profile windows expected: ${p.take(600)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 2,
+      s"orderkey repartition + s_name agg only, got $hashExchanges: ${p.take(900)}")
   }
 
   test("text_bigram_logprob: both corpus statistics ride ONE w1 exchange") {
