@@ -903,6 +903,32 @@ object ScaleBench {
           evPerUser = 5)
         1000000L
       },
+      // CDC upsert lifecycle (round-9): 1M change rows over 100k keys
+      // (10 versions/key, every 5th key's last change a tombstone)
+      // applied as 10 micro-batches of the version-conditional MERGE —
+      // each batch collapses per key, merges against the current table,
+      // and rewrites it. Returned n = final table rows (the 100k key
+      // space, tombstones retained); sec prices the whole maintain-a-
+      // table loop: ~2 × table rows + batch rows of IO per batch plus
+      // the merge join. Idempotent, so the warm pass re-merging the
+      // same changes leaves the count unchanged — itself a replay check.
+      t("stream_cdc_upsert_1m_changes") {
+        val keySpace = 100000L
+        val n = 1000000L
+        val batches = 10
+        val path = s"$out/cdc_target"
+        (0 until batches).foreach { b =>
+          val chg = spark.range(b * n / batches, (b + 1) * n / batches)
+            .select(
+              pmod(col("id"), lit(keySpace)).as("k"),
+              concat(lit("p"), col("id")).as("payload"),
+              col("id").as("version"),
+              (pmod(col("id"), lit(5)) === 0).as("deleted"))
+          graft.streaming.MergeStream.applyBatch(
+            spark, path, chg, Seq("k"), "version")
+        }
+        spark.read.parquet(path).count()
+      },
       // TTL'd LSH-index lifecycle under churn (round-9): the dup-ingest
       // corpus re-cut into sequenced cohorts; with the 600 s TTL the
       // retained index holds only texts ACTIVE inside the trailing

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout helpers for the 100 TB posture (SURVEY.md §7.7):
@@ -124,7 +124,15 @@ object Layout {
     *  - with `deleteCol` (a boolean on changes): WHEN MATCHED AND
     *    <deleteCol> THEN DELETE, and a delete-flagged row that matches
     *    nothing inserts nothing (a tombstone for an absent key is a
-    *    no-op, not an insert).
+    *    no-op, not an insert);
+    *  - with `matchedCond` (SQL's `WHEN MATCHED AND <cond>`): a matched
+    *    change row applies — update OR delete — only where the
+    *    condition holds; a matched row failing it keeps the TARGET row
+    *    untouched. The condition sees both sides as `t.<col>` /
+    *    `c.<col>` (e.g. `col("c.version") >= col("t.version")` for a
+    *    version-conditional upsert — the clause that makes a CDC merge
+    *    order-independent). Inserts are unconditional: the condition
+    *    references a target row that does not exist.
     * SQL MERGE raises on >1 change row per key; so does this plan — a
     * codegen'd `assert_true` over a per-key count window on the CHANGES
     * side (changes are the small side; no separate validation job, the
@@ -142,7 +150,8 @@ object Layout {
     * documented delegation; this zero-egress image cannot ship one).
     */
   def merged(target: DataFrame, changes: DataFrame, keys: Seq[String],
-             deleteCol: Option[String] = None): DataFrame = {
+             deleteCol: Option[String] = None,
+             matchedCond: Option[Column] = None): DataFrame = {
     val cols = target.columns.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"keys $keys must be target columns")
@@ -165,13 +174,21 @@ object Layout {
     val c = ch.as("c")
     val cond = keys.map(k => col(s"t.$k") === col(s"c.$k")).reduce(_ && _)
     val joined = t.join(c, cond, "full_outer")
+    // a change row APPLIES when present and — if matched and a matched
+    // condition is given — the condition holds (an unmatched change has
+    // no target row: insert, unconditional)
+    val applies = matchedCond match {
+      case Some(mc) => col(s"c.$flag").isNotNull &&
+        (col(s"t.${keys.head}").isNull || mc)
+      case None => col(s"c.$flag").isNotNull
+    }
     val kept = deleteCol match {
       case Some(d) => joined.filter(
-        !(col(s"c.$flag").isNotNull && coalesce(col(s"c.$d"), lit(false))))
+        !(applies && coalesce(col(s"c.$d"), lit(false))))
       case None => joined
     }
     kept.select(cols.map { cName =>
-      when(col(s"c.$flag").isNotNull, col(s"c.$cName"))
+      when(applies, col(s"c.$cName"))
         .otherwise(col(s"t.$cName")).as(cName)
     }: _*)
   }

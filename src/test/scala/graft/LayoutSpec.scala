@@ -209,6 +209,31 @@ class LayoutSpec extends SparkSpec {
       got.toSeq.toString)
   }
 
+  test("merged honors WHEN MATCHED AND: a failing condition keeps the target row, inserts are unconditional") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "ver")
+    val changes = Seq(
+      (1L, "a-new", 15L, false), // matched, c.ver >= t.ver: update
+      (2L, "stale", 5L, false),  // matched, condition fails: target kept
+      (3L, "", 35L, true),       // matched delete gated by the SAME condition
+      (4L, "d", 1L, false))      // unmatched: insert, condition not consulted
+      .toDF("k", "name", "ver", "del")
+    val got = Layout.merged(target, changes, Seq("k"), Some("del"),
+        Some(col("c.ver") >= col("t.ver")))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "a-new", 15L), (2L, "b", 20L), (4L, "d", 1L)),
+      got.toSeq.toString)
+    // the gate also SHIELDS a matched delete: a stale tombstone must not
+    // remove a newer target row
+    val staleDel = Seq((2L, "", 5L, true)).toDF("k", "name", "ver", "del")
+    val kept = Layout.merged(target, staleDel, Seq("k"), Some("del"),
+        Some(col("c.ver") >= col("t.ver")))
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 2L, 3L), kept.toSeq.toString)
+  }
+
   test("merged raises on more than one change row per key, like SQL MERGE") {
     import spark.implicits._
     val target = Seq((1L, 1.0)).toDF("k", "v")

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.MergeStream
+
+/** One change-log record: `version` is the per-key monotone CDC clock
+  * (globally unique in these tests so ties never arise by accident).
+  */
+case class Change(id: Long, payload: String, version: Long, deleted: Boolean)
+
+/** The streaming CDC upsert lifecycle: the maintained table must be a
+  * pure function of the max-version change per key — whatever the batch
+  * splits, the arrival order, or the replays — tombstones must be
+  * RETAINED so late updates cannot resurrect deleted keys, and the
+  * serving view / tombstone GC must compose with all of it.
+  */
+class MergeStreamSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** Ground truth: the max-version change per key, verbatim (tombstones
+    * included — they are table rows until purged).
+    */
+  private def brute(changes: Seq[Change]): Set[Change] =
+    changes.groupBy(_.id).values.map(_.maxBy(_.version)).toSet
+
+  private def tableRows(path: String): Set[Change] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Change].collect().toSet
+  }
+
+  private def applyBatch(path: String, rows: Seq[Change]): Unit = {
+    import spark.implicits._
+    MergeStream.applyBatch(spark, path, rows.toDF(), Seq("id"), "version")
+  }
+
+  private def corpus(n: Int, keys: Int, seed: Int): Seq[Change] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { v =>
+      Change(rnd.nextInt(keys).toLong, s"p$v-${rnd.nextInt(1000)}",
+        v.toLong, rnd.nextInt(5) == 0)
+    }
+  }
+
+  test("the table is the max-version change per key across randomized splits and arrival orders") {
+    val changes = corpus(240, 40, seed = 7)
+    val want = brute(changes)
+    Seq(11, 23, 47).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(changes)
+      val path = tmp(s"merge-$seed")
+      var i = 0
+      while (i < shuffled.size) {
+        val k = 1 + rnd.nextInt(60)
+        applyBatch(path, shuffled.slice(i, i + k))
+        i += k
+      }
+      assert(tableRows(path) == want,
+        s"seed $seed: table must equal the global max-version rows")
+    }
+  }
+
+  test("replaying a committed batch is a no-op (at-least-once becomes exactly-once)") {
+    val path = tmp("merge-replay")
+    val b1 = Seq(Change(1, "a", 10, false), Change(2, "b", 11, false))
+    val b2 = Seq(Change(1, "a2", 20, false), Change(3, "c", 21, true))
+    applyBatch(path, b1)
+    applyBatch(path, b2)
+    val committed = tableRows(path)
+    applyBatch(path, b2) // the replay foreachBatch can deliver
+    assert(tableRows(path) == committed, "replay must rewrite byte-identically")
+    applyBatch(path, b1) // an even older replay: every row out-versioned
+    assert(tableRows(path) == committed, "stale replay must change nothing")
+  }
+
+  test("a late update cannot resurrect a deleted key; the tombstone holds the version watermark") {
+    val path = tmp("merge-late")
+    applyBatch(path, Seq(Change(5, "v1", 1, false)))
+    applyBatch(path, Seq(Change(5, "gone", 3, true)))
+    applyBatch(path, Seq(Change(5, "v2-late", 2, false))) // late, pre-delete
+    assert(tableRows(path) == Set(Change(5, "gone", 3, true)),
+      "the tombstone must survive the late update")
+    val served = MergeStream.current(spark, path, "deleted").collect()
+    assert(served.isEmpty, "the serving view must not show the deleted key")
+  }
+
+  test("intra-batch duplicates collapse to the max-version row before merging") {
+    val path = tmp("merge-dups")
+    // three changes to one key in ONE batch — raw Layout.merged would
+    // raise its one-change-row-per-key guard; the collapse must feed it
+    // exactly the version-5 row
+    applyBatch(path, Seq(
+      Change(9, "v1", 3, false), Change(9, "v2", 5, false),
+      Change(9, "v0", 1, true), Change(8, "x", 4, false)))
+    assert(tableRows(path) ==
+      Set(Change(9, "v2", 5, false), Change(8, "x", 4, false)))
+  }
+
+  test("tombstone GC purges only below the horizon; live rows are never purged") {
+    val path = tmp("merge-purge")
+    applyBatch(path, Seq(
+      Change(1, "dead-old", 10, true), Change(2, "dead-new", 30, true),
+      Change(3, "live-old", 5, false)))
+    assert(MergeStream.purgeTombstones(spark, path, "deleted", "version", 20L) == 1L)
+    assert(tableRows(path) ==
+      Set(Change(2, "dead-new", 30, true), Change(3, "live-old", 5, false)),
+      "only the below-horizon tombstone goes; live rows stay regardless of version")
+    assert(MergeStream.purgeTombstones(spark, path, "deleted", "version", 20L) == 0L,
+      "idempotent: nothing left below the horizon")
+  }
+
+  test("upsertSink maintains the table through a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp("merge-sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("merge-ckpt").toString
+    val input = MemoryStream[Change]
+    def start() = MergeStream.upsertSink(
+      input.toDF(), path, Seq("id"), "version", ckpt)
+
+    val q1 = start()
+    input.addData(Seq(Change(1, "a", 1, false), Change(2, "b", 2, false)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2, same checkpoint: the table picks up where run 1 committed
+    val q2 = start()
+    input.addData(Seq(Change(1, "a2", 3, false), Change(2, "", 4, true)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(tableRows(path) ==
+      Set(Change(1, "a2", 3, false), Change(2, "", 4, true)))
+    val served = MergeStream.current(spark, path, "deleted")
+      .as[Change].collect().toSet
+    assert(served == Set(Change(1, "a2", 3, false)))
+  }
+}
