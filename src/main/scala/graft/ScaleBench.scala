@@ -687,6 +687,30 @@ object ScaleBench {
       t("bigram_logprob_50k_docs") {
         operators.TextAnalysisQueries.bigramLogprobCore(documents).count()
       },
+      // BPE pair counting at 10× (50k docs): the pair fan-out runs over
+      // the VOCAB (types), so past the word aggregate the cost is
+      // scale-INVARIANT — corpus growth only deepens the word counts.
+      // Time must track the token-stream agg (≈ wordcount), never the
+      // pair explode.
+      t("bpe_pairs_50k_docs") {
+        operators.TextAnalysisQueries.bpePairsCore(documents).count()
+      },
+      // k-means assignment at 10× embeddings (20k × 8 centroids): the
+      // 8-row centroid broadcast over one scan — linear in vectors, the
+      // IvfIndex.assign shape with the arithmetic the oracle certifies.
+      t("kmeans_assign_20k_vecs") {
+        operators.PipelineQueries.kmeansAssignCore(embeddings).count()
+      },
+      // BPE TRAINING at 10× (50k docs, 8 merges): after the one corpus
+      // aggregate every round runs over the VOCAB table, so the
+      // per-merge cost must be corpus-size-INVARIANT — time ≈ the vocab
+      // collapse + 8 small vocab jobs. (learn() returns the merges; the
+      // row scores by tokenizing the corpus with them: one scan.)
+      t("bpe_learn8_apply_50k_docs") {
+        val merges = pipeline.Bpe.learn(documents, "text", 8)
+        pipeline.Bpe.applyMerges(documents, "text", "doc_id", merges)
+          .agg(sum(col("n_bpe_tokens"))).head.getLong(0)
+      },
       // robust outliers at 1M events: the two-scan-plus-broadcast shape —
       // stats from the one-scan (type, cents) histogram (mad_1m's curve),
       // broadcast back onto a second scan whose count is the only wide

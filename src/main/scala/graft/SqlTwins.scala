@@ -915,8 +915,44 @@ object SqlTwins {
         |SELECT CAST(norms.label AS BIGINT) AS label, n_vecs, centroid_norm
         |FROM norms JOIN counts ON norms.label = counts.label
         |ORDER BY label""".stripMargin,
+    // the oracle's (x−y)² list_reduce as zip_with+aggregate — the same
+    // per-element op sequence VectorDistSq compiles (bit-identical)
+    "sim_kmeans_assign" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    aggregate(zip_with(e.embedding, c.c,
+        |      (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        |      CAST(0.0 AS DOUBLE), (s, v) -> s + v) AS d2
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |  FROM scored)
+        |SELECT cid AS cluster_id,
+        |  count(*) AS n_members,
+        |  min(vec_id) AS min_member,
+        |  sum(CAST(round(d2 * 10000) AS BIGINT)) AS d2_sum_4dp
+        |FROM assigned WHERE rn = 1
+        |GROUP BY cid ORDER BY cid""".stripMargin,
 
     // ---- §2.11 text analysis ----
+    // DuckDB unnest(range(…)) → explode(sequence(…)); list_filter → filter
+    "text_bpe_pairs" ->
+      """WITH vocab AS (
+        |  SELECT w, count(*) AS wcount FROM (
+        |    SELECT explode(filter(split(text, ' '), w -> w != '')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT substring(w, i, 2) AS pair, wcount
+        |  FROM (SELECT w, wcount, explode(sequence(1, length(w) - 1)) AS i
+        |        FROM vocab WHERE length(w) >= 2))
+        |SELECT pair, sum(wcount) AS pair_count
+        |FROM pairs GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
     "text_tfidf_top" ->
       """WITH tok AS (
         |  SELECT doc_id, word FROM (

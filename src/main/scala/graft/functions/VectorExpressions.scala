@@ -121,6 +121,62 @@ case class VectorCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance as one fused loop — the k-means / IVF assignment
+  * hot path (`IvfIndex.assign`, `sim_kmeans_assign`). Op sequence per
+  * element: float→double promotion, subtract, square, left-to-right
+  * accumulation — bit-identical to the HOF form
+  * `aggregate(zip_with(a,b,(x,y)->(x-y)*(x-y)), 0D, (s,v)->s+v)` and to
+  * DuckDB's list_reduce over the same transform (oracle-safe).
+  */
+case class VectorDistSq(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got $l and $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dist_sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDistSq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API + SQL registration for the native expressions. */
 object GraftFunctions {
 
@@ -132,13 +188,20 @@ object GraftFunctions {
     GraftColumnShim.column(
       VectorCosine(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 
+  def vectorDistSq(a: Column, b: Column): Column =
+    GraftColumnShim.column(
+      VectorDistSq(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
   private val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))),
     (FunctionIdentifier("vector_cosine"),
       new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
-      (children: Seq[Expression]) => VectorCosine(children(0), children(1))))
+      (children: Seq[Expression]) => VectorCosine(children(0), children(1))),
+    (FunctionIdentifier("vector_dist_sq"),
+      new ExpressionInfo(classOf[VectorDistSq].getName, "vector_dist_sq"),
+      (children: Seq[Expression]) => VectorDistSq(children(0), children(1))))
 
   /** Runtime registration (tests, notebooks): makes the functions
     * callable from SQL in an existing session.

@@ -735,14 +735,19 @@ object ComposedQueries extends QueryPack {
       .groupBy(col("o_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
       .withColumn("bucket", expr("rev_c DIV 100000"))
-    val tot = r.agg(count(lit(1)).as("n_total"))
+    // n_total = Σ bn rides the offsets table's OWN single-partition
+    // stage (a second unbounded window over the tiny per-bucket
+    // summary) — a separate `r.agg(count)` subtree would column-prune
+    // into a second orders scan + its own distinct exchange +
+    // broadcast, all to re-derive a number the summary already holds
     val offsets = r.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .withColumn("off",
         sum(col("bn")).over(Window.orderBy(desc("bucket"))) - col("bn"))
-      .select(col("bucket").as("ob"), col("off"))
+      .withColumn("n_total",
+        sum(col("bn")).over(Window.partitionBy()))
+      .select(col("bucket").as("ob"), col("off"), col("n_total"))
     val w = Window.partitionBy("bucket").orderBy(desc("rev_c"), col("o_custkey"))
     r.join(broadcast(offsets), col("bucket") === col("ob"))
-      .crossJoin(broadcast(tot))
       .withColumn("rank", row_number().over(w) + col("off"))
       // ntile(10): q = n DIV 10, m = n MOD 10; ranks 1..m(q+1) fill the
       // first m buckets with q+1 rows, the rest get q

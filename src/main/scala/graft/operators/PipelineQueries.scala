@@ -275,6 +275,39 @@ object PipelineQueries extends QueryPack {
   private def simQuantizedTopk(s: SparkSession, dir: String): DataFrame =
     quantizedTopkCore(Tables.embeddings(s, dir))
 
+  /** K-means ASSIGNMENT step, oracle-certified — the arithmetic inside
+    * `IvfIndex.assign` (there the centroids come from ML KMeans; here
+    * they are the 8 vectors with vec_id < 8, deterministic and
+    * data-derived, so DuckDB can replay the exact decision). Plan: the
+    * 8-row centroid table broadcasts onto ONE embeddings scan (classic
+    * 100 TB shape — centroids are always driver-size); the per-vector
+    * argmin is `min(struct(d2, cid))` (exact double compare, cid
+    * tie-break); per-cluster stats quantize d2 to 1e-4 BEFORE the group
+    * sum so the only cross-row float op is an integer add. Distances run
+    * through the codegen'd VectorDistSq — bit-identical to the oracle's
+    * (x−y)² list fold by construction (same op sequence).
+    */
+  def kmeansAssignCore(emb: DataFrame): DataFrame = {
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("c"))
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(
+          graft.functions.GraftFunctions.vectorDistSq(col("embedding"), col("c")).as("d2"),
+          col("cid")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cluster_id"), col("best.d2").as("d2"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("min_member"),
+        sum(round(col("d2") * 10000).cast("long")).as("d2_sum_4dp"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private def simKmeansAssign(s: SparkSession, dir: String): DataFrame =
+    kmeansAssignCore(Tables.embeddings(s, dir))
+
   /** Per-label centroid L2 norm — clustering-shaped reassembly via
     * posexplode → per-(label, position) mean → norm over positions.
     */
@@ -382,6 +415,7 @@ object PipelineQueries extends QueryPack {
     "sim_cosine_topk"    -> (simCosineTopk _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_label_centroid" -> (simLabelCentroid _),
+    "sim_kmeans_assign"  -> (simKmeansAssign _),
     "text_lang_stats"    -> (textLangStats _),
     "text_tfidf_top"     -> (textTfidfTop _))
 
@@ -593,6 +627,26 @@ object PipelineQueries extends QueryPack {
         |SELECT CAST(norms.label AS BIGINT) AS label, n_vecs, centroid_norm
         |FROM norms JOIN counts ON norms.label = counts.label
         |ORDER BY label""".stripMargin,
+    "sim_kmeans_assign" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(list_zip(e.embedding, c.c),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (s, v) -> s + v) AS d2
+        |  FROM embeddings e, cents c),
+        |assigned AS (
+        |  SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |  FROM scored)
+        |SELECT cid AS cluster_id,
+        |  count(*) AS n_members,
+        |  min(vec_id) AS min_member,
+        |  CAST(sum(CAST(round(d2 * 10000) AS BIGINT)) AS BIGINT) AS d2_sum_4dp
+        |FROM assigned WHERE rn = 1
+        |GROUP BY cid ORDER BY cid""".stripMargin,
     "text_lang_stats" ->
       """SELECT lang,
         |  count(*) AS n_docs,

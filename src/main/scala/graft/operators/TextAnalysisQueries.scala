@@ -526,7 +526,38 @@ object TextAnalysisQueries extends QueryPack {
         round(col("logp") / col("n_bigrams"), 4).as("avg_logp"))
   }
 
+  /** BPE tokenizer training's inner step: corpus-wide adjacent
+    * character-pair frequencies, top-50. The scale discipline is WHERE
+    * the pair explode happens: first collapse the token stream to the
+    * VOCAB (word → occurrence count — the domain every real BPE trainer
+    * iterates on; ~types, not ~tokens), then enumerate each DISTINCT
+    * word's adjacent pairs once, weighted by its count. The per-word
+    * char explode — the expensive fan-out — thus runs over thousands of
+    * types instead of millions of tokens; at 100 TB the vocab table is
+    * megabytes while the token stream is the corpus. Two wide edges
+    * (word groupBy, pair groupBy over a tiny domain) + TakeOrdered;
+    * counts are integers, ties break on the pair string.
+    */
+  def bpePairsCore(documents: DataFrame): DataFrame = {
+    val vocab = documents
+      .select(explode(filter(words, w => w =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcount"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("wcount"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wcount")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(50)
+  }
+
+  private def textBpePairs(s: SparkSession, dir: String): DataFrame =
+    bpePairsCore(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_pairs"      -> (textBpePairs _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_boilerplate"   -> (textBoilerplate _),
@@ -551,6 +582,19 @@ object TextAnalysisQueries extends QueryPack {
   private val hitsFr = duckHits("'le','la','et','les','des'")
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_pairs" ->
+      """WITH vocab AS (
+        |  SELECT w, count(*) AS wcount FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, wcount
+        |  FROM (SELECT w, wcount, unnest(range(1, length(w))) AS i
+        |        FROM vocab WHERE length(w) >= 2))
+        |SELECT pair, CAST(sum(wcount) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
     "text_bigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws

@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer TRAINING and APPLICATION (Sennrich et al. 2016) —
+  * the tokenizer-construction step of a training-data pipeline, built
+  * the way BPE actually scales on a cluster:
+  *
+  *  - The corpus is touched ONCE: one token-stream aggregate collapses
+  *    it to the vocab table (distinct word → occurrence count). Every
+  *    training round after that runs over the vocab — megabytes of
+  *    types while the corpus is terabytes of tokens (the same
+  *    types-not-tokens discipline as the `text_bpe_pairs` oracle key,
+  *    which certifies round 1's pair statistic cross-engine).
+  *
+  *  - Each merge round is ONE small Spark job over the vocab: adjacent
+  *    symbol-pair counts (weighted by word count) → arg-max pair
+  *    (deterministic: count desc, then pair lexicographic) → rewrite
+  *    each word's symbol array with the greedy left-to-right merge
+  *    fold. The driver holds only the learned merge list — never the
+  *    vocab — so the trainer is the `Dedup.clusters` iteration shape:
+  *    O(numMerges) jobs, `localCheckpoint` truncating lineage each
+  *    round (the fold expression would otherwise nest plans per round).
+  *
+  *  - Application to the corpus is a single declarative expression: per
+  *    word, the char split folded through the merge list in priority
+  *    order. No UDF — `aggregate` over the symbol array replays the
+  *    exact greedy pass per merge, inside codegen. (A production
+  *    tokenizer applies merges with a trie; this is the certified
+  *    reference semantics, and the per-row cost is
+  *    O(|word| · numMerges) — fine for the merge counts a spec or a
+  *    bounded vocab uses. The corpus never shuffles: application is a
+  *    scan-level projection.)
+  *
+  * Determinism contract: counts are exact integers; the arg-max
+  * tie-breaks on the pair string; the merge fold is a per-row total
+  * order — the learned merges and the tokenization are reproducible
+  * across engines, runs, and cluster layouts.
+  */
+object Bpe {
+
+  /** Distinct non-empty single-space tokens — the house tokenization
+    * (pipeline/Dedup.tokensOf, the oracle twins' `string_split`).
+    */
+  private def wordsOf(textCol: Column): Column =
+    filter(split(textCol, " "), w => w =!= "")
+
+  /** One greedy left-to-right merge pass of (a, b) → a+b over a symbol
+    * array, as a pure fold: append each symbol unless it forms the pair
+    * with the accumulator's last element, in which case the last element
+    * is replaced by the merged token. A merged token never re-merges
+    * with the NEXT symbol in the same pass (the pair is fixed), matching
+    * the reference BPE merge step.
+    */
+  private def mergePass(syms: Column, a: String, b: String): Column = {
+    val merged = lit(a + b)
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+          .otherwise(concat(acc, array(x))))
+  }
+
+  /** Symbol sequence of a word after applying `merges` in order. */
+  def tokenizeWord(word: Column, merges: Seq[(String, String)]): Column = {
+    val chars = filter(split(word, ""), c => c =!= "")
+    merges.foldLeft(chars) { case (syms, (a, b)) => mergePass(syms, a, b) }
+  }
+
+  /** The vocab table: distinct word → count, symbols = chars.
+    * The ONE corpus-wide aggregate; everything else rides it.
+    */
+  def vocab(documents: DataFrame, textCol: String): DataFrame =
+    documents
+      .select(explode(wordsOf(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcount"))
+      .select(col("w"), col("wcount"),
+        filter(split(col("w"), ""), c => c =!= "").as("syms"))
+
+  /** Adjacent-pair statistics of the current symbol arrays (weighted by
+    * word count) — round 1 of this over the char-split vocab is exactly
+    * the `text_bpe_pairs` oracle statistic.
+    */
+  private def pairCounts(vocabDf: DataFrame): DataFrame =
+    vocabDf
+      .filter(size(col("syms")) >= 2)
+      .select(col("wcount"),
+        explode(expr("transform(sequence(1, size(syms) - 1), " +
+          "i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"))
+          .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("wcount")).as("pc"))
+
+  /** Learn `numMerges` merges. Returns them in application order.
+    * Stops early when no adjacent pair remains (fully merged vocab).
+    */
+  def learn(documents: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    var v = vocab(documents, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    var i = 0
+    while (i < numMerges && !exhausted) {
+      val top = pairCounts(v)
+        .orderBy(desc("pc"), col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        v = v.select(col("w"), col("wcount"),
+          mergePass(col("syms"), a, b).as("syms"))
+          .localCheckpoint(true)
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
+  /** Tokenize the corpus with a learned merge list: per doc the flat
+    * symbol sequence (words independently merged, in order) plus its
+    * length — a scan-level projection, no shuffle. Runs through the
+    * native `BpeEncode` expression (one compiled loop per word); the
+    * declarative fold chain above is the reference semantics, and
+    * BpeSpec pins the two bit-equal. (Measured 99.6 → 5.3 s on the
+    * 10×/8-merge ScaleBench row — higher-order lambdas evaluate
+    * interpreted, per element per merge.)
+    */
+  def applyMerges(documents: DataFrame, textCol: String, idCol: String,
+                  merges: Seq[(String, String)]): DataFrame =
+    documents.select(col(idCol),
+      flatten(transform(wordsOf(col(textCol)),
+        w => graft.functions.BpeEncode(w, merges)))
+        .as("bpe_tokens"))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+
+  /** The reference fold-chain form of [[applyMerges]] — kept as the
+    * certified semantics the native expression must match (BpeSpec).
+    */
+  def applyMergesReference(documents: DataFrame, textCol: String, idCol: String,
+                           merges: Seq[(String, String)]): DataFrame =
+    documents.select(col(idCol),
+      flatten(transform(wordsOf(col(textCol)), w => tokenizeWord(w, merges)))
+        .as("bpe_tokens"))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+}

@@ -269,6 +269,11 @@ object Dedup {
     * −20% on the sf0.1 components key).
     *
     * @param pairs undirected edges (aCol, bCol)
+    * @param probeSeed probe the seed labels for edge-consistency BEFORE
+    *   the first propagation round. Worth it when the graph is expected
+    *   to be all cliques/stars (verbatim-copy dedup) — the seed is then
+    *   already the fixpoint and the probe saves the whole round; on
+    *   graphs with chains it is one wasted action, hence off by default.
     * @param dedupEdges distinct the directed edge list before iterating.
     *   Duplicate edges never change the fixpoint (keyed `min` is
     *   idempotent) but inflate every round's join, so dedup is the
@@ -278,7 +283,8 @@ object Dedup {
     * @return (id, cluster_id) where cluster_id = min id in the component
     */
   def clusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-               maxIter: Int = 50, dedupEdges: Boolean = true): DataFrame = {
+               maxIter: Int = 50, dedupEdges: Boolean = true,
+               probeSeed: Boolean = false): DataFrame = {
     val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     // eager: edges is the expensive subtree (the caller's whole pair
@@ -302,7 +308,14 @@ object Dedup {
           edges("dst") === col("did"))
         .filter(col("slabel") =!= col("dlabel"))
         .isEmpty
-    var converged = false
+    // probeSeed: on a VERBATIM-copY-heavy corpus the pair graph is all
+    // cliques, where label(x) = min(x, N(x)) is already the fixpoint
+    // (every member neighbors the minimum) — the cheap 2-join probe then
+    // replaces the whole first propagation round (3 joins + a
+    // checkpoint). On graphs with chained near-dups (the sf0.1 oracle
+    // slice needs 1 productive round) the pre-probe is a wasted action,
+    // so it is opt-in, not default.
+    var converged = probeSeed && consistent(labels)
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))

@@ -584,4 +584,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges == 2,
       s"expected 2 hash Exchanges, got $hashExchanges: ${p.take(800)}")
   }
+
+  test("text_bpe_pairs: pair explode runs over the VOCAB, after the word aggregate") {
+    // scale discipline: the adjacent-pair fan-out must sit ABOVE the
+    // word groupBy (types, not tokens) — exactly two hash Exchanges
+    // (word agg over the token stream, pair agg over a tiny domain),
+    // top-50 via TakeOrderedAndProject, never a global sort
+    val p = finalPlanSection(plan("text_bpe_pairs"))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2,
+      s"expected word-agg + pair-agg Exchanges only, got $hashExchanges: ${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must plan TakeOrderedAndProject: ${p.take(600)}")
+    assert(p.contains("partial_"), "both aggregates must partial-aggregate map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no join anywhere in the pair-count plan")
+  }
+
+  test("sim_kmeans_assign: centroids broadcast onto one embeddings scan") {
+    // the 8-row centroid table must broadcast (BroadcastNestedLoopJoin
+    // over the trivially-true cross condition); the wide edges are the
+    // per-vector argmin and the per-cluster stats — 2 hash Exchanges
+    val p = finalPlanSection(plan("sim_kmeans_assign"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast: ${p.take(600)}")
+    assert(!p.contains("CartesianProduct"),
+      s"the cross join must not plan a shuffled CartesianProduct: ${p.take(600)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2,
+      s"per-vector argmin + per-cluster stats only, got $hashExchanges: ${p.take(800)}")
+    assert(p.contains("vector_dist_sq"),
+      s"distances must run through the codegen'd VectorDistSq: ${p.take(800)}")
+  }
 }

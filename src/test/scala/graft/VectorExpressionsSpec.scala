@@ -30,6 +30,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("vector_dist_sq matches the (x−y)² fold bit-for-bit, zero to self") {
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 2)
+        .select(col("embedding").as("b"))))
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+    val both = pairs.select(
+      col("vec_id"),
+      GraftFunctions.vectorDistSq(col("a"), col("b")).as("native"),
+      hof.as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0,
+      "same op sequence → bit-equal doubles")
+    val self = emb.select(
+      GraftFunctions.vectorDistSq(col("embedding"), col("embedding")).as("d"))
+    assert(self.filter(col("d") =!= 0.0).count() == 0, "d²(x, x) = 0 exactly")
+  }
+
   test("SQL registration: vector_dot callable from spark.sql") {
     GraftFunctions.register(spark)
     emb.createOrReplaceTempView("emb_v")
