@@ -701,6 +701,12 @@ object ScaleBench {
       t("kmeans_assign_20k_vecs") {
         operators.PipelineQueries.kmeansAssignCore(embeddings).count()
       },
+      // the Lloyd UPDATE half at 10×: in-row argmin then the (cid, pos)
+      // component aggregate — map-side partials collapse each partition
+      // to ≤ 8×64 rows, so the shuffle is scale-invariant.
+      t("kmeans_update_20k_vecs") {
+        operators.PipelineQueries.kmeansUpdateCore(embeddings).count()
+      },
       // BPE TRAINING at 10× (50k docs, 8 merges): after the one corpus
       // aggregate every round runs over the VOCAB table, so the
       // per-merge cost must be corpus-size-INVARIANT — time ≈ the vocab
@@ -710,6 +716,13 @@ object ScaleBench {
         val merges = pipeline.Bpe.learn(documents, "text", 8)
         pipeline.Bpe.applyMerges(documents, "text", "doc_id", merges)
           .agg(sum(col("n_bpe_tokens"))).head.getLong(0)
+      },
+      // the production trainer shape at 10×: one vocab job, then 256
+      // merges driver-local over the types table — the 100 TB plan
+      // (one-cluster-job-per-merge is a job-launch bound, not a data
+      // bound; the local loop is O(total syms) per merge).
+      t("bpe_learnlocal256_50k_docs") {
+        pipeline.Bpe.learnLocal(documents, "text", 256).length.toLong
       },
       // robust outliers at 1M events: the two-scan-plus-broadcast shape —
       // stats from the one-scan (type, cents) histogram (mad_1m's curve),

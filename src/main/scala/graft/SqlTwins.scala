@@ -937,6 +937,34 @@ object SqlTwins {
         |  sum(CAST(round(d2 * 10000) AS BIGINT)) AS d2_sum_4dp
         |FROM assigned WHERE rn = 1
         |GROUP BY cid ORDER BY cid""".stripMargin,
+    "sim_kmeans_update" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    aggregate(zip_with(e.embedding, c.c,
+        |      (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        |      CAST(0.0 AS DOUBLE), (s, v) -> s + v) AS d2
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |  FROM scored),
+        |comps AS (
+        |  SELECT cid, pos + 1 AS pos,
+        |    CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS q
+        |  FROM (SELECT cid, posexplode(embedding) AS (pos, v)
+        |        FROM assigned WHERE rn = 1) t),
+        |sums AS (
+        |  SELECT cid, pos, sum(q) AS sq, count(*) AS nm
+        |  FROM comps GROUP BY cid, pos)
+        |SELECT cid AS cluster_id,
+        |  max(nm) AS n_members,
+        |  sum(abs(sq)) AS l1_sum_q,
+        |  sum(CASE WHEN pos = 1 THEN sq ELSE 0 END) AS c0_sum_q
+        |FROM sums
+        |GROUP BY cid ORDER BY cluster_id""".stripMargin,
 
     // ---- §2.11 text analysis ----
     // DuckDB unnest(range(…)) → explode(sequence(…)); list_filter → filter

@@ -278,35 +278,78 @@ object PipelineQueries extends QueryPack {
   /** K-means ASSIGNMENT step, oracle-certified — the arithmetic inside
     * `IvfIndex.assign` (there the centroids come from ML KMeans; here
     * they are the 8 vectors with vec_id < 8, deterministic and
-    * data-derived, so DuckDB can replay the exact decision). Plan: the
-    * 8-row centroid table broadcasts onto ONE embeddings scan (classic
-    * 100 TB shape — centroids are always driver-size); the per-vector
-    * argmin is `min(struct(d2, cid))` (exact double compare, cid
-    * tie-break); per-cluster stats quantize d2 to 1e-4 BEFORE the group
-    * sum so the only cross-row float op is an integer add. Distances run
-    * through the codegen'd VectorDistSq — bit-identical to the oracle's
-    * (x−y)² list fold by construction (same op sequence).
+    * data-derived, so DuckDB can replay the exact decision: exact
+    * double compare, cid tie-break). Per-cluster stats quantize d2 to
+    * 1e-4 BEFORE the group sum so the only cross-row float op is an
+    * integer add. Distances run through the codegen'd VectorDistSq —
+    * bit-identical to the oracle's (x−y)² list fold by construction
+    * (same op sequence).
     */
-  def kmeansAssignCore(emb: DataFrame): DataFrame = {
-    val cents = emb.filter(col("vec_id") < 8)
+  /** The centroid table folded to ONE broadcast row (array of (cid, c)
+    * structs) and the argmin computed IN-ROW: `array_min` over the
+    * 8-element distance transform, struct-ordered (d2, cid) — so
+    * ASSIGNMENT shuffles NOTHING. The alternative (8-way cross join +
+    * `groupBy(vec_id).agg(min(struct))`) moves 8·N rows through a
+    * vec_id exchange that cannot partially aggregate (key cardinality
+    * = corpus); in-row argmin is the only assignment shape that
+    * survives 100 TB. Candidate array order is irrelevant (min is
+    * order-independent; ties break on cid inside the struct).
+    */
+  private def kmeansBest(emb: DataFrame): DataFrame = {
+    val cands = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("c"))
-    emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cands"))
+    emb.crossJoin(broadcast(cands))
+      .withColumn("best", array_min(transform(col("cands"), cc =>
         struct(
-          graft.functions.GraftFunctions.vectorDistSq(col("embedding"), col("c")).as("d2"),
-          col("cid")).as("cand"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("cand")).as("best"))
+          graft.functions.GraftFunctions.vectorDistSq(col("embedding"), cc.getField("c")).as("d2"),
+          cc.getField("cid").as("cid")))))
+      .drop("cands")
+  }
+
+  def kmeansAssignCore(emb: DataFrame): DataFrame =
+    kmeansBest(emb)
       .select(col("vec_id"), col("best.cid").as("cluster_id"), col("best.d2").as("d2"))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         min(col("vec_id")).as("min_member"),
         sum(round(col("d2") * 10000).cast("long")).as("d2_sum_4dp"))
       .orderBy(col("cluster_id"))
-  }
 
   private def simKmeansAssign(s: SparkSession, dir: String): DataFrame =
     kmeansAssignCore(Tables.embeddings(s, dir))
+
+  /** K-means UPDATE step (the other half of a Lloyd iteration, same
+    * certified-arithmetic discipline as `sim_kmeans_assign`): per
+    * cluster, the component-wise sum of member vectors — the new
+    * centroid, up to the 1/n division — emitted as pure integers
+    * (components quantized to 1e-4 BEFORE any cross-row add, so the
+    * only float op is the per-element round; summing raw doubles per
+    * group would be partition-order-dependent). Output fingerprint per
+    * cluster: member count, L1 norm of the summed quantized vector,
+    * and component 0's sum. Plan: the assign broadcast + argmin, then
+    * posexplode of the winners into ONE (cid, pos) aggregate — the
+    * member count rides it (count per (cid, pos) = members), so no
+    * separate membership branch or join.
+    */
+  def kmeansUpdateCore(emb: DataFrame): DataFrame =
+    kmeansBest(emb)
+      .select(col("best.cid").as("cid"), col("embedding"))
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("cid"), (col("pos0") + 1).as("pos"),
+        round(col("v").cast("double") * 10000).cast("long").as("q"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("nm"))
+      .groupBy(col("cid"))
+      .agg(max(col("nm")).as("n_members"),
+        sum(abs(col("sq"))).as("l1_sum_q"),
+        sum(when(col("pos") === 1, col("sq")).otherwise(0L)).as("c0_sum_q"))
+      .select(col("cid").as("cluster_id"), col("n_members"),
+        col("l1_sum_q"), col("c0_sum_q"))
+      .orderBy(col("cluster_id"))
+
+  private def simKmeansUpdate(s: SparkSession, dir: String): DataFrame =
+    kmeansUpdateCore(Tables.embeddings(s, dir))
 
   /** Per-label centroid L2 norm — clustering-shaped reassembly via
     * posexplode → per-(label, position) mean → norm over positions.
@@ -416,6 +459,7 @@ object PipelineQueries extends QueryPack {
     "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_label_centroid" -> (simLabelCentroid _),
     "sim_kmeans_assign"  -> (simKmeansAssign _),
+    "sim_kmeans_update"  -> (simKmeansUpdate _),
     "text_lang_stats"    -> (textLangStats _),
     "text_tfidf_top"     -> (textTfidfTop _))
 
@@ -647,6 +691,35 @@ object PipelineQueries extends QueryPack {
         |  CAST(sum(CAST(round(d2 * 10000) AS BIGINT)) AS BIGINT) AS d2_sum_4dp
         |FROM assigned WHERE rn = 1
         |GROUP BY cid ORDER BY cid""".stripMargin,
+    "sim_kmeans_update" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    list_reduce(list_transform(list_zip(e.embedding, c.c),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (s, v) -> s + v) AS d2
+        |  FROM embeddings e, cents c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |  FROM scored),
+        |comps AS (
+        |  SELECT cid, CAST(i AS INTEGER) AS pos,
+        |    CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 10000)
+        |      AS BIGINT) AS q
+        |  FROM (SELECT cid, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM assigned WHERE rn = 1)),
+        |sums AS (
+        |  SELECT cid, pos, CAST(sum(q) AS BIGINT) AS sq, count(*) AS nm
+        |  FROM comps GROUP BY cid, pos)
+        |SELECT cid AS cluster_id,
+        |  max(nm) AS n_members,
+        |  CAST(sum(abs(sq)) AS BIGINT) AS l1_sum_q,
+        |  CAST(sum(CASE WHEN pos = 1 THEN sq ELSE 0 END) AS BIGINT) AS c0_sum_q
+        |FROM sums
+        |GROUP BY cid ORDER BY cluster_id""".stripMargin,
     "text_lang_stats" ->
       """SELECT lang,
         |  count(*) AS n_docs,

@@ -119,6 +119,69 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Production-scale training: ONE cluster job (the corpus → vocab
+    * aggregate), then the merge loop runs DRIVER-LOCAL over the
+    * collected (word, count) table. This is how distributed BPE
+    * trainers actually work at 100 TB: the types table is megabytes
+    * while the corpus is the corpus, and a 30k-merge run as
+    * one-cluster-job-per-merge ([[learn]]) would be 30k job launches
+    * for work a single core finishes in seconds. [[learn]] remains for
+    * the vocab-exceeds-driver regime; BpeSpec pins the two identical.
+    *
+    * The loop recounts pairs each round — O(total syms) per merge,
+    * plenty for thousands of merges over a real vocab. (The classic
+    * further step, incremental pair-count maintenance touching only
+    * words containing the merged pair, changes constants, not the
+    * result.)
+    */
+  def learnLocal(documents: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    var vocabL: Array[(Array[String], Long)] =
+      vocab(documents, textCol).select(col("w"), col("wcount")).collect()
+        .map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val pc = new java.util.HashMap[(String, String), Long]()
+      vocabL.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          pc.merge(k, c, _ + _)
+          j += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        // arg-max: count desc, then pair lexicographic — the same
+        // deterministic tie-break as the distributed arg-max
+        var best: ((String, String), Long) = null
+        pc.forEach { (k, v) =>
+          if (best == null || v > best._2 ||
+            (v == best._2 && (k._1 < best._1._1 ||
+              (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
+        }
+        val (a, b) = best._1
+        merges += ((a, b))
+        vocabL = vocabL.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                out += (a + b); j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
   /** Tokenize the corpus with a learned merge list: per doc the flat
     * symbol sequence (words independently merged, in order) plus its
     * length — a scan-level projection, no shuffle. Runs through the

@@ -112,6 +112,12 @@ class BpeSpec extends SparkSpec {
       "native expression and declarative fold chain must tokenize identically")
   }
 
+  test("learnLocal (the 100 TB trainer shape) reproduces the distributed merge list") {
+    val n = 12
+    assert(Bpe.learnLocal(docs, "text", n) == bruteLearn(texts, n))
+    assert(Bpe.learnLocal(docs, "text", n) == Bpe.learn(docs, "text", n))
+  }
+
   test("round-1 statistic agrees with the text_bpe_pairs oracle key's top pair") {
     val topKey = operators.TextAnalysisQueries.bpePairsCore(docs)
       .head()

@@ -601,19 +601,36 @@ class PlanAuditSpec extends SparkSpec {
       "no join anywhere in the pair-count plan")
   }
 
-  test("sim_kmeans_assign: centroids broadcast onto one embeddings scan") {
-    // the 8-row centroid table must broadcast (BroadcastNestedLoopJoin
-    // over the trivially-true cross condition); the wide edges are the
-    // per-vector argmin and the per-cluster stats — 2 hash Exchanges
+  test("sim_kmeans_assign: in-row argmin — assignment itself shuffles nothing") {
+    // the centroid table folds to ONE broadcast row; the argmin is an
+    // array_min over the in-row distance transform, so the ONLY hash
+    // Exchange is the per-cluster stats aggregate (8 groups). An
+    // `groupBy(vec_id).agg(min(struct))` argmin would move 8·N rows
+    // through a non-partial-aggregable exchange — the 100 TB trap.
     val p = finalPlanSection(plan("sim_kmeans_assign"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"centroids must broadcast: ${p.take(600)}")
+      s"the 1-row candidate array must broadcast: ${p.take(600)}")
     assert(!p.contains("CartesianProduct"),
       s"the cross join must not plan a shuffled CartesianProduct: ${p.take(600)}")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashExchanges == 2,
-      s"per-vector argmin + per-cluster stats only, got $hashExchanges: ${p.take(800)}")
+    assert(hashExchanges == 1,
+      s"per-cluster stats is the only hash Exchange, got $hashExchanges: ${p.take(800)}")
     assert(p.contains("vector_dist_sq"),
       s"distances must run through the codegen'd VectorDistSq: ${p.take(800)}")
+  }
+
+  test("sim_kmeans_update: in-row argmin, then one (cid, pos) aggregate — no membership branch") {
+    // the member count rides the component aggregate (count per
+    // (cid, pos) = members), so there is NO join and exactly 2 hash
+    // Exchanges: the (cid, pos) sums (map-side partial collapses each
+    // partition to ≤ 8×64 rows) and the final cid rollup
+    val p = finalPlanSection(plan("sim_kmeans_update"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no membership rejoin: ${p.take(600)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2,
+      s"(cid,pos) sums + cid rollup only, got $hashExchanges: ${p.take(800)}")
+    assert(p.contains("partial_"), "component sums must partial-aggregate map-side")
+    assert(p.contains("vector_dist_sq"), "assignment through VectorDistSq")
   }
 }
