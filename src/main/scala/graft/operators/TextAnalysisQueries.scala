@@ -505,6 +505,20 @@ object TextAnalysisQueries extends QueryPack {
           "i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))
           .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // explicit hash(w1) BEFORE the count: hashpartitioning(w1)
+      // satisfies the (doc, w1, w2) aggregate's ClusteredDistribution
+      // (subset key) AND the w1 windows downstream — so the bigram
+      // stream crosses ONE wide edge, not two (the ENSURE_REQUIREMENTS
+      // plan shuffled it for the count and AGAIN for the window). The
+      // trade is the count's map-side partial phase, worth ~nothing
+      // here: (doc, w1, w2) is nearly unique per row, partials barely
+      // collapse. Honest measurement: flat at sf0.1 AND at 10× (the
+      // explode + per-doc collect dominate at these sizes) — this is a
+      // shuffle-VOLUME halving that pays where shuffle is the
+      // constraint, i.e. real cluster fabric, not a local[32] page
+      // cache. Skew note: the w1 windows pinned the hot-prefix
+      // exposure already; this adds no new skew surface.
+      .repartition(col("w1"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
     val wPre = org.apache.spark.sql.expressions.Window.partitionBy("w1")

@@ -184,16 +184,16 @@ class PlanAuditSpec extends SparkSpec {
     val p = finalPlanSection(plan("text_bigram_logprob"))
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"no pairwise or shuffled join anywhere: ${p.take(800)}")
-    // 3 main-path edges (bigram agg, w1 window, doc re-agg) + the vocab
-    // subtree's distinct-word dedup; the (w1, w2) window must NOT add a
-    // 5th — its clustering is satisfied by hash(w1), planning as a Sort
+    // 2 main-path edges (the explicit hash(w1) the count AND both
+    // windows ride — see bigramLogprobCore — then the doc re-agg) + the
+    // vocab subtree's distinct-word dedup; neither window may add one
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges <= 4,
-      s"bigram agg + w1 window + doc re-agg + vocab dedup only, got $exchanges: ${p.take(800)}")
+    assert(exchanges <= 3,
+      s"w1 repartition + doc re-agg + vocab dedup only, got $exchanges: ${p.take(800)}")
     val w1w2Window = "Sort \\[w1#\\d+ ASC NULLS FIRST, w2#\\d+ ASC NULLS FIRST\\], false".r
     assert(w1w2Window.findFirstIn(p).isDefined,
       s"the (w1, w2) window must ride the w1 exchange via a local sort: ${p.take(800)}")
-    assert(p.contains("partial_"), "bigram counts must partial-aggregate map-side")
+    assert(p.contains("partial_"), "the doc re-agg must partial-aggregate map-side")
   }
 
   test("win_range_frame_scalable: the r9 fused cumulative read keeps the subtree count down") {
