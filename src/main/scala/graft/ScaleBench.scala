@@ -731,6 +731,27 @@ object ScaleBench {
       t("robust_outliers_1m") {
         operators.AggQueries.robustOutliersCore(events).count()
       },
+      // PSI drift monitor at 1M events: one scan into a ≤10-row bin agg —
+      // should track the scan floor, never the corpus.
+      t("drift_psi_1m") {
+        operators.EventTimeQueries.driftPsiCore(events)
+          .filter(col("psi_term") > -1e9).count()
+      },
+      // per-column profile at 1.5M orders: all four columns' stats on ONE
+      // scan; the ×5 multi-distinct Expand is the exact-answer price the
+      // key documents (approx_count_distinct drops it at 100 TB).
+      t("quality_profile_1m5_orders") {
+        operators.CoreQueries.qualityProfileCore(ordersK).count()
+      },
+      // vocab coverage at 10× (50k docs): the count-of-counts class table
+      // is bounded by distinct count VALUES, so past the word-count agg
+      // the curve costs ~nothing extra as the corpus grows.
+      t("vocab_coverage_50k_docs") {
+        operators.TextAnalysisQueries.vocabCoverageCore(documents,
+          spark.range(1).select(explode(array(
+            lit(10L), lit(100L), lit(1000L), lit(10000L))).as("k")))
+          .filter(col("coverage") >= 0).count()
+      },
       // Gopher rule battery at 10×: a pure per-row scan — the row exists
       // to certify it STAYS scan-bound (time ≈ scan time) as data grows.
       t("gopher_rules_50k_docs") {

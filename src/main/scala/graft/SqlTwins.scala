@@ -10,8 +10,9 @@ package graft
   * returns exactly the rows and column names of the corresponding
   * `SparkEntry.queries` plan. SqlFrontendSpec asserts that equivalence
   * for every entry; together with the keys whose DuckDB oracle text
-  * already runs unmodified on Spark, the SQL surface covers 156 of the
-  * 157 oracle keys. The single exception is `dedup_components`: its
+  * already runs unmodified on Spark, the SQL surface covers all oracle
+  * keys but one (SqlFrontendSpec asserts the exact closure — portable ∪
+  * twins = every key). The single exception is `dedup_components`: its
   * transitive closure is a CYCLIC fixpoint needing UNION-distinct
   * recursion, which Spark's recursive CTEs do not support
   * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed; UNION ALL on a
@@ -966,7 +967,58 @@ object SqlTwins {
         |FROM sums
         |GROUP BY cid ORDER BY cluster_id""".stripMargin,
 
+    // ---- §2.8 drift monitor ----
+    // DuckDB `//` → DIV; epoch_ns(ts) → ts (the view carries ns BIGINT)
+    "evt_drift_psi" ->
+      """WITH b AS (
+        |  SELECT least(9, (CAST(round(value * 100) AS BIGINT) * 10) DIV 50000) AS bin,
+        |    ts < 1705363200000000000 AS is_ref
+        |  FROM events
+        |), c AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+        |  FROM b GROUP BY bin
+        |), t AS (
+        |  SELECT bin, ref_n, cur_n,
+        |    sum(ref_n) OVER () AS ref_t, sum(cur_n) OVER () AS cur_t
+        |  FROM c
+        |)
+        |SELECT bin, ref_n, cur_n,
+        |  round(
+        |    (CAST(cur_n + 1 AS DOUBLE) / CAST(cur_t + 10 AS DOUBLE) -
+        |     CAST(ref_n + 1 AS DOUBLE) / CAST(ref_t + 10 AS DOUBLE)) *
+        |    ln((CAST(cur_n + 1 AS DOUBLE) / CAST(cur_t + 10 AS DOUBLE)) /
+        |       (CAST(ref_n + 1 AS DOUBLE) / CAST(ref_t + 10 AS DOUBLE))), 6) AS psi_term
+        |FROM t
+        |ORDER BY bin""".stripMargin,
+
     // ---- §2.11 text analysis ----
+    // DuckDB unnest(string_split) → explode(split); VALUES list kept
+    "text_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT w FROM (
+        |    SELECT explode(filter(split(text, ' '), w -> w != '')) AS w
+        |    FROM documents) t),
+        |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |cc AS (SELECT c, CAST(count(*) AS BIGINT) AS nt,
+        |         CAST(c * count(*) AS BIGINT) AS tokc
+        |       FROM wc GROUP BY c),
+        |cum AS (
+        |  SELECT c, nt, tokc,
+        |    CAST(sum(nt) OVER (ORDER BY c DESC) - nt AS BIGINT) AS types_before,
+        |    CAST(sum(tokc) OVER (ORDER BY c DESC) - tokc AS BIGINT) AS tokens_before,
+        |    CAST(sum(tokc) OVER () AS BIGINT) AS total_tokens
+        |  FROM cc),
+        |ks AS (SELECT CAST(k AS BIGINT) AS k
+        |       FROM (VALUES (10), (100), (1000), (10000)) AS t(k))
+        |SELECT k,
+        |  max(tokens_before + least(nt, k - types_before) * c) AS covered_tokens,
+        |  round(CAST(max(tokens_before + least(nt, k - types_before) * c) AS DOUBLE)
+        |    / CAST(max(total_tokens) AS DOUBLE), 6) AS coverage
+        |FROM ks JOIN cum ON types_before < k
+        |GROUP BY k
+        |ORDER BY k""".stripMargin,
     // DuckDB unnest(range(…)) → explode(sequence(…)); list_filter → filter
     "text_bpe_pairs" ->
       """WITH vocab AS (

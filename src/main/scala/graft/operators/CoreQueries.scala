@@ -112,15 +112,111 @@ object CoreQueries extends QueryPack {
       .orderBy(col("ckey"))
   }
 
+  /** Data-quality profile — per-column null count / distinct count /
+    * canonical min+max over a projection with SYNTHESIZED nulls (the
+    * testdata ships none): the expectations-check every ingest gate
+    * runs before training data is admitted. One row out per column.
+    *
+    * Every statistic for all four columns rides ONE aggregate over ONE
+    * scan (count/count-distinct/min/max per column), then the 1-row
+    * result unpivots driver-free via an inline array explode — there is
+    * no per-column pass, which at 100 TB is the difference between one
+    * scan and #columns scans. min/max are emitted through per-TYPE
+    * canonical renderers (ints as digits, strings verbatim) because
+    * engine-native double/date → string formatting is not
+    * cross-engine-stable. The multi-distinct Expand (4 distinct
+    * aggregates → 4× row multiply before the partial agg) is the
+    * documented exact-answer price; the approximate twin at scale is
+    * approx_count_distinct, which drops the Expand entirely.
+    */
+  private def qualityProfile(s: SparkSession, dir: String): DataFrame =
+    qualityProfileCore(Tables.orders(s, dir))
+
+  def qualityProfileCore(orders: DataFrame): DataFrame = {
+    val src = orders.select(
+      col("o_orderkey").as("okey"),
+      expr("nullif(o_orderstatus, 'F')").as("status_or_null"),
+      expr("nullif(o_custkey % 97, 0)").cast("long").as("cust_bucket"),
+      expr("nullif(o_orderpriority, '3-MEDIUM')").as("prio_or_null"))
+    def stats(c: String, render: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      render(min(col(c))).as(s"${c}_min"),
+      render(max(col(c))).as(s"${c}_max"))
+    val aggs =
+      stats("okey", _.cast("string")) ++ stats("status_or_null", identity) ++
+        stats("cust_bucket", _.cast("string")) ++ stats("prio_or_null", identity)
+    val one = src.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    def rowFor(c: String) = struct(
+      lit(c).as("col_name"),
+      (col("n_rows") - col(s"${c}_nn")).as("n_null"),
+      col(s"${c}_nd").as("n_distinct"),
+      col(s"${c}_min").as("min_repr"),
+      col(s"${c}_max").as("max_repr"))
+    one.select(col("n_rows"),
+        explode(array(rowFor("okey"), rowFor("status_or_null"),
+          rowFor("cust_bucket"), rowFor("prio_or_null"))).as("r"))
+      .select(col("r.col_name"), col("n_rows"), col("r.n_null"),
+        col("r.n_distinct"), col("r.min_repr"), col("r.max_repr"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Expectation-suite validation — the rule-based data-quality gate
+    * (the Deequ / Great-Expectations shape) next to the column-stats
+    * profile: each expectation is a typed predicate over the ingest
+    * batch, and the output is one row of violation counts an admission
+    * controller thresholds on. Rules exercised: numeric range, set
+    * membership, format (LIKE), date bounds, key uniqueness.
+    *
+    * One scan, one partial-aggregable `sum(CASE)` per rule; the only
+    * non-trivial rule is key uniqueness, which needs the one
+    * count-distinct Expand (at 100 TB swap in approx_count_distinct and
+    * alert on the estimate — the profile key documents the same trade).
+    * PORTABLE: the identical SQL text runs on Spark and DuckDB.
+    */
+  private def qualityExpectations(s: SparkSession, dir: String): DataFrame =
+    expectationsCore(Tables.orders(s, dir))
+
+  def expectationsCore(orders: DataFrame): DataFrame =
+    orders.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_totalprice") <= 0.0 || col("o_totalprice") > 600000.0, 1L)
+        .otherwise(0L)).as("n_price_out_of_range"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+        .otherwise(0L)).as("n_status_invalid"),
+      sum(when(!col("o_orderpriority").like("_-%"), 1L)
+        .otherwise(0L)).as("n_priority_malformed"),
+      sum(when(col("o_orderdate") < expr("TIMESTAMP '1992-01-01 00:00:00'") ||
+        col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'"), 1L)
+        .otherwise(0L)).as("n_date_out_of_bounds"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_dup_keys"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_expectations"      -> (qualityExpectations _),
     "scan_parquet"              -> (scanParquet _),
     "scan_projection_pushdown"  -> (scanProjectionPushdown _),
     "project_expr"              -> (projectExpr _),
     "filter_pred"               -> (filterPred _),
     "filter_null_handling"      -> (filterNullHandling _),
-    "etl_merge"                 -> (etlMerge _))
+    "etl_merge"                 -> (etlMerge _),
+    "quality_profile"           -> (qualityProfile _))
 
   val oracle: Map[String, String] = Map(
+    // PORTABLE: one text, both engines (sum(CASE), LIKE, TIMESTAMP
+    // literals, count DISTINCT are common dialect)
+    "quality_expectations" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0.0 OR o_totalprice > 600000.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_price_out_of_range,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_status_invalid,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT LIKE '_-%'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_priority_malformed,
+        |  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+        |    OR o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_date_out_of_bounds,
+        |  count(*) - count(DISTINCT o_orderkey) AS n_dup_keys
+        |FROM orders""".stripMargin,
     "scan_parquet" -> "SELECT count(*) AS n FROM lineitem",
     "scan_projection_pushdown" ->
       """SELECT l_orderkey, l_quantity FROM lineitem
@@ -176,5 +272,40 @@ object CoreQueries extends QueryPack {
         |  CASE WHEN c.ckey IS NOT NULL THEN c.bal_c ELSE t.bal_c END AS bal_c
         |FROM tgt t FULL OUTER JOIN chg c ON t.ckey = c.ckey
         |WHERE NOT (c.ckey IS NOT NULL AND c.del)
-        |ORDER BY ckey""".stripMargin)
+        |ORDER BY ckey""".stripMargin,
+    // per-column stats as UNION ALL of one-column selects (the oracle
+    // restatement; Spark computes all columns in ONE agg) — min/max via
+    // the same per-type canonical render
+    "quality_profile" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey,
+        |    nullif(o_orderstatus, 'F') AS status_or_null,
+        |    CAST(nullif(o_custkey % 97, 0) AS BIGINT) AS cust_bucket,
+        |    nullif(o_orderpriority, '3-MEDIUM') AS prio_or_null
+        |  FROM orders
+        |)
+        |SELECT * FROM (
+        |  SELECT 'okey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(okey) AS n_null,
+        |    CAST(count(DISTINCT okey) AS BIGINT) AS n_distinct,
+        |    CAST(min(okey) AS STRING) AS min_repr,
+        |    CAST(max(okey) AS STRING) AS max_repr
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'status_or_null', count(*), count(*) - count(status_or_null),
+        |    CAST(count(DISTINCT status_or_null) AS BIGINT),
+        |    min(status_or_null), max(status_or_null)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'cust_bucket', count(*), count(*) - count(cust_bucket),
+        |    CAST(count(DISTINCT cust_bucket) AS BIGINT),
+        |    CAST(min(cust_bucket) AS STRING), CAST(max(cust_bucket) AS STRING)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'prio_or_null', count(*), count(*) - count(prio_or_null),
+        |    CAST(count(DISTINCT prio_or_null) AS BIGINT),
+        |    min(prio_or_null), max(prio_or_null)
+        |  FROM src
+        |)
+        |ORDER BY col_name""".stripMargin)
 }

@@ -370,7 +370,52 @@ object EventTimeQueries extends QueryPack {
       .orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
   }
 
+  /** Population-stability-index drift monitor — the distribution-shift
+    * gate every production scoring pipeline runs between a reference
+    * window and the live window: bin `value`, compare the two windows'
+    * bin shares, PSI term per bin = (p_cur − p_ref)·ln(p_cur/p_ref)
+    * (Laplace-smoothed so empty bins stay finite). Emitted PER BIN — the
+    * attribution a drift alert needs, not just the scalar.
+    *
+    * Plan (the 100 TB shape): ONE events scan — the ref/cur split is a
+    * ts predicate folded into conditional aggregates, and the binning is
+    * a FIXED integer-cents grid (least(9, cents·10 div 50000)), so both
+    * populations land in one ≤10-row hash aggregate. Production binning
+    * swaps the fixed grid for reference quantiles broadcast from the
+    * monitoring store — same one-scan plan. The share totals ride an
+    * unbounded window over the 10-row bin table (bounded by the grid,
+    * the histogram-family posture, never by corpus rows). Float
+    * determinism: each term is one ln over identical exact-integer
+    * ratios (< 2^53) — the PMI/BM25 discipline — rounded at emission.
+    */
+  private def evtDriftPsi(s: SparkSession, dir: String): DataFrame =
+    driftPsiCore(Tables.events(s, dir)).orderBy(col("bin"))
+
+  def driftPsiCore(events: DataFrame): DataFrame = {
+    val splitNs = 1705363200L * 1000000000L // 2024-01-16 00:00 UTC
+    val binned = events.select(
+      expr("least(9L, (cast(round(value * 100) as bigint) * 10) div 50000)")
+        .as("bin"),
+      (col("ts") < splitNs).as("is_ref"))
+    val w = Window.partitionBy(lit(1))
+    binned
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_n"))
+      .withColumn("ref_t", sum(col("ref_n")).over(w))
+      .withColumn("cur_t", sum(col("cur_n")).over(w))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        round(
+          ((col("cur_n") + 1).cast("double") / (col("cur_t") + 10).cast("double") -
+           (col("ref_n") + 1).cast("double") / (col("ref_t") + 10).cast("double")) *
+          log(((col("cur_n") + 1).cast("double") / (col("cur_t") + 10).cast("double")) /
+              ((col("ref_n") + 1).cast("double") / (col("ref_t") + 10).cast("double"))), 6)
+          .as("psi_term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_drift_psi" -> (evtDriftPsi _),
     "evt_path_trigram" -> (evtPathTrigram _),
     "evt_cohort_matrix" -> (evtCohortMatrix _),
     "evt_dwell_median" -> (evtDwellMedian _),
@@ -385,6 +430,31 @@ object EventTimeQueries extends QueryPack {
     "evt_rolling_active" -> (evtRollingActive _))
 
   val oracle: Map[String, String] = Map(
+    // PSI restated literally: same fixed integer-cents grid, same
+    // Laplace-smoothed exact-integer ratios into one ln per bin
+    "evt_drift_psi" ->
+      """WITH b AS (
+        |  SELECT least(9, (CAST(round(value * 100) AS BIGINT) * 10) // 50000) AS bin,
+        |    epoch_ns(ts) < 1705363200000000000 AS is_ref
+        |  FROM events
+        |), c AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+        |  FROM b GROUP BY bin
+        |), t AS (
+        |  SELECT bin, ref_n, cur_n,
+        |    sum(ref_n) OVER () AS ref_t, sum(cur_n) OVER () AS cur_t
+        |  FROM c
+        |)
+        |SELECT bin, ref_n, cur_n,
+        |  round(
+        |    (CAST(cur_n + 1 AS DOUBLE) / CAST(cur_t + 10 AS DOUBLE) -
+        |     CAST(ref_n + 1 AS DOUBLE) / CAST(ref_t + 10 AS DOUBLE)) *
+        |    ln((CAST(cur_n + 1 AS DOUBLE) / CAST(cur_t + 10 AS DOUBLE)) /
+        |       (CAST(ref_n + 1 AS DOUBLE) / CAST(ref_t + 10 AS DOUBLE))), 6) AS psi_term
+        |FROM t
+        |ORDER BY bin""".stripMargin,
     // PORTABLE: raw-ts order ≡ ns-long order, no ts emitted (the
     // transition-matrix argument, one more lag deep)
     "evt_path_trigram" ->

@@ -570,7 +570,59 @@ object TextAnalysisQueries extends QueryPack {
   private def textBpePairs(s: SparkSession, dir: String): DataFrame =
     bpePairsCore(Tables.documents(s, dir))
 
+  /** Vocabulary coverage curve — for each vocab budget k, the exact share
+    * of all token OCCURRENCES covered by the k most frequent types (the
+    * tokenizer-design metric next to `text_bpe_pairs`: how big must the
+    * word-level vocab be before the long tail forces subword units).
+    *
+    * The scale trick: a global top-k over the vocab needs a total-order
+    * rank, but token coverage does NOT need per-word ranks — types with
+    * the SAME count contribute the same tokens whichever of them the
+    * top-k cut keeps, so the curve is exact from COUNT-OF-COUNTS alone:
+    * collapse vocab → (count, n_types) classes (a table bounded by
+    * distinct count VALUES, ≲√(2·tokens) — the histogram-family bound,
+    * never corpus- or vocab-sized), cumulate over classes descending,
+    * and split the one boundary class arithmetically:
+    * covered(k) = tokens_before + min(nt, k − types_before)·c.
+    * Two token-stream exchanges (word counts; tiny count-of-counts);
+    * the budget probe is a broadcast theta-join on the class table. All
+    * integer; the coverage ratio is one double division, rounded.
+    */
+  private def textVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    vocabCoverageCore(Tables.documents(s, dir),
+      s.range(1).select(explode(array(
+        lit(10L), lit(100L), lit(1000L), lit(10000L))).as("k")))
+
+  def vocabCoverageCore(documents: DataFrame, ks: DataFrame): DataFrame = {
+    val wc = documents
+      .select(explode(filter(words, w => w =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val cc = wc.groupBy(col("c")).agg(count(lit(1)).as("nt"))
+      .withColumn("tokc", col("c") * col("nt"))
+    // ordered window over the count-of-counts table: single partition by
+    // construction, bounded by distinct count values (histogram posture)
+    val byCountDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val cum = cc
+      .withColumn("types_before", sum(col("nt")).over(byCountDesc) - col("nt"))
+      .withColumn("tokens_before", sum(col("tokc")).over(byCountDesc) - col("tokc"))
+      .withColumn("total_tokens", sum(col("tokc")).over(wAll))
+    ks.join(broadcast(cum), col("types_before") < col("k"))
+      .groupBy(col("k"))
+      .agg(
+        max(col("tokens_before") +
+          least(col("nt"), col("k") - col("types_before")) * col("c"))
+          .as("covered_tokens"),
+        max(col("total_tokens")).as("tt"))
+      .select(col("k"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("tt").cast("double"), 6)
+          .as("coverage"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> (textVocabCoverage _),
     "text_bpe_pairs"      -> (textBpePairs _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
@@ -596,6 +648,32 @@ object TextAnalysisQueries extends QueryPack {
   private val hitsFr = duckHits("'le','la','et','les','des'")
 
   val oracle: Map[String, String] = Map(
+    // count-of-counts restated: same class cumulation, same boundary
+    // split; HUGEINT window sums cast back to BIGINT before the arithmetic
+    "text_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        |    FROM documents) t),
+        |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |cc AS (SELECT c, CAST(count(*) AS BIGINT) AS nt,
+        |         CAST(c * count(*) AS BIGINT) AS tokc
+        |       FROM wc GROUP BY c),
+        |cum AS (
+        |  SELECT c, nt, tokc,
+        |    CAST(sum(nt) OVER (ORDER BY c DESC) - nt AS BIGINT) AS types_before,
+        |    CAST(sum(tokc) OVER (ORDER BY c DESC) - tokc AS BIGINT) AS tokens_before,
+        |    CAST(sum(tokc) OVER () AS BIGINT) AS total_tokens
+        |  FROM cc),
+        |ks AS (SELECT CAST(k AS BIGINT) AS k
+        |       FROM (VALUES (10), (100), (1000), (10000)) AS t(k))
+        |SELECT k,
+        |  max(tokens_before + least(nt, k - types_before) * c) AS covered_tokens,
+        |  round(CAST(max(tokens_before + least(nt, k - types_before) * c) AS DOUBLE)
+        |    / CAST(max(total_tokens) AS DOUBLE), 6) AS coverage
+        |FROM ks JOIN cum ON types_before < k
+        |GROUP BY k
+        |ORDER BY k""".stripMargin,
     "text_bpe_pairs" ->
       """WITH vocab AS (
         |  SELECT w, count(*) AS wcount FROM (

@@ -633,4 +633,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "component sums must partial-aggregate map-side")
     assert(p.contains("vector_dist_sq"), "assignment through VectorDistSq")
   }
+
+  test("quality_profile: every column's stats ride ONE scan (no per-column pass)") {
+    val p = finalPlanSection(plan("quality_profile"))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"one orders scan for all columns, got $scans: ${p.take(800)}")
+    assert(p.contains("Expand"),
+      "multi-distinct resolves via Expand (the documented exact-answer price)")
+    assert(p.contains("Generate"), "the 1-row unpivot explodes driver-free")
+  }
+
+  test("text_vocab_coverage: count-of-counts — no vocab-wide window, no corpus rank") {
+    // the coverage curve must come from the (count, n_types) class table:
+    // exchanges are the word counts + the tiny class agg (plus the final
+    // ORDER BY range); the budget probe broadcasts. A global vocab rank
+    // would plan a vocab-wide single-partition window — the 100 TB trap.
+    val p = finalPlanSection(plan("text_vocab_coverage"))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 3,
+      s"word counts + class agg (+window) only, got $hashExchanges: ${p.take(800)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the budget theta-join must broadcast the class table: ${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("evt_drift_psi: one events scan, one ≤10-row bin aggregate") {
+    // ref/cur split folds into conditional aggregates — a two-scan
+    // union would double the 100 TB read
+    val p = finalPlanSection(plan("evt_drift_psi"))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"one events scan for both populations, got $scans: ${p.take(800)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"the bin aggregate is the only hash Exchange, got $hashExchanges: ${p.take(800)}")
+    assert(p.contains("partial_"), "bin counts must partial-aggregate map-side")
+  }
 }

@@ -48,7 +48,8 @@ class SqlFrontendSpec extends SparkSpec {
     "complex_regional_revenue", "evt_transition_matrix",
     "complex_revenue_deciles", "sample_interleave", "join_skew_salted",
     "evt_path_trigram", "agg_robust_outliers", "agg_weighted_median",
-    "dedup_stats", "sample_balanced", "etl_merge")
+    "dedup_stats", "sample_balanced", "etl_merge", "quality_profile",
+    "quality_expectations")
 
   private def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
