@@ -961,6 +961,30 @@ object ScaleBench {
           evPerUser = 5)
         1000000L
       },
+      // streaming PSI drift monitor (round-9): 1M events through hourly
+      // windows against a frozen reference distribution — state is one
+      // 10-long map per OPEN window (a handful at any watermark), so
+      // throughput should track the digest rows, not the window count.
+      t("stream_drift_psi_1m_events") {
+        val dir = s"$out/drift_1m"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+          events.select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+            .write.mode("overwrite").parquet(dir)
+        val ckpt = java.nio.file.Files.createTempDirectory("drift-sb-ckpt").toString
+        import spark.implicits._
+        val src = spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", 8).parquet(dir)
+        val ref = (0L until 10L).map(b => b -> 1000L).toMap
+        val q = streaming.DriftStream.psiWindows(
+            src.as[streaming.StreamEvent], ref, windowSeconds = 3600L)
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        1000000L
+      },
       // CDC upsert lifecycle (round-9): 1M change rows over 100k keys
       // (10 versions/key, every 5th key's last change a tombstone)
       // applied as 10 micro-batches of the version-conditional MERGE —

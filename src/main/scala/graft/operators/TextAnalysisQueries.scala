@@ -430,11 +430,16 @@ object TextAnalysisQueries extends QueryPack {
     * DuckDB's first-element-init fold because 0.0 + x ≡ x here (terms
     * are products of nonnegative counts with ln ≤ 0).
     *
-    * Plan: two keyed shuffles (word counts; per-(doc, word) counts joined
-    * on word co-partitioned with the count agg) and the per-doc re-agg —
-    * all linear in token volume, the tf-idf shape with a fold instead of
-    * a max. Token-less docs are absent on both engines (no types to
-    * score).
+    * Plan (r9 rework — the tfidf/bigram one-exchange discipline applied
+    * here): the token stream explodes ONCE and crosses ONE wide edge —
+    * an explicit hash(word) repartition that satisfies BOTH the
+    * (doc, word) count's clustering (subset key) and the corpus
+    * word-count WINDOW riding on top of it (the old agg-then-rejoin
+    * form exploded twice and shuffled four times: word counts, (doc,
+    * word) counts, the join's re-exchange, the per-doc re-agg). The
+    * corpus total comes from a scan-level token-count sum over
+    * documents — no explode, one cheap broadcast row. Token-less docs
+    * are absent on both engines (no types to score).
     */
   private def textUnigramLogprob(s: SparkSession, dir: String): DataFrame =
     unigramLogprobCore(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -443,11 +448,15 @@ object TextAnalysisQueries extends QueryPack {
     val toks = documents
       .select(col("doc_id"),
         explode(filter(words, w => w =!= "")).as("word"))
-    val wc = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
-    val total = wc.agg(sum(col("n")).as("t"))
-    val dwc = toks.groupBy(col("doc_id"), col("word"))
+    val total = documents
+      .agg(sum(size(filter(words, w => w =!= "")).cast("long")).as("t"))
+    val dwc = toks
+      .repartition(col("word"))
+      .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("c"))
-    dwc.join(wc, "word")
+    dwc
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("word")))
       .crossJoin(broadcast(total))
       .withColumn("term",
         col("c").cast("double") *

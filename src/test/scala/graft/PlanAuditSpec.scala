@@ -430,13 +430,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows >= 1, s"survivorship window expected: ${p.take(600)}")
   }
 
-  test("text_unigram_logprob is keyed aggregates + one broadcast scalar — no window") {
+  test("text_unigram_logprob: one explode, ONE word exchange feeding count AND window") {
+    // r9 rework (the tfidf/bigram discipline): the explicit hash(word)
+    // repartition satisfies the (doc, word) count's clustering — a
+    // subset key — AND the corpus word-count window above it, so the
+    // token stream explodes once and crosses exactly 2 wide edges
+    // (word; per-doc re-agg) + the presentation sort. The old
+    // agg-then-rejoin form exploded twice and shuffled four times.
     val p = finalPlanSection(plan("text_unigram_logprob"))
-    assert(p.contains("partial_"), "word counts must partial-aggregate map-side")
-    assert(!p.contains("Window"),
-      s"per-doc fold must be an aggregate, not a window: ${p.take(600)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"word repartition + per-doc agg only, got $exchanges: ${p.take(800)}")
+    val explodes = "Generate explode".r.findAllIn(p).size
+    assert(explodes == 1, s"the token stream must explode ONCE, got $explodes")
+    assert("Window \\[sum".r.findAllIn(p).nonEmpty &&
+      !p.contains("SortMergeJoin"),
+      s"corpus counts ride the word window, never a rejoin: ${p.take(600)}")
     assert(p.contains("BroadcastExchange"),
-      "the 1-row total must broadcast, not shuffle the terms")
+      "the 1-row token total must broadcast, not shuffle the terms")
     assert(!p.contains("CartesianProduct"),
       "the only cross join is the broadcast scalar (BroadcastNestedLoop on 1 row)")
   }
