@@ -731,6 +731,17 @@ object ScaleBench {
       t("robust_outliers_1m") {
         operators.AggQueries.robustOutliersCore(events).count()
       },
+      // cumulative-uniques growth curve at 1M events: one user edge
+      // carries the fact; everything after is calendar-bounded.
+      t("cumulative_uniques_1m") {
+        operators.EventTimeQueries.cumulativeUniquesCore(events).count()
+      },
+      // shape moments at 1.5M orders: exact integer power sums — one
+      // partial-aggregable exchange, scan-bound like any two-phase agg.
+      t("moments_1m5_orders") {
+        operators.AggQueries.momentsCore(ordersK)
+          .filter(col("kurt_excess") > -1e9).count()
+      },
       // PSI drift monitor at 1M events: one scan into a ≤10-row bin agg —
       // should track the scan floor, never the corpus.
       t("drift_psi_1m") {

@@ -967,6 +967,27 @@ object SqlTwins {
         |FROM sums
         |GROUP BY cid ORDER BY cluster_id""".stripMargin,
 
+    // ---- §2.8 growth curve ----
+    // DuckDB `//` → DIV; epoch_ns(ts) → ts (the view carries ns BIGINT)
+    "evt_cumulative_uniques" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, ts DIV 86400000000000 AS day
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS first_day
+        |  FROM ud),
+        |d AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |    CAST(count(*) AS BIGINT) AS active_users
+        |  FROM f GROUP BY day)
+        |SELECT day, new_users, active_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_unique_users
+        |FROM d
+        |ORDER BY day""".stripMargin,
+
     // ---- §2.8 drift monitor ----
     // DuckDB `//` → DIV; epoch_ns(ts) → ts (the view carries ns BIGINT)
     "evt_drift_psi" ->

@@ -143,6 +143,73 @@ object AggQueries extends QueryPack {
         round(corr(col("value"), col("user_id").cast("double")), 4).as("cr"))
       .orderBy(col("event_type"))
 
+  /** Higher distribution-shape moments — population skewness and excess
+    * kurtosis per group, the feature-QA statistics `agg_stats` (2nd
+    * moment) stops short of. The float discipline that makes them
+    * hash-exact cross-engine: raw power sums Σv..Σv⁴ accumulate as
+    * EXACT integers over value bucketed to thousands (600⁴·|group| stays
+    * far under 2⁶³ — the bucketing is the documented price of exact
+    * integer moments), and the shape formulas then run an identical
+    * double operand sequence in both engines, rounded once at emission.
+    * Spark's own `skewness`/`kurtosis` are one-pass float merges whose
+    * partition-order drift the round-4 contract cannot absorb in
+    * general; the integer-sums form needs no such luck. One
+    * partial-aggregable exchange to |status| rows.
+    */
+  private def aggMoments(s: SparkSession, dir: String): DataFrame =
+    momentsCore(Tables.orders(s, dir))
+
+  def momentsCore(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderstatus").as("status"),
+        expr("CAST(floor(o_totalprice / 1000) AS BIGINT)").as("v"))
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        sum(col("v") * col("v") * col("v")).as("s3"),
+        sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+      .selectExpr("status", "n",
+        // m_k = k-th raw moment; central-moment identities inline so the
+        // operand sequence is the oracle text verbatim
+        "round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_k",
+        """round(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          | - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS var_k""".stripMargin,
+        """round(
+          | (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+          |  - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+          |  + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+          | / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+          |    * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))), 4) AS skew""".stripMargin,
+        """round(
+          | (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+          |  - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |        * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+          |  + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+          |  - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+          | / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+          |    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) - 3.0, 4)
+          | AS kurt_excess""".stripMargin)
+      .orderBy(col("status"))
+
   /** Exact quartiles per group via the exact `percentile` aggregate
     * (collects the group — fine for bounded group counts; the 100 TB
     * twin is approx_percentile, excluded from the oracle because its
@@ -415,6 +482,7 @@ object AggQueries extends QueryPack {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_pivot"         -> (aggPivot _),
     "agg_stats"         -> (aggStats _),
+    "agg_moments"       -> (aggMoments _),
     "agg_median"        -> (aggMedian _),
     "agg_histogram"     -> (aggHistogram _),
     "agg_regression"    -> (aggRegression _))
@@ -621,6 +689,59 @@ object AggQueries extends QueryPack {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // PORTABLE: exact integer power sums, then one identical double
+    // operand sequence per shape statistic (the engines' own
+    // skewness/kurtosis are one-pass float merges — not hash-stable)
+    "agg_moments" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(floor(o_totalprice / 1000) AS BIGINT) AS v
+        |  FROM orders),
+        |s AS (
+        |  SELECT status, count(*) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s1,
+        |    CAST(sum(v * v) AS BIGINT) AS s2,
+        |    CAST(sum(v * v * v) AS BIGINT) AS s3,
+        |    CAST(sum(v * v * v * v) AS BIGINT) AS s4
+        |  FROM b GROUP BY status)
+        |SELECT status, n,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_k,
+        |  round(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |   - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS var_k,
+        |  round(
+        |   (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |   / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))), 4) AS skew,
+        |  round(
+        |   (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |   / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) - 3.0, 4)
+        |   AS kurt_excess
+        |FROM s
+        |ORDER BY status""".stripMargin,
     "agg_median" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 4) AS q25,

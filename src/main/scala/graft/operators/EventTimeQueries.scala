@@ -414,7 +414,54 @@ object EventTimeQueries extends QueryPack {
           .as("psi_term"))
   }
 
+  /** Cumulative-unique-users growth curve — per day: new users (first
+    * ever touch that day), the running total of distinct users seen so
+    * far, and that day's active count. The classic growth-analytics
+    * question ("how fast is the distinct-user universe growing?") whose
+    * naive form — count(DISTINCT user) OVER (ORDER BY day) — Spark
+    * rejects outright and other engines execute as an O(days × users)
+    * re-scan.
+    *
+    * The scale decomposition: cumulative distinct = running sum of
+    * FIRST TOUCHES, because each user enters the universe exactly once.
+    * One explicit hash(user_id) edge carries the fact ONCE (it serves
+    * both the (user, day) dedup — subset-key clustering — and the
+    * per-user first-touch window); the day rollup partial-aggregates to
+    * ≤ |days| rows per partition before its exchange, and the running
+    * sum windows over the calendar-bounded day table (the
+    * histogram-family posture — never corpus rows).
+    */
+  private def evtCumulativeUniques(s: SparkSession, dir: String): DataFrame =
+    cumulativeUniquesCore(Tables.events(s, dir)).orderBy(col("day"))
+
+  def cumulativeUniquesCore(events: DataFrame): DataFrame = {
+    // explicit hash(user_id) BEFORE the (user, day) dedup: the subset
+    // key satisfies the dedup aggregate's clustering AND the per-user
+    // first-touch window above it, so the fact crosses ONE wide edge
+    // (a groupBy(user, day) would shuffle on BOTH columns and the
+    // window would re-shuffle everything on user alone)
+    val userDays = events
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      .repartition(col("user_id"))
+      .dropDuplicates("user_id", "day")
+    val flagged = userDays
+      .withColumn("first_day", min(col("day")).over(Window.partitionBy("user_id")))
+    val daily = flagged
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+        count(lit(1)).as("active_users"))
+    daily
+      .withColumn("cum_unique_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("new_users"), col("active_users"),
+        col("cum_unique_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_cumulative_uniques" -> (evtCumulativeUniques _),
     "evt_drift_psi" -> (evtDriftPsi _),
     "evt_path_trigram" -> (evtPathTrigram _),
     "evt_cohort_matrix" -> (evtCohortMatrix _),
@@ -430,6 +477,26 @@ object EventTimeQueries extends QueryPack {
     "evt_rolling_active" -> (evtRollingActive _))
 
   val oracle: Map[String, String] = Map(
+    // first-touch decomposition restated: distinct (user, day), per-user
+    // min day, day rollup, running sum over the day table
+    "evt_cumulative_uniques" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS first_day
+        |  FROM ud),
+        |d AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |    CAST(count(*) AS BIGINT) AS active_users
+        |  FROM f GROUP BY day)
+        |SELECT day, new_users, active_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_unique_users
+        |FROM d
+        |ORDER BY day""".stripMargin,
     // PSI restated literally: same fixed integer-cents grid, same
     // Laplace-smoothed exact-integer ratios into one ln per bin
     "evt_drift_psi" ->

@@ -385,12 +385,18 @@ object PipelineQueries extends QueryPack {
     val tok = docs
       .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
-    val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    // r9: explicit hash(word) BEFORE the tf count — the subset key
+    // satisfies the (doc, word) aggregate's clustering AND the df
+    // window, so the token stream crosses ONE wide edge, not two (the
+    // unigram/bigram discipline; the trade is the count's map-side
+    // partial phase, worth little when (doc, word) is near-unique)
+    val tf = tok.repartition(col("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     // df from tf, not from a second distinct over the raw tokens: tf is
     // already one row per (doc, word), so counting rows per word IS the
-    // document frequency. r8: df is a count WINDOW over word on tf (one
-    // word exchange) instead of agg-then-rejoin (which planned an extra
-    // exchange per side) — the boilerplate window-over-counts shape
+    // document frequency. r8: df is a count WINDOW over word on tf
+    // instead of agg-then-rejoin (which planned an extra exchange per
+    // side) — the boilerplate window-over-counts shape
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("word")))

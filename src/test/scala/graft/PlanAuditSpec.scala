@@ -668,6 +668,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("text_tfidf_top: ONE word exchange feeds the tf count AND the df window") {
+    // r9: same discipline as unigram/bigram — the explicit hash(word)
+    // repartition serves both the (doc, word) aggregate (subset key)
+    // and the document-frequency window, so the token stream crosses
+    // one wide edge before TakeOrdered
+    val p = finalPlanSection(plan("text_tfidf_top"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"the word repartition is the only hash Exchange, got $exchanges: ${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+    assert(!p.contains("SortMergeJoin"),
+      s"df rides the window, never a rejoin: ${p.take(600)}")
+  }
+
+  test("evt_cumulative_uniques: the fact crosses ONE user edge; day table windows tiny") {
+    // hash(user_id) serves the (user, day) dedup AND the first-touch
+    // window; the day rollup partial-aggregates before its (tiny)
+    // exchange; the running sum's SinglePartition window holds ≤ |days|
+    // calendar rows, never corpus rows
+    val p = finalPlanSection(plan("evt_cumulative_uniques"))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2,
+      s"user repartition + day rollup only, got $hashExchanges: ${p.take(800)}")
+    assert(p.contains("partial_"), "day counts must partial-aggregate map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"first-touch is a window, never a rejoin: ${p.take(600)}")
+  }
+
   test("evt_drift_psi: one events scan, one ≤10-row bin aggregate") {
     // ref/cur split folds into conditional aggregates — a two-scan
     // union would double the 100 TB read

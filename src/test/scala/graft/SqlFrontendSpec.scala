@@ -49,7 +49,7 @@ class SqlFrontendSpec extends SparkSpec {
     "complex_revenue_deciles", "sample_interleave", "join_skew_salted",
     "evt_path_trigram", "agg_robust_outliers", "agg_weighted_median",
     "dedup_stats", "sample_balanced", "etl_merge", "quality_profile",
-    "quality_expectations")
+    "quality_expectations", "agg_moments")
 
   private def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
