@@ -324,6 +324,74 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame")
   }
 
+  /** 64-bit average-hash (aHash) of an image payload — the perceptual
+    * fingerprint that joins the MULTIMODAL surface to the DEDUP family:
+    * re-encodes (PPM↔BMP) and integer-factor nearest-neighbor rescales
+    * of the same picture collide, so grouping by the hash finds image
+    * duplicates without comparing pixels pairwise. All-integer
+    * pipeline: sample an 8×8 grid (floor mapping, the resize kernel),
+    * integer luma (77r+150g+29b)>>8, threshold at the integer mean,
+    * pack 64 bits row-major. Determinism notes: the nested floor
+    * identity ⌊⌊a/k⌋/m⌋=⌊a/km⌋ makes the hash EXACTLY invariant under
+    * integer-factor NN rescale (spec-pinned), and a uniform brightness
+    * shift moves pixels and mean together, flipping no bit.
+    */
+  def aHash64(payload: Array[Byte]): Long = {
+    val (w, h, c, px) = rasterOf(payload)
+    val g = new Array[Long](64)
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val sx = x * w / 8
+        val at = (sy * w + sx) * c
+        g(y * 8 + x) =
+          if (c == 1) (px(at) & 0xff).toLong
+          else ((px(at) & 0xff) * 77L + (px(at + 1) & 0xff) * 150L +
+            (px(at + 2) & 0xff) * 29L) >> 8
+        x += 1
+      }
+      y += 1
+    }
+    val mean = g.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (g(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  case class ImageHash(media_id: Long, ahash: Long)
+
+  /** Per-image perceptual hashes — same one-init-per-partition batch
+    * shape as decode; the shuffle after this carries (id, 8-byte hash),
+    * never pixels, which is the whole point at 100 TB.
+    */
+  def imageHashes(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "image").map(r => ImageHash(r.media_id, aHash64(r.payload)))
+    }
+  }
+
+  /** Image dedup by perceptual hash: one row per DUPLICATED fingerprint
+    * with the deterministic survivor (min id) and the sorted member
+    * list. One hash aggregate over 8-byte keys — the dedup_exact plan
+    * shape applied to pictures.
+    */
+  def dedupImages(media: Dataset[MediaRecord]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    imageHashes(media).toDF()
+      .groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("survivor_id"),
+        count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col("media_id"))).as("member_ids"))
+      .filter(col("n_copies") > 1)
+  }
+
   /** Deterministic pseudo-random bytes seeded by media_id (LCG) — the
     * pixel/sample content of the synthetic corpus.
     */

@@ -109,6 +109,31 @@ object EventStreams {
       .select(col("window.start").as("bar_start"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
 
+  /** Streaming expectation-suite monitor — the live face of the batch
+    * `quality_expectations` key: per event-time tumbling window, one row
+    * of rule-violation counts (value range, type set membership, user-id
+    * sanity) an admission controller alerts on. Pure built-in windowed
+    * aggregation — the sum(CASE) battery merges incrementally, so no
+    * custom state is needed; append mode emits each window's verdict
+    * exactly once when the watermark seals it, and state is one count
+    * row per OPEN window.
+    */
+  def expectationWindows(events: DataFrame, windowLen: String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") <= 0.0 || col("value") > 500.0, 1L)
+          .otherwise(0L)).as("n_value_out_of_range"),
+        sum(when(!col("event_type").isin("click", "view", "purchase",
+          "signup", "error"), 1L).otherwise(0L)).as("n_type_invalid"),
+        sum(when(col("user_id").isNull || col("user_id") < 0L, 1L)
+          .otherwise(0L)).as("n_bad_user"))
+      .select(col("w.start").as("wstart"), col("n_rows"),
+        col("n_value_out_of_range"), col("n_type_invalid"), col("n_bad_user"))
+
   /** Custom stateful operator: running per-user totals via
     * flatMapGroupsWithState — the escape hatch when built-in windows
     * can't express the state machine (SURVEY.md §2.8).

@@ -33,6 +33,26 @@ class StreamingSpec extends SparkSpec {
       s"10:00 click window should close with 2 events: ${out.mkString(";")}")
   }
 
+  test("expectation monitor reports per-window violation counts exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    input.addData(
+      StreamEvent(1, ts(5), 1, "click", 10.0),        // clean
+      StreamEvent(2, ts(10), 2, "teleport", 20.0),    // bad type
+      StreamEvent(3, ts(15), -7, "view", 30.0),       // bad user
+      StreamEvent(4, ts(20), 3, "view", 0.0),         // value out of range
+      StreamEvent(5, ts(25), 4, "purchase", 900.0))   // value out of range
+    input.addData(StreamEvent(9, Timestamp.valueOf("2024-01-01 12:30:00"), 1, "click", 4.0))
+    runToMemory(EventStreams.expectationWindows(input.toDF()), "expect_win")
+    val out = spark.table("expect_win").collect()
+      .filter(_.getTimestamp(0) == Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(out.length == 1, s"10:00 verdict emitted exactly once: ${out.mkString(";")}")
+    val r = out.head
+    assert(r.getLong(1) == 5 && r.getLong(2) == 2 && r.getLong(3) == 1 &&
+      r.getLong(4) == 1, s"violation counts: $r")
+  }
+
   test("ohlc stream: out-of-order arrivals still open/close in event-time order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
