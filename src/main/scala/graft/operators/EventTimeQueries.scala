@@ -391,8 +391,11 @@ object EventTimeQueries extends QueryPack {
   private def evtDriftPsi(s: SparkSession, dir: String): DataFrame =
     driftPsiCore(Tables.events(s, dir)).orderBy(col("bin"))
 
-  def driftPsiCore(events: DataFrame): DataFrame = {
-    val splitNs = 1705363200L * 1000000000L // 2024-01-16 00:00 UTC
+  /** @param splitNs reference/live boundary (ns epoch) — the oracle key
+    *                 pins mid-corpus; a production monitor passes its
+    *                 own training-window edge */
+  def driftPsiCore(events: DataFrame,
+                   splitNs: Long = 1705363200L * 1000000000L): DataFrame = {
     val binned = events.select(
       expr("least(9L, (cast(round(value * 100) as bigint) * 10) div 50000)")
         .as("bin"),
