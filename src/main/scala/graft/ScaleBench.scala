@@ -742,6 +742,12 @@ object ScaleBench {
         operators.AggQueries.momentsCore(ordersK)
           .filter(col("kurt_excess") > -1e9).count()
       },
+      // IVF probe at 20k vectors: one broadcast artifact row + one scan
+      // with in-row assignment/cut — should stay near the kmeans-assign
+      // curve (broadcast shape, no exchange before the top-k).
+      t("ivf_topk_20k_vecs") {
+        operators.PipelineQueries.ivfTopkCore(embeddings).count()
+      },
       // PSI drift monitor at 1M events: one scan into a ≤10-row bin agg —
       // should track the scan floor, never the corpus.
       t("drift_psi_1m") {

@@ -938,6 +938,49 @@ object SqlTwins {
         |  sum(CAST(round(d2 * 10000) AS BIGINT)) AS d2_sum_4dp
         |FROM assigned WHERE rn = 1
         |GROUP BY cid ORDER BY cid""".stripMargin,
+    "sim_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 8),
+        |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+        |pd AS (
+        |  SELECT cid,
+        |    aggregate(zip_with(p, c,
+        |      (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        |      CAST(0.0 AS DOUBLE), (s, v) -> s + v) AS d2
+        |  FROM probe CROSS JOIN cents),
+        |pc AS (SELECT cid FROM pd ORDER BY d2 ASC, cid ASC LIMIT 2),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    aggregate(zip_with(e.embedding, c.c,
+        |      (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        |      CAST(0.0 AS DOUBLE), (s, v) -> s + v) AS d2
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |  FROM scored),
+        |cand AS (
+        |  SELECT a.vec_id, a.cid AS cluster_id
+        |  FROM assigned a JOIN pc ON a.cid = pc.cid
+        |  WHERE a.rn = 1),
+        |ranked AS (
+        |  SELECT cand.vec_id, cluster_id,
+        |    aggregate(zip_with(e.embedding, p,
+        |      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |      CAST(0.0 AS DOUBLE), (s, x) -> s + x)
+        |    / (sqrt(aggregate(zip_with(e.embedding, e.embedding,
+        |         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |         CAST(0.0 AS DOUBLE), (s, x) -> s + x))
+        |       * sqrt(aggregate(zip_with(p, p,
+        |         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |         CAST(0.0 AS DOUBLE), (s, x) -> s + x))) AS cos
+        |  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id CROSS JOIN probe)
+        |SELECT vec_id, cluster_id, round(cos, 4) AS sim
+        |FROM ranked
+        |ORDER BY cos DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
     "sim_kmeans_update" ->
       """WITH cents AS (
         |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 8),

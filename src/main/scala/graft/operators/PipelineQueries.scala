@@ -319,6 +319,57 @@ object PipelineQueries extends QueryPack {
   private def simKmeansAssign(s: SparkSession, dir: String): DataFrame =
     kmeansAssignCore(Tables.embeddings(s, dir))
 
+  /** IVF probe certified END-TO-END as an oracle relation — the
+    * partition-pruned ANN search whose index pieces were previously
+    * spec-only (pipeline/IvfIndex): nprobe=2 nearest centroids of the
+    * probe vector, candidate set = vectors ASSIGNED to those clusters
+    * (the `sim_kmeans_assign` argmin), exact cosine top-10 within the
+    * candidates. DuckDB replays the same three stages, so the hash
+    * compare certifies the pruning ALGEBRA (assignment + cluster cut +
+    * in-cluster rank), not just the arithmetic.
+    *
+    * Scale shape: both probe artifacts (its 2 cluster ids, its vector)
+    * are 1-row broadcasts; assignment + membership filter + cosine all
+    * ride ONE corpus scan with in-row argmin (no exchange until
+    * TakeOrdered) — at 100 TB the filter is what IVF exists for: only
+    * the probed clusters' rows survive past the scan. Ranking is on the
+    * RAW fold cosine (bit-identical cross-engine), display rounds once;
+    * ties break on vec_id.
+    */
+  private def simIvfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfTopkCore(Tables.embeddings(s, dir))
+
+  def ivfTopkCore(emb: DataFrame): DataFrame = {
+    val distSq = graft.functions.GraftFunctions.vectorDistSq _
+    // ONE broadcast row carries centroids AND the probe vector (one
+    // filtered scan, one aggregate — collect_list drops the null arms);
+    // the probe's nprobe=2 cluster ids then resolve IN-ROW on the main
+    // scan (8 extra distances per row against a serial chain of
+    // broadcast jobs — the constant loses to the job floor by 2×)
+    val art = emb.filter(col("vec_id") < 8 || col("vec_id") === 0)
+      .agg(
+        collect_list(when(col("vec_id") < 8,
+          struct(col("vec_id").as("cid"), col("embedding").as("c")))).as("cands"),
+        max(when(col("vec_id") === 0, col("embedding"))).as("p"))
+    emb.crossJoin(broadcast(art))
+      .withColumn("best", array_min(transform(col("cands"), cc => struct(
+        distSq(col("embedding"), cc.getField("c")).as("d2"),
+        cc.getField("cid").as("cid")))))
+      .withColumn("pcids", transform(
+        slice(array_sort(transform(col("cands"), cc => struct(
+          distSq(col("p"), cc.getField("c")).as("d2"),
+          cc.getField("cid").as("cid")))), 1, 2),
+        x => x.getField("cid")))
+      .filter(array_contains(col("pcids"), col("best.cid")))
+      .withColumn("cos",
+        dot(col("embedding"), col("p")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("p"), col("p")))))
+      .select(col("vec_id"), col("best.cid").as("cluster_id"), col("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("cluster_id"), round(col("cos"), 4).as("sim"))
+  }
+
   /** K-means UPDATE step (the other half of a Lloyd iteration, same
     * certified-arithmetic discipline as `sim_kmeans_assign`): per
     * cluster, the component-wise sum of member vectors — the new
@@ -466,6 +517,7 @@ object PipelineQueries extends QueryPack {
     "sim_label_centroid" -> (simLabelCentroid _),
     "sim_kmeans_assign"  -> (simKmeansAssign _),
     "sim_kmeans_update"  -> (simKmeansUpdate _),
+    "sim_ivf_topk"       -> (simIvfTopk _),
     "text_lang_stats"    -> (textLangStats _),
     "text_tfidf_top"     -> (textTfidfTop _))
 
@@ -677,6 +729,49 @@ object PipelineQueries extends QueryPack {
         |SELECT CAST(norms.label AS BIGINT) AS label, n_vecs, centroid_norm
         |FROM norms JOIN counts ON norms.label = counts.label
         |ORDER BY label""".stripMargin,
+    // IVF probe restated in three stages: probe→2 nearest centroids,
+    // argmin assignment, exact cosine top-10 inside the probed clusters;
+    // ranking on the RAW fold cosine, display rounds once
+    "sim_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 8),
+        |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+        |pd AS (
+        |  SELECT cid,
+        |    list_reduce(list_transform(list_zip(p, c),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (s, v) -> s + v) AS d2
+        |  FROM probe, cents),
+        |pc AS (SELECT cid FROM pd ORDER BY d2 ASC, cid ASC LIMIT 2),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(list_zip(e.embedding, c.c),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (s, v) -> s + v) AS d2
+        |  FROM embeddings e, cents c),
+        |assigned AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |  FROM scored),
+        |cand AS (
+        |  SELECT a.vec_id, a.cid AS cluster_id
+        |  FROM assigned a JOIN pc ON a.cid = pc.cid
+        |  WHERE a.rn = 1),
+        |ranked AS (
+        |  SELECT cand.vec_id, cluster_id,
+        |    list_reduce(list_transform(list_zip(e.embedding, p),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x)
+        |    / (sqrt(list_reduce(list_transform(list_zip(e.embedding, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x))
+        |       * sqrt(list_reduce(list_transform(list_zip(p, p),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x))) AS cos
+        |  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, probe)
+        |SELECT vec_id, cluster_id, round(cos, 4) AS sim
+        |FROM ranked
+        |ORDER BY cos DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
     "sim_kmeans_assign" ->
       """WITH cents AS (
         |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 8),

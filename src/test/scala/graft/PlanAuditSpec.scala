@@ -668,6 +668,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("sim_ivf_topk: one broadcast artifact row, zero hash exchanges before TakeOrdered") {
+    // centroids + probe ride ONE 1-row broadcast; assignment, the
+    // probe's nprobe-cluster cut, and the cosine all resolve in-row on
+    // one corpus scan — the IVF probe's whole point is that nothing
+    // shuffles until the bounded top-k
+    val p = finalPlanSection(plan("sim_ivf_topk"))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 0,
+      s"nothing may shuffle before TakeOrdered, got $hashExchanges: ${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+    assert(!p.contains("CartesianProduct"),
+      s"the artifact row must broadcast: ${p.take(600)}")
+    assert(p.contains("vector_dist_sq"), "distances through the codegen'd VectorDistSq")
+  }
+
   test("text_tfidf_top: ONE word exchange feeds the tf count AND the df window") {
     // r9: same discipline as unigram/bigram — the explicit hash(word)
     // repartition serves both the (doc, word) aggregate (subset key)
