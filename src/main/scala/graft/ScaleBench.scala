@@ -717,6 +717,19 @@ object ScaleBench {
         pipeline.Bpe.applyMerges(documents, "text", "doc_id", merges)
           .agg(sum(col("n_bpe_tokens"))).head.getLong(0)
       },
+      // the FULL training-data assembly path at 10×: learn a tokenizer
+      // (driver-local over the vocab table), tokenize the corpus through
+      // the native BpeEncode, then pack the real token counts into
+      // 2048-token sequences with the chunked (scale-path) packer —
+      // corpus scan → token counts → chunk-local fold → tiny offsets.
+      t("bpe_tokenize_pack_50k_docs") {
+        val merges = pipeline.Bpe.learnLocal(documents, "text", 64)
+        val counted = pipeline.Bpe.applyMerges(documents, "text", "doc_id", merges)
+          .join(documents.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+        pipeline.Packing.packChunked(counted, budget = 2048L, chunkSize = 1000L)
+          .count()
+      },
       // the production trainer shape at 10×: one vocab job, then 256
       // merges driver-local over the types table — the 100 TB plan
       // (one-cluster-job-per-merge is a job-launch bound, not a data
