@@ -49,4 +49,74 @@ object Derived {
 
   /** Knots → meters/second. */
   def knToMs(kn: Column): Column = kn * lit(0.514444)
+
+  /** A boat polar: target boat speed (kn) on a (TWS, |TWA|) grid.
+    * `targets(i)(j)` pairs with `twsLevels(i)` × `twaLevels(j)`; both
+    * level axes must be strictly increasing. The default is a generic
+    * 35-foot-keelboat-shaped polar (public-knowledge curve shape): slow
+    * close-hauled, fastest reaching, slightly off downwind.
+    */
+  final case class Polar(twsLevels: Seq[Double], twaLevels: Seq[Double],
+                         targets: Seq[Seq[Double]]) {
+    require(twsLevels.size == targets.size &&
+      targets.forall(_.size == twaLevels.size), "polar grid shape mismatch")
+    require(twsLevels.sliding(2).forall(p => p.size < 2 || p(0) < p(1)) &&
+      twaLevels.sliding(2).forall(p => p.size < 2 || p(0) < p(1)),
+      "polar axes must be strictly increasing")
+  }
+
+  val defaultPolar: Polar = Polar(
+    twsLevels = Seq(6.0, 8.0, 10.0, 12.0, 16.0, 20.0),
+    twaLevels = Seq(40.0, 52.0, 60.0, 75.0, 90.0, 110.0, 120.0, 135.0, 150.0, 165.0),
+    targets = Seq(
+      Seq(3.9, 4.6, 4.9, 5.2, 5.4, 5.5, 5.4, 5.0, 4.4, 3.9),
+      Seq(4.7, 5.4, 5.7, 6.0, 6.2, 6.3, 6.2, 5.8, 5.2, 4.6),
+      Seq(5.2, 5.9, 6.2, 6.5, 6.7, 6.9, 6.8, 6.4, 5.9, 5.3),
+      Seq(5.5, 6.2, 6.5, 6.8, 7.0, 7.3, 7.2, 6.9, 6.4, 5.8),
+      Seq(5.8, 6.5, 6.8, 7.2, 7.5, 7.9, 8.0, 7.8, 7.3, 6.7),
+      Seq(5.9, 6.6, 7.0, 7.4, 7.8, 8.4, 8.6, 8.5, 8.1, 7.5)))
+
+  /** Clamped index of the last level ≤ x, as a 1-based array position
+    * capped so a bracket [i, i+1] always exists (outside-range inputs
+    * clamp to the edge cells — the standard polar-table convention).
+    */
+  private def bracketLo(levels: Seq[Double], x: Column): Column =
+    greatest(lit(1), least(lit(levels.size - 1),
+      size(filter(typedlit(levels), l => l <= x))))
+
+  /** Linear fraction of x inside [levels(lo), levels(lo+1)], clamped to
+    * [0, 1] so out-of-range inputs hold the edge value.
+    */
+  private def frac(levels: Seq[Double], lo: Column, x: Column): Column = {
+    val a = element_at(typedlit(levels), lo)
+    val b = element_at(typedlit(levels), lo + 1)
+    greatest(lit(0.0), least(lit(1.0), (x - a) / (b - a)))
+  }
+
+  /** Target boat speed off the polar by BILINEAR interpolation over
+    * (TWS, |TWA|) — the performance baseline every sailing-analytics
+    * pipeline compares real boatspeed against. Pure Column arithmetic
+    * over literal arrays (codegen'd, no UDF, deterministic): bracket
+    * each axis, interpolate the two TWA cuts at the bracketing TWS
+    * rows, then interpolate between rows. Inputs outside the grid clamp
+    * to the edge (polar-table convention).
+    */
+  def polarTarget(twsKn: Column, twaDeg: Column,
+                  polar: Polar = defaultPolar): Column = {
+    val twaAbs = abs(twaDeg)
+    val i = bracketLo(polar.twsLevels, twsKn)
+    val j = bracketLo(polar.twaLevels, twaAbs)
+    val fi = frac(polar.twsLevels, i, twsKn)
+    val fj = frac(polar.twaLevels, j, twaAbs)
+    val m = typedlit(polar.targets)
+    def cell(r: Column, c: Column) = element_at(element_at(m, r), c)
+    val lo = cell(i, j) * (lit(1.0) - fj) + cell(i, j + 1) * fj
+    val hi = cell(i + 1, j) * (lit(1.0) - fj) + cell(i + 1, j + 1) * fj
+    lo * (lit(1.0) - fi) + hi * fi
+  }
+
+  /** Percent-of-polar performance: real boatspeed over target. */
+  def polarPerformance(bsKn: Column, twsKn: Column, twaDeg: Column,
+                       polar: Polar = defaultPolar): Column =
+    bsKn / polarTarget(twsKn, twaDeg, polar)
 }

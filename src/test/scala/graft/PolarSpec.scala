@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.marine.Derived
+
+/** Polar performance targets: bilinear interpolation over the (TWS,
+  * |TWA|) grid — exact at grid points, arithmetic means at midpoints,
+  * edge-clamped outside the grid, sign-blind in TWA.
+  */
+class PolarSpec extends SparkSpec {
+
+  private val polar = Derived.defaultPolar
+
+  private def target(tws: Double, twa: Double): Double = {
+    import spark.implicits._
+    Seq((tws, twa)).toDF("tws", "twa")
+      .select(Derived.polarTarget(col("tws"), col("twa")).as("t"))
+      .head().getDouble(0)
+  }
+
+  test("grid points return exactly the table target") {
+    for (i <- polar.twsLevels.indices; j <- polar.twaLevels.indices) {
+      val got = target(polar.twsLevels(i), polar.twaLevels(j))
+      assert(math.abs(got - polar.targets(i)(j)) < 1e-12,
+        s"(${polar.twsLevels(i)}, ${polar.twaLevels(j)}): $got != ${polar.targets(i)(j)}")
+    }
+  }
+
+  test("axis midpoints interpolate to arithmetic means; interior points bilinear") {
+    // midpoint along TWA at a grid TWS row
+    val mTwa = target(10.0, (52.0 + 60.0) / 2)
+    assert(math.abs(mTwa - (5.9 + 6.2) / 2) < 1e-12, s"twa midpoint $mTwa")
+    // midpoint along TWS at a grid TWA column
+    val mTws = target((10.0 + 12.0) / 2, 90.0)
+    assert(math.abs(mTws - (6.7 + 7.0) / 2) < 1e-12, s"tws midpoint $mTws")
+    // center of a cell = mean of its four corners
+    val c = target(11.0, 56.0)
+    assert(math.abs(c - (5.9 + 6.2 + 6.2 + 6.5) / 4) < 1e-12, s"cell center $c")
+  }
+
+  test("inputs outside the grid clamp to the edge; TWA sign is ignored") {
+    assert(math.abs(target(4.0, 40.0) - 3.9) < 1e-12, "below wind range clamps")
+    assert(math.abs(target(30.0, 120.0) - 8.6) < 1e-12, "above wind range clamps")
+    assert(math.abs(target(10.0, 20.0) - 5.2) < 1e-12, "pinching clamps to 40deg col")
+    assert(math.abs(target(10.0, 178.0) - 5.3) < 1e-12, "dead run clamps to 165deg col")
+    assert(target(9.0, -75.0) == target(9.0, 75.0), "port tack mirrors starboard")
+  }
+
+  test("polarPerformance is boatspeed over the interpolated target") {
+    import spark.implicits._
+    val r = Seq((6.2, 10.0, 60.0)).toDF("bs", "tws", "twa")
+      .select(Derived.polarPerformance(col("bs"), col("tws"), col("twa")).as("perf"))
+      .head().getDouble(0)
+    assert(math.abs(r - 6.2 / 6.2) < 1e-12, s"perf $r")
+  }
+}
