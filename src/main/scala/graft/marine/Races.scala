@@ -95,6 +95,31 @@ object Races {
       .orderBy(grp.map(col): _*)
   }
 
+  /** Per-race polar-performance summary (SURVEY.md §2.10 polar_targets'
+    * race-level rollup): each sample's boatspeed against its bilinear
+    * polar target, aggregated per race — average and best percent of
+    * polar plus the share of samples sailed at ≥ 90% (the number a
+    * coach actually reads). One scan-level expression per sample, one
+    * keyed aggregate — the race_stats plan shape.
+    */
+  def performanceByKey(races: DataFrame, keys: Seq[String],
+                       polar: Derived.Polar = Derived.defaultPolar): DataFrame = {
+    val grp = keys :+ "race_id"
+    races
+      .withColumn("perf",
+        Derived.polarPerformance(col("sog"), col("tws"), col("twa"), polar))
+      .groupBy(grp.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_samples"),
+        round(avg("perf") * 100, 1).as("avg_pct_polar"),
+        round(max("perf") * 100, 1).as("best_pct_polar"),
+        round(sum(when(col("perf") >= 0.9, 1L).otherwise(0L)) * 100.0 /
+          count(lit(1)), 1).as("pct_samples_above_90"))
+      .orderBy(grp.map(col): _*)
+  }
+
+  def performance(races: DataFrame): DataFrame = performanceByKey(races, Nil)
+
   /** Replay JSON export (SURVEY.md §2.10 replay_export): one nested doc
     * per race — meta + ordered sample array — ready for
     * `.write.json(...)`. sort_array on (ts, struct) keeps the sample

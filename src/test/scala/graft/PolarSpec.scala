@@ -46,6 +46,24 @@ class PolarSpec extends SparkSpec {
     assert(target(9.0, -75.0) == target(9.0, 75.0), "port tack mirrors starboard")
   }
 
+  test("per-race performance rollup reads exactly the planted polar ratios") {
+    import spark.implicits._
+    // race 1: five samples dead on polar at grid points; race 2: half speed
+    val onPolar = Seq((10.0, 60.0, 6.2), (12.0, 75.0, 6.8), (8.0, 90.0, 6.2),
+      (16.0, 110.0, 7.9), (6.0, 135.0, 5.0))
+    val samples =
+      onPolar.zipWithIndex.map { case ((tws, twa, bs), i) =>
+        (1L, i.toLong * 10, tws, twa, bs) } ++
+      onPolar.zipWithIndex.map { case ((tws, twa, bs), i) =>
+        (2L, i.toLong * 10, tws, twa, bs / 2) }
+    val df = samples.toDF("race_id", "ts", "tws", "twa", "sog")
+    val got = graft.marine.Races.performance(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((5L, 100.0, 100.0, 100.0)), s"on-polar race: ${got(1L)}")
+    assert(got(2L) == ((5L, 50.0, 50.0, 0.0)), s"half-speed race: ${got(2L)}")
+  }
+
   test("polarPerformance is boatspeed over the interpolated target") {
     import spark.implicits._
     val r = Seq((6.2, 10.0, 60.0)).toDF("bs", "tws", "twa")
