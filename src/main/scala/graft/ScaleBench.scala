@@ -853,6 +853,19 @@ object ScaleBench {
         marine.Races.replayDocsByKey(races, Seq("boat_id"),
           Seq("lat", "lon", "sog", "tws", "twa", "vmg")).count()
       },
+      // fleet polar-performance rollup (r9): the coach's number over the
+      // same fleet corpus — derive channels, split races, score every
+      // fix against the bilinear polar target, roll up per (boat, race).
+      // Pure scan-level arithmetic on top of the fleet pipeline's one
+      // (boat, race) aggregate; expect ≈ the fleet row's envelope.
+      t(s"fleet_polar_perf_${copies * 400000L / 1000}k_lines") {
+        val fleetDir = ensureFleet(s"$out/fleet", copies * 40000L)
+        val wide = marine.Marine.wideTableByKey(
+          marine.Marine.readFleet(spark, fleetDir), Seq("boat_id"))
+        val races = marine.Races.splitByKey(
+          wide.filter(col("lat").isNotNull), Seq("boat_id"))
+        marine.Races.performanceByKey(races, Seq("boat_id")).count()
+      },
       // streaming NMEA ingest rate: the live-boat pipeline (file-source
       // tail → the SAME parse expressions as batch → watermarked
       // per-minute speed aggregates) over the SAME fleet corpus as the
