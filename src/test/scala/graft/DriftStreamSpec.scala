@@ -85,6 +85,26 @@ class DriftStreamSpec extends SparkSpec {
     }
   }
 
+  test("sealed windows evict their state — retained rows = open windows only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = DriftStream.psiWindows(input.toDS(), ref, winSec)
+      .writeStream.format("memory").queryName("drift_state")
+      .outputMode("append").start()
+    input.addData(corpus)
+    q.processAllAvailable()
+    input.addData(farFuture)
+    q.processAllAvailable()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    q.stop()
+    // the three corpus windows sealed and REMOVED their rows; only the
+    // far-future sealer's own window remains open
+    assert(stateRows == 1L,
+      s"sealed windows must evict — retained state rows: $stateRows")
+  }
+
   test("reports are invariant to batch splits and out-of-order arrival inside the horizon") {
     val rnd = new scala.util.Random(17)
     val whole = runStream(Seq(corpus), "drift_whole")
