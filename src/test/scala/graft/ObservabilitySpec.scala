@@ -49,6 +49,34 @@ class ObservabilitySpec extends SparkSpec {
     assert(rows("prio_or_null") == (3L, 1L, 2L, "1-URGENT", "2-HIGH"))
   }
 
+  test("cumulative-uniques first-touch decomposition equals brute distinct counting") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random sparse activity: 60 users × up to 8 active days over a month
+    val events = (1L to 60L).flatMap { u =>
+      (1 to 1 + rnd.nextInt(8)).map { _ =>
+        val day = rnd.nextInt(30).toLong
+        (u, day * 86400000000000L + rnd.nextInt(1000000) * 1000L)
+      }
+    }
+    val df = events.toDF("user_id", "ts")
+    val got = graft.operators.EventTimeQueries.cumulativeUniquesCore(df)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute: per day, distinct users that day; cumulative = distinct
+    // users over ALL days ≤ d — the definition, not the decomposition
+    val byDay = events.map { case (u, ts) => (math.floorDiv(ts, 86400000000000L), u) }
+    val days = byDay.map(_._1).distinct.sorted
+    val exp = days.map { d =>
+      val active = byDay.filter(_._1 == d).map(_._2).distinct.size.toLong
+      val cum = byDay.filter(_._1 <= d).map(_._2).distinct.size.toLong
+      val prior = byDay.filter(_._1 < d).map(_._2).distinct.toSet
+      val fresh = byDay.filter(_._1 == d).map(_._2).distinct.count(!prior.contains(_)).toLong
+      (d, fresh, active, cum)
+    }
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+  }
+
   test("momentsCore shape statistics match a driver-side replay on random groups") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
