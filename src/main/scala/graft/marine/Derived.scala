@@ -119,4 +119,34 @@ object Derived {
   def polarPerformance(bsKn: Column, twsKn: Column, twaDeg: Column,
                        polar: Polar = defaultPolar): Column =
     bsKn / polarTarget(twsKn, twaDeg, polar)
+
+  /** Load a polar from the long-form grid table polars actually ship as
+    * (one row per (tws, twa) cell, e.g. a CSV export of a VPP run). The
+    * grid — hundreds of cells — collects to the driver by design: the
+    * polar is a broadcast-sized model artifact, not data. Refuses an
+    * incomplete grid loudly: a silently-missing cell would make
+    * [[polarTarget]] interpolate against the wrong neighbor.
+    */
+  def polarFromDataFrame(grid: org.apache.spark.sql.DataFrame,
+                         twsCol: String = "tws", twaCol: String = "twa",
+                         bsCol: String = "target_bs"): Polar = {
+    val cells = grid.select(col(twsCol).cast("double"),
+        col(twaCol).cast("double"), col(bsCol).cast("double"))
+      .collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getDouble(2)))
+    require(cells.nonEmpty, "empty polar grid")
+    require(cells.map(_._1).distinct.length == cells.length,
+      "duplicate (tws, twa) cells in the polar grid")
+    val byCell = cells.toMap
+    val twsLevels = cells.map(_._1._1).distinct.sorted.toSeq
+    val twaLevels = cells.map(_._1._2).distinct.sorted.toSeq
+    val missing = for {
+      t <- twsLevels; a <- twaLevels if !byCell.contains((t, a))
+    } yield (t, a)
+    require(missing.isEmpty,
+      s"polar grid incomplete — missing cells: ${missing.take(5).mkString(", ")}" +
+        (if (missing.size > 5) s" (+${missing.size - 5} more)" else ""))
+    Polar(twsLevels, twaLevels,
+      twsLevels.map(t => twaLevels.map(a => byCell((t, a)))))
+  }
 }

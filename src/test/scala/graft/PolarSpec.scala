@@ -46,6 +46,21 @@ class PolarSpec extends SparkSpec {
     assert(target(9.0, -75.0) == target(9.0, 75.0), "port tack mirrors starboard")
   }
 
+  test("polarFromDataFrame round-trips the default polar and refuses holes") {
+    import spark.implicits._
+    val long = for {
+      (t, i) <- polar.twsLevels.zipWithIndex
+      (a, j) <- polar.twaLevels.zipWithIndex
+    } yield (t, a, polar.targets(i)(j))
+    val loaded = Derived.polarFromDataFrame(long.toDF("tws", "twa", "target_bs"))
+    assert(loaded == polar, "long-form round trip must reproduce the grid")
+    val holed = long.filterNot { case (t, a, _) => t == 10.0 && a == 90.0 }
+    val e = intercept[IllegalArgumentException] {
+      Derived.polarFromDataFrame(holed.toDF("tws", "twa", "target_bs"))
+    }
+    assert(e.getMessage.contains("incomplete"), e.getMessage)
+  }
+
   test("per-race performance rollup reads exactly the planted polar ratios") {
     import spark.implicits._
     // race 1: five samples dead on polar at grid points; race 2: half speed
