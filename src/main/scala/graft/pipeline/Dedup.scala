@@ -255,25 +255,27 @@ object Dedup {
     * driver-side graph); `localCheckpoint` truncates the lineage each
     * round so the plan does not double per iteration.
     *
-    * Convergence is decided by the FIXPOINT test, not by change
-    * detection: hash-min labels are final iff every edge's two endpoints
-    * carry the same label (labels only take component-member ids and
-    * only decrease; the component minimum's label is pinned at itself,
-    * so edge-uniform labels are necessarily THE minimum). Checking that
-    * is two narrow joins of the label table against the checkpointed
-    * edge list — far cheaper than the change-detection alternative,
-    * which burns a full extra propagation round (3 joins + a
-    * checkpoint) just to observe "nothing moved". On the dense
-    * near-clique graphs dedup actually produces, one productive round +
-    * one cheap consistency probe replaces two full rounds (measured
-    * −20% on the sf0.1 components key).
+    * Convergence detection is FUSED into the round itself (no separate
+    * probe job). With symmetric edges, the labels are the fixpoint iff
+    * the neighbor-min step would change nothing: `label(s) ≤ nmin(s)`
+    * for every node s means every edge (s,d) has label(s) ≤ label(d),
+    * and the mirrored edge gives the reverse inequality, so all
+    * edge-adjacent labels are equal — exactly edge-consistency. Each
+    * round therefore (job A) computes the stepped labels with a
+    * `chg = nmin < label` flag and short-circuits on
+    * `filter(chg).isEmpty`; only when something changed does job B run
+    * the pointer jump + checkpoint, REUSING job A's shuffle files as
+    * skipped stages (same lineage, same exchanges). Versus the previous
+    * separate 2-edge-join `consistent()` probe per round: the terminal
+    * test costs ONE edge-wide join instead of two, the per-round test
+    * is free modulo the post-shuffle join recompute in B, and a
+    * fixpoint seed (all-clique verbatim-copy graphs) is detected before
+    * any propagation work — what the old opt-in `probeSeed` flag
+    * bought, now always on at no cost to chained graphs.
     *
     * @param pairs undirected edges (aCol, bCol)
-    * @param probeSeed probe the seed labels for edge-consistency BEFORE
-    *   the first propagation round. Worth it when the graph is expected
-    *   to be all cliques/stars (verbatim-copy dedup) — the seed is then
-    *   already the fixpoint and the probe saves the whole round; on
-    *   graphs with chains it is one wasted action, hence off by default.
+    * @param probeSeed retained for API stability; the seed probe is now
+    *   always on (see above) and this flag is a no-op.
     * @param dedupEdges distinct the directed edge list before iterating.
     *   Duplicate edges never change the fixpoint (keyed `min` is
     *   idempotent) but inflate every round's join, so dedup is the
@@ -304,43 +306,45 @@ object Dedup {
     // its own job (A/B measured: key min 1.20 vs 1.29 s without/with)
     var labels = edges.groupBy(col("src")).agg(min("dst").as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
-    // fixpoint iff no edge joins two differently-labeled nodes
-    def consistent(l: DataFrame): Boolean =
-      edges
-        .join(l.select(col("id").as("sid"), col("label").as("slabel")),
-          edges("src") === col("sid"))
-        .join(l.select(col("id").as("did"), col("label").as("dlabel")),
-          edges("dst") === col("did"))
-        .filter(col("slabel") =!= col("dlabel"))
-        .isEmpty
-    // probeSeed: on a VERBATIM-copY-heavy corpus the pair graph is all
-    // cliques, where label(x) = min(x, N(x)) is already the fixpoint
-    // (every member neighbors the minimum) — the cheap 2-join probe then
-    // replaces the whole first propagation round (3 joins + a
-    // checkpoint). On graphs with chained near-dups (the sf0.1 oracle
-    // slice needs 1 productive round) the pre-probe is a wasted action,
-    // so it is opt-in, not default.
-    var converged = probeSeed && consistent(labels)
+    var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    // i ≤ maxIter: the pass at i == maxIter may only RUN THE TEST — a
+    // productive round there would exceed the round budget, so an
+    // unconverged test at the boundary falls through to the refusal
+    // below. maxIter still means "max propagation rounds".
+    while (!converged && i <= maxIter) {
+      // ONE cluster job per round: neighbor-min + stepped labels + chg
+      // flag, checkpointed. `labels` may carry the PREVIOUS round's lazy
+      // pointer jump (below) — its compute folds into this job, and the
+      // two labels consumers here exchange on the same hash(id) key so
+      // ReuseExchange serves both from one shuffle.
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nmin"))
-      val stepped = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // pointer jumping: label(x) is itself a node, whose label is ≤ it —
-      // adopting it shortcuts the path toward the component minimum.
-      // `stepped` is deliberately NOT materialized: the shuffles inside
-      // it (labels, the neighbor-min aggregate) canonicalize identically
-      // under both self-join consumers, so ReuseExchange serves the
-      // second consumer from the first's shuffle files and only the
-      // cheap post-shuffle join/projection runs twice — one checkpoint
-      // per round (below), not two
-      val byId = stepped.select(col("id").as("jid"), col("label").as("jlabel"))
-      val next = stepped.join(byId, stepped("label") === byId("jid"), "left")
-        .select(col("id"), coalesce(col("jlabel"), col("label")).as("label"))
+      val steppedCk = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
         .localCheckpoint(true)
-      labels = next
-      converged = consistent(labels)
+      // the convergence test is a filter over the just-checkpointed
+      // in-memory partitions — no joins, no shuffle, short-circuits on
+      // the first changed row. When nothing moved, the PRE-round labels
+      // are edge-consistent (see Scaladoc) and are returned as-is.
+      if (steppedCk.filter(col("chg")).isEmpty) {
+        converged = true
+      } else if (i < maxIter) {
+        // pointer jumping: label(x) is itself a node, whose label is ≤
+        // it — adopting it shortcuts the path toward the component
+        // minimum. Deliberately LAZY: its two exchanges read the
+        // checkpointed stepped table (narrow, 2 longs/row) and execute
+        // inside the NEXT round's job, so a round costs one cluster job
+        // + one free test instead of the old round-job + 2-edge-join
+        // probe-job pair. Lineage stays bounded: every round's
+        // checkpoint truncates it.
+        val base = steppedCk.select(col("id"), col("label"))
+        val byId = base.select(col("id").as("jid"), col("label").as("jlabel"))
+        labels = base.join(byId, base("label") === byId("jid"), "left")
+          .select(col("id"), coalesce(col("jlabel"), col("label")).as("label"))
+      }
       i += 1
     }
     // returning partially-propagated labels would silently split
