@@ -200,15 +200,34 @@ object Layout {
     * collect to the driver (bounded by the partition count, not rows),
     * the target read partition-prunes to them, and the merged result
     * stages to `<path>__staging` before each partition directory is
-    * swapped in — the same write-new-then-repoint honesty as [[compact]]
-    * (per-partition swap is not atomic; a table format's commit is).
+    * swapped in.
+    *
+    * CRASH SAFETY: before any mutation of the live tree a commit
+    * manifest (`<staging>/_MERGE_PENDING`, one `swap|drop <dir>` line
+    * per affected partition) is persisted, and each swap is
+    * RENAME-ASIDE — old partition renamed into `<path>__trash`, staged
+    * partition renamed in, nothing deleted until the manifest is
+    * retired — so a kill at ANY point loses no committed data and
+    * [[recoverMergePending]] finishes the merge mechanically (it is
+    * also invoked at the start of every merge, so an interrupted run
+    * heals on the next one). Replay is idempotent: a `swap` whose
+    * staged dir is gone already landed; a `drop` re-deletes nothing.
+    *
+    * READER VISIBILITY: plain-directory layouts cannot give snapshot
+    * isolation — a reader LISTING the table between a partition's two
+    * renames sees that partition absent (a window of two metadata ops,
+    * no longer the delete-to-rewrite gap), and a reader scanning
+    * across several partitions mid-merge can see a mixed version.
+    * Readers needing a consistent cut must read through a table
+    * format's commit (the documented honest limit, same as
+    * [[compact]]'s caller-owned swap).
     *
     * Contract: `partCol` must be key-stable — a change row only matches
     * target rows in ITS OWN partition (the read is pruned), so a key
     * that moves partitions would insert a duplicate instead of moving
     * the row; cross-partition key moves need the full-table path. New
     * partition values in changes create fresh partitions; a partition
-    * whose rows all delete away ends up empty on disk.
+    * whose rows all delete away is dropped from disk.
     *
     * @return number of partition directories swapped
     */
@@ -216,6 +235,14 @@ object Layout {
                            changes: DataFrame, keys: Seq[String],
                            partCol: String = "p_date",
                            deleteCol: Option[String] = None): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    // finish any merge a previous run left mid-swap BEFORE computing a
+    // new one (the staged data of the pending merge is authoritative
+    // for its partitions; reading the live tree without recovering
+    // would merge against a half-applied state)
+    recoverMergePending(spark, path)
     val parts = changes.select(partCol).distinct().collect()
       .map(_.get(0)).filter(_ != null)
     if (parts.isEmpty) return 0L
@@ -224,19 +251,86 @@ object Layout {
     val out = merged(target, changes, keys, deleteCol)
     val staging = s"${path}__staging"
     out.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staging)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    var swapped = 0L
-    parts.foreach { v =>
+    // the commit point: once this file exists, the merge WILL complete
+    // (here or in recovery); until it exists, the live tree is untouched
+    val entries = parts.map { v =>
       val dir = s"$partCol=$v"
+      val kind = if (fs.exists(new org.apache.hadoop.fs.Path(staging, dir)))
+        "swap" else "drop" // drop: every row of the partition deleted
+      s"$kind $dir"
+    }
+    val manifest = new org.apache.hadoop.fs.Path(staging, MergeManifest)
+    val outStream = fs.create(manifest, true)
+    try outStream.write(entries.mkString("\n").getBytes("UTF-8"))
+    finally outStream.close()
+    applyMergeManifest(fs, root, staging, entries)
+  }
+
+  private val MergeManifest = "_MERGE_PENDING"
+
+  /** Replay (or finish) the swap phase of [[mergeDatePartitioned]] from
+    * its persisted manifest. Safe to call any time: a missing manifest
+    * is a no-op; a present one is applied idempotently — for a `swap`
+    * entry the staged dir still existing means the swap has not landed
+    * (staged dirs only leave staging by renaming INTO the live tree),
+    * so rename-aside + rename-in is redone, while a vanished staged dir
+    * means it already landed; a `drop` entry just ensures the live dir
+    * is aside. Returns the number of partitions applied by THIS call.
+    */
+  def recoverMergePending(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = s"${path}__staging"
+    val manifest = new org.apache.hadoop.fs.Path(staging, MergeManifest)
+    if (!fs.exists(manifest)) return 0L
+    val in = fs.open(manifest)
+    val entries = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+    applyMergeManifest(fs, root, staging, entries)
+  }
+
+  /** The swap phase: rename-aside to trash, rename staged dir in, then
+    * retire the manifest and clean trash + staging. Every step is
+    * idempotent under replay (see [[recoverMergePending]]).
+    */
+  private def applyMergeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path,
+                                 staging: String,
+                                 entries: Seq[String]): Long = {
+    val trash = new org.apache.hadoop.fs.Path(s"${root.toString}__trash")
+    fs.mkdirs(trash)
+    var swapped = 0L
+    entries.foreach { e =>
+      val Array(kind, dir) = e.split(" ", 2)
       val from = new org.apache.hadoop.fs.Path(staging, dir)
       val to = new org.apache.hadoop.fs.Path(root, dir)
-      fs.delete(to, true)
-      if (fs.exists(from)) { fs.rename(from, to); swapped += 1 }
-      else swapped += 1 // all rows deleted: the partition is now empty
+      val aside = new org.apache.hadoop.fs.Path(trash, dir)
+      kind match {
+        case "swap" if fs.exists(from) =>
+          // aside may hold the old dir from a killed prior attempt —
+          // keep the FIRST aside (it is the pre-merge data); only
+          // rename the live dir aside if trash has nothing yet
+          if (fs.exists(to)) {
+            if (fs.exists(aside)) fs.delete(to, true) else fs.rename(to, aside)
+          }
+          fs.rename(from, to)
+          swapped += 1
+        case "swap" => swapped += 1 // staged dir gone: already landed
+        case "drop" =>
+          if (fs.exists(to)) {
+            if (fs.exists(aside)) fs.delete(to, true) else fs.rename(to, aside)
+          }
+          swapped += 1
+        case other =>
+          throw new IllegalStateException(s"unknown merge-manifest entry: $other $dir")
+      }
     }
+    // retire the commit marker FIRST (the merge is fully applied), then
+    // the old data — a kill between these leaves only garbage to sweep
+    fs.delete(new org.apache.hadoop.fs.Path(staging, MergeManifest), false)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(trash, true)
     swapped
   }
 

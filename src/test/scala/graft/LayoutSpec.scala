@@ -279,6 +279,76 @@ class LayoutSpec extends SparkSpec {
       .listFiles().filter(_.getName.endsWith(".parquet"))
       .map(f => f.getName -> f.lastModified).toSeq
     assert(after == untouched, "untouched partition must keep its exact files")
+    // the swap retired its commit machinery: no staging, trash or marker
+    assert(!new java.io.File(s"${root}__staging").exists(), "staging retired")
+    assert(!new java.io.File(s"${root}__trash").exists(), "trash retired")
+  }
+
+  test("merge swap killed between rename-aside and rename-in recovers mechanically") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mergecrash").toString + "/t"
+    (1 to 30).map(i =>
+      (i.toLong, s"old$i", java.sql.Date.valueOf(s"2024-01-0${i % 3 + 1}")))
+      .toDF("k", "name", "p_date")
+      .write.partitionBy("p_date").parquet(root)
+    // stage a merge by hand: new data for 01-01, a full-delete of 01-02
+    val staging = s"${root}__staging"
+    (1 to 30).filter(_ % 3 == 0).map(i => (i.toLong, s"NEW$i"))
+      .toDF("k", "name")
+      .write.parquet(s"$staging/p_date=2024-01-01")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging, "_MERGE_PENDING"),
+      "swap p_date=2024-01-01\ndrop p_date=2024-01-02".getBytes("UTF-8"))
+    // the KILL POINT the round-9 verdict named: the live partition has
+    // been renamed aside (old delete-then-rename lost it here forever;
+    // rename-aside keeps it in trash) but the staged dir has NOT landed
+    // — a reader lists the partition as absent, the manifest says the
+    // merge must finish
+    val trash = new java.io.File(s"${root}__trash"); trash.mkdirs()
+    assert(new java.io.File(s"$root/p_date=2024-01-01")
+      .renameTo(new java.io.File(trash, "p_date=2024-01-01")))
+    // recovery finishes the swap from the manifest alone
+    val applied = Layout.recoverMergePending(spark, root)
+    assert(applied == 2, s"both manifest entries applied, got $applied")
+    val back = spark.read.parquet(root)
+    assert(back.filter(col("p_date") === "2024-01-01")
+      .select("name").as[String].collect().forall(_.startsWith("NEW")),
+      "staged partition landed")
+    assert(back.filter(col("p_date") === "2024-01-02").count() == 0,
+      "dropped partition stays dropped")
+    assert(back.filter(col("p_date") === "2024-01-03").count() == 10,
+      "untouched partition intact")
+    assert(!new java.io.File(staging).exists() && !trash.exists(),
+      "commit machinery retired after recovery")
+    // replay safety: a second recovery is a no-op
+    assert(Layout.recoverMergePending(spark, root) == 0L)
+  }
+
+  test("merge swap killed BEFORE any rename recovers, and a new merge self-heals first") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mergecrash2").toString + "/t"
+    (1 to 10).map(i => (i.toLong, s"old$i", java.sql.Date.valueOf("2024-02-01")))
+      .toDF("k", "name", "p_date")
+      .write.partitionBy("p_date").parquet(root)
+    val staging = s"${root}__staging"
+    (1 to 10).map(i => (i.toLong, s"STAGED$i"))
+      .toDF("k", "name")
+      .write.parquet(s"$staging/p_date=2024-02-01")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging, "_MERGE_PENDING"),
+      "swap p_date=2024-02-01".getBytes("UTF-8"))
+    // kill point: manifest persisted, zero swaps applied — the live
+    // tree is fully intact; the NEXT merge must finish this one before
+    // computing its own change set (it merges against the staged truth)
+    val changes = Seq((1L, "FINAL", java.sql.Date.valueOf("2024-02-01"), false))
+      .toDF("k", "name", "p_date", "del")
+    Layout.mergeDatePartitioned(spark, root, changes, Seq("k"),
+      deleteCol = Some("del"))
+    val names = spark.read.parquet(root).select("k", "name").as[(Long, String)]
+      .collect().toMap
+    assert(names(1L) == "FINAL", "new merge applied on top of recovered state")
+    assert((2L to 10L).forall(k => names(k) == s"STAGED$k"),
+      s"pending merge's staged rows landed before the new merge: $names")
   }
 
   test("Sketches.approxQuantiles brackets the exact median") {
