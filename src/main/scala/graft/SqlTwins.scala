@@ -55,6 +55,29 @@ object SqlTwins {
     .mkString(" + ")
 
   val sql: Map[String, String] = Map(
+    // ---- §2.1 CSV interchange: the oracle reads the written file via
+    // DuckDB `read_csv` (not ANSI). The Spark twin computes the SAME
+    // relation from the canonical events view WITHOUT the CSV hop —
+    // row-equality with the DataFrame plan (which writes + re-reads the
+    // file) is therefore ALSO a losslessness proof for the pinned
+    // dialect: what left through the writer came back identical. ----
+    "scan_csv_roundtrip" ->
+      """WITH slice AS (
+        |  SELECT event_id,
+        |    timestamp_micros(ts DIV 1000) AS ts2,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props
+        |  FROM events WHERE event_id < 2000)
+        |SELECT coalesce(event_type, '(null)') AS etype,
+        |  count(*) AS n,
+        |  count(value) AS n_value,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+        |  count(props) AS n_props,
+        |  sum(CAST(length(props) AS BIGINT)) AS props_chars,
+        |  unix_micros(min(ts2)) AS min_ts_us,
+        |  unix_micros(max(ts2)) AS max_ts_us
+        |FROM slice GROUP BY 1 ORDER BY 1""".stripMargin,
     // ---- §2.3 subqueries: DuckDB `//` → DIV ----
     "subq_scalar_uncorr" ->
       """SELECT o_orderkey,
