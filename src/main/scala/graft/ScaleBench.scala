@@ -291,6 +291,86 @@ object ScaleBench {
         .select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"))
 
+    // ---- ANN RECALL CURVES (r9 verdict missing #5): the tuning table a
+    // user needs before trusting the pruned paths — recall@10 vs the
+    // exact cosine top-10, swept over IVF nprobe and sign-LSH multiprobe
+    // radius. Plain replication duplicates every vector verbatim (the
+    // exact top-10 degenerates to ten copies of the probe), so the eval
+    // corpus is the replicated table with a DETERMINISTIC per-copy
+    // per-dimension jitter (±0.03, a quarter of the component std) —
+    // each original spawns `copies` distinct near-dups, the honest
+    // neighbor structure of a dedup-bearing corpus. Rows report
+    // round(1000 × mean recall@10 over 20 probes) as their Long.
+    lazy val annEval: (pipeline.IvfIndex.Model, DataFrame, DataFrame,
+        Array[(Long, Array[Float])], Map[Long, Set[Long]]) = {
+      val target = s"$out/embeddings_jitter"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_SUCCESS"))) {
+        val base = spark.read.parquet(s"$src/embeddings.parquet")
+        val vecOff = Option(base.agg(max(col("vec_id"))).head.get(0))
+          .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
+        spark.range(copies).crossJoin(base)
+          .select(
+            (col("vec_id") + col("id") * vecOff).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x.cast("double") +
+                ((pmod(xxhash64(col("vec_id") + col("id") * vecOff, i),
+                  lit(1000003L)).cast("double") / 500001.5) - 1.0) * 0.03)
+                .cast("float")).as("embedding"))
+          .write.mode("overwrite").parquet(target)
+      }
+      val vecs = spark.read.parquet(target).localCheckpoint()
+      val model = pipeline.IvfIndex.build(vecs, k = 16)
+      val assigned = pipeline.IvfIndex.assign(vecs, model).localCheckpoint()
+      val lshBucketed = vecs
+        .withColumn("bucket", pipeline.Similarity.lshBucket(col("embedding"), 8))
+        .localCheckpoint()
+      val probes = vecs.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      // the exact top-10 of every probe in ONE job: 20 broadcast probes
+      // × corpus, per-probe row_number (20 tiny windows, never a corpus
+      // single-partition)
+      val probeDf = broadcast(vecs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("pid"), col("embedding").as("pemb")))
+      val w = Window.partitionBy("pid").orderBy(desc("cos"), col("vec_id"))
+      val exact = vecs.crossJoin(probeDf)
+        .withColumn("cos", functions.GraftFunctions.vectorCosine(col("embedding"), col("pemb")))
+        .filter(!isnan(col("cos")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("pid"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+      (model, assigned, lshBucketed, probes, exact)
+    }
+    def ivfRecall(nprobe: Int): Long = {
+      val (model, assigned, _, probes, exact) = annEval
+      val hits = probes.map { case (pid, pemb) =>
+        val got = pipeline.IvfIndex.topK(assigned, model, pemb, 10, nprobe)
+          .collect().map(_.getLong(0)).toSet
+        (got intersect exact(pid)).size
+      }.sum
+      math.round(hits.toDouble / (probes.length * 10) * 1000)
+    }
+    def lshRecall(hamming: Int): Long = {
+      val (_, _, lshBucketed, probes, exact) = annEval
+      // probe buckets are rows of the bucketed table itself
+      val pBuckets = lshBucketed.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("bucket")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hits = probes.map { case (pid, pemb) =>
+        val pvec = { import spark.implicits._; Seq(Tuple1(pemb)).toDF("__probe") }
+        val got = lshBucketed
+          .filter(bit_count(col("bucket").bitwiseXOR(lit(pBuckets(pid)))) <= hamming)
+          .crossJoin(broadcast(pvec))
+          .withColumn("cos", functions.GraftFunctions.vectorCosine(col("embedding"), col("__probe")))
+          .filter(!isnan(col("cos")))
+          .orderBy(desc("cos"), col("vec_id")).limit(10)
+          .collect().map(_.getLong(0)).toSet
+        (got intersect exact(pid)).size
+      }.sum
+      math.round(hits.toDouble / (probes.length * 10) * 1000)
+    }
+
     val ops = Seq(
       t("agg_q1_6m") {
         lineitem.groupBy("l_returnflag", "l_linestatus")
@@ -804,6 +884,18 @@ object ScaleBench {
       t("ivf_topk_20k_vecs") {
         operators.PipelineQueries.ivfTopkCore(embeddings).count()
       },
+      // the recall@10 TUNING TABLE (rows report 1000×recall as their
+      // Long; seconds are the 20-probe sweep): IVF sweeps the
+      // probed-cell count, LSH the multiprobe Hamming radius — read
+      // together with the probe COST rows above, these are the
+      // recall/latency curve a user picks an operating point from.
+      t("ivf_recall10_x1000_nprobe1_20k") { ivfRecall(1) },
+      t("ivf_recall10_x1000_nprobe2_20k") { ivfRecall(2) },
+      t("ivf_recall10_x1000_nprobe4_20k") { ivfRecall(4) },
+      t("ivf_recall10_x1000_nprobe8_20k") { ivfRecall(8) },
+      t("lsh_recall10_x1000_hamming0_20k") { lshRecall(0) },
+      t("lsh_recall10_x1000_hamming1_20k") { lshRecall(1) },
+      t("lsh_recall10_x1000_hamming2_20k") { lshRecall(2) },
       // PSI drift monitor at 1M events: one scan into a ≤10-row bin agg —
       // should track the scan floor, never the corpus.
       t("drift_psi_1m") {
