@@ -135,6 +135,7 @@ object Bench {
     // steady-state cost of the plan (classic benchmark hygiene). Default
     // 2 keeps total wall close to a single-pass run's envelope.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    val loadBefore = loadavg()
     val passes = (1 to iters).map { _ =>
       prepared.map { case (name, mk) =>
         val t0 = System.nanoTime()
@@ -142,6 +143,7 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }
+    val loadAfter = loadavg()
     val results = ordered.map { case (name, _) =>
       val ts = passes.map(_.find(_._1 == name).get._2)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -152,9 +154,16 @@ object Bench {
     // truncates the per-key map — keys early in the alphabet become
     // invisible to regression triage). The file lands in the repo cwd,
     // so the round's closing commit preserves every key's timing.
+    // SELF-IDENTIFYING (round-9 advice: the working-tree artifact held
+    // the worst window of the day with nothing marking it as such): the
+    // map carries its own total, the host loadavg bracketing the timed
+    // passes, and the median per-key ratio against the committed
+    // quiet-floor map BENCH_PERKEY_QUIET.json — a reader (or the next
+    // round's triage) sees at a glance whether this run sat in a
+    // host-steal window (ratio ≫ 1) without consulting the narrative.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_PERKEY.json"),
-      perKeyJson(results, sfDir) + "\n")
+      perKeyJson(results, sfDir, loadBefore, loadAfter) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] per-key artifact write failed: ${e.getMessage}")
     }
@@ -163,16 +172,47 @@ object Bench {
     spark.stop()
   }
 
-  /** The on-disk per-key artifact: full-precision seconds per key plus
-    * the same total/failed summary as the stdout total line.
+  /** 1-minute /proc/loadavg, or -1 where unreadable (non-Linux). */
+  private def loadavg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Median per-key ratio of `results` against the quiet-floor map in
+    * BENCH_PERKEY_QUIET.json (shared keys only), or -1 when the
+    * reference is absent/unparseable. The reference format is our own
+    * perKeyJson, so a targeted regex parse suffices — key names are
+    * [a-z0-9_] by construction.
     */
-  def perKeyJson(results: Seq[(String, Double)], sfDir: String): String = {
+  private def ratioVsQuietFloor(results: Seq[(String, Double)]): Double =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_PERKEY_QUIET.json")))
+      val ref = "\"([a-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
+        .findAllMatchIn(txt.substring(txt.indexOf("\"queries\"")))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val ratios = results.collect {
+        case (k, v) if v > 0 && ref.get(k).exists(_ > 0) => v / ref(k)
+      }.sorted
+      if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
+    } catch { case _: Throwable => -1.0 }
+
+  /** The on-disk per-key artifact: full-precision seconds per key plus
+    * the same total/failed summary as the stdout total line, stamped
+    * with the run's own window identity (see the write site).
+    */
+  def perKeyJson(results: Seq[(String, Double)], sfDir: String,
+                 loadBefore: Double = -1.0, loadAfter: Double = -1.0): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val totalStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+    val ratio = ratioVsQuietFloor(results)
+    val ratioStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(ratio))
     s"""{"metric":"queries_full","total":$totalStr,"n":${results.size},""" +
+      s""""median_ratio_vs_quiet_floor":$ratioStr,""" +
+      s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","queries":$qs}"""
   }
 }
