@@ -140,8 +140,21 @@ object ScaleBench {
     val rows = q.recentProgress.flatMap(_.stateOperators).lastOption
       .map(_.numRowsTotal).getOrElse(-1L)
     q.stop()
+    rmTree(ckpt)
     rows
   }
+
+  /** Best-effort recursive delete for per-row scratch (checkpoint)
+    * dirs — a bench iteration must not leak state-store files across
+    * runs (round-9 advice: the drift row alone left one tree per run).
+    */
+  private def rmTree(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(pp => java.nio.file.Files.deleteIfExists(pp))
+    } catch { case _: Throwable => () }
 
   def main(args: Array[String]): Unit = {
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -1021,6 +1034,7 @@ object ScaleBench {
         q.processAllAvailable()
         val n = q.recentProgress.map(_.numInputRows).sum
         q.stop()
+        rmTree(ckpt)
         n
       },
       // streaming dedup-on-ingest throughput: 100k synthetic docs
@@ -1061,6 +1075,7 @@ object ScaleBench {
         // measured docs from the query progress, like the NMEA row
         val read = q.recentProgress.map(_.numInputRows).sum
         q.stop()
+        rmTree(ckpt)
         read
       },
       // VERBATIM-duplicated ingest: N docs = N/10 distinct texts × 10
@@ -1106,6 +1121,7 @@ object ScaleBench {
             dupEntries = spark.read.format("statestore").load(ckpt)
               .selectExpr("sum(size(value.groupState.indexed))")
               .collect()(0).getLong(0)
+          rmTree(ckpt)
           dupEntries
         }
       },
@@ -1161,6 +1177,7 @@ object ScaleBench {
           .option("checkpointLocation", ckpt).outputMode("append").start()
         q.processAllAvailable()
         q.stop()
+        rmTree(ckpt)
         1000000L
       },
       // CDC upsert lifecycle (round-9): 1M change rows over 100k keys
@@ -1229,6 +1246,7 @@ object ScaleBench {
             ttlEntries = spark.read.format("statestore").load(ckpt)
               .selectExpr("coalesce(sum(size(value.groupState.indexed)), 0L)")
               .collect()(0).getLong(0)
+          rmTree(ckpt)
           ttlEntries
         }
       })

@@ -1058,7 +1058,7 @@ object SqlTwins {
     // DuckDB `//` → DIV; epoch_ns(ts) → ts (the view carries ns BIGINT)
     "evt_drift_psi" ->
       """WITH b AS (
-        |  SELECT least(9, (CAST(round(value * 100) AS BIGINT) * 10) DIV 50000) AS bin,
+        |  SELECT least(9, greatest(0, (CAST(round(value * 100) AS BIGINT) * 10) DIV 50000)) AS bin,
         |    ts < 1705363200000000000 AS is_ref
         |  FROM events
         |), c AS (

@@ -184,12 +184,12 @@ object AggQueries extends QueryPack {
           |  + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
           |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
           |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
-          | / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          | / nullif((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
           |     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
           |       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
           |    * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
           |     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-          |       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))), 4) AS skew""".stripMargin,
+          |       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 0.0), 4) AS skew""".stripMargin,
         """round(
           | (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
           |  - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
@@ -201,12 +201,12 @@ object AggQueries extends QueryPack {
           |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
           |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
           |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
-          | / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          | / nullif((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
           |     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
           |       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
           |    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
           |     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-          |       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) - 3.0, 4)
+          |       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 0.0) - 3.0, 4)
           | AS kurt_excess""".stripMargin)
       .orderBy(col("status"))
 
@@ -716,12 +716,12 @@ object AggQueries extends QueryPack {
         |    + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
         |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
         |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
-        |   / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |   / nullif((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
         |       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
         |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
         |      * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
         |       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))), 4) AS skew,
+        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 0.0), 4) AS skew,
         |  round(
         |   (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
         |    - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
@@ -733,12 +733,12 @@ object AggQueries extends QueryPack {
         |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
         |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
         |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
-        |   / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |   / nullif((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
         |       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
         |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
         |      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
         |       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) - 3.0, 4)
+        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 0.0) - 3.0, 4)
         |   AS kurt_excess
         |FROM s
         |ORDER BY status""".stripMargin,

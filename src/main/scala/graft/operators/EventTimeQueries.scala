@@ -379,7 +379,11 @@ object EventTimeQueries extends QueryPack {
     *
     * Plan (the 100 TB shape): ONE events scan — the ref/cur split is a
     * ts predicate folded into conditional aggregates, and the binning is
-    * a FIXED integer-cents grid (least(9, cents·10 div 50000)), so both
+    * a FIXED integer-cents grid (least(9, greatest(0, cents·10 div 50000)) —
+    * clamped BOTH sides: an out-of-range value lands in an edge bin in
+    * both engines, and clamping AFTER the division also absorbs the
+    * Spark-DIV-truncates vs DuckDB-//-floors divergence on negative
+    * cents, since every negative quotient clamps to 0), so both
     * populations land in one ≤10-row hash aggregate. Production binning
     * swaps the fixed grid for reference quantiles broadcast from the
     * monitoring store — same one-scan plan. The share totals ride an
@@ -397,7 +401,7 @@ object EventTimeQueries extends QueryPack {
   def driftPsiCore(events: DataFrame,
                    splitNs: Long = 1705363200L * 1000000000L): DataFrame = {
     val binned = events.select(
-      expr("least(9L, (cast(round(value * 100) as bigint) * 10) div 50000)")
+      expr("least(9L, greatest(0L, (cast(round(value * 100) as bigint) * 10) div 50000))")
         .as("bin"),
       (col("ts") < splitNs).as("is_ref"))
     val w = Window.partitionBy(lit(1))
@@ -504,7 +508,7 @@ object EventTimeQueries extends QueryPack {
     // Laplace-smoothed exact-integer ratios into one ln per bin
     "evt_drift_psi" ->
       """WITH b AS (
-        |  SELECT least(9, (CAST(round(value * 100) AS BIGINT) * 10) // 50000) AS bin,
+        |  SELECT least(9, greatest(0, (CAST(round(value * 100) AS BIGINT) * 10) // 50000)) AS bin,
         |    epoch_ns(ts) < 1705363200000000000 AS is_ref
         |  FROM events
         |), c AS (

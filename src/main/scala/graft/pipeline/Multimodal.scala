@@ -336,7 +336,22 @@ object Multimodal {
     * integer-factor NN rescale (spec-pinned), and a uniform brightness
     * shift moves pixels and mean together, flipping no bit.
     */
-  def aHash64(payload: Array[Byte]): Long = {
+  def aHash64(payload: Array[Byte]): Long = aHashWithMean(payload)._1
+
+  /** (aHash, quantized luma mean): the mean bucket (mean >> 4, 16
+    * levels) is what [[dedupImages]] groups by NEXT TO the hash —
+    * thresholding strictly above the mean sends every ZERO-CONTRAST
+    * image (solid black, solid white, any flat gray) to aHash 0, so
+    * hash-only grouping would merge visually different flat images
+    * under one wrong survivor (round-9 advice). The bucket separates
+    * flat images by brightness while keeping every spec-pinned aHash
+    * invariance intact: re-encode and integer rescale preserve pixel
+    * values exactly (same mean, same bucket), and aHash64 itself stays
+    * brightness-shift-invariant — only dedup GROUPING becomes
+    * brightness-sensitive, with a bucket-boundary crossing on a shifted
+    * copy the documented residual.
+    */
+  def aHashWithMean(payload: Array[Byte]): (Long, Long) = {
     val (w, h, c, px) = rasterOf(payload)
     val g = new Array[Long](64)
     var y = 0
@@ -361,10 +376,10 @@ object Multimodal {
       if (g(i) > mean) bits |= 1L << i
       i += 1
     }
-    bits
+    (bits, mean >> 4)
   }
 
-  case class ImageHash(media_id: Long, ahash: Long)
+  case class ImageHash(media_id: Long, ahash: Long, mean_q: Long)
 
   /** Per-image perceptual hashes — same one-init-per-partition batch
     * shape as decode; the shuffle after this carries (id, 8-byte hash),
@@ -373,23 +388,29 @@ object Multimodal {
   def imageHashes(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.filter(_.kind == "image").map(r => ImageHash(r.media_id, aHash64(r.payload)))
+      rows.filter(_.kind == "image").map { r =>
+        val (h, m) = aHashWithMean(r.payload)
+        ImageHash(r.media_id, h, m)
+      }
     }
   }
 
   /** Image dedup by perceptual hash: one row per DUPLICATED fingerprint
     * with the deterministic survivor (min id) and the sorted member
-    * list. One hash aggregate over 8-byte keys — the dedup_exact plan
-    * shape applied to pictures.
+    * list. Grouped by (ahash, mean bucket) — see [[aHashWithMean]]: the
+    * bucket keeps zero-contrast images of different brightness apart.
+    * One hash aggregate over ≤16-byte keys — the dedup_exact plan shape
+    * applied to pictures.
     */
   def dedupImages(media: Dataset[MediaRecord]): DataFrame = {
     import org.apache.spark.sql.functions._
     imageHashes(media).toDF()
-      .groupBy(col("ahash"))
+      .groupBy(col("ahash"), col("mean_q"))
       .agg(min(col("media_id")).as("survivor_id"),
         count(lit(1)).as("n_copies"),
         sort_array(collect_list(col("media_id"))).as("member_ids"))
       .filter(col("n_copies") > 1)
+      .drop("mean_q")
   }
 
   /** Deterministic pseudo-random bytes seeded by media_id (LCG) — the

@@ -43,8 +43,12 @@ object DriftStream {
   private def cents(v: Double): Long =
     BigDecimal(v * 100).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
 
+  /** Clamped BOTH sides: a negative value must land in bin 0, not in a
+    * negative phantom bin that accumulates state yet never emits (the
+    * emission loop covers 0..bins-1) while skewing every p_cur.
+    */
   private[streaming] def bin(vCents: Long, bins: Long): Long =
-    math.min(bins - 1, vCents * 10 / 50000)
+    math.max(0L, math.min(bins - 1, vCents * 10 / 50000))
 
   def psiWindows(events: Dataset[StreamEvent],
                  reference: Map[Long, Long],

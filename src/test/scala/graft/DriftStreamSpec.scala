@@ -30,7 +30,7 @@ class DriftStreamSpec extends SparkSpec {
     val refT = ref.values.sum
     events.groupBy(e => math.floorDiv(e.ts.getTime, winSec * 1000) * winSec * 1000)
       .flatMap { case (w, es) =>
-        val counts = es.groupBy(e => math.min(bins - 1, cents(e.value) * 10 / 50000))
+        val counts = es.groupBy(e => math.max(0L, math.min(bins - 1, cents(e.value) * 10 / 50000)))
           .view.mapValues(_.size.toLong).toMap
         val curT = counts.values.sum
         val terms = (0L until bins).map { b =>
@@ -61,10 +61,18 @@ class DriftStreamSpec extends SparkSpec {
   }
 
   // three windows with drifting distributions: low bins, then mid, then high
+  // each window block also carries a negative or past-grid value: those
+  // must CLAMP into the edge bins (0/9) in both stream and brute — not
+  // accumulate in phantom bins the emission loop never covers (round-9
+  // advice). Inserted IN window order so the restart test's event-time
+  // splits never make them watermark-late.
   private val corpus: Seq[StreamEvent] =
-    (0 until 40).map(i => ev(i, i * 10, 10.0 + (i % 3) * 40)) ++          // window 0: bins 0
-    (0 until 40).map(i => ev(100 + i, 600 + i * 10, 150.0 + (i % 4) * 30)) ++ // window 1: bins 2-4
-    (0 until 40).map(i => ev(200 + i, 1200 + i * 10, 400.0 + (i % 5) * 20))   // window 2: bins 8-9
+    ((0 until 40).map(i => ev(i, i * 10, 10.0 + (i % 3) * 40))              // window 0: bins 0
+      :+ ev(300, 15, -42.5)) ++
+    ((0 until 40).map(i => ev(100 + i, 600 + i * 10, 150.0 + (i % 4) * 30)) // window 1: bins 2-4
+      :+ ev(301, 610, -0.01)) ++
+    ((0 until 40).map(i => ev(200 + i, 1200 + i * 10, 400.0 + (i % 5) * 20)) // window 2: bins 8-9
+      :+ ev(302, 1210, 99999.0))
 
   test("sealed windows report the brute per-bin PSI, full grid, exactly once") {
     val got = runStream(Seq(corpus), "drift_all")

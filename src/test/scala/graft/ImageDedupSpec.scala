@@ -72,4 +72,22 @@ class ImageDedupSpec extends SparkSpec {
     assert(got(1).getLong(1) == 7L && got(1).getLong(2) == 2L &&
       got(1).getSeq[Long](3) == Seq(7L, 107L))
   }
+
+  test("flat images of different brightness do NOT merge; same brightness does") {
+    import spark.implicits._
+    def flat(id: Long, v: Byte) =
+      MediaRecord(id, "image", Multimodal.Ppm.encode(8, 8, Array.fill(8 * 8 * 3)(v)))
+    // zero-contrast grid ⇒ no pixel strictly above the mean ⇒ aHash 0
+    // for ALL of them — the round-9 advice finding: hash-only grouping
+    // merged solid black with solid white under one wrong survivor
+    val black = flat(0L, 0); val gray = flat(1L, 100); val white = flat(2L, -1) // -1 = 0xff
+    assert(Multimodal.aHash64(black.payload) == 0L &&
+      Multimodal.aHash64(white.payload) == 0L)
+    val gray2 = flat(3L, 100) // same brightness: a TRUE duplicate
+    val got = Multimodal.dedupImages(Seq(black, gray, white, gray2).toDS())
+      .orderBy("survivor_id").collect()
+    assert(got.length == 1, s"only the equal-brightness pair merges: ${got.mkString(";")}")
+    assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 2L &&
+      got(0).getSeq[Long](3) == Seq(1L, 3L))
+  }
 }
