@@ -63,12 +63,16 @@ object SqlTwins {
     // dialect: what left through the writer came back identical. ----
     "scan_csv_roundtrip" ->
       """WITH slice AS (
-        |  SELECT event_id,
-        |    timestamp_micros(ts DIV 1000) AS ts2,
-        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS event_type,
-        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
-        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props
-        |  FROM events WHERE event_id < 2000)
+        |  SELECT id AS event_id,
+        |    timestamp_micros(1704067200000000 + id * 3700000001) AS ts2,
+        |    CASE WHEN id % 13 = 0 THEN NULL ELSE
+        |      element_at(array('click', 'view', 'error'),
+        |        CAST(pmod(id, 3) + 1 AS INT)) END AS event_type,
+        |    CASE WHEN id % 7 = 0 THEN NULL ELSE
+        |      CAST(pmod(id * 31, 10000) AS DOUBLE) / 100.0 END AS value,
+        |    CASE WHEN id % 11 = 0 THEN NULL ELSE
+        |      concat('{"k": "', id, '", "s": "a,b"}') END AS props
+        |  FROM range(0, 1000))
         |SELECT coalesce(event_type, '(null)') AS etype,
         |  count(*) AS n,
         |  count(value) AS n_value,
