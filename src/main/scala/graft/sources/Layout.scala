@@ -365,4 +365,85 @@ object Layout {
     fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
       .count(s => s.getPath.getName.endsWith(".parquet"))
   }
+
+  private val PublishMarkerSuffix = "__PUBLISH_PENDING"
+
+  /** Two-phase directory PUBLISH — the crash-recoverable repoint
+    * [[compact]] delegates to its caller, packaged: repoints `livePath`
+    * to the freshly-written `fromPath` via the merge swap's protocol in
+    * its degenerate one-directory form. A marker file
+    * `<live>__PUBLISH_PENDING` (containing the source path) persists
+    * BEFORE any mutation; the swap is rename-aside (live → trash) then
+    * rename-in (from → live); trash retires before the marker, so a
+    * kill at ANY point leaves a state [[recoverPublishPending]] — also
+    * auto-invoked here — finishes mechanically, and the pre-publish
+    * data survives in trash until the swap has fully landed.
+    *
+    * Same reader caveat as the merge swap: a listing between the two
+    * renames sees the directory absent for two metadata ops; snapshot
+    * isolation needs a table format's commit.
+    */
+  def publishDirectory(spark: SparkSession, fromPath: String,
+                       livePath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(livePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPublishPending(spark, livePath)
+    val from = new org.apache.hadoop.fs.Path(fromPath)
+    require(fs.exists(from), s"publish source missing: $fromPath")
+    val marker = new org.apache.hadoop.fs.Path(livePath + PublishMarkerSuffix)
+    val outStream = fs.create(marker, true)
+    try outStream.write(fromPath.getBytes("UTF-8")) finally outStream.close()
+    applyPublish(fs, fromPath, livePath)
+  }
+
+  /** Finish (or replay) a [[publishDirectory]] from its marker: a
+    * missing marker is a no-op (returns false); with a marker, a still-
+    * present source means the swap has not landed (the source only
+    * leaves by renaming INTO the live path) and is redone; a vanished
+    * source means it landed and only cleanup remains.
+    */
+  def recoverPublishPending(spark: SparkSession, livePath: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(livePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(livePath + PublishMarkerSuffix)
+    if (!fs.exists(marker)) return false
+    val in = fs.open(marker)
+    val fromPath = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    applyPublish(fs, fromPath, livePath)
+    true
+  }
+
+  private def applyPublish(fs: org.apache.hadoop.fs.FileSystem,
+                           fromPath: String, livePath: String): Unit = {
+    val from = new org.apache.hadoop.fs.Path(fromPath)
+    val live = new org.apache.hadoop.fs.Path(livePath)
+    val trash = new org.apache.hadoop.fs.Path(livePath + "__trash")
+    if (fs.exists(from)) {
+      if (fs.exists(live)) {
+        // keep the FIRST aside — it is the pre-publish data; a live dir
+        // next to an existing trash can only be a replayed half-state
+        if (fs.exists(trash)) fs.delete(live, true) else fs.rename(live, trash)
+      }
+      fs.rename(from, live)
+    } // else: already landed, cleanup only
+    // trash BEFORE marker: a kill between the two re-enters recovery
+    // (marker still present), which finds nothing left to do
+    fs.delete(trash, true)
+    fs.delete(new org.apache.hadoop.fs.Path(livePath + PublishMarkerSuffix), false)
+  }
+
+  /** [[compact]] + [[publishDirectory]]: rewrite a directory's files to
+    * ~targetBytes outputs and repoint it in place, crash-recoverably.
+    * The rewrite goes to `<path>__compacting` (fresh each run), so a
+    * kill during the WRITE leaves the live dir untouched and only
+    * scratch to sweep.
+    */
+  def compactInPlace(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L << 20): Long = {
+    val scratch = s"${path}__compacting"
+    val n = compact(spark, path, scratch, targetBytes)
+    publishDirectory(spark, scratch, path)
+    n
+  }
 }

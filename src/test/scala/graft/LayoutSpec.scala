@@ -324,6 +324,47 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.recoverMergePending(spark, root) == 0L)
   }
 
+  test("compactInPlace repoints crash-recoverably; kill between renames recovers") {
+    import spark.implicits._
+    val live = Files.createTempDirectory("pub").toString + "/t"
+    val rows = (0 until 40).map(i => (i.toLong, s"v$i"))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+    try rows.toDF("k", "v").repartition(4).write.parquet(live)
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val before = new java.io.File(live).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before > 4, s"need a fragmented input, got $before files")
+    // end-to-end: rewrite + publish in place, content multiset-equal
+    Layout.compactInPlace(spark, live, targetBytes = 1L << 20)
+    val after = new java.io.File(live).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after < before, s"$before -> $after files")
+    assert(spark.read.parquet(live).as[(Long, String)].collect().sorted.toSeq
+      == rows.sorted, "content survives the in-place compaction")
+    assert(!new java.io.File(s"${live}__PUBLISH_PENDING").exists() &&
+      !new java.io.File(s"${live}__trash").exists() &&
+      !new java.io.File(s"${live}__compacting").exists(),
+      "publish machinery fully retired")
+
+    // the kill point: marker written, live renamed aside, source NOT
+    // yet renamed in — a reader lists the dir absent; the marker says
+    // the publish must finish
+    val staged = Files.createTempDirectory("pub2").toString + "/new"
+    Seq((100L, "NEW")).toDF("k", "v").write.parquet(staged)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${live}__PUBLISH_PENDING"),
+      staged.getBytes("UTF-8"))
+    val trash = new java.io.File(s"${live}__trash")
+    assert(new java.io.File(live).renameTo(trash))
+    assert(Layout.recoverPublishPending(spark, live), "marker found and applied")
+    assert(spark.read.parquet(live).as[(Long, String)].collect().toSeq
+      == Seq((100L, "NEW")), "staged content landed")
+    assert(!trash.exists() &&
+      !new java.io.File(s"${live}__PUBLISH_PENDING").exists())
+    // replay: no marker, no-op
+    assert(!Layout.recoverPublishPending(spark, live))
+  }
+
   test("merge swap killed BEFORE any rename recovers, and a new merge self-heals first") {
     import spark.implicits._
     val root = Files.createTempDirectory("mergecrash2").toString + "/t"
