@@ -51,6 +51,22 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Read a parquet directory whose files were written under EVOLVING
+    * schemas (ingest drift: a producer adds a column mid-table). Plain
+    * `spark.read.parquet` infers the schema from ONE footer — which
+    * file wins is listing-order luck, so a drifted table silently
+    * gains or loses the new column run to run. `mergeSchema` unions
+    * the footers instead: added columns surface everywhere and read as
+    * NULL for pre-drift files, and an incompatible type change fails
+    * LOUDLY at read time instead of corrupting (SchemaEvolutionSpec
+    * pins all three behaviors). The union costs a footer read per file
+    * — at 100 TB set `spark.sql.parquet.mergeSchema` off for stable
+    * tables and read drifted ones through this helper (or keep schemas
+    * in a real catalog, the honest fix).
+    */
+  def readParquetEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Columnar interchange beyond parquet: ORC keeps the same pushdown /
     * pruning story (PushedFilters + ReadSchema in the scan) with a
     * different on-disk ecosystem. (Avro is not bundled in this image's
