@@ -935,6 +935,18 @@ object ScaleBench {
       t("gopher_rules_50k_docs") {
         operators.TextAnalysisQueries.gopherRulesCore(documents).count()
       },
+      // codepoint-class tokenizer throughput vs the oracle-pinned
+      // whitespace split, same 50k-doc scan-shaped aggregate: prices
+      // what Unicode-honest segmentation costs where the regex engine
+      // is the per-row work (both scan-bound, zero shuffle).
+      t("tokenize_unicode_50k_docs") {
+        documents.select(size(pipeline.Tokenize.unicodeTokens(col("text"))).as("n"))
+          .agg(sum(col("n"))).collect()(0).getLong(0)
+      },
+      t("tokenize_whitespace_50k_docs") {
+        documents.select(size(pipeline.Tokenize.whitespaceTokens(col("text"))).as("n"))
+          .agg(sum(col("n"))).collect()(0).getLong(0)
+      },
       // epoch upsampling at 10×: broadcast counts + scan-level sequence
       // explode; output grows by the replication factor, input never
       // shuffles.

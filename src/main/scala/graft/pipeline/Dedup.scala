@@ -28,7 +28,7 @@ object Dedup {
     * spaces. Change all three together or none.
     */
   private def tokensOf(textCol: Column): Column =
-    filter(array_distinct(split(textCol, " ")), t => t =!= "")
+    Tokenize.whitespaceTokens(textCol)
 
   /** Exact dedup, deterministic survivor (min id): one hash-partitioned
     * aggregate keyed by the text. (A hash-only shuffle with in-group
