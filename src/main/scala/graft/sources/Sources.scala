@@ -44,12 +44,33 @@ object Sources {
       .options(csvDialect)
       .csv(path)
 
-  /** Line-delimited JSON export — the reference's output format. */
+  /** Streaming twin of [[readCsv]] — the same pinned dialect over a
+    * file-stream source, for CSV landing zones (the common ingest shape:
+    * producers drop delimited files, the pipeline tails the directory).
+    * Schema is REQUIRED: a streaming source cannot re-infer per batch.
+    */
+  def readCsvStream(spark: SparkSession, path: String, schema: StructType,
+                    header: Boolean = true): DataFrame =
+    spark.readStream
+      .option("header", header.toString)
+      .options(csvDialect)
+      .schema(schema)
+      .csv(path)
+
+  /** Line-delimited JSON export — the reference's output format.
+    * Timestamps pinned to full µs like the CSV dialect: the default
+    * JSON pattern keeps only milliseconds, a SILENT precision loss the
+    * roundtrip spec caught (written `.000001` read back `.0`).
+    */
   def writeJson(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).json(path)
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .json(path)
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .json(path)
 
   /** Read a parquet directory whose files were written under EVOLVING
     * schemas (ingest drift: a producer adds a column mid-table). Plain

@@ -19,6 +19,51 @@ class SourcesAndAggSpec extends SparkSpec {
       docs.agg(sum("n_chars")).head.getLong(0))
   }
 
+  test("streaming CSV ingest reads the pinned dialect identically to the batch reader") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val tmp = Files.createTempDirectory("csvstream").toString + "/landing"
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    Sources.writeCsv(docs, tmp)
+    val expected = Sources.readCsv(spark, tmp, docs.schema)
+      .groupBy("lang").agg(fcount(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val q = Sources.readCsvStream(spark, tmp, docs.schema)
+      .groupBy("lang").agg(fcount(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .writeStream.format("memory").queryName("csv_ingest")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("csv_ingest")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"stream vs batch over the same files: $got vs $expected")
+    } finally q.stop()
+  }
+
+  test("JSON round-trip preserves nulls, embedded quotes, unicode and µs timestamps") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("json2").toString + "/tricky"
+    // the dialect-corner slice: JSON-looking strings WITH quotes/commas,
+    // CJK + accents, injected nulls in string and double columns, and a
+    // full-microsecond timestamp — everything the CSV roundtrip key pins
+    // cross-engine, asserted here for the JSON lane
+    val slice = spark.range(0, 500)
+      .select(
+        col("id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 3700000001L).as("ts"),
+        when(col("id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(pmod(col("id") * 31, lit(10000)).cast("double") / 100.0).as("value"),
+        when(col("id") % 11 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("q\"uote, 世界 café #"), col("id"))).as("s"))
+    Sources.writeJson(slice, tmp)
+    val back = Sources.readJson(spark, tmp, slice.schema)
+    val a = slice.orderBy("id").as[(Long, java.sql.Timestamp, Option[Double], Option[String])]
+      .collect().toSeq
+    val b = back.orderBy("id").as[(Long, java.sql.Timestamp, Option[Double], Option[String])]
+      .collect().toSeq
+    assert(a == b, s"JSON round-trip must be lossless; first diff: ${
+      a.zip(b).find { case (x, y) => x != y }}")
+  }
+
   test("JSON sink writes replay docs that read back intact") {
     val tmp = Files.createTempDirectory("json").toString + "/replay"
     val logPath = NmeaFixture.write(Files.createTempDirectory("nmea3").toString)
