@@ -1,0 +1,175 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal manifest-of-files table format: ATOMIC snapshot commits
+  * over plain parquet — the missing piece every directory-swap helper
+  * in [[Layout]] documents ("snapshot isolation needs a table format's
+  * commit"). The protocol is the public Iceberg/Delta core in its
+  * smallest honest form:
+  *
+  * {{{
+  * table/
+  *   data-00001/part-*.parquet      immutable once committed
+  *   data-00002/part-*.parquet
+  *   _graft_meta/manifest-00001     one relative file path per line
+  *   _graft_meta/manifest-00002
+  *   _graft_meta/HEAD               contents: "manifest-00002"
+  * }}}
+  *
+  * Readers resolve HEAD → manifest → exact file list; writers stage
+  * data files, write the next manifest, then ATOMICALLY repoint HEAD
+  * (single-file rename — atomic on POSIX and HDFS). Consequences:
+  *  - NO vanish window: a concurrent reader sees the old snapshot or
+  *    the new one, never a half-state — data files are immutable and
+  *    never deleted by a commit;
+  *  - crash ANYWHERE before the HEAD rename leaves the table exactly
+  *    at the previous snapshot (orphan data/manifest files are inert
+  *    garbage, reclaimed by [[vacuum]]);
+  *  - time travel for free: any retained manifest can be read.
+  *
+  * At 100 TB this is also the LISTING fix: a snapshot read opens one
+  * HEAD + one manifest instead of recursively listing millions of
+  * files. Out of scope, honestly: concurrent WRITERS need a
+  * compare-and-swap on HEAD (object stores offer conditional puts; a
+  * posix rename is last-writer-wins), and row-level deletes need
+  * delete files — this format does whole-snapshot replaces, which is
+  * exactly what [[Layout.compact]] and full-partition rewrites emit.
+  */
+object SnapshotTable {
+
+  private val MetaDir = "_graft_meta"
+  private val Head = "HEAD"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hp(parts: String*) =
+    new org.apache.hadoop.fs.Path(parts.mkString("/"))
+
+  /** Current committed version, 0 when the table has no snapshot. */
+  def currentVersion(spark: SparkSession, table: String): Long = {
+    val f = fs(spark, table)
+    val head = hp(table, MetaDir, Head)
+    if (!f.exists(head)) return 0L
+    val in = f.open(head)
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    name.stripPrefix("manifest-").toLong
+  }
+
+  /** Relative data-file paths of snapshot `version` (default: HEAD). */
+  def snapshotFiles(spark: SparkSession, table: String,
+                    version: Long = 0L): Seq[String] = {
+    val v = if (version > 0L) version else currentVersion(spark, table)
+    require(v > 0L, s"$table has no committed snapshot")
+    val f = fs(spark, table)
+    val in = f.open(hp(table, MetaDir, f"manifest-$v%05d"))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Read a snapshot (default: the current one) — the exact committed
+    * file list, no directory listing of the data tree.
+    */
+  def read(spark: SparkSession, table: String, version: Long = 0L): DataFrame = {
+    val files = snapshotFiles(spark, table, version).map(rel => s"$table/$rel")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Commit `df` as the table's next snapshot (whole-snapshot replace).
+    * Steps: write data files to a fresh `data-<next>` dir, write
+    * `manifest-<next>` listing exactly those files, then atomically
+    * rename a temp HEAD over HEAD. Returns the committed version.
+    */
+  def commit(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val f = fs(spark, table)
+    // next version must clear HEAD AND any orphan artifacts a crashed
+    // writer left behind (a staged data dir / manifest whose HEAD swap
+    // never happened) — colliding with an orphan would fail the write
+    // or, worse, commit a manifest listing someone else's files
+    def maxWith(prefix: String, dir: org.apache.hadoop.fs.Path): Long =
+      if (!f.exists(dir)) 0L
+      else f.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .map(n => scala.util.Try(n.stripPrefix(prefix).takeWhile(_.isDigit).toLong)
+          .getOrElse(0L))
+        .foldLeft(0L)(math.max)
+    val next = Seq(
+      currentVersion(spark, table),
+      maxWith("data-", hp(table)),
+      maxWith("manifest-", hp(table, MetaDir))).max + 1L
+    val dataDir = f"data-$next%05d"
+    df.write.parquet(s"$table/$dataDir")
+    val files = f.listStatus(hp(table, dataDir))
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$dataDir/${s.getPath.getName}").sorted
+    require(files.nonEmpty, "refusing to commit an empty snapshot")
+    f.mkdirs(hp(table, MetaDir))
+    val manifest = hp(table, MetaDir, f"manifest-$next%05d")
+    val mOut = f.create(manifest, false) // manifests are immutable: no overwrite
+    try mOut.write(files.mkString("\n").getBytes("UTF-8")) finally mOut.close()
+    // the COMMIT POINT: single-file rename over HEAD — readers resolve
+    // entirely the old snapshot or entirely the new one
+    val tmp = hp(table, MetaDir, s"$Head.tmp-$next")
+    val tOut = f.create(tmp, true)
+    try tOut.write(f"manifest-$next%05d".getBytes("UTF-8")) finally tOut.close()
+    val head = hp(table, MetaDir, Head)
+    if (!f.rename(tmp, head)) { // HDFS/posix semantics: replace needs the dest gone
+      f.delete(head, false)
+      require(f.rename(tmp, head), s"HEAD swap failed for $table v$next")
+    }
+    next
+  }
+
+  /** Delete data files and manifests no snapshot within `retain`
+    * versions of HEAD references — the GC that makes immutable commits
+    * affordable, and the sweeper for artifacts crashed commits orphan.
+    * `retain = 1` keeps only the current snapshot; `retain = 2` keeps
+    * one step of time travel; never touches the CURRENT snapshot's
+    * files. Single-writer caveat (same as [[commit]]): run vacuum only
+    * when no writer is mid-stage — an uncommitted data dir is
+    * indistinguishable from a crashed one and will be reclaimed.
+    */
+  def vacuum(spark: SparkSession, table: String, retain: Int = 1): Long = {
+    require(retain >= 1, "must retain at least the current snapshot")
+    val f = fs(spark, table)
+    val cur = currentVersion(spark, table)
+    if (cur == 0L) return 0L
+    val keepVersions = (math.max(1L, cur - retain + 1L) to cur).toSet
+    val referenced = keepVersions.flatMap(v => snapshotFiles(spark, table, v))
+    var removed = 0L
+    // sweep data dirs not referenced by any retained manifest
+    f.listStatus(hp(table)).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("data-")).foreach { d =>
+        val keep = referenced.exists(_.startsWith(s"$d/"))
+        if (!keep) { f.delete(hp(table, d), true); removed += 1 }
+      }
+    // and manifests older than the retention window (HEAD untouched)
+    f.listStatus(hp(table, MetaDir))
+      .map(_.getPath.getName).filter(_.startsWith("manifest-")).foreach { m =>
+        val v = m.stripPrefix("manifest-").toLong
+        if (!keepVersions.contains(v)) { f.delete(hp(table, MetaDir, m), false); removed += 1 }
+      }
+    removed
+  }
+
+  /** [[Layout.compact]] through the snapshot commit: rewrite the
+    * current snapshot's rows into ~targetBytes files and commit them
+    * as the next version — readers NEVER see a vanish window (contrast
+    * [[Layout.compactInPlace]]'s two-rename gap), and the old files
+    * stay readable until [[vacuum]].
+    */
+  def compactSnapshot(spark: SparkSession, table: String,
+                      targetBytes: Long = 128L << 20): Long = {
+    val cur = read(spark, table)
+    val referenced = snapshotFiles(spark, table)
+    val f = fs(spark, table)
+    val onDisk = referenced.map(rel =>
+      f.getFileStatus(hp(table, rel)).getLen).sum
+    val nFiles = math.max(1L, (onDisk + targetBytes - 1) / targetBytes)
+    commit(spark, table, cur.coalesce(nFiles.toInt))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** The snapshot-commit contracts: atomic visibility (old snapshot or
+  * new, never a half-state), crash-before-commit inertness, time
+  * travel over retained manifests, vacuum safety, and the no-vanish
+  * compaction path.
+  */
+class SnapshotTableSpec extends SparkSpec {
+
+  private def mkTable(): String =
+    Files.createTempDirectory("snap").toString + "/t"
+
+  test("commit replaces the snapshot atomically; old files serve pinned readers until vacuum") {
+    import spark.implicits._
+    val t = mkTable()
+    val v1 = SnapshotTable.commit(spark, t,
+      (0 until 10).map(i => (i.toLong, "v1")).toDF("k", "tag"))
+    assert(v1 == 1L && SnapshotTable.currentVersion(spark, t) == 1L)
+    assert(SnapshotTable.read(spark, t).count() == 10)
+
+    val v1Files = SnapshotTable.snapshotFiles(spark, t)
+    val v2 = SnapshotTable.commit(spark, t,
+      (0 until 25).map(i => (i.toLong, "v2")).toDF("k", "tag"))
+    assert(v2 == 2L)
+    // HEAD read sees only v2
+    assert(SnapshotTable.read(spark, t).select("tag").distinct()
+      .as[String].collect().toSeq == Seq("v2"))
+    // a reader pinned to v1 (resolved its manifest before the commit)
+    // still reads v1's files — commits delete NOTHING
+    assert(spark.read.parquet(v1Files.map(f => s"$t/$f"): _*).count() == 10)
+    assert(SnapshotTable.read(spark, t, version = 1L).count() == 10,
+      "time travel over the retained manifest")
+
+    // vacuum(retain=1) reclaims v1's data dir and manifest, keeps v2
+    assert(SnapshotTable.vacuum(spark, t, retain = 1) >= 2L)
+    assert(!new java.io.File(s"$t/data-00001").exists(), "v1 data reclaimed")
+    assert(SnapshotTable.read(spark, t).count() == 25, "current snapshot intact")
+    intercept[Exception] { SnapshotTable.snapshotFiles(spark, t, version = 1L) }
+  }
+
+  test("a crash BEFORE the HEAD swap is inert: readers stay on the old snapshot") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t, Seq((1L, "live")).toDF("k", "tag"))
+    // simulate a writer that staged data + manifest, then died before
+    // renaming HEAD: write the orphan artifacts by hand
+    Seq((2L, "orphan")).toDF("k", "tag").write.parquet(s"$t/data-00002")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_graft_meta", "manifest-00002"),
+      "data-00002/part-orphan.parquet".getBytes("UTF-8"))
+    assert(SnapshotTable.currentVersion(spark, t) == 1L,
+      "HEAD untouched -> table still at v1")
+    assert(SnapshotTable.read(spark, t).select("tag").head().getString(0) == "live")
+    // the next real commit supersedes the orphan version number safely
+    val v = SnapshotTable.commit(spark, t, Seq((3L, "next")).toDF("k", "tag"))
+    assert(v == 3L, s"orphan manifest occupies v2; the commit takes v3, got $v")
+    assert(SnapshotTable.read(spark, t).select("tag").head().getString(0) == "next")
+  }
+
+  test("compactSnapshot merges files with zero vanish window and content equality") {
+    import spark.implicits._
+    val t = mkTable()
+    val rows = (0 until 40).map(i => (i.toLong, s"r$i"))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+    try SnapshotTable.commit(spark, t, rows.toDF("k", "v").repartition(4))
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val before = SnapshotTable.snapshotFiles(spark, t).size
+    assert(before > 4, s"need fragmentation, got $before files")
+    SnapshotTable.compactSnapshot(spark, t, targetBytes = 1L << 20)
+    val after = SnapshotTable.snapshotFiles(spark, t).size
+    assert(after < before, s"$before -> $after files")
+    assert(SnapshotTable.read(spark, t).as[(Long, String)].collect().sorted.toSeq
+      == rows.sorted, "content survives compaction")
+    // the pre-compaction snapshot remains readable until vacuum — the
+    // property Layout.compactInPlace cannot give
+    assert(SnapshotTable.read(spark, t, version = 1L).count() == 40)
+    SnapshotTable.vacuum(spark, t, retain = 1)
+    assert(SnapshotTable.read(spark, t).count() == 40)
+  }
+}
