@@ -156,6 +156,21 @@ object SnapshotTable {
     removed
   }
 
+  /** SQL MERGE into a snapshot table: [[Layout.merged]] over the
+    * current snapshot, committed as the next version — the upsert with
+    * ATOMIC reader visibility that [[Layout.mergeDatePartitioned]]'s
+    * rename swap cannot give (there a cross-partition reader can see a
+    * mixed version mid-merge; here it sees the whole pre-merge or the
+    * whole post-merge snapshot). Whole-snapshot rewrite per merge is
+    * the honest price of this minimal format — partition-scoped
+    * manifests (Iceberg's next layer) are the scale extension.
+    */
+  def merge(spark: SparkSession, table: String, changes: DataFrame,
+            keys: Seq[String], deleteCol: Option[String] = None,
+            matchedCond: Option[org.apache.spark.sql.Column] = None): Long =
+    commit(spark, table,
+      Layout.merged(read(spark, table), changes, keys, deleteCol, matchedCond))
+
   /** [[Layout.compact]] through the snapshot commit: rewrite the
     * current snapshot's rows into ~targetBytes files and commit them
     * as the next version — readers NEVER see a vanish window (contrast

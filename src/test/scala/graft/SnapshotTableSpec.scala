@@ -61,6 +61,30 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).select("tag").head().getString(0) == "next")
   }
 
+  test("merge commits MERGE semantics as the next snapshot; pre-merge snapshot stays readable") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      (0L until 10L).map(i => (i, s"old$i", false)).toDF("k", "v", "del"))
+    val changes = Seq(
+      (3L, "UPDATED", false),   // WHEN MATCHED UPDATE
+      (42L, "INSERTED", false), // WHEN NOT MATCHED INSERT
+      (5L, "", true),           // WHEN MATCHED AND del DELETE
+      (99L, "", true))          // tombstone for an absent key: no-op
+      .toDF("k", "v", "del")
+    val v = SnapshotTable.merge(spark, t, changes, Seq("k"),
+      deleteCol = Some("del"))
+    assert(v == 2L)
+    val got = SnapshotTable.read(spark, t).select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got(3L) == "UPDATED" && got(42L) == "INSERTED" &&
+      !got.contains(5L) && !got.contains(99L) && got(0L) == "old0" &&
+      got.size == 10, s"MERGE semantics over the snapshot: $got")
+    // atomic visibility: the pre-merge snapshot is still fully readable
+    assert(SnapshotTable.read(spark, t, version = 1L)
+      .filter(col("k") === 5L).count() == 1)
+  }
+
   test("compactSnapshot merges files with zero vanish window and content equality") {
     import spark.implicits._
     val t = mkTable()
