@@ -50,18 +50,24 @@ object MergeStream {
     * parquet table at `path` (created on first batch), swap. Exposed for
     * direct certification; [[upsertSink]] wires it to foreachBatch.
     */
-  def applyBatch(spark: SparkSession, path: String, batch: DataFrame,
-                 keys: Seq[String], versionCol: String): Unit = {
-    if (batch.isEmpty) return
+  /** Deterministic intra-batch collapse: max version per key, full-row
+    * struct comparison on ties (a replayed duplicate ties with itself).
+    */
+  private def collapse(batch: DataFrame, keys: Seq[String],
+                       versionCol: String): DataFrame = {
     val cols = batch.columns.toSeq
-    // deterministic intra-batch collapse: max version per key, full-row
-    // struct comparison on ties (a replayed duplicate ties with itself)
     val rn = Iterator.iterate("__rn")(_ + "_").dropWhile(cols.contains).next()
-    val collapsed = batch
+    batch
       .withColumn(rn, row_number().over(
         Window.partitionBy(keys.map(col): _*)
           .orderBy(col(versionCol).desc, struct(cols.map(col): _*).desc)))
       .filter(col(rn) === 1).drop(rn)
+  }
+
+  def applyBatch(spark: SparkSession, path: String, batch: DataFrame,
+                 keys: Seq[String], versionCol: String): Unit = {
+    if (batch.isEmpty) return
+    val collapsed = collapse(batch, keys, versionCol)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(path)
@@ -93,6 +99,37 @@ object MergeStream {
     changes.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyBatch(batch.sparkSession, path, batch, keys, versionCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** [[applyBatch]] landing through [[graft.sources.SnapshotTable]]
+    * instead of the directory swap: each micro-batch commits ONE atomic
+    * version, so a reader sees a complete pre-batch or post-batch
+    * snapshot — never the swap's rename window — and the retained
+    * version history gives per-batch time travel until vacuum. A
+    * foreachBatch REPLAY re-merges idempotently (the version condition)
+    * and lands as an extra byte-identical version, content-safe by
+    * construction.
+    */
+  def applyBatchSnapshot(spark: SparkSession, table: String, batch: DataFrame,
+                         keys: Seq[String], versionCol: String): Unit = {
+    if (batch.isEmpty) return
+    val collapsed = collapse(batch, keys, versionCol)
+    if (graft.sources.SnapshotTable.currentVersion(spark, table) == 0L)
+      graft.sources.SnapshotTable.commit(spark, table, collapsed)
+    else
+      graft.sources.SnapshotTable.merge(spark, table, collapsed, keys,
+        deleteCol = None,
+        matchedCond = Some(col(s"c.$versionCol") >= col(s"t.$versionCol")))
+  }
+
+  /** [[upsertSink]] over the snapshot table format. */
+  def upsertSnapshotSink(changes: DataFrame, table: String, keys: Seq[String],
+                         versionCol: String, checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatchSnapshot(batch.sparkSession, table, batch, keys, versionCol)
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -137,4 +137,32 @@ class MergeStreamSpec extends SparkSpec {
       .as[Change].collect().toSet
     assert(served == Set(Change(1, "a2", 3, false)))
   }
+
+  test("upsertSnapshotSink commits one atomic version per batch; history time-travels") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-snap")
+    val ckpt = java.nio.file.Files.createTempDirectory("merge-snap-ckpt").toString
+    val input = MemoryStream[Change]
+    val q = MergeStream.upsertSnapshotSink(
+      input.toDF(), table, Seq("id"), "version", ckpt)
+    try {
+      val batch1 = Seq(Change(1, "a", 1, false), Change(2, "b", 2, false))
+      input.addData(batch1)
+      q.processAllAvailable()
+      val v1 = SnapshotTable.currentVersion(spark, table)
+      val batch2 = Seq(Change(1, "a2", 3, false), Change(3, "c", 4, false))
+      input.addData(batch2)
+      q.processAllAvailable()
+      // HEAD = the full merged state, one atomic version per batch
+      assert(SnapshotTable.currentVersion(spark, table) > v1)
+      assert(SnapshotTable.read(spark, table).as[Change].collect().toSet
+        == brute(batch1 ++ batch2))
+      // the pre-batch-2 snapshot is still a CONSISTENT whole table —
+      // the mixed-version window the directory swap cannot rule out
+      assert(SnapshotTable.read(spark, table, version = v1)
+        .as[Change].collect().toSet == brute(batch1))
+    } finally q.stop()
+  }
 }
