@@ -1218,6 +1218,33 @@ object ScaleBench {
         }
         spark.read.parquet(path).count()
       },
+      // the same CDC lifecycle landing through SnapshotTable commits
+      // (r10): each batch = ONE atomic version — prices what the
+      // no-vanish-window guarantee costs vs the directory-swap row
+      // above (expected ≈ the manifest+HEAD writes, i.e. ~nothing; the
+      // rewrite dominates both). Scratch table per run so version
+      // history starts clean.
+      t("stream_cdc_upsert_snapshot_1m_changes") {
+        val keySpace = 100000L
+        val n = 1000000L
+        val batches = 10
+        val table = s"$out/cdc_snap_target"
+        rmTree(table)
+        (0 until batches).foreach { b =>
+          val chg = spark.range(b * n / batches, (b + 1) * n / batches)
+            .select(
+              pmod(col("id"), lit(keySpace)).as("k"),
+              concat(lit("p"), col("id")).as("payload"),
+              col("id").as("version"),
+              (pmod(col("id"), lit(5)) === 0).as("deleted"))
+          graft.streaming.MergeStream.applyBatchSnapshot(
+            spark, table, chg, Seq("k"), "version")
+          // retain only the current version as a real maintainer would
+          // (unbounded history would price DISK, not the commit path)
+          graft.sources.SnapshotTable.vacuum(spark, table, retain = 1)
+        }
+        graft.sources.SnapshotTable.read(spark, table).count()
+      },
       // TTL'd LSH-index lifecycle under churn (round-9): the dup-ingest
       // corpus re-cut into sequenced cohorts; with the 600 s TTL the
       // retained index holds only texts ACTIVE inside the trailing
