@@ -59,17 +59,37 @@ object SnapshotTable {
     name.stripPrefix("manifest-").toLong
   }
 
-  /** Relative data-file paths of snapshot `version` (default: HEAD). */
-  def snapshotFiles(spark: SparkSession, table: String,
-                    version: Long = 0L): Seq[String] = {
+  /** One manifest entry: a relative file path, optionally carrying the
+    * stats column's per-file [min, max] envelope (see [[commit]]).
+    */
+  case class ManifestEntry(path: String, lo: Option[Long], hi: Option[Long])
+
+  /** Manifest entries of snapshot `version` (default: HEAD). Line
+    * format: `relpath` or `relpath\tmin\tmax` — the stats are written
+    * at commit time and power [[readPruned]]'s file skipping.
+    */
+  def snapshotEntries(spark: SparkSession, table: String,
+                      version: Long = 0L): Seq[ManifestEntry] = {
     val v = if (version > 0L) version else currentVersion(spark, table)
     require(v > 0L, s"$table has no committed snapshot")
     val f = fs(spark, table)
     val in = f.open(hp(table, MetaDir, f"manifest-$v%05d"))
     try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toList
+      .getLines().filter(_.nonEmpty).map { line =>
+        line.split("\t") match {
+          case Array(p)         => ManifestEntry(p, None, None)
+          case Array(p, lo, hi) => ManifestEntry(p, Some(lo.toLong), Some(hi.toLong))
+          case other => throw new IllegalStateException(
+            s"malformed manifest line: ${other.mkString("\\t")}")
+        }
+      }.toList
     finally in.close()
   }
+
+  /** Relative data-file paths of snapshot `version` (default: HEAD). */
+  def snapshotFiles(spark: SparkSession, table: String,
+                    version: Long = 0L): Seq[String] =
+    snapshotEntries(spark, table, version).map(_.path)
 
   /** Read a snapshot (default: the current one) — the exact committed
     * file list, no directory listing of the data tree.
@@ -83,8 +103,19 @@ object SnapshotTable {
     * Steps: write data files to a fresh `data-<next>` dir, write
     * `manifest-<next>` listing exactly those files, then atomically
     * rename a temp HEAD over HEAD. Returns the committed version.
+    *
+    * `statsCol` (a LONG-castable column): record each file's [min, max]
+    * envelope for it in the manifest — [[readPruned]] then skips whole
+    * files from the MANIFEST, before any footer is opened. This is the
+    * listing-level analog of parquet row-group pruning, and it is what
+    * makes a clustered write pay at 100 TB: sort or Z-order by the
+    * stats column first ([[Layout.zorderWrite]] discipline) so the
+    * per-file envelopes are narrow — stats over an unclustered column
+    * cover the full range in every file and prune nothing. Costs one
+    * aggregate over the just-written files at commit time.
     */
-  def commit(spark: SparkSession, table: String, df: DataFrame): Long = {
+  def commit(spark: SparkSession, table: String, df: DataFrame,
+             statsCol: Option[String] = None): Long = {
     val f = fs(spark, table)
     // next version must clear HEAD AND any orphan artifacts a crashed
     // writer left behind (a staged data dir / manifest whose HEAD swap
@@ -107,10 +138,30 @@ object SnapshotTable {
       .filter(s => s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$dataDir/${s.getPath.getName}").sorted
     require(files.nonEmpty, "refusing to commit an empty snapshot")
+    val lines = statsCol match {
+      case None => files
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        val stats = spark.read.parquet(s"$table/$dataDir")
+          .groupBy(input_file_name().as("__f"))
+          .agg(min(col(c).cast("long")).as("__lo"),
+            max(col(c).cast("long")).as("__hi"))
+          .collect()
+          .map(r => r.getString(0).split("/").takeRight(1).head ->
+            (r.isNullAt(1), if (r.isNullAt(1)) 0L else r.getLong(1),
+              if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
+        files.map { rel =>
+          val name = rel.split("/").last
+          stats.get(name) match {
+            case Some((false, lo, hi)) => s"$rel\t$lo\t$hi"
+            case _                     => rel // all-null file: no envelope, never pruned
+          }
+        }
+    }
     f.mkdirs(hp(table, MetaDir))
     val manifest = hp(table, MetaDir, f"manifest-$next%05d")
     val mOut = f.create(manifest, false) // manifests are immutable: no overwrite
-    try mOut.write(files.mkString("\n").getBytes("UTF-8")) finally mOut.close()
+    try mOut.write(lines.mkString("\n").getBytes("UTF-8")) finally mOut.close()
     // the COMMIT POINT: single-file rename over HEAD — readers resolve
     // entirely the old snapshot or entirely the new one
     val tmp = hp(table, MetaDir, s"$Head.tmp-$next")
@@ -154,6 +205,27 @@ object SnapshotTable {
         if (!keepVersions.contains(v)) { f.delete(hp(table, MetaDir, m), false); removed += 1 }
       }
     removed
+  }
+
+  /** Read only the files whose committed [min, max] envelope intersects
+    * `[lo, hi]` on the stats column — file skipping decided from the
+    * MANIFEST alone, before any data file or footer is opened. Files
+    * committed without an envelope (no statsCol, or all-null) are
+    * conservatively read. The returned frame still carries the residual
+    * filter: envelopes bound files, they do not filter rows.
+    */
+  def readPruned(spark: SparkSession, table: String, statsCol: String,
+                 lo: Long, hi: Long, version: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val entries = snapshotEntries(spark, table, version)
+    val keep = entries.filter(e =>
+      e.lo.isEmpty || (e.lo.get <= hi && e.hi.get >= lo))
+    if (keep.isEmpty) // empty relation WITH the right schema
+      return read(spark, table, version)
+        .filter(col(statsCol).cast("long").between(lo, hi))
+        .limit(0)
+    spark.read.parquet(keep.map(e => s"$table/${e.path}"): _*)
+      .filter(col(statsCol).cast("long").between(lo, hi))
   }
 
   /** SQL MERGE into a snapshot table: [[Layout.merged]] over the

@@ -85,6 +85,33 @@ class SnapshotTableSpec extends SparkSpec {
       .filter(col("k") === 5L).count() == 1)
   }
 
+  test("manifest min/max envelopes skip whole files for a clustered column") {
+    import spark.implicits._
+    val t = mkTable()
+    val rows = (0L until 1000L).map(i => (i, s"p$i"))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try SnapshotTable.commit(spark, t,
+      rows.toDF("k", "v").repartitionByRange(4, col("k"))
+        .sortWithinPartitions("k"),
+      statsCol = Some("k"))
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val entries = SnapshotTable.snapshotEntries(spark, t)
+    assert(entries.size >= 8, s"need fragmentation, got ${entries.size} files")
+    assert(entries.forall(_.lo.nonEmpty), "every file carries its envelope")
+    // a narrow range must intersect FEW files' envelopes
+    val hit = entries.count(e => e.lo.get <= 160L && e.hi.get >= 140L)
+    assert(hit < entries.size / 2,
+      s"clustered write must localize the range: $hit of ${entries.size} files")
+    // and the pruned read returns exactly the full-scan filter's rows
+    val pruned = SnapshotTable.readPruned(spark, t, "k", 140L, 160L)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(pruned == rows.filter(r => r._1 >= 140 && r._1 <= 160),
+      "file skipping must not change results")
+    // disjoint range: zero files, empty result, schema intact
+    val none = SnapshotTable.readPruned(spark, t, "k", 5000L, 6000L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+  }
+
   test("compactSnapshot merges files with zero vanish window and content equality") {
     import spark.implicits._
     val t = mkTable()
