@@ -292,6 +292,24 @@ object ScaleBench {
         case (k, None)    => spark.conf.unset(k)
       }
     }
+    /** Build (once) the snapshot-committed events fact: range-clustered
+      * by event_id into ~32 files with per-file envelopes, so a narrow
+      * id range resolves to a couple of files at the manifest.
+      */
+    def ensureSnapshotEvents(): String = {
+      val table = s"$out/events_snapshot"
+      if (sources.SnapshotTable.currentVersion(spark, table) == 0L) {
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "40000")
+        try sources.SnapshotTable.commit(spark, table,
+          events.select(col("event_id"), col("value"))
+            .repartitionByRange(16, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          statsCol = Some("event_id"))
+        finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      table
+    }
+
     /** The bloom A/B join: full replicated lineitem against a ~3%
       * orders slice, forced merge join — the selective side's keys
       * prune the fact scan when the runtime filter is on.
@@ -645,6 +663,22 @@ object ScaleBench {
       // this pair prices it on the identical no-broadcast merge join.
       t("bloom_smj_on_6m") { withBloom(true) { bloomStar().count() } },
       t("bloom_smj_off_6m") { withBloom(false) { bloomStar().count() } },
+      // MANIFEST-level file skipping (r10 SnapshotTable): the events
+      // fact committed ONCE range-clustered by event_id with per-file
+      // envelopes; the pruned read resolves a narrow id range from the
+      // manifest alone vs the same filter over the full snapshot. The
+      // fourth storage lever, at LISTING resolution (before footers).
+      t("snapshot_prune_read_1m") {
+        val table = ensureSnapshotEvents()
+        sources.SnapshotTable.readPruned(spark, table, "event_id", 10000L, 19999L)
+          .agg(count(lit(1)), sum("value")).collect()(0).getLong(0)
+      },
+      t("snapshot_unpruned_read_1m") {
+        val table = ensureSnapshotEvents()
+        sources.SnapshotTable.read(spark, table)
+          .filter(col("event_id").between(10000L, 19999L))
+          .agg(count(lit(1)), sum("value")).collect()(0).getLong(0)
+      },
       t("prune_static_3day_1m") {
         sources.Layout.readPartitioned(spark, ensureEventsByDate())
           .filter(col("p_date").between("2024-01-10", "2024-01-12"))
