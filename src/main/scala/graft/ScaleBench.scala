@@ -304,7 +304,7 @@ object ScaleBench {
           events.select(col("event_id"), col("value"))
             .repartitionByRange(16, col("event_id"))
             .sortWithinPartitions("event_id"),
-          statsCol = Some("event_id"))
+          statsCols = Seq("event_id"))
         finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
       }
       table

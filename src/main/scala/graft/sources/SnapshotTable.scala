@@ -59,14 +59,17 @@ object SnapshotTable {
     name.stripPrefix("manifest-").toLong
   }
 
-  /** One manifest entry: a relative file path, optionally carrying the
-    * stats column's per-file [min, max] envelope (see [[commit]]).
+  /** One manifest entry: a relative file path plus per-column [min,
+    * max] envelopes for the columns [[commit]] recorded stats on. A
+    * column absent from the map has no envelope in this file (all-null
+    * there, or never recorded) and can never be pruned on.
     */
-  case class ManifestEntry(path: String, lo: Option[Long], hi: Option[Long])
+  case class ManifestEntry(path: String, stats: Map[String, (Long, Long)])
 
   /** Manifest entries of snapshot `version` (default: HEAD). Line
-    * format: `relpath` or `relpath\tmin\tmax` — the stats are written
-    * at commit time and power [[readPruned]]'s file skipping.
+    * format: `relpath` optionally followed by `\tcol=lo..hi` per stats
+    * column — written at commit time, powering [[readPruned]]'s file
+    * skipping.
     */
   def snapshotEntries(spark: SparkSession, table: String,
                       version: Long = 0L): Seq[ManifestEntry] = {
@@ -74,14 +77,16 @@ object SnapshotTable {
     require(v > 0L, s"$table has no committed snapshot")
     val f = fs(spark, table)
     val in = f.open(hp(table, MetaDir, f"manifest-$v%05d"))
+    val StatTok = "([^=]+)=(-?[0-9]+)\\.\\.(-?[0-9]+)".r
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).map { line =>
-        line.split("\t") match {
-          case Array(p)         => ManifestEntry(p, None, None)
-          case Array(p, lo, hi) => ManifestEntry(p, Some(lo.toLong), Some(hi.toLong))
+        val toks = line.split("\t")
+        val stats = toks.tail.map {
+          case StatTok(c, lo, hi) => c -> (lo.toLong, hi.toLong)
           case other => throw new IllegalStateException(
-            s"malformed manifest line: ${other.mkString("\\t")}")
-        }
+            s"malformed manifest stat token: $other")
+        }.toMap
+        ManifestEntry(toks.head, stats)
       }.toList
     finally in.close()
   }
@@ -104,18 +109,20 @@ object SnapshotTable {
     * `manifest-<next>` listing exactly those files, then atomically
     * rename a temp HEAD over HEAD. Returns the committed version.
     *
-    * `statsCol` (a LONG-castable column): record each file's [min, max]
-    * envelope for it in the manifest — [[readPruned]] then skips whole
-    * files from the MANIFEST, before any footer is opened. This is the
-    * listing-level analog of parquet row-group pruning, and it is what
-    * makes a clustered write pay at 100 TB: sort or Z-order by the
-    * stats column first ([[Layout.zorderWrite]] discipline) so the
-    * per-file envelopes are narrow — stats over an unclustered column
-    * cover the full range in every file and prune nothing. Costs one
-    * aggregate over the just-written files at commit time.
+    * `statsCols` (LONG-castable columns): record each file's [min,
+    * max] envelope per column in the manifest — [[readPruned]] then
+    * skips whole files from the MANIFEST, before any footer is opened.
+    * This is the listing-level analog of parquet row-group pruning,
+    * and it is what makes a clustered write pay at 100 TB: sort by the
+    * column (one dim) or Z-ORDER by all of them
+    * ([[Layout.zorderWrite]]) so EVERY recorded column's per-file
+    * envelope is narrow — stats over an unclustered column cover the
+    * full range in every file and prune nothing. Costs ONE aggregate
+    * over the just-written files at commit time regardless of column
+    * count.
     */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-             statsCol: Option[String] = None): Long = {
+             statsCols: Seq[String] = Nil): Long = {
     val f = fs(spark, table)
     // next version must clear HEAD AND any orphan artifacts a crashed
     // writer left behind (a staged data dir / manifest whose HEAD swap
@@ -138,26 +145,30 @@ object SnapshotTable {
       .filter(s => s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$dataDir/${s.getPath.getName}").sorted
     require(files.nonEmpty, "refusing to commit an empty snapshot")
-    val lines = statsCol match {
-      case None => files
-      case Some(c) =>
+    val lines =
+      if (statsCols.isEmpty) files
+      else {
         import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c).cast("long")), max(col(c).cast("long"))))
         val stats = spark.read.parquet(s"$table/$dataDir")
           .groupBy(input_file_name().as("__f"))
-          .agg(min(col(c).cast("long")).as("__lo"),
-            max(col(c).cast("long")).as("__hi"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map(r => r.getString(0).split("/").takeRight(1).head ->
-            (r.isNullAt(1), if (r.isNullAt(1)) 0L else r.getLong(1),
-              if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
+          .map { r =>
+            val name = r.getString(0).split("/").takeRight(1).head
+            val envs = statsCols.zipWithIndex.flatMap { case (c, i) =>
+              // all-null column in this file: no envelope token
+              if (r.isNullAt(1 + 2 * i)) None
+              else Some(s"$c=${r.getLong(1 + 2 * i)}..${r.getLong(2 + 2 * i)}")
+            }
+            name -> envs
+          }.toMap
         files.map { rel =>
           val name = rel.split("/").last
-          stats.get(name) match {
-            case Some((false, lo, hi)) => s"$rel\t$lo\t$hi"
-            case _                     => rel // all-null file: no envelope, never pruned
-          }
+          (rel +: stats.getOrElse(name, Nil)).mkString("\t")
         }
-    }
+      }
     f.mkdirs(hp(table, MetaDir))
     val manifest = hp(table, MetaDir, f"manifest-$next%05d")
     val mOut = f.create(manifest, false) // manifests are immutable: no overwrite
@@ -207,26 +218,40 @@ object SnapshotTable {
     removed
   }
 
-  /** Read only the files whose committed [min, max] envelope intersects
-    * `[lo, hi]` on the stats column — file skipping decided from the
-    * MANIFEST alone, before any data file or footer is opened. Files
-    * committed without an envelope (no statsCol, or all-null) are
-    * conservatively read. The returned frame still carries the residual
-    * filter: envelopes bound files, they do not filter rows.
+  /** Read only the files whose committed envelopes intersect EVERY
+    * given `(column, lo, hi)` range — conjunctive file skipping decided
+    * from the MANIFEST alone, before any data file or footer is opened.
+    * A file without an envelope for some predicate column is
+    * conservatively kept. The returned frame still carries the residual
+    * row filters: envelopes bound files, they do not filter rows. With
+    * a Z-ordered write and stats on every clustered dim, a box query
+    * prunes on ALL dims at once — the manifest-resolution payoff of
+    * [[Layout.zorderWrite]]'s per-file hyper-rectangles.
     */
-  def readPruned(spark: SparkSession, table: String, statsCol: String,
-                 lo: Long, hi: Long, version: Long = 0L): DataFrame = {
+  def readPruned(spark: SparkSession, table: String,
+                 preds: Seq[(String, Long, Long)],
+                 version: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions.col
+    require(preds.nonEmpty, "readPruned needs at least one range predicate")
     val entries = snapshotEntries(spark, table, version)
-    val keep = entries.filter(e =>
-      e.lo.isEmpty || (e.lo.get <= hi && e.hi.get >= lo))
+    val keep = entries.filter { e =>
+      preds.forall { case (c, lo, hi) =>
+        e.stats.get(c).forall { case (flo, fhi) => flo <= hi && fhi >= lo }
+      }
+    }
+    def residual(df: DataFrame): DataFrame =
+      preds.foldLeft(df) { case (d, (c, lo, hi)) =>
+        d.filter(col(c).cast("long").between(lo, hi))
+      }
     if (keep.isEmpty) // empty relation WITH the right schema
-      return read(spark, table, version)
-        .filter(col(statsCol).cast("long").between(lo, hi))
-        .limit(0)
-    spark.read.parquet(keep.map(e => s"$table/${e.path}"): _*)
-      .filter(col(statsCol).cast("long").between(lo, hi))
+      return residual(read(spark, table, version)).limit(0)
+    residual(spark.read.parquet(keep.map(e => s"$table/${e.path}"): _*))
   }
+
+  /** Single-column convenience overload of [[readPruned]]. */
+  def readPruned(spark: SparkSession, table: String, statsCol: String,
+                 lo: Long, hi: Long): DataFrame =
+    readPruned(spark, table, Seq((statsCol, lo, hi)))
 
   /** SQL MERGE into a snapshot table: [[Layout.merged]] over the
     * current snapshot, committed as the next version — the upsert with

@@ -93,13 +93,13 @@ class SnapshotTableSpec extends SparkSpec {
     try SnapshotTable.commit(spark, t,
       rows.toDF("k", "v").repartitionByRange(4, col("k"))
         .sortWithinPartitions("k"),
-      statsCol = Some("k"))
+      statsCols = Seq("k"))
     finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
     val entries = SnapshotTable.snapshotEntries(spark, t)
     assert(entries.size >= 8, s"need fragmentation, got ${entries.size} files")
-    assert(entries.forall(_.lo.nonEmpty), "every file carries its envelope")
+    assert(entries.forall(_.stats.contains("k")), "every file carries its envelope")
     // a narrow range must intersect FEW files' envelopes
-    val hit = entries.count(e => e.lo.get <= 160L && e.hi.get >= 140L)
+    val hit = entries.count(e => e.stats("k")._1 <= 160L && e.stats("k")._2 >= 140L)
     assert(hit < entries.size / 2,
       s"clustered write must localize the range: $hit of ${entries.size} files")
     // and the pruned read returns exactly the full-scan filter's rows
@@ -110,6 +110,51 @@ class SnapshotTableSpec extends SparkSpec {
     // disjoint range: zero files, empty result, schema intact
     val none = SnapshotTable.readPruned(spark, t, "k", 5000L, 6000L)
     assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("a Z-ordered commit prunes on EVERY clustered dim; a linear sort prunes only its own") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(4000)((rnd.nextInt(1 << 12).toLong, rnd.nextInt(1 << 12).toLong))
+    val df = rows.toDF("x", "y")
+    def zframe = {
+      // the zorderWrite discipline inline (range-partition + sort by the
+      // Morton value) so the commit sees Z-clustered partitions
+      val z = graft.sources.Layout.zvalue(
+        Seq((col("x"), 0L, 4095L), (col("y"), 0L, 4095L)), bits = 8)
+      df.withColumn("__z", z).repartitionByRange(8, col("__z"))
+        .sortWithinPartitions("__z").drop("__z")
+    }
+    def committed(frame: org.apache.spark.sql.DataFrame): String = {
+      val t = mkTable()
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "250")
+      try SnapshotTable.commit(spark, t, frame, statsCols = Seq("x", "y"))
+      finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      t
+    }
+    val zt = committed(zframe)
+    val lt = committed(df.repartitionByRange(8, col("x")).sortWithinPartitions("x"))
+    def kept(t: String, preds: Seq[(String, Long, Long)]): Int =
+      SnapshotTable.snapshotEntries(spark, t).count(e =>
+        preds.forall { case (c, lo, hi) =>
+          e.stats.get(c).forall { case (flo, fhi) => flo <= hi && fhi >= lo } })
+    val box = Seq(("x", 1000L, 1400L), ("y", 1000L, 1400L))
+    val zKept = kept(zt, box)
+    val zTotal = SnapshotTable.snapshotEntries(spark, zt).size
+    // the linear-sorted table prunes on x but keeps ~every file for a
+    // y-only range; the z table prunes on BOTH
+    val lYKept = kept(lt, Seq(("y", 1000L, 1400L)))
+    val lTotal = SnapshotTable.snapshotEntries(spark, lt).size
+    val zYKept = kept(zt, Seq(("y", 1000L, 1400L)))
+    assert(lYKept == lTotal, s"linear sort cannot prune y: $lYKept/$lTotal")
+    assert(zYKept < zTotal, s"z-order must prune y too: $zYKept/$zTotal")
+    assert(zKept < zTotal / 2, s"box query must skip most z files: $zKept/$zTotal")
+    // and the pruned box read is exact
+    val got = SnapshotTable.readPruned(spark, zt, box)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val exp = rows.filter(r => r._1 >= 1000 && r._1 <= 1400 &&
+      r._2 >= 1000 && r._2 <= 1400).sorted
+    assert(got == exp, "multi-dim file skipping must not change results")
   }
 
   test("compactSnapshot merges files with zero vanish window and content equality") {
