@@ -243,6 +243,14 @@ object Layout {
     // for its partitions; reading the live tree without recovering
     // would merge against a half-applied state)
     recoverMergePending(spark, path)
+    // with no manifest pending, anything in __trash is a PRIOR merge's
+    // leftovers (killed between manifest retirement and trash cleanup).
+    // Clearing it now restores this merge's rename-aside guarantee: a
+    // stale aside dir would otherwise make applyMergeManifest hard-
+    // delete the live partition instead of renaming it aside, silently
+    // voiding "pre-merge data survives in trash until the manifest
+    // retires" for that partition
+    fs.delete(new org.apache.hadoop.fs.Path(s"${path}__trash"), true)
     val parts = changes.select(partCol).distinct().collect()
       .map(_.get(0)).filter(_ != null)
     if (parts.isEmpty) return 0L
@@ -441,6 +449,11 @@ object Layout {
     */
   def compactInPlace(spark: SparkSession, path: String,
                      targetBytes: Long = 128L << 20): Long = {
+    // a prior run killed between publish's two renames leaves the live
+    // dir absent (moved aside, scratch not yet renamed in) — finish
+    // THAT publish before reading, or the read below fails where the
+    // doc promises self-healing
+    recoverPublishPending(spark, path)
     val scratch = s"${path}__compacting"
     val n = compact(spark, path, scratch, targetBytes)
     publishDirectory(spark, scratch, path)

@@ -2,6 +2,15 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** A committer attempted a conditional commit ([[SnapshotTable.commit]]
+  * with `expectedBase`) and lost the race: another version landed (or a
+  * rival's claim is pending) between its snapshot read and its claim.
+  * The table is UNTOUCHED by the loser — callers re-read the new base,
+  * recompute, and retry (which is exactly what [[SnapshotTable.merge]]
+  * and [[SnapshotTable.mergeScoped]] do internally).
+  */
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
 /** A minimal manifest-of-files table format: ATOMIC snapshot commits
   * over plain parquet — the missing piece every directory-swap helper
   * in [[Layout]] documents ("snapshot isolation needs a table format's
@@ -13,33 +22,78 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   data-00001/part-*.parquet      immutable once committed
   *   data-00002/part-*.parquet
   *   _graft_meta/manifest-00001     one relative file path per line
-  *   _graft_meta/manifest-00002
-  *   _graft_meta/HEAD               contents: "manifest-00002"
+  *   _graft_meta/manifest-00002     (newest N = the current snapshot)
+  *   _graft_meta/claim-00003        a writer's exclusive version lease
   * }}}
   *
-  * Readers resolve HEAD → manifest → exact file list; writers stage
-  * data files, write the next manifest, then ATOMICALLY repoint HEAD
-  * (single-file rename — atomic on POSIX and HDFS). Consequences:
-  *  - NO vanish window: a concurrent reader sees the old snapshot or
-  *    the new one, never a half-state — data files are immutable and
+  * THE COMMIT POINT IS THE MANIFEST FILE ITSELF: a snapshot exists
+  * exactly when `manifest-N` exists, and the current version is the
+  * HIGHEST existing manifest. There is no HEAD pointer to repoint —
+  * the earlier HEAD-rename design was NOT atomic on HDFS (rename onto
+  * an existing dest returns false there, forcing a delete+rename pair
+  * with a vanish window and a crash hole that lost HEAD outright), so
+  * the pointer is gone rather than patched: resolving "newest manifest"
+  * is one directory listing of `_graft_meta`, bounded by the retained
+  * VERSION count (vacuumed), never by data-file count. Manifests become
+  * visible ATOMICALLY with complete content: the writer stages
+  * `manifest-N.tmp-*` and renames it to `manifest-N` — a single-file
+  * rename to a NON-existent destination, atomic on POSIX and HDFS alike
+  * (the claim below guarantees the destination is ours and vacant).
+  *
+  * CONCURRENT WRITERS are safe, not merely documented away: a writer
+  * first takes `claim-N` via create-exclusive (atomic on HDFS; plus a
+  * process-wide lock that strictly serializes same-JVM claimants, the
+  * local[*] case) — exactly one writer owns any version number, a loser
+  * sees FileAlreadyExists and retries at N+1, and `data-N` is written
+  * only by N's owner so no two writers ever touch the same directory.
+  * Read-modify-write flows (MERGE) pass `expectedBase`: the claim must
+  * be the IMMEDIATE successor of the base the writer read, else the
+  * claim is released and [[ConcurrentCommitException]] tells the caller
+  * to re-read and recompute — the optimistic-concurrency loop both
+  * merge entry points run internally, so concurrent mergers never lose
+  * updates.
+  *
+  * Consequences:
+  *  - NO vanish window: a concurrent reader resolves entirely the old
+  *    snapshot or entirely the new one — data files are immutable and
   *    never deleted by a commit;
-  *  - crash ANYWHERE before the HEAD rename leaves the table exactly
-  *    at the previous snapshot (orphan data/manifest files are inert
-  *    garbage, reclaimed by [[vacuum]]);
-  *  - time travel for free: any retained manifest can be read.
+  *  - crash ANYWHERE before the manifest rename leaves the table
+  *    exactly at the previous snapshot (orphan claims, data dirs and
+  *    manifest tmps are inert garbage, reclaimed by [[vacuum]]); a
+  *    crashed claim leaves a version-number GAP, which every reader
+  *    and [[vacuum]] tolerate by construction (only manifests that
+  *    EXIST are versions);
+  *  - time travel for free: any retained manifest can be read;
+  *  - manifests may SHARE data files across versions — [[mergeScoped]]
+  *    rewrites only the files its changes touch and carries every
+  *    other manifest line forward verbatim, the Iceberg-style scale
+  *    path where a 1% change set rewrites 1% of the files.
   *
   * At 100 TB this is also the LISTING fix: a snapshot read opens one
-  * HEAD + one manifest instead of recursively listing millions of
-  * files. Out of scope, honestly: concurrent WRITERS need a
-  * compare-and-swap on HEAD (object stores offer conditional puts; a
-  * posix rename is last-writer-wins), and row-level deletes need
-  * delete files — this format does whole-snapshot replaces, which is
-  * exactly what [[Layout.compact]] and full-partition rewrites emit.
+  * meta listing + one manifest instead of recursively listing millions
+  * of data files. Out of scope, honestly: row-level deletes need
+  * delete files — [[commit]] does whole-snapshot replaces and
+  * [[mergeScoped]] file-scoped ones; and create-exclusive on a plain
+  * POSIX fs has a theoretical simultaneous-create window (HDFS makes
+  * it atomic; object stores want a conditional put) — same-process
+  * writers, the only kind a single local JVM can race, are serialized
+  * by the claim lock regardless.
   */
 object SnapshotTable {
 
   private val MetaDir = "_graft_meta"
-  private val Head = "HEAD"
+  private val ManifestRe = "^manifest-([0-9]{5})$".r
+  private val ClaimRe = "^claim-([0-9]{5})$".r
+
+  /** Same-JVM claimants serialize here (one lock per table path): the
+    * filesystem's create-exclusive is the cross-process primitive, but
+    * a plain local fs leaves a simultaneous-create window two threads
+    * of one JVM could in principle hit — and one JVM is exactly what
+    * local[*] runs. Held only across [compute next, create claim]:
+    * microseconds, never during data writes.
+    */
+  private val claimLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -48,25 +102,39 @@ object SnapshotTable {
   private def hp(parts: String*) =
     new org.apache.hadoop.fs.Path(parts.mkString("/"))
 
-  /** Current committed version, 0 when the table has no snapshot. */
-  def currentVersion(spark: SparkSession, table: String): Long = {
-    val f = fs(spark, table)
-    val head = hp(table, MetaDir, Head)
-    if (!f.exists(head)) return 0L
-    val in = f.open(head)
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    name.stripPrefix("manifest-").toLong
+  private def metaNames(f: org.apache.hadoop.fs.FileSystem,
+                        table: String): Seq[String] = {
+    val dir = hp(table, MetaDir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).map(_.getPath.getName).toSeq
   }
+
+  /** Current committed version = the highest EXISTING manifest; 0 when
+    * the table has no snapshot. Self-healing by construction: there is
+    * no pointer file to lose, and a crashed writer's claim/tmp leaves
+    * at most a version-number gap, never a dangling reference.
+    */
+  def currentVersion(spark: SparkSession, table: String): Long =
+    metaNames(fs(spark, table), table)
+      .collect { case ManifestRe(n) => n.toLong }
+      .foldLeft(0L)(math.max)
 
   /** One manifest entry: a relative file path plus per-column [min,
     * max] envelopes for the columns [[commit]] recorded stats on. A
     * column absent from the map has no envelope in this file (all-null
     * there, or never recorded) and can never be pruned on.
     */
-  case class ManifestEntry(path: String, stats: Map[String, (Long, Long)])
+  case class ManifestEntry(path: String, stats: Map[String, (Long, Long)]) {
+    /** The exact line [[commit]] writes — [[mergeScoped]] carries
+      * untouched entries into the next manifest verbatim through this.
+      */
+    def render: String =
+      (path +: stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"$c=$lo..$hi"
+      }).mkString("\t")
+  }
 
-  /** Manifest entries of snapshot `version` (default: HEAD). Line
+  /** Manifest entries of snapshot `version` (default: current). Line
     * format: `relpath` optionally followed by `\tcol=lo..hi` per stats
     * column — written at commit time, powering [[readPruned]]'s file
     * skipping.
@@ -91,7 +159,7 @@ object SnapshotTable {
     finally in.close()
   }
 
-  /** Relative data-file paths of snapshot `version` (default: HEAD). */
+  /** Relative data-file paths of snapshot `version` (default: current). */
   def snapshotFiles(spark: SparkSession, table: String,
                     version: Long = 0L): Seq[String] =
     snapshotEntries(spark, table, version).map(_.path)
@@ -104,10 +172,134 @@ object SnapshotTable {
     spark.read.parquet(files: _*)
   }
 
+  /** Take `claim-N` for the next free version. Returns the claimed N.
+    * Exclusive: create(overwrite=false) is the cross-process primitive
+    * (atomic on HDFS), the process lock serializes same-JVM racers.
+    * With `expectedBase`, the claim must be its immediate successor —
+    * a gap means a rival committed (manifest landed) or is mid-commit
+    * (claim pending), and the caller's snapshot read is stale either
+    * way; the claim is not taken and [[ConcurrentCommitException]]
+    * propagates.
+    */
+  private def claimNext(f: org.apache.hadoop.fs.FileSystem, table: String,
+                        expectedBase: Option[Long]): Long = {
+    val lock = claimLocks.computeIfAbsent(
+      hp(table).toString, _ => new Object)
+    lock.synchronized {
+      // next must clear every artifact class: committed manifests, live
+      // or dead claims, and orphan data dirs a crashed writer left —
+      // colliding with any would corrupt or fail the write
+      val metaMax = metaNames(f, table).collect {
+        case ManifestRe(n) => n.toLong
+        case ClaimRe(n) => n.toLong
+      }.foldLeft(0L)(math.max)
+      val dataMax =
+        if (!f.exists(hp(table))) 0L
+        else f.listStatus(hp(table)).map(_.getPath.getName)
+          .collect { case n if n.startsWith("data-") =>
+            scala.util.Try(n.stripPrefix("data-").takeWhile(_.isDigit).toLong)
+              .getOrElse(0L)
+          }.foldLeft(0L)(math.max)
+      var n = math.max(metaMax, dataMax) + 1L
+      expectedBase.foreach { base =>
+        if (n != base + 1L) throw new ConcurrentCommitException(
+          s"$table moved past v$base (next free version is v$n): " +
+            "re-read the snapshot and recompute")
+      }
+      f.mkdirs(hp(table, MetaDir))
+      var claimed = -1L
+      var attempts = 0
+      while (claimed < 0L) {
+        attempts += 1
+        require(attempts <= 50, s"could not claim a version for $table " +
+          s"after $attempts attempts — runaway contention or a listing bug")
+        try {
+          val out = f.create(hp(table, MetaDir, f"claim-$n%05d"), false)
+          out.close()
+          claimed = n
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException =>
+            // a cross-process rival beat us to N — with expectedBase
+            // that rival invalidates our base; without, just move up
+            expectedBase.foreach { base =>
+              throw new ConcurrentCommitException(
+                s"$table: rival writer claimed v$n while committing " +
+                  s"against base v$base — re-read and recompute")
+            }
+            n += 1L
+        }
+      }
+      claimed
+    }
+  }
+
+  /** Render the per-file `col=lo..hi` stat tokens for a just-written
+    * data dir: ONE aggregate over the new files regardless of column
+    * count. LONG-castable columns only.
+    */
+  private def statTokens(spark: SparkSession, table: String, dataDir: String,
+                         statsCols: Seq[String]): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    if (statsCols.isEmpty) return Map.empty
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")), max(col(c).cast("long"))))
+    spark.read.parquet(s"$table/$dataDir")
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val name = r.getString(0).split("/").takeRight(1).head
+        val envs = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          // all-null column in this file: no envelope token
+          if (r.isNullAt(1 + 2 * i)) None
+          else Some(s"$c=${r.getLong(1 + 2 * i)}..${r.getLong(2 + 2 * i)}")
+        }
+        name -> envs
+      }.toMap
+  }
+
+  /** Write `df` as version `n`'s data dir and return its manifest
+    * lines (with stat tokens when `statsCols` given). The dir is
+    * exclusively ours: `n` is claimed.
+    */
+  private def writeData(spark: SparkSession, table: String, n: Long,
+                        df: DataFrame, statsCols: Seq[String]): Seq[String] = {
+    val dataDir = f"data-$n%05d"
+    df.write.parquet(s"$table/$dataDir")
+    val f = fs(spark, table)
+    val files = f.listStatus(hp(table, dataDir))
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$dataDir/${s.getPath.getName}").sorted.toSeq
+    val stats = statTokens(spark, table, dataDir, statsCols)
+    files.map { rel =>
+      val name = rel.split("/").last
+      (rel +: stats.getOrElse(name, Nil)).mkString("\t")
+    }
+  }
+
+  /** THE COMMIT POINT: stage `manifest-N.tmp-N`, rename it onto
+    * `manifest-N` — a single-file rename to a destination that is
+    * vacant and ours (the claim), atomic on POSIX and HDFS, so readers
+    * see a complete manifest or none. The claim retires after.
+    */
+  private def commitManifest(f: org.apache.hadoop.fs.FileSystem,
+                             table: String, n: Long,
+                             lines: Seq[String]): Long = {
+    require(lines.nonEmpty, "refusing to commit an empty snapshot")
+    val tmp = hp(table, MetaDir, f"manifest-$n%05d.tmp-$n")
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val manifest = hp(table, MetaDir, f"manifest-$n%05d")
+    require(f.rename(tmp, manifest), s"manifest publish failed for $table v$n")
+    f.delete(hp(table, MetaDir, f"claim-$n%05d"), false)
+    n
+  }
+
   /** Commit `df` as the table's next snapshot (whole-snapshot replace).
-    * Steps: write data files to a fresh `data-<next>` dir, write
-    * `manifest-<next>` listing exactly those files, then atomically
-    * rename a temp HEAD over HEAD. Returns the committed version.
+    * Steps: claim the next version (exclusive), write data files to a
+    * fresh `data-<n>` dir, then atomically publish `manifest-<n>` —
+    * the commit point. Returns the committed version.
     *
     * `statsCols` (LONG-castable columns): record each file's [min,
     * max] envelope per column in the manifest — [[readPruned]] then
@@ -120,87 +312,47 @@ object SnapshotTable {
     * full range in every file and prune nothing. Costs ONE aggregate
     * over the just-written files at commit time regardless of column
     * count.
+    *
+    * `expectedBase`: optimistic-concurrency guard for read-modify-write
+    * callers — the commit succeeds only as version `expectedBase + 1`
+    * with no rival manifest or claim in between, else
+    * [[ConcurrentCommitException]] (table untouched; re-read, recompute,
+    * retry — see [[merge]]).
     */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             expectedBase: Option[Long] = None): Long = {
     val f = fs(spark, table)
-    // next version must clear HEAD AND any orphan artifacts a crashed
-    // writer left behind (a staged data dir / manifest whose HEAD swap
-    // never happened) — colliding with an orphan would fail the write
-    // or, worse, commit a manifest listing someone else's files
-    def maxWith(prefix: String, dir: org.apache.hadoop.fs.Path): Long =
-      if (!f.exists(dir)) 0L
-      else f.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith(prefix))
-        .map(n => scala.util.Try(n.stripPrefix(prefix).takeWhile(_.isDigit).toLong)
-          .getOrElse(0L))
-        .foldLeft(0L)(math.max)
-    val next = Seq(
-      currentVersion(spark, table),
-      maxWith("data-", hp(table)),
-      maxWith("manifest-", hp(table, MetaDir))).max + 1L
-    val dataDir = f"data-$next%05d"
-    df.write.parquet(s"$table/$dataDir")
-    val files = f.listStatus(hp(table, dataDir))
-      .filter(s => s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$dataDir/${s.getPath.getName}").sorted
-    require(files.nonEmpty, "refusing to commit an empty snapshot")
-    val lines =
-      if (statsCols.isEmpty) files
-      else {
-        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-        val aggs = statsCols.flatMap(c => Seq(
-          min(col(c).cast("long")), max(col(c).cast("long"))))
-        val stats = spark.read.parquet(s"$table/$dataDir")
-          .groupBy(input_file_name().as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val name = r.getString(0).split("/").takeRight(1).head
-            val envs = statsCols.zipWithIndex.flatMap { case (c, i) =>
-              // all-null column in this file: no envelope token
-              if (r.isNullAt(1 + 2 * i)) None
-              else Some(s"$c=${r.getLong(1 + 2 * i)}..${r.getLong(2 + 2 * i)}")
-            }
-            name -> envs
-          }.toMap
-        files.map { rel =>
-          val name = rel.split("/").last
-          (rel +: stats.getOrElse(name, Nil)).mkString("\t")
-        }
-      }
-    f.mkdirs(hp(table, MetaDir))
-    val manifest = hp(table, MetaDir, f"manifest-$next%05d")
-    val mOut = f.create(manifest, false) // manifests are immutable: no overwrite
-    try mOut.write(lines.mkString("\n").getBytes("UTF-8")) finally mOut.close()
-    // the COMMIT POINT: single-file rename over HEAD — readers resolve
-    // entirely the old snapshot or entirely the new one
-    val tmp = hp(table, MetaDir, s"$Head.tmp-$next")
-    val tOut = f.create(tmp, true)
-    try tOut.write(f"manifest-$next%05d".getBytes("UTF-8")) finally tOut.close()
-    val head = hp(table, MetaDir, Head)
-    if (!f.rename(tmp, head)) { // HDFS/posix semantics: replace needs the dest gone
-      f.delete(head, false)
-      require(f.rename(tmp, head), s"HEAD swap failed for $table v$next")
-    }
-    next
+    val n = claimNext(f, table, expectedBase)
+    commitManifest(f, table, n, writeData(spark, table, n, df, statsCols))
   }
 
-  /** Delete data files and manifests no snapshot within `retain`
-    * versions of HEAD references — the GC that makes immutable commits
-    * affordable, and the sweeper for artifacts crashed commits orphan.
+  /** Delete data files, manifests and dead claims no snapshot within
+    * `retain` versions of the current one references — the GC that
+    * makes immutable commits affordable, and the sweeper for artifacts
+    * crashed commits orphan (claims and manifest tmps at or below the
+    * current version are dead BY PROTOCOL: their version is taken).
     * `retain = 1` keeps only the current snapshot; `retain = 2` keeps
     * one step of time travel; never touches the CURRENT snapshot's
-    * files. Single-writer caveat (same as [[commit]]): run vacuum only
-    * when no writer is mid-stage — an uncommitted data dir is
-    * indistinguishable from a crashed one and will be reclaimed.
+    * files. Version-number gaps from crashed claims are fine: only
+    * manifests that EXIST count as versions. Claims/tmps ABOVE the
+    * current version are left alone — they may be a live writer
+    * mid-commit. A data dir survives while ANY retained manifest
+    * references ANY file inside it (manifests share files across
+    * versions after [[mergeScoped]]).
     */
   def vacuum(spark: SparkSession, table: String, retain: Int = 1): Long = {
     require(retain >= 1, "must retain at least the current snapshot")
     val f = fs(spark, table)
-    val cur = currentVersion(spark, table)
-    if (cur == 0L) return 0L
-    val keepVersions = (math.max(1L, cur - retain + 1L) to cur).toSet
+    val names = metaNames(f, table)
+    val versions = names.collect { case ManifestRe(n) => n.toLong }.sorted
+    if (versions.isEmpty) return 0L
+    val cur = versions.last
+    // the newest `retain` manifests that actually exist — a version
+    // GAP (crashed claim) must not shrink the kept set, nor may a
+    // missing manifest ever be resolved (the pre-fix crash: vacuum
+    // walked a dense version range and threw on the gap)
+    val keepVersions = versions.takeRight(retain).toSet
     val referenced = keepVersions.flatMap(v => snapshotFiles(spark, table, v))
     var removed = 0L
     // sweep data dirs not referenced by any retained manifest
@@ -209,12 +361,21 @@ object SnapshotTable {
         val keep = referenced.exists(_.startsWith(s"$d/"))
         if (!keep) { f.delete(hp(table, d), true); removed += 1 }
       }
-    // and manifests older than the retention window (HEAD untouched)
-    f.listStatus(hp(table, MetaDir))
-      .map(_.getPath.getName).filter(_.startsWith("manifest-")).foreach { m =>
-        val v = m.stripPrefix("manifest-").toLong
-        if (!keepVersions.contains(v)) { f.delete(hp(table, MetaDir, m), false); removed += 1 }
+    // manifests outside the retention set; dead claims and manifest
+    // tmps (≤ current version: superseded, their writer is gone);
+    // legacy HEAD artifacts from the pre-manifest-commit protocol
+    names.foreach { m =>
+      val dead = m match {
+        case ManifestRe(n) => !keepVersions.contains(n.toLong)
+        case ClaimRe(n) => n.toLong <= cur
+        case _ if m.startsWith("HEAD") => true
+        case _ if m.contains(".tmp-") =>
+          "manifest-([0-9]{5})\\.tmp-.*".r.findFirstMatchIn(m)
+            .exists(_.group(1).toLong <= cur)
+        case _ => false
       }
+      if (dead) { f.delete(hp(table, MetaDir, m), false); removed += 1 }
+    }
     removed
   }
 
@@ -258,15 +419,115 @@ object SnapshotTable {
     * ATOMIC reader visibility that [[Layout.mergeDatePartitioned]]'s
     * rename swap cannot give (there a cross-partition reader can see a
     * mixed version mid-merge; here it sees the whole pre-merge or the
-    * whole post-merge snapshot). Whole-snapshot rewrite per merge is
-    * the honest price of this minimal format — partition-scoped
-    * manifests (Iceberg's next layer) are the scale extension.
+    * whole post-merge snapshot). CONCURRENCY-SAFE: the commit is
+    * conditional on the base version the merge read — a rival landing
+    * in between triggers a re-read + recompute (bounded retries), so
+    * two mergers racing both apply, neither lost. Whole-snapshot
+    * rewrite per merge is the honest price of the minimal form;
+    * [[mergeScoped]] is the file-scoped scale path.
     */
   def merge(spark: SparkSession, table: String, changes: DataFrame,
             keys: Seq[String], deleteCol: Option[String] = None,
             matchedCond: Option[org.apache.spark.sql.Column] = None): Long =
-    commit(spark, table,
-      Layout.merged(read(spark, table), changes, keys, deleteCol, matchedCond))
+    retryingCommit(spark, table) { base =>
+      val out = Layout.merged(read(spark, table, base), changes, keys,
+        deleteCol, matchedCond)
+      commit(spark, table, out, expectedBase = Some(base))
+    }
+
+  /** FILE-SCOPED MERGE — the manifest-sharing scale path (the Iceberg
+    * posture: rewrite touched files, carry the rest forward): apply
+    * `changes` to only the data files whose committed `scopeCol`
+    * envelope INTERSECTS a changed scope value; every other manifest
+    * line enters the next manifest VERBATIM, pointing at its existing
+    * (old-version) data file. At 100 TB a change set touching one day
+    * of a date-scoped table rewrites that day's files, not the table.
+    *
+    * Requirements and behavior:
+    *  - the table must have committed `scopeCol` envelopes (commit with
+    *    `statsCols` including it) — a file without one is conservatively
+    *    treated as touched;
+    *  - `scopeCol` values in `changes` must be non-null and LONG-castable
+    *    (envelopes are integer ranges);
+    *  - `scopeCol` must be key-stable in the same sense as
+    *    [[Layout.mergeDatePartitioned]]: a change row only merges
+    *    against target rows within envelopes covering ITS scope value —
+    *    a key whose scope value moved would insert a duplicate; use
+    *    [[merge]] for cross-scope key moves;
+    *  - inserts with NEW scope values (no envelope covers them) simply
+    *    land in the new files;
+    *  - the new files are range-clustered on `scopeCol` so their
+    *    envelopes stay narrow for the NEXT scoped merge, and carry
+    *    stats for `statsCols` (must include `scopeCol`; defaults to it);
+    *  - concurrency-safe like [[merge]]: conditional commit + re-read
+    *    retry.
+    *
+    * @return the committed version
+    */
+  def mergeScoped(spark: SparkSession, table: String, changes: DataFrame,
+                  keys: Seq[String], scopeCol: String,
+                  deleteCol: Option[String] = None,
+                  statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    val stats = if (statsCols.isEmpty) Seq(scopeCol) else statsCols
+    require(stats.contains(scopeCol),
+      s"statsCols must include the scope column $scopeCol — without its " +
+        "envelope the NEXT scoped merge cannot skip the files this one writes")
+    val scopeVals = changes.select(col(scopeCol).cast("long"))
+      .distinct().collect().map { r =>
+        require(!r.isNullAt(0),
+          s"mergeScoped: null or non-LONG-castable $scopeCol in changes — " +
+            "scope values must resolve to integer envelope points")
+        r.getLong(0)
+      }.sorted
+    retryingCommit(spark, table) { base =>
+      val entries = snapshotEntries(spark, table, base)
+      val (touched, untouched) = entries.partition { e =>
+        e.stats.get(scopeCol) match {
+          case Some((lo, hi)) => scopeVals.exists(v => v >= lo && v <= hi)
+          case None => true // no envelope: cannot prove untouched
+        }
+      }
+      val target =
+        if (touched.isEmpty) read(spark, table, base).limit(0)
+        else spark.read.parquet(touched.map(e => s"$table/${e.path}"): _*)
+      val out = Layout.merged(target, changes, keys, deleteCol)
+        .repartitionByRange(col(scopeCol))
+        .sortWithinPartitions(scopeCol)
+      val f = fs(spark, table)
+      val n = claimNext(f, table, Some(base))
+      val newLines = writeData(spark, table, n, out, stats)
+      commitManifest(f, table, n, untouched.map(_.render) ++ newLines)
+    }
+  }
+
+  /** The optimistic-concurrency loop [[merge]]/[[mergeScoped]] share:
+    * run `attempt` against the current base; on
+    * [[ConcurrentCommitException]] re-read and retry (a rival landed —
+    * progress was made SOMEWHERE, so bounded patience suffices).
+    */
+  private def retryingCommit(spark: SparkSession, table: String)
+                            (attempt: Long => Long): Long = {
+    var tries = 0
+    while (true) {
+      tries += 1
+      val base = currentVersion(spark, table)
+      try return attempt(base)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (tries >= 8) throw new ConcurrentCommitException(
+            s"$table: lost the commit race $tries times — a stale " +
+              s"claim file may be blocking the next version (vacuum " +
+              s"sweeps claims at or below the current version); last: " +
+              e.getMessage)
+          // linear backoff: the rival whose claim beat us may still be
+          // writing data — give it time to land its manifest so the
+          // re-read sees a NEW base instead of spinning on the old one
+          Thread.sleep(100L * tries)
+      }
+    }
+    -1L // unreachable
+  }
 
   /** [[Layout.compact]] through the snapshot commit: rewrite the
     * current snapshot's rows into ~targetBytes files and commit them

@@ -392,6 +392,52 @@ class LayoutSpec extends SparkSpec {
       s"pending merge's staged rows landed before the new merge: $names")
   }
 
+  test("compactInPlace itself self-heals a publish killed between renames") {
+    import spark.implicits._
+    val live = Files.createTempDirectory("pub3").toString + "/t"
+    val rows = (0 until 20).map(i => (i.toLong, s"v$i"))
+    // killed state: marker present, live dir renamed aside, staged
+    // source not yet renamed in — the live path is ABSENT. The pre-fix
+    // compactInPlace read the live path before recovering and threw;
+    // the doc always promised self-healing at entry.
+    val staged = Files.createTempDirectory("pub3src").toString + "/new"
+    rows.toDF("k", "v").repartition(3).write.parquet(staged)
+    new java.io.File(live).getParentFile.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${live}__PUBLISH_PENDING"),
+      staged.getBytes("UTF-8"))
+    Layout.compactInPlace(spark, live, targetBytes = 1L << 20)
+    assert(spark.read.parquet(live).as[(Long, String)].collect().sorted.toSeq
+      == rows.sorted, "recovered THEN compacted, one call")
+    assert(!new java.io.File(s"${live}__PUBLISH_PENDING").exists() &&
+      !new java.io.File(s"${live}__compacting").exists())
+  }
+
+  test("a stale __trash from a prior merge is cleared before the next merge begins") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mergetrash").toString + "/t"
+    (1 to 9).map(i => (i.toLong, s"old$i", java.sql.Date.valueOf("2024-03-01")))
+      .toDF("k", "name", "p_date")
+      .write.partitionBy("p_date").parquet(root)
+    // leftovers of a merge killed between manifest retirement and trash
+    // cleanup: an aside dir for the SAME partition, no pending manifest.
+    // Without the clear, the next merge's applyMergeManifest sees
+    // fs.exists(aside) and hard-DELETES the live partition instead of
+    // renaming it aside — silently voiding the rename-aside guarantee.
+    Seq((99L, "ANCIENT")).toDF("k", "name")
+      .write.parquet(s"${root}__trash/p_date=2024-03-01")
+    val changes = Seq((1L, "NEW", java.sql.Date.valueOf("2024-03-01"), false))
+      .toDF("k", "name", "p_date", "del")
+    Layout.mergeDatePartitioned(spark, root, changes, Seq("k"),
+      deleteCol = Some("del"))
+    val names = spark.read.parquet(root).select("k", "name").as[(Long, String)]
+      .collect().toMap
+    assert(names(1L) == "NEW" && names(5L) == "old5" && !names.contains(99L),
+      s"stale trash neither resurrects nor corrupts: $names")
+    assert(!new java.io.File(s"${root}__trash").exists(),
+      "merge start cleared the stale trash; merge end left none")
+  }
+
   test("Sketches.approxQuantiles brackets the exact median") {
     val q = Sketches.approxQuantiles(
       Tables.events(spark, sf), "event_type", "value", Seq(0.5))

@@ -42,23 +42,152 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[Exception] { SnapshotTable.snapshotFiles(spark, t, version = 1L) }
   }
 
-  test("a crash BEFORE the HEAD swap is inert: readers stay on the old snapshot") {
+  test("a crash BEFORE the manifest publish is inert: readers stay on the old snapshot") {
     import spark.implicits._
     val t = mkTable()
     SnapshotTable.commit(spark, t, Seq((1L, "live")).toDF("k", "tag"))
-    // simulate a writer that staged data + manifest, then died before
-    // renaming HEAD: write the orphan artifacts by hand
+    // simulate a writer that claimed v2, staged its data and manifest
+    // tmp, then died BEFORE the manifest rename (the commit point):
+    // claim + data dir + tmp present, manifest-00002 absent
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(t, "_graft_meta", "claim-00002"))
     Seq((2L, "orphan")).toDF("k", "tag").write.parquet(s"$t/data-00002")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(t, "_graft_meta", "manifest-00002"),
+      java.nio.file.Paths.get(t, "_graft_meta", "manifest-00002.tmp-2"),
       "data-00002/part-orphan.parquet".getBytes("UTF-8"))
     assert(SnapshotTable.currentVersion(spark, t) == 1L,
-      "HEAD untouched -> table still at v1")
+      "no manifest-00002 -> table still at v1")
     assert(SnapshotTable.read(spark, t).select("tag").head().getString(0) == "live")
-    // the next real commit supersedes the orphan version number safely
+    // the next real commit skips the claimed/orphaned version number
     val v = SnapshotTable.commit(spark, t, Seq((3L, "next")).toDF("k", "tag"))
-    assert(v == 3L, s"orphan manifest occupies v2; the commit takes v3, got $v")
+    assert(v == 3L, s"dead claim occupies v2; the commit takes v3, got $v")
     assert(SnapshotTable.read(spark, t).select("tag").head().getString(0) == "next")
+    // readers and vacuum tolerate the GAP at v2 (the pre-fix vacuum
+    // walked a dense range and threw FileNotFound on the hole), and
+    // vacuum sweeps the dead claim + manifest tmp + orphan data
+    assert(SnapshotTable.vacuum(spark, t, retain = 2) >= 3L)
+    val meta = new java.io.File(s"$t/_graft_meta").list().toSet
+    assert(!meta.contains("claim-00002") &&
+      !meta.contains("manifest-00002.tmp-2"), s"dead artifacts swept: $meta")
+    assert(!new java.io.File(s"$t/data-00002").exists(), "orphan data swept")
+    assert(SnapshotTable.read(spark, t).count() == 1, "current snapshot intact")
+    assert(SnapshotTable.read(spark, t, version = 1L).count() == 1,
+      "retain=2 kept v1 across the gap")
+  }
+
+  test("racing committers: exactly one writer per version, losers retry on the next") {
+    import spark.implicits._
+    val t = mkTable()
+    val threads = 4
+    val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val fs = (0 until threads).map { w =>
+      scala.concurrent.Future {
+        (0 until perThread).map { i =>
+          SnapshotTable.commit(spark, t,
+            Seq((w.toLong, s"w$w-c$i")).toDF("k", "tag"))
+        }
+      }
+    }
+    val versions = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(fs),
+      scala.concurrent.duration.Duration(120, "s")).flatten
+    pool.shutdown()
+    val n = threads * perThread
+    assert(versions.toSet.size == n, s"every committer owns a distinct version: $versions")
+    assert(versions.toSet == (1L to n.toLong).toSet,
+      s"same-JVM claims serialize densely 1..$n: ${versions.sorted}")
+    assert(SnapshotTable.currentVersion(spark, t) == n.toLong)
+    // every version is a complete, readable snapshot of exactly one commit
+    (1L to n.toLong).foreach { v =>
+      assert(SnapshotTable.read(spark, t, v).count() == 1, s"v$v readable")
+    }
+  }
+
+  test("concurrent merges lose no updates: conditional commit + retry") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      (0L until 20L).map(i => (i, 0L)).toDF("k", "v"))
+    // two mergers race repeatedly over DISJOINT key ranges; with a
+    // last-writer-wins commit one side's increments would vanish
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    def bump(lo: Long, hi: Long, rounds: Int) = scala.concurrent.Future {
+      (0 until rounds).foreach { _ =>
+        val ch = (lo until hi).map(k => (k, 1L)).toDF("k", "d")
+          .withColumnRenamed("d", "v") // change rows carry target schema
+        SnapshotTable.merge(spark, t, ch
+          .join(SnapshotTable.read(spark, t).withColumnRenamed("v", "cur"), Seq("k"))
+          .select(col("k"), (col("v") + col("cur")).as("v")),
+          Seq("k"))
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(bump(0L, 10L, 3), bump(10L, 20L, 3))),
+      scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    val got = SnapshotTable.read(spark, t).as[(Long, Long)].collect().toMap
+    assert(got.size == 20 && got.values.forall(_ == 3L),
+      s"both mergers' 3 increments survive on every key: $got")
+  }
+
+  test("mergeScoped rewrites only touched files; untouched lines carry forward verbatim") {
+    import spark.implicits._
+    val t = mkTable()
+    // 4 "days" × 50 keys, clustered by day so each file's envelope is narrow
+    val rows = for (d <- 0L until 4L; k <- 0L until 50L)
+      yield (d * 1000L + k, d, s"old-$d-$k")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+    try SnapshotTable.commit(spark, t,
+      rows.toDF("k", "day", "v").repartitionByRange(4, col("day"))
+        .sortWithinPartitions("day"),
+      statsCols = Seq("day"))
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val before = SnapshotTable.snapshotEntries(spark, t)
+    val untouchedBefore = before.filter(e =>
+      e.stats.get("day").exists { case (lo, hi) => hi < 2L || lo > 2L })
+    assert(untouchedBefore.nonEmpty, "need files provably outside day=2")
+
+    // changes touch ONLY day 2: update one key, delete one, insert one
+    val changes = Seq(
+      (2007L, 2L, "UPDATED", false),
+      (2009L, 2L, "", true),
+      (2999L, 2L, "INSERTED", false)).toDF("k", "day", "v", "del")
+    val v2 = SnapshotTable.mergeScoped(spark, t, changes, Seq("k"),
+      scopeCol = "day", deleteCol = Some("del"))
+    assert(v2 == 2L)
+
+    // content equals the full-merge expectation
+    val got = SnapshotTable.read(spark, t).as[(Long, Long, String)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got(2007L) == "UPDATED" && got(2999L) == "INSERTED" &&
+      !got.contains(2009L) && got(1007L) == "old-1-7" &&
+      got.size == rows.size, "scoped merge = MERGE semantics")
+
+    // every provably-untouched line carried forward VERBATIM — same
+    // path into the OLD data dir, same stats
+    val after = SnapshotTable.snapshotEntries(spark, t, v2)
+    val afterLines = after.map(_.render).toSet
+    untouchedBefore.foreach { e =>
+      assert(afterLines.contains(e.render),
+        s"untouched file must survive by reference: ${e.render}")
+    }
+    // and the new files carry day envelopes (the NEXT scoped merge can
+    // skip them too)
+    val newFiles = after.filterNot(e => before.map(_.render).toSet.contains(e.render))
+    assert(newFiles.nonEmpty && newFiles.forall(_.stats.contains("day")))
+    // old snapshot still time-travels; vacuum(retain=1) keeps data-00001
+    // because v2 still references files inside it
+    assert(SnapshotTable.read(spark, t, version = 1L).count() == rows.size)
+    SnapshotTable.vacuum(spark, t, retain = 1)
+    assert(new java.io.File(s"$t/data-00001").exists(),
+      "shared data dir survives vacuum while referenced")
+    assert(SnapshotTable.read(spark, t).count() == rows.size,
+      "snapshot intact after vacuum")
   }
 
   test("merge commits MERGE semantics as the next snapshot; pre-merge snapshot stays readable") {
@@ -146,7 +275,11 @@ class SnapshotTableSpec extends SparkSpec {
     val lYKept = kept(lt, Seq(("y", 1000L, 1400L)))
     val lTotal = SnapshotTable.snapshotEntries(spark, lt).size
     val zYKept = kept(zt, Seq(("y", 1000L, 1400L)))
-    assert(lYKept == lTotal, s"linear sort cannot prune y: $lYKept/$lTotal")
+    // ≥ rather than ==: repartitionByRange samples with a
+    // nondeterministic seed, so one straggler file can miss the y
+    // window by luck — the property is "prunes ~nothing", not "exactly
+    // nothing"
+    assert(lYKept >= lTotal - 1, s"linear sort cannot prune y: $lYKept/$lTotal")
     assert(zYKept < zTotal, s"z-order must prune y too: $zYKept/$zTotal")
     assert(zKept < zTotal / 2, s"box query must skip most z files: $zKept/$zTotal")
     // and the pruned box read is exact
