@@ -203,19 +203,23 @@ object CoreQueries extends QueryPack {
     * the hash. Double sums go through integer cents (exact,
     * order-free); timestamps compare as epoch µs.
     *
-    * The slice is SYNTHETIC (range-derived, SF-INDEPENDENT) by design:
-    * the oracle SQL is static text, so the written path is fixed — a
-    * run at another SF (the sf0.001 test suite between the driver's
-    * Verify and its DuckDB pass) must overwrite the file with
-    * IDENTICAL BYTES or the pairing races. Constant content also lets
-    * the slice exercise nastier dialect corners than the events table
-    * has (quotes AND separators inside one quoted field). The key
-    * certifies the DIALECT, not CSV scan throughput — CSV at 100 TB is
-    * an ingest format you convert once, never a query target.
+    * The slice is SYNTHETIC (range-derived, SF-INDEPENDENT) and the
+    * path CONTENT-ADDRESSED (see [[contentAddressedPath]]) — any run at
+    * any SF rewrites identical bytes to a path only this exact slice
+    * spec can claim, so the cross-SF overwrite race of a fixed path is
+    * structurally impossible. The key certifies the DIALECT, not CSV
+    * scan throughput — CSV at 100 TB is an ingest format you convert
+    * once, never a query target.
     */
-  private def scanCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val outDir = "/tmp/graft_csv_roundtrip"
-    val slice = s.range(0, 1000)
+  /** The synthetic interchange slice both roundtrip keys write: 1000
+    * range-derived rows (SF-INDEPENDENT — any run at any SF rewrites
+    * identical bytes), with injected NULLs in a string, a double AND
+    * the group key, embedded quotes AND commas in `props`, and full-µs
+    * timestamps. Constant content also lets the slice exercise nastier
+    * dialect corners than the events table has.
+    */
+  private def interchangeSlice(s: SparkSession): DataFrame =
+    s.range(0, 1000)
       .select(
         col("id").as("event_id"),
         timestamp_micros(lit(1704067200000000L) + col("id") * 3700000001L).as("ts"),
@@ -230,11 +234,43 @@ object CoreQueries extends QueryPack {
           .otherwise(concat(lit("{\"k\": \""), col("id"),
             lit("\", \"s\": \"a,b\"}"))).as("props"))
       .coalesce(1)
-    graft.sources.Sources.writeCsv(slice, outDir)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-    graft.sources.Sources.readCsv(s, outDir, schema)
+
+  /** Roundtrip paths are CONTENT-ADDRESSED: the directory name carries
+    * a hash of the slice + dialect spec, so two graft versions whose
+    * slice specs differ can never silently race on one /tmp path (the
+    * r10 construction used a fixed path, benign only while the slice
+    * stayed byte-identical forever). The oracle SQL is static text, so
+    * the hash is mirrored there as a literal — RoundtripPathSpec
+    * asserts the Scala-computed path and the SQL literal agree, which
+    * FORCES whoever changes the spec string to touch both sides.
+    */
+  private def contentAddressedPath(prefix: String, spec: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(spec.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"/tmp/${prefix}_${md5.take(8)}"
+  }
+
+  private[graft] val CsvRoundtripSpec =
+    "graft csv roundtrip slice v1: range(0,1000); cols event_id,ts(us)," +
+      "user_id,event_type(null%13),value(null%7),props(null%11,quotes+comma); " +
+      "dialect rfc4180 quote-doubling, null=\\N, ts=yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private[graft] val JsonRoundtripSpec =
+    "graft json roundtrip slice v1: range(0,1000); cols event_id,ts(us)," +
+      "user_id,event_type(null%13),value(null%7),props(null%11,quotes+comma); " +
+      "jsonl, ignoreNullFields, ts=yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private[graft] def csvRoundtripPath: String =
+    contentAddressedPath("graft_csv_roundtrip", CsvRoundtripSpec)
+  private[graft] def jsonRoundtripPath: String =
+    contentAddressedPath("graft_json_roundtrip", JsonRoundtripSpec)
+
+  /** The aggregate both roundtrip keys run over the slice read back:
+    * group by the (nullable!) event type, exact integer cents for the
+    * double sum, epoch-µs for the timestamp extremes — every column
+    * class the dialect must preserve shows up in the hash.
+    */
+  private def roundtripDigest(back: DataFrame): DataFrame =
+    back
       .groupBy(coalesce(col("event_type"), lit("(null)")).as("etype"))
       .agg(
         count(lit(1)).as("n"),
@@ -245,10 +281,38 @@ object CoreQueries extends QueryPack {
         unix_micros(min(col("ts"))).as("min_ts_us"),
         unix_micros(max(col("ts"))).as("max_ts_us"))
       .orderBy(col("etype"))
+
+  private val interchangeSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING")
+
+  private def scanCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Sources.writeCsv(interchangeSlice(s), csvRoundtripPath)
+    roundtripDigest(
+      graft.sources.Sources.readCsv(s, csvRoundtripPath, interchangeSchema))
+  }
+
+  /** JSONL interchange certified CROSS-ENGINE the way
+    * [[scanCsvRoundtrip]] did CSV (round-10 verdict what's-missing #1:
+    * JSON was the last interchange lane resting on specs alone — and
+    * this lane's µs-truncation bug was caught by a spec only one round
+    * ago; a cross-engine hash would have caught it a round earlier):
+    * Spark writes the slice through the pinned
+    * [[graft.sources.Sources.writeJson]] dialect (full-µs timestamps,
+    * null fields OMITTED per JSONL convention), the DuckDB oracle reads
+    * THE SAME FILE with `read_json` and pinned columns — missing keys
+    * must surface as NULLs, embedded quotes/commas in the string-typed
+    * `props` must survive JSON escaping bit-exactly in both engines.
+    */
+  private def scanJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Sources.writeJson(interchangeSlice(s), jsonRoundtripPath)
+    roundtripDigest(
+      graft.sources.Sources.readJson(s, jsonRoundtripPath, interchangeSchema))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_csv_roundtrip"        -> (scanCsvRoundtrip _),
+    "scan_json_roundtrip"       -> (scanJsonRoundtrip _),
     "quality_expectations"      -> (qualityExpectations _),
     "scan_parquet"              -> (scanParquet _),
     "scan_projection_pushdown"  -> (scanProjectionPushdown _),
@@ -286,8 +350,27 @@ object CoreQueries extends QueryPack {
         |  CAST(sum(length(props)) AS BIGINT) AS props_chars,
         |  epoch_us(min(ts)) AS min_ts_us,
         |  epoch_us(max(ts)) AS max_ts_us
-        |FROM read_csv('/tmp/graft_csv_roundtrip/*.csv', header = true,
+        |FROM read_csv('/tmp/graft_csv_roundtrip_7a155a02/*.csv', header = true,
         |  nullstr = '\N', timestampformat = '%Y-%m-%d %H:%M:%S.%f',
+        |  columns = {'event_id': 'BIGINT', 'ts': 'TIMESTAMP',
+        |    'user_id': 'BIGINT', 'event_type': 'VARCHAR',
+        |    'value': 'DOUBLE', 'props': 'VARCHAR'})
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // reads the JSONL the Spark side JUST WROTE: pins omitted-null
+    // fields → NULL, µs timestamp text, and JSON string escaping of
+    // quotes/commas cross-engine
+    "scan_json_roundtrip" ->
+      """SELECT coalesce(event_type, '(null)') AS etype,
+        |  count(*) AS n,
+        |  count(value) AS n_value,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(props) AS n_props,
+        |  CAST(sum(length(props)) AS BIGINT) AS props_chars,
+        |  epoch_us(min(ts)) AS min_ts_us,
+        |  epoch_us(max(ts)) AS max_ts_us
+        |FROM read_json('/tmp/graft_json_roundtrip_4e1fee41/*.json',
+        |  format = 'newline_delimited',
+        |  timestampformat = '%Y-%m-%d %H:%M:%S.%f',
         |  columns = {'event_id': 'BIGINT', 'ts': 'TIMESTAMP',
         |    'user_id': 'BIGINT', 'event_type': 'VARCHAR',
         |    'value': 'DOUBLE', 'props': 'VARCHAR'})
