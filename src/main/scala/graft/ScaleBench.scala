@@ -402,6 +402,43 @@ object ScaleBench {
       math.round(hits.toDouble / (probes.length * 10) * 1000)
     }
 
+    /** Build (once) a 1M-row, 32-"day" snapshot table for the merge
+      * A/B rows: ~4 files per day so the scoped twin has files to skip.
+      * Only the scoped table commits day envelopes — the whole-rewrite
+      * twin deliberately has none (its merges would drop them anyway).
+      */
+    // ~128 incompressible bytes per row — a short-payload table prices
+    // job launches, not the rewrite I/O the scoped lever exists to cut
+    def mergePayload(seed: String) = concat(
+      sha2(concat(lit(seed), col("id").cast("string")), 256),
+      sha2(concat(col("id").cast("string"), lit(seed)), 256))
+    // table scales with `copies` like the replicated corpora: 1M rows
+    // at the default 10×, 10M at 100× — the scoped win WIDENS with
+    // scale (the whole rewrite grows linearly, the touched day + commit
+    // machinery stays ~constant)
+    val mergeRows = 100000L * copies
+    val mergePerDay = mergeRows / 32L
+    def ensureMergeBase(table: String, scoped: Boolean): String = {
+      if (sources.SnapshotTable.currentVersion(spark, table) == 0L) {
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "8192")
+        try sources.SnapshotTable.commit(spark, table,
+          spark.range(mergeRows).select(
+            col("id").as("k"),
+            (col("id") / mergePerDay).cast("long").as("day"),
+            mergePayload("base").as("v")),
+          statsCols = if (scoped) Seq("day") else Nil)
+        finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      table
+    }
+    /** The 1-of-32-days change set both merge rows apply. */
+    def mergeDayChanges(): DataFrame =
+      spark.range(7L * mergePerDay, 8L * mergePerDay)
+        .select(
+          col("id").as("k"),
+          lit(7L).as("day"),
+          mergePayload("upd").as("v"))
+
     val ops = Seq(
       t("agg_q1_6m") {
         lineitem.groupBy("l_returnflag", "l_linestatus")
@@ -678,6 +715,26 @@ object ScaleBench {
         sources.SnapshotTable.read(spark, table)
           .filter(col("event_id").between(10000L, 19999L))
           .agg(count(lit(1)), sum("value")).collect()(0).getLong(0)
+      },
+      // FILE-SCOPED MERGE priced A/B (r10 verdict missing #3): 1M rows
+      // in 32 "days" (~4 files/day, day envelopes committed), a change
+      // set touching ONE day. The whole-rewrite merge reads + rewrites
+      // all 1M rows per commit; mergeScoped resolves the touched files
+      // from the manifest, rewrites only that day, and carries the
+      // other ~124 manifest lines forward verbatim — the Iceberg-style
+      // posture where a 1-of-N-partition change set costs 1/N of the
+      // table, structural at object-store scale. Separate tables: a
+      // whole merge drops the day envelopes its scoped twin needs.
+      t("snapshot_merge_whole_1m") {
+        val table = ensureMergeBase(s"$out/merge_whole", scoped = false)
+        sources.SnapshotTable.merge(spark, table, mergeDayChanges(), Seq("k"))
+        sources.SnapshotTable.vacuum(spark, table, retain = 1)
+      },
+      t("snapshot_merge_scoped_1m") {
+        val table = ensureMergeBase(s"$out/merge_scoped", scoped = true)
+        sources.SnapshotTable.mergeScoped(spark, table, mergeDayChanges(),
+          Seq("k"), scopeCol = "day")
+        sources.SnapshotTable.vacuum(spark, table, retain = 1)
       },
       t("prune_static_3day_1m") {
         sources.Layout.readPartitioned(spark, ensureEventsByDate())

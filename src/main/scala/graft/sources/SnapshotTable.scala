@@ -491,8 +491,14 @@ object SnapshotTable {
       val target =
         if (touched.isEmpty) read(spark, table, base).limit(0)
         else spark.read.parquet(touched.map(e => s"$table/${e.path}"): _*)
+      // hash-repartition on the scope + sort within, NOT
+      // repartitionByRange: range partitioning samples its child,
+      // which would execute the whole merge join TWICE. Hash puts each
+      // scope value wholly in one partition and the sort makes files
+      // span at most a value boundary — envelope quality matches range
+      // for day-grained scopes at half the compute.
       val out = Layout.merged(target, changes, keys, deleteCol)
-        .repartitionByRange(col(scopeCol))
+        .repartition(col(scopeCol))
         .sortWithinPartitions(scopeCol)
       val f = fs(spark, table)
       val n = claimNext(f, table, Some(base))
