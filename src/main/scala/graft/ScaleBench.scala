@@ -431,6 +431,56 @@ object ScaleBench {
       }
       table
     }
+    /** The scoped-CDC A/B lifecycle: seed the FULL key space
+      * (10k × copies keys, ~64 incompressible bytes each, 32
+      * key-derived scope regions — scope = k DIV perRegion, key-stable
+      * by construction), then 9 update batches each touching a ROLLING
+      * 2-of-32-region window (the realistic shape: changes hit recent
+      * days). The scoped sink rewrites ~1/16 of the files per batch;
+      * the whole-rewrite control re-lands the entire table. Same change
+      * stream, same per-batch vacuum. The per-batch fixed machinery of
+      * the scoped path (scope collect, manifest partition, stats
+      * aggregate) is ~constant while the control grows with the TABLE,
+      * so the A/B crosses over as copies grow — measured: the scoped
+      * path LOSES at 10× (machinery > a 10 MB rewrite) and wins at
+      * 100×; at 100 TB the control shape is simply not runnable.
+      * Returns the final row count.
+      */
+    def cdcScopedLifecycle(table: String, scoped: Boolean): Long = {
+      val keySpace = 10000L * copies
+      val regions = 32L
+      val perRegion = keySpace / regions
+      rmTree(table)
+      (0 until 10).foreach { b =>
+        val chg =
+          if (b == 0)
+            spark.range(keySpace).select(
+              col("id").as("k"),
+              (col("id") / perRegion).cast("long").as("scope"),
+              sha2(concat(lit("s"), col("id").cast("string")), 256).as("payload"),
+              col("id").as("version"),
+              lit(false).as("deleted"))
+          else {
+            val lo = ((b - 1) % (regions - 1)) * perRegion
+            spark.range(b * keySpace, b * keySpace + 2L * perRegion).select(
+              (lit(lo) + pmod(col("id"), lit(2L * perRegion))).as("k"),
+              ((lit(lo) + pmod(col("id"), lit(2L * perRegion))) / perRegion)
+                .cast("long").as("scope"),
+              sha2(concat(lit("p"), col("id").cast("string")), 256).as("payload"),
+              col("id").as("version"),
+              (pmod(col("id"), lit(5)) === 0).as("deleted"))
+          }
+        if (scoped)
+          graft.streaming.MergeStream.applyBatchSnapshotScoped(
+            spark, table, chg, Seq("k"), "version", "scope")
+        else
+          graft.streaming.MergeStream.applyBatchSnapshot(
+            spark, table, chg, Seq("k"), "version")
+        graft.sources.SnapshotTable.vacuum(spark, table, retain = 1)
+      }
+      graft.sources.SnapshotTable.read(spark, table).count()
+    }
+
     /** The 1-of-32-days change set both merge rows apply. */
     def mergeDayChanges(): DataFrame =
       spark.range(7L * mergePerDay, 8L * mergePerDay)
@@ -1335,6 +1385,18 @@ object ScaleBench {
           graft.sources.SnapshotTable.vacuum(spark, table, retain = 1)
         }
         graft.sources.SnapshotTable.read(spark, table).count()
+      },
+      // the CDC lifecycle through the FILE-SCOPED merge (r11): batches
+      // with scope LOCALITY (each touches 2 of 32 key-derived scope
+      // regions — the realistic shape: changes hit recent days), landed
+      // via applyBatchSnapshotScoped vs the whole-rewrite control on
+      // the IDENTICAL change stream. Payload is ~64 incompressible
+      // bytes so the rewrite, not job launches, is what's priced.
+      t("stream_cdc_scoped_100k_keys") {
+        cdcScopedLifecycle(s"$out/cdc_scoped_target", scoped = true)
+      },
+      t("stream_cdc_scoped_whole_100k_keys") {
+        cdcScopedLifecycle(s"$out/cdc_scoped_whole_target", scoped = false)
       },
       // TTL'd LSH-index lifecycle under churn (round-9): the dup-ingest
       // corpus re-cut into sequenced cohorts; with the 600 s TTL the

@@ -82,6 +82,57 @@ object SqlTwins {
         |  unix_micros(min(ts2)) AS min_ts_us,
         |  unix_micros(max(ts2)) AS max_ts_us
         |FROM slice GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same slice, same digest as the CSV twin: the JSON key's file
+    // roundtrip is the DataFrame side's job; the twin proves the
+    // relation (slice → digest) is expressible as one SQL text — and
+    // doubles as the losslessness proof for the JSONL dialect
+    "scan_json_roundtrip" ->
+      """WITH slice AS (
+        |  SELECT id AS event_id,
+        |    timestamp_micros(1704067200000000 + id * 3700000001) AS ts2,
+        |    CASE WHEN id % 13 = 0 THEN NULL ELSE
+        |      element_at(array('click', 'view', 'error'),
+        |        CAST(pmod(id, 3) + 1 AS INT)) END AS event_type,
+        |    CASE WHEN id % 7 = 0 THEN NULL ELSE
+        |      CAST(pmod(id * 31, 10000) AS DOUBLE) / 100.0 END AS value,
+        |    CASE WHEN id % 11 = 0 THEN NULL ELSE
+        |      concat('{"k": "', id, '", "s": "a,b"}') END AS props
+        |  FROM range(0, 1000))
+        |SELECT coalesce(event_type, '(null)') AS etype,
+        |  count(*) AS n,
+        |  count(value) AS n_value,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+        |  count(props) AS n_props,
+        |  sum(CAST(length(props) AS BIGINT)) AS props_chars,
+        |  unix_micros(min(ts2)) AS min_ts_us,
+        |  unix_micros(max(ts2)) AS max_ts_us
+        |FROM slice GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the Java-regex tokenizer as one SQL text (the real
+    // Tokenize.unicodeTokens pattern verbatim, && intersection and
+    // all); slice recomputed in SQL like the roundtrip twins
+    "text_unicode_tokens" ->
+      """WITH slice AS (
+        |  SELECT id AS doc_id, concat_ws(' ',
+        |    element_at(array('Hello, WORLD!', 'café crème brûlée',
+        |      'Привет МИР слово', '这是一个测试', 'テスト です',
+        |      '한국어 텍스트', 'abc世界def', "don't stop 42 x99",
+        |      '--- !!! ...'), CAST(pmod(id, 9) + 1 AS INT)),
+        |    element_at(array('Hello, WORLD!', 'café crème brûlée',
+        |      'Привет МИР слово', '这是一个测试', 'テスト です',
+        |      '한국어 텍스트', 'abc世界def', "don't stop 42 x99",
+        |      '--- !!! ...'), CAST(pmod(id * 4, 9) + 1 AS INT)),
+        |    element_at(array('Hello, WORLD!', 'café crème brûlée',
+        |      'Привет МИР слово', '这是一个测试', 'テスト です',
+        |      '한국어 텍스트', 'abc世界def', "don't stop 42 x99",
+        |      '--- !!! ...'), CAST(pmod(id * 7, 9) + 1 AS INT))) AS text
+        |  FROM range(0, 360)),
+        |tok AS (
+        |  SELECT doc_id, explode(regexp_extract_all(lower(text),
+        |    '[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]|[[\\p{L}\\p{N}]&&[^\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]]+',
+        |    0)) AS token
+        |  FROM slice)
+        |SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
     // ---- §2.3 subqueries: DuckDB `//` → DIV ----
     "subq_scalar_uncorr" ->
       """SELECT o_orderkey,

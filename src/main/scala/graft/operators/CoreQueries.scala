@@ -244,7 +244,7 @@ object CoreQueries extends QueryPack {
     * asserts the Scala-computed path and the SQL literal agree, which
     * FORCES whoever changes the spec string to touch both sides.
     */
-  private def contentAddressedPath(prefix: String, spec: String): String = {
+  private[graft] def contentAddressedPath(prefix: String, spec: String): String = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(spec.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -296,8 +296,8 @@ object CoreQueries extends QueryPack {
     * measure the READ lane instead of re-paying a byte-identical write.
     * A crashed partial write has no _SUCCESS and is rewritten.
     */
-  private def ensureWritten(s: SparkSession, path: String)
-                           (write: => Unit): Unit = {
+  private[graft] def ensureWritten(s: SparkSession, path: String)
+                                  (write: => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) write

@@ -630,7 +630,74 @@ object TextAnalysisQueries extends QueryPack {
       .orderBy(col("k"))
   }
 
+  /** Unicode-honest tokenization certified CROSS-ENGINE (r10 verdict
+    * what's-missing #5 — unicodeTokens was spec-only; the whitespace
+    * contract of every other text key is documented in §2.9 and stays):
+    * the Spark side runs the REAL [[graft.pipeline.Tokenize.unicodeTokens]]
+    * (Java codepoint-class regex: CJK unigrams via script classes,
+    * word runs via a class INTERSECTION `[\p{L}\p{N}]&&[^CJK]`), while
+    * the DuckDB oracle restates the word class in RE2's portable
+    * subset by ENUMERATING the slice's non-CJK scripts
+    * (`[\p{Latin}\p{Cyrillic}\p{N}]+` — RE2 has no class intersection).
+    * On this slice the two formulations are provably the same function,
+    * so the hash certifies token-level agreement: case folding of
+    * Latin/Cyrillic, accents kept, Han/Hiragana/Katakana/Hangul
+    * unigrams, digit runs, apostrophe/punct separation, and the
+    * script-BOUNDARY run `abc世界def` → [abc, 世, 界, def] that a
+    * greedy un-intersected word class would swallow whole.
+    *
+    * Both engines read THE SAME parquet file (the roundtrip-key
+    * construction: synthetic SF-independent slice, content-addressed
+    * path mirrored in the static SQL, RoundtripPathSpec-pinned) — so
+    * the key ALSO certifies unicode string round-tripping through
+    * parquet cross-engine.
+    */
+  private[graft] val UnicodeTokensSpec =
+    "graft unicode token slice v1: 360 docs x 3 phrases; scripts " +
+      "latin(+accents),cyrillic,han,hiragana,katakana,hangul,digits," +
+      "punct; script-boundary runs; parquet"
+  private[graft] def unicodeSlicePath: String =
+    CoreQueries.contentAddressedPath("graft_unicode_tokens", UnicodeTokensSpec)
+
+  private def unicodeSlice(s: SparkSession): DataFrame = {
+    val phrases = array(
+      lit("Hello, WORLD!"),
+      lit("café crème brûlée"),
+      lit("Привет МИР слово"),
+      lit("这是一个测试"),
+      lit("テスト です"),
+      lit("한국어 텍스트"),
+      lit("abc世界def"),
+      lit("don't stop 42 x99"),
+      lit("--- !!! ..."))
+    // 4 and 7 are coprime with 9, so each slot independently cycles
+    // through all nine phrases — 360 deterministic 3-phrase docs
+    s.range(0, 360).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        element_at(phrases, (pmod(col("id"), lit(9)) + 1).cast("int")),
+        element_at(phrases, (pmod(col("id") * 4, lit(9)) + 1).cast("int")),
+        element_at(phrases, (pmod(col("id") * 7, lit(9)) + 1).cast("int")))
+        .as("text"))
+      .coalesce(1)
+  }
+
+  private def textUnicodeTokens(s: SparkSession, dir: String): DataFrame = {
+    CoreQueries.ensureWritten(s, unicodeSlicePath) {
+      unicodeSlice(s).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(unicodeSlicePath)
+    }
+    s.read.parquet(unicodeSlicePath)
+      .select(col("doc_id"),
+        explode(graft.pipeline.Tokenize.unicodeTokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unicode_tokens" -> (textUnicodeTokens _),
     "text_vocab_coverage" -> (textVocabCoverage _),
     "text_bpe_pairs"      -> (textBpePairs _),
     "text_bigram_logprob" -> (textBigramLogprob _),
@@ -657,6 +724,20 @@ object TextAnalysisQueries extends QueryPack {
   private val hitsFr = duckHits("'le','la','et','les','des'")
 
   val oracle: Map[String, String] = Map(
+    // the RE2 restatement of unicodeTokens on this slice's scripts:
+    // CJK classes first (alternation is leftmost-FIRST in both
+    // engines, so a CJK codepoint tokenizes alone), word class
+    // enumerated (RE2 has no &&-intersection) — reads the parquet the
+    // Spark side just wrote
+    "text_unicode_tokens" ->
+      """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |    '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]|[\p{Latin}\p{Cyrillic}\p{N}]+'))
+        |    AS token
+        |  FROM read_parquet('/tmp/graft_unicode_tokens_5a40fca8/*.parquet')
+        |)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // count-of-counts restated: same class cumulation, same boundary
     // split; HUGEINT window sums cast back to BIGINT before the arithmetic
     "text_vocab_coverage" ->

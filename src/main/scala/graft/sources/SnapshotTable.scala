@@ -467,7 +467,8 @@ object SnapshotTable {
   def mergeScoped(spark: SparkSession, table: String, changes: DataFrame,
                   keys: Seq[String], scopeCol: String,
                   deleteCol: Option[String] = None,
-                  statsCols: Seq[String] = Nil): Long = {
+                  statsCols: Seq[String] = Nil,
+                  matchedCond: Option[org.apache.spark.sql.Column] = None): Long = {
     import org.apache.spark.sql.functions.col
     val stats = if (statsCols.isEmpty) Seq(scopeCol) else statsCols
     require(stats.contains(scopeCol),
@@ -491,20 +492,60 @@ object SnapshotTable {
       val target =
         if (touched.isEmpty) read(spark, table, base).limit(0)
         else spark.read.parquet(touched.map(e => s"$table/${e.path}"): _*)
-      // hash-repartition on the scope + sort within, NOT
-      // repartitionByRange: range partitioning samples its child,
-      // which would execute the whole merge join TWICE. Hash puts each
-      // scope value wholly in one partition and the sort makes files
-      // span at most a value boundary — envelope quality matches range
-      // for day-grained scopes at half the compute.
-      val out = Layout.merged(target, changes, keys, deleteCol)
-        .repartition(col(scopeCol))
-        .sortWithinPartitions(scopeCol)
-      val f = fs(spark, table)
-      val n = claimNext(f, table, Some(base))
-      val newLines = writeData(spark, table, n, out, stats)
-      commitManifest(f, table, n, untouched.map(_.render) ++ newLines)
+      // RANGE-cluster the new files on the scope so each file covers a
+      // CONTIGUOUS scope interval (hash partitioning mixes distant
+      // scope values into one partition — e.g. days {0,3} in one file
+      // give it envelope [0,3], which a later day-1 merge must treat
+      // as touched). Range partitioning SAMPLES its child, which would
+      // execute the whole merge join twice — so the merged relation is
+      // persisted first: the sampling pass fills the cache, the write
+      // reads it back, the join runs once.
+      val merged0 = Layout.merged(target, changes, keys, deleteCol, matchedCond)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val out = merged0
+          .repartitionByRange(math.max(1, scopeVals.length), col(scopeCol))
+          .sortWithinPartitions(scopeCol)
+        val f = fs(spark, table)
+        val n = claimNext(f, table, Some(base))
+        val newLines = writeData(spark, table, n, out, stats)
+        commitManifest(f, table, n, untouched.map(_.render) ++ newLines)
+      } finally merged0.unpersist(false)
     }
+  }
+
+  /** Release claims ABOVE the current version whose writer is presumed
+    * dead — the one starvation case the conditional-commit protocol
+    * has: a writer that claimed `current + 1` and crashed before its
+    * manifest blocks every conditional commit (each retry claims a
+    * higher number, which can never be the immediate successor).
+    * [[vacuum]] cannot sweep these (a claim above current may be a
+    * LIVE writer mid-commit), so the maintenance call takes an age
+    * threshold: claims older than `olderThanMs` with no manifest are
+    * released, along with their orphan data dir if any. Pick a
+    * threshold comfortably above your longest commit (data write +
+    * stats aggregate). Returns the number of claims released.
+    */
+  def releaseStaleClaims(spark: SparkSession, table: String,
+                         olderThanMs: Long): Long = {
+    val f = fs(spark, table)
+    val cur = currentVersion(spark, table)
+    val manifests = metaNames(f, table)
+      .collect { case ManifestRe(n) => n.toLong }.toSet
+    var released = 0L
+    metaNames(f, table).foreach {
+      case c @ ClaimRe(nStr) =>
+        val n = nStr.toLong
+        val p = hp(table, MetaDir, c)
+        val age = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+        if (n > cur && !manifests.contains(n) && age > olderThanMs) {
+          f.delete(p, false)
+          f.delete(hp(table, f"data-$n%05d"), true) // orphan stage, if any
+          released += 1
+        }
+      case _ =>
+    }
+    released
   }
 
   /** The optimistic-concurrency loop [[merge]]/[[mergeScoped]] share:
@@ -522,10 +563,10 @@ object SnapshotTable {
       catch {
         case e: ConcurrentCommitException =>
           if (tries >= 8) throw new ConcurrentCommitException(
-            s"$table: lost the commit race $tries times — a stale " +
-              s"claim file may be blocking the next version (vacuum " +
-              s"sweeps claims at or below the current version); last: " +
-              e.getMessage)
+            s"$table: lost the commit race $tries times — a crashed " +
+              s"writer's claim above the current version may be " +
+              s"blocking conditional commits; releaseStaleClaims(...) " +
+              s"clears it. Last: ${e.getMessage}")
           // linear backoff: the rival whose claim beat us may still be
           // writing data — give it time to land its manifest so the
           // re-read sees a NEW base instead of spinning on the old one

@@ -134,6 +134,73 @@ object MergeStream {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** [[applyBatchSnapshot]] through the FILE-SCOPED merge
+    * ([[graft.sources.SnapshotTable.mergeScoped]]): each micro-batch
+    * rewrites only the data files whose `scopeCol` envelope intersects
+    * the batch's scope values and carries every other manifest line
+    * forward by reference — the Iceberg-style streaming upsert, where
+    * a batch touching one day of a date-scoped table costs one day of
+    * rewrite instead of the table (A/B: the scoped merge widens from
+    * 1.3× at 1M rows to 2.6× at 10M — and the gap is the whole table
+    * size at 100 TB). Same idempotent-replay contract as the
+    * whole-rewrite sink (the version condition makes a replayed batch
+    * a byte-identical version).
+    *
+    * CONTRACT inherited from mergeScoped: `scopeCol` must be
+    * key-stable (a function of the key — an ingest-day stamped at
+    * first sight, a key hash bucket), non-null and LONG-castable; a
+    * key whose scope value moved would duplicate instead of move.
+    */
+  def applyBatchSnapshotScoped(spark: SparkSession, table: String,
+                               batch: DataFrame, keys: Seq[String],
+                               versionCol: String, scopeCol: String): Unit = {
+    if (batch.isEmpty) return
+    // persisted: the collapse window is consumed TWICE downstream
+    // (mergeScoped's scope-value collect and the merge join itself) —
+    // uncached it would run per consumer
+    val collapsed = collapse(batch, keys, versionCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyScopedCollapsed(spark, table, collapsed, keys, versionCol, scopeCol)
+    finally collapsed.unpersist(false)
+  }
+
+  private def applyScopedCollapsed(spark: SparkSession, table: String,
+                                   collapsed: DataFrame, keys: Seq[String],
+                                   versionCol: String, scopeCol: String): Unit = {
+    if (graft.sources.SnapshotTable.currentVersion(spark, table) == 0L) {
+      // range-cluster the seed like mergeScoped clusters its rewrites:
+      // contiguous per-file scope envelopes are what lets every later
+      // batch skip the scopes it doesn't touch. The partition count is
+      // EXPLICIT (one per scope value, a one-time distinct at seed):
+      // without it AQE coalesces a small seed into one partition whose
+      // single file spans every scope — and no later batch could ever
+      // skip anything.
+      val nScopes = math.max(1L,
+        collapsed.select(col(scopeCol)).distinct().count()).toInt
+      graft.sources.SnapshotTable.commit(spark, table,
+        collapsed.repartitionByRange(nScopes, col(scopeCol))
+          .sortWithinPartitions(scopeCol),
+        statsCols = Seq(scopeCol))
+    }
+    else
+      graft.sources.SnapshotTable.mergeScoped(spark, table, collapsed, keys,
+        scopeCol = scopeCol, deleteCol = None, statsCols = Seq(scopeCol),
+        matchedCond = Some(col(s"c.$versionCol") >= col(s"t.$versionCol")))
+  }
+
+  /** [[upsertSnapshotSink]]'s file-scoped twin. */
+  def upsertSnapshotScopedSink(changes: DataFrame, table: String,
+                               keys: Seq[String], versionCol: String,
+                               scopeCol: String,
+                               checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatchSnapshotScoped(batch.sparkSession, table, batch, keys,
+          versionCol, scopeCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** The serving view: live rows only (tombstones filtered). */
   def current(spark: SparkSession, path: String, deleteCol: String): DataFrame =
     spark.read.parquet(path).filter(!coalesce(col(deleteCol), lit(false)))

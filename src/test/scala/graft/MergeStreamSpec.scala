@@ -9,6 +9,12 @@ import graft.streaming.MergeStream
   */
 case class Change(id: Long, payload: String, version: Long, deleted: Boolean)
 
+/** [[Change]] plus a key-stable scope column (day = id % 4 in these
+  * tests) for the file-scoped snapshot sink.
+  */
+case class ChangeS(id: Long, day: Long, payload: String, version: Long,
+                   deleted: Boolean)
+
 /** The streaming CDC upsert lifecycle: the maintained table must be a
   * pure function of the max-version change per key — whatever the batch
   * splits, the arrival order, or the replays — tombstones must be
@@ -163,6 +169,54 @@ class MergeStreamSpec extends SparkSpec {
       // the mixed-version window the directory swap cannot rule out
       assert(SnapshotTable.read(spark, table, version = v1)
         .as[Change].collect().toSet == brute(batch1))
+    } finally q.stop()
+  }
+
+  test("upsertSnapshotScopedSink: batches rewrite only touched scopes; untouched files carry by reference") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("merge-snap-scoped")
+    val ckpt = java.nio.file.Files.createTempDirectory("merge-scoped-ckpt").toString
+    def ch(id: Long, p: String, v: Long, del: Boolean = false) =
+      ChangeS(id, id % 4, p, v, del)
+    val input = MemoryStream[ChangeS]
+    val q = MergeStream.upsertSnapshotScopedSink(
+      input.toDF(), table, Seq("id"), "version", "day", ckpt)
+    try {
+      // batch 1 seeds all four days
+      val batch1 = (0L until 16L).map(i => ch(i, s"p$i", i))
+      input.addData(batch1)
+      q.processAllAvailable()
+      val v1 = SnapshotTable.currentVersion(spark, table)
+      val v1Entries = SnapshotTable.snapshotEntries(spark, table, v1)
+      assert(v1Entries.forall(_.stats.contains("day")),
+        "seed commit carries scope envelopes")
+      // batch 2 touches ONLY day 1 keys (1, 5, 13 ≡ 1 mod 4)
+      val batch2 = Seq(ch(1L, "UPD", 100L), ch(5L, "", 101L, del = true),
+        ch(13L, "NEW13b", 102L))
+      input.addData(batch2)
+      q.processAllAvailable()
+      val v2 = SnapshotTable.currentVersion(spark, table)
+      assert(v2 > v1, "one version per batch")
+      // content = the CDC ground truth (tombstones retained as rows)
+      val all = batch1 ++ batch2
+      val want = all.groupBy(_.id).values.map(_.maxBy(_.version)).toSet
+      assert(SnapshotTable.read(spark, table).as[ChangeS].collect().toSet
+        == want, "scoped sink maintains the max-version-per-key table")
+      // files whose envelope excludes day=1 survive BY REFERENCE
+      val v2Lines = SnapshotTable.snapshotEntries(spark, table, v2)
+        .map(_.render).toSet
+      val untouched = v1Entries.filter(e =>
+        e.stats.get("day").exists { case (lo, hi) => hi < 1L || lo > 1L })
+      assert(untouched.nonEmpty, "need provably-untouched day files")
+      untouched.foreach(e => assert(v2Lines.contains(e.render),
+        s"untouched scope file rewritten: ${e.render}"))
+      // idempotent replay: re-merging batch2 lands a byte-identical table
+      MergeStream.applyBatchSnapshotScoped(spark, table, batch2.toDF(),
+        Seq("id"), "version", "day")
+      assert(SnapshotTable.read(spark, table).as[ChangeS].collect().toSet
+        == want, "replay is content-idempotent")
     } finally q.stop()
   }
 }

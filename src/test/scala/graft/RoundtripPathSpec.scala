@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.CoreQueries
+import graft.operators.{CoreQueries, TextAnalysisQueries}
 
 /** The roundtrip keys' /tmp paths are content-addressed (a hash of the
   * slice + dialect spec) but the oracle SQL is static text, so the hash
@@ -12,8 +12,9 @@ import graft.operators.CoreQueries
   */
 class RoundtripPathSpec extends AnyFunSuite {
 
-  private def sqlPath(key: String, reader: String): String = {
-    val sql = CoreQueries.oracle(key)
+  private def sqlPath(key: String, reader: String,
+                      oracle: Map[String, String] = CoreQueries.oracle): String = {
+    val sql = oracle(key)
     val re = (reader + "\\('([^']+)/\\*\\.[a-z]+'").r
     re.findFirstMatchIn(sql)
       .getOrElse(fail(s"$key oracle SQL has no $reader path literal"))
@@ -30,7 +31,14 @@ class RoundtripPathSpec extends AnyFunSuite {
       == CoreQueries.jsonRoundtripPath)
   }
 
-  test("the two lanes can never collide on one path") {
-    assert(CoreQueries.csvRoundtripPath != CoreQueries.jsonRoundtripPath)
+  test("text_unicode_tokens: Scala path and oracle SQL literal agree") {
+    assert(sqlPath("text_unicode_tokens", "read_parquet",
+      TextAnalysisQueries.oracle) == TextAnalysisQueries.unicodeSlicePath)
+  }
+
+  test("the lanes can never collide on one path") {
+    val paths = Seq(CoreQueries.csvRoundtripPath,
+      CoreQueries.jsonRoundtripPath, TextAnalysisQueries.unicodeSlicePath)
+    assert(paths.distinct.size == paths.size)
   }
 }

@@ -135,6 +135,58 @@ class SnapshotTableSpec extends SparkSpec {
       s"both mergers' 3 increments survive on every key: $got")
   }
 
+  test("concurrent scoped mergers on different days both land; no update lost") {
+    import spark.implicits._
+    val t = mkTable()
+    val rows = for (d <- 0L until 4L; k <- 0L until 25L)
+      yield (d * 100L + k, d, "old")
+    SnapshotTable.commit(spark, t,
+      rows.toDF("k", "day", "v").repartitionByRange(4, col("day"))
+        .sortWithinPartitions("day"),
+      statsCols = Seq("day"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    def scopedBump(day: Long) = scala.concurrent.Future {
+      val ch = (0L until 25L).map(k => (day * 100L + k, day, s"NEW$day"))
+        .toDF("k", "day", "v")
+      SnapshotTable.mergeScoped(spark, t, ch, Seq("k"), scopeCol = "day")
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(scopedBump(1L), scopedBump(3L))),
+      scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    val got = SnapshotTable.read(spark, t)
+      .as[(Long, Long, String)].collect()
+    assert(got.length == rows.size)
+    got.foreach { case (_, d, v) =>
+      if (d == 1L || d == 3L) assert(v == s"NEW$d", s"day $d updated")
+      else assert(v == "old", s"day $d untouched")
+    }
+  }
+
+  test("releaseStaleClaims unblocks conditional commits a dead claim starves") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t, Seq((1L, "live")).toDF("k", "v"))
+    // a writer claimed v2 and died before any manifest
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(t, "_graft_meta", "claim-00002"))
+    val changes = Seq((1L, "merged")).toDF("k", "v")
+    // every conditional attempt claims ≥3, never the successor of 1
+    intercept[graft.sources.ConcurrentCommitException] {
+      SnapshotTable.merge(spark, t, changes, Seq("k"))
+    }
+    // vacuum must NOT touch it (above current — could be a live writer)
+    SnapshotTable.vacuum(spark, t, retain = 1)
+    assert(new java.io.File(s"$t/_graft_meta/claim-00002").exists())
+    // the maintenance call with an age threshold releases it
+    assert(SnapshotTable.releaseStaleClaims(spark, t, olderThanMs = 0L) == 1L)
+    val v = SnapshotTable.merge(spark, t, changes, Seq("k"))
+    assert(v == 2L, s"released claim frees its version, got v$v")
+    assert(SnapshotTable.read(spark, t).select("v").head().getString(0) == "merged")
+  }
+
   test("mergeScoped rewrites only touched files; untouched lines carry forward verbatim") {
     import spark.implicits._
     val t = mkTable()

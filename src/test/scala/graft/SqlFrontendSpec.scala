@@ -95,11 +95,16 @@ class SqlFrontendSpec extends SparkSpec {
     // ≥ half is the demo heuristic; the BINDING invariant is the closure
     // test below (portable ∪ twins = every key but dedup_components), so
     // a twin-heavy key family tipping this to exactly 50% is fine — a
-    // twin IS a certified SQL path, just in Spark dialect. Rounding-
-    // tolerant on an odd inventory (84/169 after scan_csv_roundtrip,
-    // whose oracle is read_csv-bound by design): the guard exists to
-    // catch the portable set ERODING, not to fail on ⌈n/2⌉ arithmetic
-    assert(portable.size * 2 >= SparkEntry.oracleSql.size - 1,
+    // twin IS a certified SQL path, just in Spark dialect. Keys whose
+    // oracle READS A FILE (read_csv/read_json/read_parquet — the
+    // roundtrip and unicode-slice keys) are structurally non-portable
+    // (Spark SQL has no such TVFs) and leave the denominator: the guard
+    // exists to catch the portable set ERODING, not to fail on file-
+    // bound inventory growth. Rounding-tolerant on an odd inventory.
+    val fileBound = SparkEntry.oracleSql.count { case (_, sql) =>
+      Seq("read_csv(", "read_json(", "read_parquet(").exists(sql.contains)
+    }
+    assert(portable.size * 2 >= SparkEntry.oracleSql.size - fileBound - 1,
       "SQL front-end demo should cover at least half the inventory")
   }
 
