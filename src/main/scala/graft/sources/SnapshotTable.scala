@@ -576,6 +576,142 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** FAST APPEND — the ingest commit: write `df` as new files and
+    * publish a manifest that is the previous manifest PLUS the new
+    * lines. Nothing is read, nothing is rewritten — the commit cost is
+    * the new bytes (plus one stats aggregate over them when
+    * `statsCols` given), regardless of table size; this is how a
+    * streaming ingest lands millions of rows a minute into a 100 TB
+    * table. Appends are linearized by the same claim + conditional
+    * manifest-union (a rival landing between read and claim triggers
+    * the internal re-read-and-retry — cheap: only the line list is
+    * recomputed, the data files are already written... see note).
+    * Appended rows are NEW rows: this op neither detects nor resolves
+    * key collisions — upserts are [[merge]]/[[mergeScoped]]'s job, and
+    * repeated appends of hot scopes fragment them, which
+    * [[compactScoped]] repairs. Works on an empty table (becomes v1).
+    *
+    * Note on retry cost: the data dir is claimed per attempt, so a
+    * lost race re-writes the data under the next version; the orphan
+    * is vacuumed. Contention on appends is rare enough (sub-second
+    * claim windows) that this simple form beats a write-once-
+    * link-many protocol in everything but pathological fan-in.
+    */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+             statsCols: Seq[String] = Nil): Long =
+    retryingCommit(spark, table) { base =>
+      val prior =
+        if (base == 0L) Seq.empty[String]
+        else snapshotEntries(spark, table, base).map(_.render)
+      val f = fs(spark, table)
+      val n = claimNext(f, table, Some(base))
+      val newLines = writeData(spark, table, n, df, statsCols)
+      commitManifest(f, table, n, prior ++ newLines)
+    }
+
+  /** INCREMENTAL CONSUMPTION: the rows of files ADDED between two
+    * snapshots (`fromVersion` exclusive → `toVersion` inclusive,
+    * default: current) — the manifest DIFF, resolved without reading
+    * a byte of data from unchanged files. Because manifests share
+    * files across versions ([[mergeScoped]] carries untouched lines
+    * verbatim), the diff is exactly the appended-or-rewritten slices:
+    *  - append-only tables: exact new-row CDC;
+    *  - scoped merges: the touched scopes' post-merge rows (a
+    *    downstream sync re-lands those scopes — idempotent by scope,
+    *    the MERGE-ON-READ consumer pattern);
+    *  - whole-snapshot commits: the whole new snapshot (every file is
+    *    new — honest, since everything was rewritten).
+    * Versions must still be retained ([[vacuum]]): reading a diff
+    * needs both manifests. Returns an empty frame (right schema) when
+    * nothing was added.
+    */
+  def readAdded(spark: SparkSession, table: String, fromVersion: Long,
+                toVersion: Long = 0L): DataFrame = {
+    val to = if (toVersion > 0L) toVersion else currentVersion(spark, table)
+    require(fromVersion >= 1L && fromVersion <= to,
+      s"readAdded needs 1 <= fromVersion <= toVersion (got $fromVersion..$to)")
+    val before = snapshotFiles(spark, table, fromVersion).toSet
+    val added = snapshotFiles(spark, table, to).filterNot(before)
+    if (added.isEmpty) return read(spark, table, to).limit(0)
+    spark.read.parquet(added.map(rel => s"$table/$rel"): _*)
+  }
+
+  /** SCOPE-AWARE COMPACTION — the maintenance op a [[mergeScoped]]
+    * table needs: repeated scoped merges accumulate small files inside
+    * the hot scopes while cold scopes stay perfectly laid out, and
+    * [[compactSnapshot]]'s whole-table rewrite throws the cold layout
+    * away to fix the hot one. This rewrites ONLY scope ranges whose
+    * file count exceeds `maxFilesPerScope`, carrying every other
+    * manifest line forward by reference — mergeScoped's machinery
+    * pointed at fragmentation instead of changes. Files without a
+    * `scopeCol` envelope are conservatively rewritten. Commits one new
+    * version (concurrency-safe conditional commit with retry);
+    * returns it, or 0 with NO commit when nothing is fragmented —
+    * maintenance must not mint empty versions.
+    */
+  def compactScoped(spark: SparkSession, table: String, scopeCol: String,
+                    maxFilesPerScope: Int = 4,
+                    statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    require(maxFilesPerScope >= 1, "a scope needs at least one file")
+    val stats = if (statsCols.isEmpty) Seq(scopeCol) else statsCols
+    require(stats.contains(scopeCol), s"statsCols must include $scopeCol")
+    retryingCommit(spark, table) { base =>
+      val entries = snapshotEntries(spark, table, base)
+      // fragmentation is judged per scope VALUE: a value covered by
+      // more than maxFilesPerScope file envelopes is hot, and any file
+      // INTERSECTING a hot value joins the rewrite (leaving it would
+      // duplicate its rows' coverage). Counted as an interval SWEEP —
+      // never by enumerating envelope points, whose span is unbounded
+      // for coarse scope columns (epoch-second scopes would loop 10⁹×)
+      val bounds = entries.flatMap(_.stats.get(scopeCol))
+      val marks = bounds
+        .flatMap { case (lo, hi) => Seq((lo, 1), (hi + 1, -1)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+      var cover = 0
+      val hotRanges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      marks.zipWithIndex.foreach { case ((at, d), i) =>
+        cover += d
+        if (cover > maxFilesPerScope && i + 1 < marks.length) {
+          val upTo = marks(i + 1)._1 - 1
+          // merge adjacent hot segments as we go
+          hotRanges.lastOption match {
+            case Some((hlo, hhi)) if hhi + 1 >= at =>
+              hotRanges(hotRanges.length - 1) = (hlo, math.max(hhi, upTo))
+            case _ => hotRanges += ((at, upTo))
+          }
+        }
+      }
+      val (touched, untouched) = entries.partition { e =>
+        e.stats.get(scopeCol) match {
+          case Some((lo, hi)) =>
+            hotRanges.exists { case (hlo, hhi) => lo <= hhi && hi >= hlo }
+          case None => true // no envelope: fold it into the clustered rewrite
+        }
+      }
+      if (touched.isEmpty && entries.forall(_.stats.contains(scopeCol)))
+        return 0L // nothing fragmented, nothing enveloped-less: no-op
+      val rows = spark.read.parquet(touched.map(e => s"$table/${e.path}"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // one range partition per rewritten scope value, capped — a
+        // fine-grained (id-like) scope column must not mint a file per
+        // value; past the cap each file simply covers a few adjacent
+        // scope values, still a narrow contiguous envelope
+        val scopes = math.max(1L,
+          math.min(rows.select(col(scopeCol)).distinct().count(), 1024L))
+        val out = rows
+          .repartitionByRange(scopes.toInt, col(scopeCol))
+          .sortWithinPartitions(scopeCol)
+        val f = fs(spark, table)
+        val n = claimNext(f, table, Some(base))
+        val newLines = writeData(spark, table, n, out, stats)
+        commitManifest(f, table, n, untouched.map(_.render) ++ newLines)
+      } finally rows.unpersist(false)
+    }
+  }
+
   /** [[Layout.compact]] through the snapshot commit: rewrite the
     * current snapshot's rows into ~targetBytes files and commit them
     * as the next version — readers NEVER see a vanish window (contrast

@@ -342,6 +342,115 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got == exp, "multi-dim file skipping must not change results")
   }
 
+  test("append commits new files without reading or rewriting anything; readAdded is exact CDC") {
+    import spark.implicits._
+    val t = mkTable()
+    val v1 = SnapshotTable.append(spark, t,
+      (0L until 10L).map(i => (i, "b1")).toDF("k", "tag"))
+    assert(v1 == 1L, "append seeds an empty table")
+    val v1Files = SnapshotTable.snapshotFiles(spark, t).toSet
+    val v2 = SnapshotTable.append(spark, t,
+      (10L until 15L).map(i => (i, "b2")).toDF("k", "tag"))
+    // the previous snapshot's files carry by reference — append wrote
+    // ONLY the new batch
+    val v2Files = SnapshotTable.snapshotFiles(spark, t, v2).toSet
+    assert(v1Files.subsetOf(v2Files), "append never rewrites existing files")
+    assert(SnapshotTable.read(spark, t).count() == 15)
+    // incremental consumption between appends = exactly the new rows
+    assert(SnapshotTable.readAdded(spark, t, v1, v2)
+      .as[(Long, String)].collect().toSet
+      == (10L until 15L).map(i => (i, "b2")).toSet)
+    // concurrent appenders: both land, nothing lost (append commutes)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+      scala.concurrent.Future(SnapshotTable.append(spark, t,
+        Seq((100L, "cA")).toDF("k", "tag"))),
+      scala.concurrent.Future(SnapshotTable.append(spark, t,
+        Seq((101L, "cB")).toDF("k", "tag"))))),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(SnapshotTable.read(spark, t).count() == 17,
+      "both concurrent appends survive")
+  }
+
+  test("readAdded returns exactly the manifest diff: inserts, rewritten scopes, nothing else") {
+    import spark.implicits._
+    val t = mkTable()
+    val rows = for (d <- 0L until 3L; k <- 0L until 20L)
+      yield (d * 100L + k, d, "old")
+    SnapshotTable.commit(spark, t,
+      rows.toDF("k", "day", "v").repartitionByRange(3, col("day"))
+        .sortWithinPartitions("day"),
+      statsCols = Seq("day"))
+    // v2: an INSERT-only merge into a brand-new day — the diff is
+    // exactly the inserted rows (no existing file intersects day 9)
+    val inserts = (0L until 5L).map(k => (900L + k, 9L, "new")).toDF("k", "day", "v")
+    val v2 = SnapshotTable.mergeScoped(spark, t, inserts, Seq("k"), "day")
+    val addedV2 = SnapshotTable.readAdded(spark, t, fromVersion = 1L, toVersion = v2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(addedV2 == inserts.as[(Long, Long, String)].collect().toSet,
+      s"insert-only diff is the inserted rows: $addedV2")
+    // v3: an UPDATE inside day 1 — the diff is day 1's post-merge
+    // slice (the rewritten files), never days 0/2/9
+    val upd = Seq((107L, 1L, "UPD")).toDF("k", "day", "v")
+    val v3 = SnapshotTable.mergeScoped(spark, t, upd, Seq("k"), "day")
+    val addedV3 = SnapshotTable.readAdded(spark, t, fromVersion = v2)
+      .as[(Long, Long, String)].collect()
+    assert(addedV3.forall(_._2 == 1L), s"diff stays inside the touched scope: ${addedV3.toSeq}")
+    assert(addedV3.count(_._3 == "UPD") == 1 && addedV3.length == 20,
+      "diff = the whole rewritten scope slice, post-merge")
+    // from == to → empty with the right schema
+    val none = SnapshotTable.readAdded(spark, t, fromVersion = v3, toVersion = v3)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "day", "v"))
+  }
+
+  test("compactScoped rewrites only fragmented scopes; cold scopes carry by reference") {
+    import spark.implicits._
+    val t = mkTable()
+    val rows = for (d <- 0L until 4L; k <- 0L until 20L)
+      yield (d * 100L + k, d, "seed")
+    SnapshotTable.commit(spark, t,
+      rows.toDF("k", "day", "v").repartitionByRange(4, col("day"))
+        .sortWithinPartitions("day"),
+      statsCols = Seq("day"))
+    // fragment day 2 the way real tables fragment: fast APPENDS of
+    // small hot-scope batches (mergeScoped cannot fragment — it
+    // rewrites whole scopes; append rewrites nothing)
+    (1 to 5).foreach { i =>
+      SnapshotTable.append(spark, t,
+        Seq((200L + 50L + i, 2L, s"upd$i")).toDF("k", "day", "v"),
+        statsCols = Seq("day"))
+    }
+    val before = SnapshotTable.snapshotEntries(spark, t)
+    def filesFor(es: Seq[SnapshotTable.ManifestEntry], day: Long) =
+      es.filter(_.stats.get("day").exists { case (lo, hi) => lo <= day && hi >= day })
+    assert(filesFor(before, 2L).size > 2, "day 2 must be fragmented")
+    val cold = before.filter(_.stats.get("day").exists {
+      case (lo, hi) => hi < 2L || lo > 2L })
+    assert(cold.nonEmpty, "need provably-cold files")
+
+    val v = SnapshotTable.compactScoped(spark, t, "day", maxFilesPerScope = 2)
+    assert(v > 0L, "fragmentation must trigger a compaction commit")
+    val after = SnapshotTable.snapshotEntries(spark, t)
+    assert(filesFor(after, 2L).size <= 2,
+      s"hot scope compacted: ${filesFor(after, 2L).size} files")
+    val afterLines = after.map(_.render).toSet
+    cold.foreach(e => assert(afterLines.contains(e.render),
+      s"cold file rewritten by compaction: ${e.render}"))
+    // content is untouched by layout maintenance
+    val got = SnapshotTable.read(spark, t).as[(Long, Long, String)]
+      .collect().toSet
+    assert(got.size == rows.size + 5 && (1 to 5).forall(i =>
+      got.contains((250L + i, 2L, s"upd$i"))), "compaction preserves content")
+    // an already-tidy table mints NO version
+    val curBefore = SnapshotTable.currentVersion(spark, t)
+    assert(SnapshotTable.compactScoped(spark, t, "day", maxFilesPerScope = 2) == 0L)
+    assert(SnapshotTable.currentVersion(spark, t) == curBefore,
+      "no empty maintenance versions")
+  }
+
   test("compactSnapshot merges files with zero vanish window and content equality") {
     import spark.implicits._
     val t = mkTable()
