@@ -201,6 +201,45 @@ object MergeStream {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** APPEND-ONLY streaming ingest into the snapshot format — the
+    * event-log shape (no keys, no upserts; contrast the CDC sinks
+    * above): each micro-batch lands through
+    * [[graft.sources.SnapshotTable.append]] (manifest union — commit
+    * cost = the batch's bytes regardless of table size), clustered on
+    * `scopeCol` so per-file envelopes stay narrow, and every
+    * `compactEvery` batches [[graft.sources.SnapshotTable.compactScoped]]
+    * repairs the fragmentation appends accumulate (a no-op version-wise
+    * when the table is tidy). Downstream syncs consume
+    * [[graft.sources.SnapshotTable.readAdded]] between versions —
+    * exact CDC, because appends never rewrite.
+    *
+    * REPLAY CAVEAT, honestly: append is NOT idempotent — a foreachBatch
+    * replay after a crash between the append commit and the checkpoint
+    * write lands the batch twice (the CDC sinks' version condition
+    * cannot apply without keys). Exactly-once ingest needs a batchId
+    * ledger in the table metadata (out of scope here); downstream
+    * exact-dedup is the documented mitigation at 100 TB (the dedup
+    * family exists for worse).
+    */
+  def appendSink(events: DataFrame, table: String, scopeCol: String,
+                 checkpoint: String, compactEvery: Int = 8,
+                 maxFilesPerScope: Int = 8): StreamingQuery = {
+    require(compactEvery >= 1)
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          graft.sources.SnapshotTable.append(spark, table,
+            batch.sortWithinPartitions(scopeCol), statsCols = Seq(scopeCol))
+          if ((batchId + 1) % compactEvery == 0)
+            graft.sources.SnapshotTable.compactScoped(spark, table, scopeCol,
+              maxFilesPerScope): Unit
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** The serving view: live rows only (tombstones filtered). */
   def current(spark: SparkSession, path: String, deleteCol: String): DataFrame =
     spark.read.parquet(path).filter(!coalesce(col(deleteCol), lit(false)))

@@ -172,6 +172,43 @@ class MergeStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("appendSink ingests append-only batches; compaction bounds files; readAdded is per-batch CDC") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp("append-snap")
+    val ckpt = java.nio.file.Files.createTempDirectory("append-ckpt").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val q = MergeStream.appendSink(
+      input.toDF().toDF("event_id", "day", "payload"), table, "day", ckpt,
+      compactEvery = 4, maxFilesPerScope = 3)
+    try {
+      var versions = List.empty[Long]
+      (0 until 8).foreach { b =>
+        // every batch hits day 1 (the hot scope) plus its own day
+        input.addData(Seq((b * 10L, 1L, s"hot$b"), (b * 10L + 1L, b.toLong, s"cold$b")))
+        q.processAllAvailable()
+        versions ::= SnapshotTable.currentVersion(spark, table)
+      }
+      // content = the union of every batch (append-only)
+      val got = SnapshotTable.read(spark, table)
+        .as[(Long, Long, String)].collect().toSet
+      val want = (0 until 8).flatMap(b =>
+        Seq((b * 10L, 1L, s"hot$b"), (b * 10L + 1L, b.toLong, s"cold$b"))).toSet
+      assert(got == want, "append-only union")
+      // periodic compaction bounds the hot scope's file count
+      val day1Files = SnapshotTable.snapshotEntries(spark, table)
+        .count(_.stats.get("day").exists { case (lo, hi) => lo <= 1L && hi >= 1L })
+      assert(day1Files <= 4, s"compaction bounds fragmentation: $day1Files files on day 1")
+      // incremental consumption between two APPEND versions = that batch
+      val inc = SnapshotTable.readAdded(spark, table,
+        fromVersion = versions(7), toVersion = versions(6))
+        .as[(Long, Long, String)].collect().toSet
+      assert(inc == Set((10L, 1L, "hot1"), (11L, 1L, "cold1")),
+        s"readAdded between append versions is the batch: $inc")
+    } finally q.stop()
+  }
+
   test("upsertSnapshotScopedSink: batches rewrite only touched scopes; untouched files carry by reference") {
     import spark.implicits._
     import graft.sources.SnapshotTable
