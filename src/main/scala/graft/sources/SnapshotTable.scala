@@ -134,20 +134,50 @@ object SnapshotTable {
       }).mkString("\t")
   }
 
+  private val SchemaHeader = "#schema\t"
+
+  private def manifestLines(f: org.apache.hadoop.fs.FileSystem,
+                            table: String, v: Long): Seq[String] = {
+    val in = f.open(hp(table, MetaDir, f"manifest-$v%05d"))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def resolve(spark: SparkSession, table: String, version: Long): Long = {
+    val v = if (version > 0L) version else currentVersion(spark, table)
+    require(v > 0L, s"$table has no committed snapshot")
+    v
+  }
+
+  /** The schema committed with snapshot `version` (default: current) —
+    * the manifest's `#schema` header, so every reader sees the SAME
+    * columns regardless of which data file's footer would win the
+    * listing lottery (the readParquetEvolving failure mode, closed at
+    * the format level). None for pre-header manifests.
+    */
+  def snapshotSchema(spark: SparkSession, table: String,
+                     version: Long = 0L): Option[org.apache.spark.sql.types.StructType] = {
+    val v = resolve(spark, table, version)
+    manifestLines(fs(spark, table), table, v)
+      .find(_.startsWith(SchemaHeader))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix(SchemaHeader))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
   /** Manifest entries of snapshot `version` (default: current). Line
     * format: `relpath` optionally followed by `\tcol=lo..hi` per stats
     * column — written at commit time, powering [[readPruned]]'s file
-    * skipping.
+    * skipping. Header lines (`#...`) carry table metadata (the schema)
+    * and are not entries.
     */
   def snapshotEntries(spark: SparkSession, table: String,
                       version: Long = 0L): Seq[ManifestEntry] = {
-    val v = if (version > 0L) version else currentVersion(spark, table)
-    require(v > 0L, s"$table has no committed snapshot")
-    val f = fs(spark, table)
-    val in = f.open(hp(table, MetaDir, f"manifest-$v%05d"))
+    val v = resolve(spark, table, version)
     val StatTok = "([^=]+)=(-?[0-9]+)\\.\\.(-?[0-9]+)".r
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).map { line =>
+    manifestLines(fs(spark, table), table, v)
+      .filterNot(_.startsWith("#")).map { line =>
         val toks = line.split("\t")
         val stats = toks.tail.map {
           case StatTok(c, lo, hi) => c -> (lo.toLong, hi.toLong)
@@ -155,8 +185,7 @@ object SnapshotTable {
             s"malformed manifest stat token: $other")
         }.toMap
         ManifestEntry(toks.head, stats)
-      }.toList
-    finally in.close()
+      }
   }
 
   /** Relative data-file paths of snapshot `version` (default: current). */
@@ -165,12 +194,24 @@ object SnapshotTable {
     snapshotEntries(spark, table, version).map(_.path)
 
   /** Read a snapshot (default: the current one) — the exact committed
-    * file list, no directory listing of the data tree.
+    * file list, no directory listing of the data tree, under the
+    * MANIFEST's schema: files written before a column was added serve
+    * NULL for it, and which footer the reader lists first can never
+    * change the columns (contrast plain `spark.read.parquet`'s footer
+    * lottery on drifted directories — Sources.readParquetEvolving's
+    * whole reason to exist, solved here at the format level without
+    * the per-file footer union mergeSchema pays).
     */
-  def read(spark: SparkSession, table: String, version: Long = 0L): DataFrame = {
-    val files = snapshotFiles(spark, table, version).map(rel => s"$table/$rel")
-    spark.read.parquet(files: _*)
-  }
+  def read(spark: SparkSession, table: String, version: Long = 0L): DataFrame =
+    readPaths(spark, table, resolve(spark, table, version),
+      snapshotFiles(spark, table, version).map(rel => s"$table/$rel"))
+
+  private def readPaths(spark: SparkSession, table: String, v: Long,
+                        paths: Seq[String]): DataFrame =
+    snapshotSchema(spark, table, v) match {
+      case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
 
   /** Take `claim-N` for the next free version. Returns the claimed N.
     * Exclusive: create(overwrite=false) is the cross-process primitive
@@ -278,6 +319,39 @@ object SnapshotTable {
     }
   }
 
+  private def schemaLine(schema: org.apache.spark.sql.types.StructType): String =
+    SchemaHeader + schema.json
+
+  /** Widen `prior` by `next`'s new columns (appended at the end,
+    * nullable — pre-evolution files serve NULL for them); a column
+    * present in both must keep its exact type, else the evolution
+    * fails LOUDLY here instead of corrupting reads later. Columns
+    * `next` lacks stay (its files serve NULL for them). Matching is
+    * case-insensitive like Spark's resolution default.
+    */
+  private def evolveSchema(prior: org.apache.spark.sql.types.StructType,
+                           next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val byName = prior.fields.map(f => f.name.toLowerCase -> f).toMap
+    next.fields.foreach { nf =>
+      byName.get(nf.name.toLowerCase).foreach { pf =>
+        require(pf.dataType == nf.dataType,
+          s"schema evolution conflict on '${nf.name}': table has " +
+            s"${pf.dataType.simpleString}, incoming batch has " +
+            s"${nf.dataType.simpleString} — cast the batch explicitly")
+      }
+    }
+    val nextNames = next.fields.map(_.name.toLowerCase).toSet
+    val widened = prior.fields.map { pf =>
+      // a column the batch lacks now has files without it → nullable
+      if (!nextNames.contains(pf.name.toLowerCase)) pf.copy(nullable = true) else pf
+    }
+    val added = next.fields
+      .filterNot(nf => byName.contains(nf.name.toLowerCase))
+      .map(_.copy(nullable = true)) // absent from every pre-evolution file
+    org.apache.spark.sql.types.StructType(widened ++ added)
+  }
+
   /** THE COMMIT POINT: stage `manifest-N.tmp-N`, rename it onto
     * `manifest-N` — a single-file rename to a destination that is
     * vacant and ours (the claim), atomic on POSIX and HDFS, so readers
@@ -324,7 +398,8 @@ object SnapshotTable {
              expectedBase: Option[Long] = None): Long = {
     val f = fs(spark, table)
     val n = claimNext(f, table, expectedBase)
-    commitManifest(f, table, n, writeData(spark, table, n, df, statsCols))
+    commitManifest(f, table, n,
+      schemaLine(df.schema) +: writeData(spark, table, n, df, statsCols))
   }
 
   /** Delete data files, manifests and dead claims no snapshot within
@@ -491,7 +566,8 @@ object SnapshotTable {
       }
       val target =
         if (touched.isEmpty) read(spark, table, base).limit(0)
-        else spark.read.parquet(touched.map(e => s"$table/${e.path}"): _*)
+        else readPaths(spark, table, base,
+          touched.map(e => s"$table/${e.path}"))
       // RANGE-cluster the new files on the scope so each file covers a
       // CONTIGUOUS scope interval (hash partitioning mixes distant
       // scope values into one partition — e.g. days {0,3} in one file
@@ -509,7 +585,9 @@ object SnapshotTable {
         val f = fs(spark, table)
         val n = claimNext(f, table, Some(base))
         val newLines = writeData(spark, table, n, out, stats)
-        commitManifest(f, table, n, untouched.map(_.render) ++ newLines)
+        val schema = snapshotSchema(spark, table, base).getOrElse(out.schema)
+        commitManifest(f, table, n,
+          schemaLine(schema) +: (untouched.map(_.render) ++ newLines))
       } finally merged0.unpersist(false)
     }
   }
@@ -603,10 +681,18 @@ object SnapshotTable {
       val prior =
         if (base == 0L) Seq.empty[String]
         else snapshotEntries(spark, table, base).map(_.render)
+      // SCHEMA EVOLUTION happens here, explicitly: new columns widen
+      // the committed schema (older files serve NULL), same-name
+      // columns must keep their type — the drift a plain directory
+      // resolves by footer lottery is a loud, versioned schema change
+      val schema =
+        if (base == 0L) df.schema
+        else snapshotSchema(spark, table, base)
+          .map(evolveSchema(_, df.schema)).getOrElse(df.schema)
       val f = fs(spark, table)
       val n = claimNext(f, table, Some(base))
       val newLines = writeData(spark, table, n, df, statsCols)
-      commitManifest(f, table, n, prior ++ newLines)
+      commitManifest(f, table, n, schemaLine(schema) +: (prior ++ newLines))
     }
 
   /** INCREMENTAL CONSUMPTION: the rows of files ADDED between two
@@ -633,7 +719,7 @@ object SnapshotTable {
     val before = snapshotFiles(spark, table, fromVersion).toSet
     val added = snapshotFiles(spark, table, to).filterNot(before)
     if (added.isEmpty) return read(spark, table, to).limit(0)
-    spark.read.parquet(added.map(rel => s"$table/$rel"): _*)
+    readPaths(spark, table, to, added.map(rel => s"$table/$rel"))
   }
 
   /** SCOPE-AWARE COMPACTION — the maintenance op a [[mergeScoped]]
@@ -692,7 +778,8 @@ object SnapshotTable {
       }
       if (touched.isEmpty && entries.forall(_.stats.contains(scopeCol)))
         return 0L // nothing fragmented, nothing enveloped-less: no-op
-      val rows = spark.read.parquet(touched.map(e => s"$table/${e.path}"): _*)
+      val rows = readPaths(spark, table, base,
+        touched.map(e => s"$table/${e.path}"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // one range partition per rewritten scope value, capped — a
@@ -707,7 +794,9 @@ object SnapshotTable {
         val f = fs(spark, table)
         val n = claimNext(f, table, Some(base))
         val newLines = writeData(spark, table, n, out, stats)
-        commitManifest(f, table, n, untouched.map(_.render) ++ newLines)
+        val schema = snapshotSchema(spark, table, base).getOrElse(out.schema)
+        commitManifest(f, table, n,
+          schemaLine(schema) +: (untouched.map(_.render) ++ newLines))
       } finally rows.unpersist(false)
     }
   }

@@ -375,6 +375,34 @@ class SnapshotTableSpec extends SparkSpec {
       "both concurrent appends survive")
   }
 
+  test("schema lives in the manifest: appends evolve it explicitly, never by footer lottery") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      (0L until 5L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // an append with a NEW column widens the committed schema; files
+    // from before the evolution serve NULL for it
+    SnapshotTable.append(spark, t,
+      Seq((100L, "new", 7L)).toDF("k", "v", "extra"))
+    val df = SnapshotTable.read(spark, t)
+    assert(df.columns.toSeq == Seq("k", "v", "extra"),
+      "manifest schema, not whichever footer lists first")
+    val rows = df.as[(Long, String, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(rows((100L, "new")) == Some(7L) && rows((0L, "v0")) == None,
+      "pre-evolution rows serve NULL for the added column")
+    // a column the batch LACKS survives (its files serve NULL)
+    SnapshotTable.append(spark, t, Seq((200L, "noextra")).toDF("k", "v"))
+    assert(SnapshotTable.read(spark, t).columns.toSeq == Seq("k", "v", "extra"))
+    // same-name type conflict fails LOUDLY at commit time
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, t, Seq((300L, 9L, 1L)).toDF("k", "v", "extra"))
+    }
+    assert(e.getMessage.contains("schema evolution conflict"), e.getMessage)
+    // time travel reads each version under ITS schema
+    assert(SnapshotTable.read(spark, t, version = 1L).columns.toSeq == Seq("k", "v"))
+  }
+
   test("readAdded returns exactly the manifest diff: inserts, rewritten scopes, nothing else") {
     import spark.implicits._
     val t = mkTable()
