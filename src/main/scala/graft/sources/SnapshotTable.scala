@@ -135,6 +135,8 @@ object SnapshotTable {
   }
 
   private val SchemaHeader = "#schema\t"
+  private val IncludeTag = "@include"
+  private val LeafRe = "^leaf-([0-9]{5})$".r
 
   private def manifestLines(f: org.apache.hadoop.fs.FileSystem,
                             table: String, v: Long): Seq[String] = {
@@ -142,6 +144,98 @@ object SnapshotTable {
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  private val StatTok = "([^=]+)=(-?[0-9]+)\\.\\.(-?[0-9]+)".r
+
+  private def parseStats(toks: Seq[String]): Map[String, (Long, Long)] =
+    toks.map {
+      case StatTok(c, lo, hi) => c -> (lo.toLong, hi.toLong)
+      case other => throw new IllegalStateException(
+        s"malformed manifest stat token: $other")
+    }.toMap
+
+  private def parseEntry(line: String): ManifestEntry = {
+    val toks = line.split("\t")
+    ManifestEntry(toks.head, parseStats(toks.tail.toSeq))
+  }
+
+  /** A top-level manifest line: a data-file entry, or an `@include` of
+    * an immutable LEAF manifest — the Iceberg manifest-list layer in
+    * its smallest form. An include line carries AGGREGATE envelopes
+    * (min-of-los .. max-of-his over its leaf's entries, for columns
+    * every entry has), so scoped merges and pruned reads can skip a
+    * WHOLE LEAF without opening it; the top manifest then grows with
+    * the number of APPENDS, not the number of data files.
+    */
+  private sealed trait TopLine { def raw: String }
+  private case class EntryLine(entry: ManifestEntry) extends TopLine {
+    def raw: String = entry.render
+  }
+  private case class IncludeLine(leaf: String, stats: Map[String, (Long, Long)],
+                                 raw: String) extends TopLine
+
+  private def topLines(f: org.apache.hadoop.fs.FileSystem,
+                       table: String, v: Long): Seq[TopLine] =
+    manifestLines(f, table, v).filterNot(_.startsWith("#")).map { line =>
+      if (line.startsWith(IncludeTag + "\t")) {
+        val toks = line.split("\t")
+        IncludeLine(toks(1), parseStats(toks.drop(2).toSeq), line)
+      } else EntryLine(parseEntry(line))
+    }
+
+  private def leafEntries(f: org.apache.hadoop.fs.FileSystem,
+                          table: String, leaf: String): Seq[ManifestEntry] = {
+    val in = f.open(hp(table, MetaDir, leaf))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).map(parseEntry).toList
+    finally in.close()
+  }
+
+  /** Write version `n`'s leaf manifest (immutable; the claim makes the
+    * name ours) and return its include line: aggregate envelopes only
+    * for columns EVERY entry carries — a column missing somewhere
+    * cannot prune at leaf resolution and is omitted (conservative).
+    */
+  private def writeLeaf(f: org.apache.hadoop.fs.FileSystem, table: String,
+                        n: Long, entryLines: Seq[String]): String = {
+    val name = f"leaf-$n%05d"
+    val out = f.create(hp(table, MetaDir, name), false)
+    try out.write(entryLines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val entries = entryLines.map(parseEntry)
+    val shared = entries.map(_.stats.keySet).reduce(_ intersect _)
+    val agg = shared.toSeq.sorted.map { c =>
+      val ranges = entries.map(_.stats(c))
+      s"$c=${ranges.map(_._1).min}..${ranges.map(_._2).max}"
+    }
+    (Seq(IncludeTag, name) ++ agg).mkString("\t")
+  }
+
+  /** Split a snapshot's top lines for a scoped rewrite: lines whose
+    * envelope PROVABLY excludes the touched set carry forward verbatim
+    * (an include is skipped WITHOUT opening its leaf — the manifest-
+    * list payoff), everything else resolves to entries and partitions
+    * per file. Returns (carried raw lines, touched entries).
+    */
+  private def splitForRewrite(f: org.apache.hadoop.fs.FileSystem, table: String,
+                              v: Long,
+                              untouchedEnvelope: Map[String, (Long, Long)] => Boolean,
+                              entryTouched: ManifestEntry => Boolean)
+      : (Seq[String], Seq[ManifestEntry]) = {
+    val carried = Seq.newBuilder[String]
+    val touched = Seq.newBuilder[ManifestEntry]
+    topLines(f, table, v).foreach {
+      case il: IncludeLine if untouchedEnvelope(il.stats) =>
+        carried += il.raw
+      case il: IncludeLine =>
+        leafEntries(f, table, il.leaf).foreach { e =>
+          if (entryTouched(e)) touched += e else carried += e.render
+        }
+      case el: EntryLine =>
+        if (entryTouched(el.entry)) touched += el.entry
+        else carried += el.entry.render
+    }
+    (carried.result(), touched.result())
   }
 
   private def resolve(spark: SparkSession, table: String, version: Long): Long = {
@@ -166,26 +260,20 @@ object SnapshotTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
-  /** Manifest entries of snapshot `version` (default: current). Line
-    * format: `relpath` optionally followed by `\tcol=lo..hi` per stats
-    * column — written at commit time, powering [[readPruned]]'s file
-    * skipping. Header lines (`#...`) carry table metadata (the schema)
-    * and are not entries.
+  /** Manifest entries of snapshot `version` (default: current), with
+    * `@include`d leaves EXPANDED. Line format per entry: `relpath`
+    * optionally followed by `\tcol=lo..hi` per stats column — written
+    * at commit time, powering [[readPruned]]'s file skipping. Header
+    * lines (`#...`) carry table metadata (the schema).
     */
   def snapshotEntries(spark: SparkSession, table: String,
                       version: Long = 0L): Seq[ManifestEntry] = {
     val v = resolve(spark, table, version)
-    val StatTok = "([^=]+)=(-?[0-9]+)\\.\\.(-?[0-9]+)".r
-    manifestLines(fs(spark, table), table, v)
-      .filterNot(_.startsWith("#")).map { line =>
-        val toks = line.split("\t")
-        val stats = toks.tail.map {
-          case StatTok(c, lo, hi) => c -> (lo.toLong, hi.toLong)
-          case other => throw new IllegalStateException(
-            s"malformed manifest stat token: $other")
-        }.toMap
-        ManifestEntry(toks.head, stats)
-      }
+    val f = fs(spark, table)
+    topLines(f, table, v).flatMap {
+      case EntryLine(e) => Seq(e)
+      case il: IncludeLine => leafEntries(f, table, il.leaf)
+    }
   }
 
   /** Relative data-file paths of snapshot `version` (default: current). */
@@ -360,7 +448,8 @@ object SnapshotTable {
   private def commitManifest(f: org.apache.hadoop.fs.FileSystem,
                              table: String, n: Long,
                              lines: Seq[String]): Long = {
-    require(lines.nonEmpty, "refusing to commit an empty snapshot")
+    require(lines.exists(l => !l.startsWith("#")),
+      "refusing to commit an empty snapshot (headers are not content)")
     val tmp = hp(table, MetaDir, f"manifest-$n%05d.tmp-$n")
     val out = f.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
@@ -429,6 +518,12 @@ object SnapshotTable {
     // walked a dense version range and threw on the gap)
     val keepVersions = versions.takeRight(retain).toSet
     val referenced = keepVersions.flatMap(v => snapshotFiles(spark, table, v))
+    // leaf manifests referenced by any retained top manifest survive;
+    // the rest (superseded versions' leaves, crashed appends' orphans)
+    // are dead ONLY at or below the current version — above it they
+    // may belong to a live writer mid-commit
+    val referencedLeaves = keepVersions.flatMap(v =>
+      topLines(f, table, v).collect { case il: IncludeLine => il.leaf })
     var removed = 0L
     // sweep data dirs not referenced by any retained manifest
     f.listStatus(hp(table)).filter(_.isDirectory)
@@ -443,6 +538,8 @@ object SnapshotTable {
       val dead = m match {
         case ManifestRe(n) => !keepVersions.contains(n.toLong)
         case ClaimRe(n) => n.toLong <= cur
+        case LeafRe(n) =>
+          n.toLong <= cur && !referencedLeaves.contains(m)
         case _ if m.startsWith("HEAD") => true
         case _ if m.contains(".tmp-") =>
           "manifest-([0-9]{5})\\.tmp-.*".r.findFirstMatchIn(m)
@@ -469,12 +566,20 @@ object SnapshotTable {
                  version: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(preds.nonEmpty, "readPruned needs at least one range predicate")
-    val entries = snapshotEntries(spark, table, version)
-    val keep = entries.filter { e =>
+    val v = resolve(spark, table, version)
+    val f = fs(spark, table)
+    def intersects(stats: Map[String, (Long, Long)]): Boolean =
       preds.forall { case (c, lo, hi) =>
-        e.stats.get(c).forall { case (flo, fhi) => flo <= hi && fhi >= lo }
+        stats.get(c).forall { case (flo, fhi) => flo <= hi && fhi >= lo }
       }
-    }
+    // two-level skipping: a leaf whose AGGREGATE envelope misses the
+    // box is skipped WITHOUT being opened (the manifest-list payoff);
+    // surviving leaves expand and prune per file as before
+    val keep = topLines(f, table, v).flatMap {
+      case il: IncludeLine if !intersects(il.stats) => Nil
+      case il: IncludeLine => leafEntries(f, table, il.leaf)
+      case EntryLine(e) => Seq(e)
+    }.filter(e => intersects(e.stats))
     def residual(df: DataFrame): DataFrame =
       preds.foldLeft(df) { case (d, (c, lo, hi)) =>
         d.filter(col(c).cast("long").between(lo, hi))
@@ -557,13 +662,15 @@ object SnapshotTable {
         r.getLong(0)
       }.sorted
     retryingCommit(spark, table) { base =>
-      val entries = snapshotEntries(spark, table, base)
-      val (touched, untouched) = entries.partition { e =>
-        e.stats.get(scopeCol) match {
-          case Some((lo, hi)) => scopeVals.exists(v => v >= lo && v <= hi)
-          case None => true // no envelope: cannot prove untouched
+      def envUntouched(stats: Map[String, (Long, Long)]): Boolean =
+        stats.get(scopeCol).exists { case (lo, hi) =>
+          !scopeVals.exists(v => v >= lo && v <= hi)
         }
-      }
+      // a leaf whose AGGREGATE envelope excludes every changed scope
+      // value carries as one @include line, unopened; everything else
+      // resolves to entries and partitions per file
+      val (carried, touched) = splitForRewrite(fs(spark, table), table, base,
+        envUntouched, e => !envUntouched(e.stats))
       val target =
         if (touched.isEmpty) read(spark, table, base).limit(0)
         else readPaths(spark, table, base,
@@ -587,7 +694,7 @@ object SnapshotTable {
         val newLines = writeData(spark, table, n, out, stats)
         val schema = snapshotSchema(spark, table, base).getOrElse(out.schema)
         commitManifest(f, table, n,
-          schemaLine(schema) +: (untouched.map(_.render) ++ newLines))
+          schemaLine(schema) +: (carried ++ newLines))
       } finally merged0.unpersist(false)
     }
   }
@@ -619,6 +726,7 @@ object SnapshotTable {
         if (n > cur && !manifests.contains(n) && age > olderThanMs) {
           f.delete(p, false)
           f.delete(hp(table, f"data-$n%05d"), true) // orphan stage, if any
+          f.delete(hp(table, MetaDir, f"leaf-$n%05d"), false) // orphan leaf
           released += 1
         }
       case _ =>
@@ -678,9 +786,13 @@ object SnapshotTable {
   def append(spark: SparkSession, table: String, df: DataFrame,
              statsCols: Seq[String] = Nil): Long =
     retryingCommit(spark, table) { base =>
+      val f = fs(spark, table)
+      // prior TOP lines carry verbatim — an earlier append's @include
+      // stays one line here no matter how many files its leaf holds,
+      // so the top manifest grows with APPENDS, not data files
       val prior =
         if (base == 0L) Seq.empty[String]
-        else snapshotEntries(spark, table, base).map(_.render)
+        else topLines(f, table, base).map(_.raw)
       // SCHEMA EVOLUTION happens here, explicitly: new columns widen
       // the committed schema (older files serve NULL), same-name
       // columns must keep their type — the drift a plain directory
@@ -689,10 +801,14 @@ object SnapshotTable {
         if (base == 0L) df.schema
         else snapshotSchema(spark, table, base)
           .map(evolveSchema(_, df.schema)).getOrElse(df.schema)
-      val f = fs(spark, table)
       val n = claimNext(f, table, Some(base))
       val newLines = writeData(spark, table, n, df, statsCols)
-      commitManifest(f, table, n, schemaLine(schema) +: (prior ++ newLines))
+      require(newLines.nonEmpty, "refusing to append an empty batch")
+      // the batch's files land as ONE immutable leaf + one include
+      // line carrying the leaf's aggregate envelopes — scoped merges
+      // and pruned reads skip the whole batch without opening it
+      val include = writeLeaf(f, table, n, newLines)
+      commitManifest(f, table, n, schemaLine(schema) +: (prior :+ include))
     }
 
   /** INCREMENTAL CONSUMPTION: the rows of files ADDED between two
@@ -769,13 +885,15 @@ object SnapshotTable {
           }
         }
       }
-      val (touched, untouched) = entries.partition { e =>
-        e.stats.get(scopeCol) match {
+      def hotEnv(stats: Map[String, (Long, Long)]): Boolean =
+        stats.get(scopeCol) match {
           case Some((lo, hi)) =>
             hotRanges.exists { case (hlo, hhi) => lo <= hhi && hi >= hlo }
           case None => true // no envelope: fold it into the clustered rewrite
         }
-      }
+      // cold leaves carry as one unopened @include line each
+      val (carried, touched) = splitForRewrite(fs(spark, table), table, base,
+        stats => !hotEnv(stats), e => hotEnv(e.stats))
       if (touched.isEmpty && entries.forall(_.stats.contains(scopeCol)))
         return 0L // nothing fragmented, nothing enveloped-less: no-op
       val rows = readPaths(spark, table, base,
@@ -796,7 +914,7 @@ object SnapshotTable {
         val newLines = writeData(spark, table, n, out, stats)
         val schema = snapshotSchema(spark, table, base).getOrElse(out.schema)
         commitManifest(f, table, n,
-          schemaLine(schema) +: (untouched.map(_.render) ++ newLines))
+          schemaLine(schema) +: (carried ++ newLines))
       } finally rows.unpersist(false)
     }
   }

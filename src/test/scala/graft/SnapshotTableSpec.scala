@@ -375,6 +375,69 @@ class SnapshotTableSpec extends SparkSpec {
       "both concurrent appends survive")
   }
 
+  private def manifestLinesOf(t: String, v: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(t, "_graft_meta", f"manifest-$v%05d"))
+      .asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  test("appends land as leaf manifests: top manifest grows with appends, not files") {
+    import spark.implicits._
+    val t = mkTable()
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "3")
+    try {
+      // 4 appends × 12 rows at ≤3 rows/file → ≥4 files per append
+      var v = 0L
+      (0 until 4).foreach { b =>
+        v = SnapshotTable.append(spark, t,
+          (0L until 12L).map(i => (b * 100L + i, b.toLong, s"r$i"))
+            .toDF("k", "day", "v").repartition(1),
+          statsCols = Seq("day"))
+      }
+      val top = manifestLinesOf(t, v)
+      assert(top.count(_.startsWith("@include")) == 4 &&
+        top.count(!_.startsWith("#")) == 4,
+        s"4 appends = 4 include lines, regardless of file count: $top")
+      val files = SnapshotTable.snapshotFiles(spark, t)
+      assert(files.size >= 16, s"…while the table holds ${files.size} files")
+      assert(SnapshotTable.read(spark, t).count() == 48)
+      // leaf aggregate envelopes prune WHOLE batches at the top level
+      val pruned = SnapshotTable.readPruned(spark, t, "day", 2L, 2L)
+      assert(pruned.count() == 12, "leaf-level pruning keeps results exact")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("scoped merge carries untouched LEAVES as unopened include lines") {
+    import spark.implicits._
+    val t = mkTable()
+    (0 until 4).foreach { b =>
+      SnapshotTable.append(spark, t,
+        (0L until 10L).map(i => (b * 100L + i, b.toLong, "old"))
+          .toDF("k", "day", "v"),
+        statsCols = Seq("day"))
+    }
+    val beforeIncludes = manifestLinesOf(t, 4L).filter(_.startsWith("@include"))
+    val v5 = SnapshotTable.mergeScoped(spark, t,
+      Seq((105L, 1L, "UPD")).toDF("k", "day", "v"), Seq("k"), "day")
+    val top = manifestLinesOf(t, v5)
+    // days 0/2/3's leaves survive as their EXACT include lines; day 1's
+    // leaf expanded (and its entries were all touched → rewritten)
+    val carried = top.filter(_.startsWith("@include"))
+    assert(carried.size == 3 && carried.forall(beforeIncludes.contains),
+      s"3 cold leaves carried verbatim: $carried")
+    val got = SnapshotTable.read(spark, t).as[(Long, Long, String)].collect()
+    assert(got.length == 40 && got.count(_._3 == "UPD") == 1,
+      "merge semantics intact across leaf boundaries")
+    // vacuum: superseded versions' leaves die, referenced ones survive
+    SnapshotTable.vacuum(spark, t, retain = 1)
+    val leaves = new java.io.File(s"$t/_graft_meta").list().toSeq
+      .filter(_.startsWith("leaf-"))
+    assert(leaves.toSet == carried.map(_.split("\t")(1)).toSet,
+      s"exactly the referenced leaves survive vacuum: $leaves")
+    assert(SnapshotTable.read(spark, t).count() == 40, "table intact after vacuum")
+  }
+
   test("schema lives in the manifest: appends evolve it explicitly, never by footer lottery") {
     import spark.implicits._
     val t = mkTable()
