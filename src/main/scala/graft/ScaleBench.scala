@@ -1392,6 +1392,25 @@ object ScaleBench {
       // via applyBatchSnapshotScoped vs the whole-rewrite control on
       // the IDENTICAL change stream. Payload is ~64 incompressible
       // bytes so the rewrite, not job launches, is what's priced.
+      // the FAST-APPEND ingest path (r11 manifest-list layer): 10
+      // batches of 100k ~64 B rows land as one leaf + one include line
+      // each — per-append cost must stay FLAT as the table grows
+      // (nothing is read or rewritten), vs the CDC rows above whose
+      // whole-rewrite grows with the table. Day envelopes recorded so
+      // the appended table stays scope-prunable.
+      t("snapshot_append_ingest_1m") {
+        val table = s"$out/append_ingest"
+        rmTree(table)
+        (0 until 10).foreach { b =>
+          graft.sources.SnapshotTable.append(spark, table,
+            spark.range(b * 100000L, (b + 1) * 100000L).select(
+              col("id").as("k"),
+              (col("id") / 31250L).cast("long").as("day"),
+              sha2(concat(lit("a"), col("id").cast("string")), 256).as("payload")),
+            statsCols = Seq("day"))
+        }
+        graft.sources.SnapshotTable.read(spark, table).count()
+      },
       t("stream_cdc_scoped_100k_keys") {
         cdcScopedLifecycle(s"$out/cdc_scoped_target", scoped = true)
       },
