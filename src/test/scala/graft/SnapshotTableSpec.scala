@@ -169,9 +169,16 @@ class SnapshotTableSpec extends SparkSpec {
     import spark.implicits._
     val t = mkTable()
     SnapshotTable.commit(spark, t, Seq((1L, "live")).toDF("k", "v"))
-    // a writer claimed v2 and died before any manifest
+    // an APPENDER claimed v2, staged its data and leaf, and died
+    // before the manifest rename — the full crashed-append residue
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(t, "_graft_meta", "claim-00002"))
+    Seq((9L, "orphan")).toDF("k", "v").write.parquet(s"$t/data-00002")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_graft_meta", "leaf-00002"),
+      "data-00002/part-orphan.parquet".getBytes("UTF-8"))
+    assert(SnapshotTable.currentVersion(spark, t) == 1L,
+      "a leaf without its manifest is inert")
     val changes = Seq((1L, "merged")).toDF("k", "v")
     // every conditional attempt claims ≥3, never the successor of 1
     intercept[graft.sources.ConcurrentCommitException] {
@@ -180,8 +187,12 @@ class SnapshotTableSpec extends SparkSpec {
     // vacuum must NOT touch it (above current — could be a live writer)
     SnapshotTable.vacuum(spark, t, retain = 1)
     assert(new java.io.File(s"$t/_graft_meta/claim-00002").exists())
-    // the maintenance call with an age threshold releases it
+    // the maintenance call with an age threshold releases it — claim,
+    // orphan data dir AND orphan leaf all go
     assert(SnapshotTable.releaseStaleClaims(spark, t, olderThanMs = 0L) == 1L)
+    assert(!new java.io.File(s"$t/data-00002").exists() &&
+      !new java.io.File(s"$t/_graft_meta/leaf-00002").exists(),
+      "crashed append's stage fully reclaimed")
     val v = SnapshotTable.merge(spark, t, changes, Seq("k"))
     assert(v == 2L, s"released claim frees its version, got v$v")
     assert(SnapshotTable.read(spark, t).select("v").head().getString(0) == "merged")
