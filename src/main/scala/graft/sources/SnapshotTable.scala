@@ -135,6 +135,7 @@ object SnapshotTable {
   }
 
   private val SchemaHeader = "#schema\t"
+  private val LedgerTag = "#ledger"
   private val IncludeTag = "@include"
   private val LeafRe = "^leaf-([0-9]{5})$".r
 
@@ -260,6 +261,32 @@ object SnapshotTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** The sink-commit ledger of snapshot `version`: for each streaming
+    * sink identity, the highest micro-batch id whose append COMMITTED —
+    * the `#ledger` header lines. This is what turns foreachBatch's
+    * at-least-once replay into exactly-once ingest: the commit point of
+    * the batch and of the ledger entry is the SAME manifest rename, so
+    * a replayed batch either finds its id already in the ledger (the
+    * crash was after the commit — skip) or doesn't (before — append).
+    */
+  private def ledgerOf(f: org.apache.hadoop.fs.FileSystem, table: String,
+                       v: Long): Map[String, Long] =
+    if (v == 0L) Map.empty
+    else manifestLines(f, table, v).filter(_.startsWith(LedgerTag + "\t"))
+      .map { l => val t = l.split("\t"); t(1) -> t(2).toLong }.toMap
+
+  private def ledgerLines(m: Map[String, Long]): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (s, b) => s"$LedgerTag\t$s\t$b" }
+
+  /** The highest batchId committed for `sinkId` (None: never seen) —
+    * see [[append]]'s `ledger` parameter.
+    */
+  def lastCommittedBatch(spark: SparkSession, table: String,
+                         sinkId: String): Option[Long] = {
+    val cur = currentVersion(spark, table)
+    ledgerOf(fs(spark, table), table, cur).get(sinkId)
+  }
+
   /** Manifest entries of snapshot `version` (default: current), with
     * `@include`d leaves EXPANDED. Line format per entry: `relpath`
     * optionally followed by `\tcol=lo..hi` per stats column — written
@@ -363,6 +390,34 @@ object SnapshotTable {
     }
   }
 
+  /** Claim the next version, run `body(n)`, and on ANY failure before
+    * the manifest landed release the claim and its staged artifacts
+    * (data dir, leaf, manifest tmp) before rethrowing. Without this, a
+    * routine caller error after the claim — an empty batch tripping a
+    * require, a data-write failure — leaves a fresh-mtime claim above
+    * the current version that starves every conditional commit until
+    * someone manually runs [[releaseStaleClaims]]. If `manifest-N`
+    * EXISTS when the failure surfaces, nothing is touched: the commit
+    * point passed (ours, or — in the acknowledged cross-process
+    * residual window — a rival's whose files must survive), so the
+    * artifacts may be live.
+    */
+  private def withClaim(f: org.apache.hadoop.fs.FileSystem, table: String,
+                        expectedBase: Option[Long])(body: Long => Long): Long = {
+    val n = claimNext(f, table, expectedBase)
+    try body(n)
+    catch {
+      case e: Throwable =>
+        if (!f.exists(hp(table, MetaDir, f"manifest-$n%05d"))) {
+          f.delete(hp(table, f"data-$n%05d"), true)
+          f.delete(hp(table, MetaDir, f"leaf-$n%05d"), false)
+          f.delete(hp(table, MetaDir, f"manifest-$n%05d.tmp-$n"), false)
+          f.delete(hp(table, MetaDir, f"claim-$n%05d"), false)
+        }
+        throw e
+    }
+  }
+
   /** Render the per-file `col=lo..hi` stat tokens for a just-written
     * data dir: ONE aggregate over the new files regardless of column
     * count. LONG-castable columns only.
@@ -388,9 +443,25 @@ object SnapshotTable {
       }.toMap
   }
 
+  /** Rows in a parquet file, from its FOOTER — a driver-side metadata
+    * read (no data pages touched). Used to keep zero-row files out of
+    * manifests: Spark writes one schema-only file for a fully-empty
+    * frame, which would otherwise commit as a phantom "batch".
+    */
+  private def footerRowCount(spark: SparkSession,
+                             p: org.apache.hadoop.fs.Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   /** Write `df` as version `n`'s data dir and return its manifest
     * lines (with stat tokens when `statsCols` given). The dir is
-    * exclusively ours: `n` is claimed.
+    * exclusively ours: `n` is claimed. Zero-row files (the schema-only
+    * artifact of an empty frame) are excluded — an all-empty write
+    * returns NO lines, which the callers' non-empty requires turn into
+    * a loud error (and [[withClaim]] into a clean one).
     */
   private def writeData(spark: SparkSession, table: String, n: Long,
                         df: DataFrame, statsCols: Seq[String]): Seq[String] = {
@@ -399,7 +470,10 @@ object SnapshotTable {
     val f = fs(spark, table)
     val files = f.listStatus(hp(table, dataDir))
       .filter(s => s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$dataDir/${s.getPath.getName}").sorted.toSeq
+      .map(_.getPath)
+      .filter(p => footerRowCount(spark, p) > 0L)
+      .map(p => s"$dataDir/${p.getName}").sorted.toSeq
+    if (files.isEmpty) return Nil
     val stats = statTokens(spark, table, dataDir, statsCols)
     files.map { rel =>
       val name = rel.split("/").last
@@ -454,6 +528,16 @@ object SnapshotTable {
     val out = f.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
     val manifest = hp(table, MetaDir, f"manifest-$n%05d")
+    // the claim makes the destination ours and vacant — except in the
+    // acknowledged cross-process residual window on a plain local fs
+    // (a rival committed manifest-N and retired the shared claim
+    // between our listing and our create-exclusive). There POSIX
+    // renameTo would OVERWRITE the rival's committed version; check
+    // first and fail LOUDLY instead — ConcurrentCommitException is
+    // retryable, a silently destroyed commit is not.
+    if (f.exists(manifest)) throw new ConcurrentCommitException(
+      s"$table: manifest-$n already exists at publish time — a rival " +
+        "won the residual claim window; re-read and recompute")
     require(f.rename(tmp, manifest), s"manifest publish failed for $table v$n")
     f.delete(hp(table, MetaDir, f"claim-$n%05d"), false)
     n
@@ -486,9 +570,18 @@ object SnapshotTable {
              statsCols: Seq[String] = Nil,
              expectedBase: Option[Long] = None): Long = {
     val f = fs(spark, table)
-    val n = claimNext(f, table, expectedBase)
-    commitManifest(f, table, n,
-      schemaLine(df.schema) +: writeData(spark, table, n, df, statsCols))
+    // sink-ledger headers survive a whole-snapshot replace: the rewrite
+    // READ the rows those batch commits produced, so a post-replace
+    // replay of an already-committed batch must still skip (without
+    // this, compactSnapshot/merge on an append table would silently
+    // re-open the duplicate window the ledger closed)
+    val ledger = ledgerOf(f, table,
+      expectedBase.getOrElse(currentVersion(spark, table)))
+    withClaim(f, table, expectedBase) { n =>
+      commitManifest(f, table, n,
+        (schemaLine(df.schema) +: ledgerLines(ledger)) ++
+          writeData(spark, table, n, df, statsCols))
+    }
   }
 
   /** Delete data files, manifests and dead claims no snapshot within
@@ -525,10 +618,18 @@ object SnapshotTable {
     val referencedLeaves = keepVersions.flatMap(v =>
       topLines(f, table, v).collect { case il: IncludeLine => il.leaf })
     var removed = 0L
-    // sweep data dirs not referenced by any retained manifest
+    // sweep data dirs not referenced by any retained manifest — but
+    // ONLY at or below the current version: data-N above cur is a live
+    // writer's stage mid-commit (its manifest hasn't landed yet), and
+    // deleting it would let that writer publish a manifest referencing
+    // vanished files. Above-current orphans whose writer is truly dead
+    // are [[releaseStaleClaims]]'s job, which has the age threshold
+    // this sweep lacks.
     f.listStatus(hp(table)).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("data-")).foreach { d =>
-        val keep = referenced.exists(_.startsWith(s"$d/"))
+        val dv = scala.util.Try(
+          d.stripPrefix("data-").takeWhile(_.isDigit).toLong).getOrElse(Long.MaxValue)
+        val keep = dv > cur || referenced.exists(_.startsWith(s"$d/"))
         if (!keep) { f.delete(hp(table, d), true); removed += 1 }
       }
     // manifests outside the retention set; dead claims and manifest
@@ -690,11 +791,13 @@ object SnapshotTable {
           .repartitionByRange(math.max(1, scopeVals.length), col(scopeCol))
           .sortWithinPartitions(scopeCol)
         val f = fs(spark, table)
-        val n = claimNext(f, table, Some(base))
-        val newLines = writeData(spark, table, n, out, stats)
-        val schema = snapshotSchema(spark, table, base).getOrElse(out.schema)
-        commitManifest(f, table, n,
-          schemaLine(schema) +: (carried ++ newLines))
+        withClaim(f, table, Some(base)) { n =>
+          val newLines = writeData(spark, table, n, out, stats)
+          val schema = snapshotSchema(spark, table, base).getOrElse(out.schema)
+          val headers = schemaLine(schema) +:
+            ledgerLines(ledgerOf(f, table, base))
+          commitManifest(f, table, n, headers ++ (carried ++ newLines))
+        }
       } finally merged0.unpersist(false)
     }
   }
@@ -782,34 +885,62 @@ object SnapshotTable {
     * is vacuumed. Contention on appends is rare enough (sub-second
     * claim windows) that this simple form beats a write-once-
     * link-many protocol in everything but pathological fan-in.
+    *
+    * `ledger = Some((sinkId, batchId))` makes the append EXACTLY-ONCE
+    * under foreachBatch replay: the manifest records, per sink
+    * identity, the highest batchId that committed (`#ledger` header),
+    * and an append whose batchId is at or below the recorded one is a
+    * NO-OP returning the current version — the batch's rows and its
+    * ledger entry become visible in the SAME atomic manifest rename,
+    * so a crash between the table commit and the sink's checkpoint
+    * write replays into the skip branch instead of landing twice.
+    * batchIds must be monotone per sinkId (Structured Streaming's
+    * contract); the sinkId must not contain tabs or newlines (it lives
+    * on one header line) — use the checkpoint path.
     */
   def append(spark: SparkSession, table: String, df: DataFrame,
-             statsCols: Seq[String] = Nil): Long =
+             statsCols: Seq[String] = Nil,
+             ledger: Option[(String, Long)] = None): Long = {
+    ledger.foreach { case (sinkId, _) =>
+      require(!sinkId.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"sinkId must be tab/newline-free (one ledger header line): $sinkId")
+    }
     retryingCommit(spark, table) { base =>
       val f = fs(spark, table)
-      // prior TOP lines carry verbatim — an earlier append's @include
-      // stays one line here no matter how many files its leaf holds,
-      // so the top manifest grows with APPENDS, not data files
-      val prior =
-        if (base == 0L) Seq.empty[String]
-        else topLines(f, table, base).map(_.raw)
-      // SCHEMA EVOLUTION happens here, explicitly: new columns widen
-      // the committed schema (older files serve NULL), same-name
-      // columns must keep their type — the drift a plain directory
-      // resolves by footer lottery is a loud, versioned schema change
-      val schema =
-        if (base == 0L) df.schema
-        else snapshotSchema(spark, table, base)
-          .map(evolveSchema(_, df.schema)).getOrElse(df.schema)
-      val n = claimNext(f, table, Some(base))
-      val newLines = writeData(spark, table, n, df, statsCols)
-      require(newLines.nonEmpty, "refusing to append an empty batch")
-      // the batch's files land as ONE immutable leaf + one include
-      // line carrying the leaf's aggregate envelopes — scoped merges
-      // and pruned reads skip the whole batch without opening it
-      val include = writeLeaf(f, table, n, newLines)
-      commitManifest(f, table, n, schemaLine(schema) +: (prior :+ include))
+      val priorLedger = ledgerOf(f, table, base)
+      val replayed = ledger.exists { case (sinkId, batchId) =>
+        priorLedger.get(sinkId).exists(_ >= batchId)
+      }
+      if (replayed) base // the batch already committed — replay is a no-op
+      else {
+        // prior TOP lines carry verbatim — an earlier append's @include
+        // stays one line here no matter how many files its leaf holds,
+        // so the top manifest grows with APPENDS, not data files
+        val prior =
+          if (base == 0L) Seq.empty[String]
+          else topLines(f, table, base).map(_.raw)
+        // SCHEMA EVOLUTION happens here, explicitly: new columns widen
+        // the committed schema (older files serve NULL), same-name
+        // columns must keep their type — the drift a plain directory
+        // resolves by footer lottery is a loud, versioned schema change
+        val schema =
+          if (base == 0L) df.schema
+          else snapshotSchema(spark, table, base)
+            .map(evolveSchema(_, df.schema)).getOrElse(df.schema)
+        withClaim(f, table, Some(base)) { n =>
+          val newLines = writeData(spark, table, n, df, statsCols)
+          require(newLines.nonEmpty, "refusing to append an empty batch")
+          // the batch's files land as ONE immutable leaf + one include
+          // line carrying the leaf's aggregate envelopes — scoped merges
+          // and pruned reads skip the whole batch without opening it
+          val include = writeLeaf(f, table, n, newLines)
+          val headers = schemaLine(schema) +:
+            ledgerLines(priorLedger ++ ledger.toMap)
+          commitManifest(f, table, n, headers ++ (prior :+ include))
+        }
+      }
     }
+  }
 
   /** INCREMENTAL CONSUMPTION: the rows of files ADDED between two
     * snapshots (`fromVersion` exclusive → `toVersion` inclusive,
@@ -910,11 +1041,13 @@ object SnapshotTable {
           .repartitionByRange(scopes.toInt, col(scopeCol))
           .sortWithinPartitions(scopeCol)
         val f = fs(spark, table)
-        val n = claimNext(f, table, Some(base))
-        val newLines = writeData(spark, table, n, out, stats)
-        val schema = snapshotSchema(spark, table, base).getOrElse(out.schema)
-        commitManifest(f, table, n,
-          schemaLine(schema) +: (carried ++ newLines))
+        withClaim(f, table, Some(base)) { n =>
+          val newLines = writeData(spark, table, n, out, stats)
+          val schema = snapshotSchema(spark, table, base).getOrElse(out.schema)
+          val headers = schemaLine(schema) +:
+            ledgerLines(ledgerOf(f, table, base))
+          commitManifest(f, table, n, headers ++ (carried ++ newLines))
+        }
       } finally rows.unpersist(false)
     }
   }

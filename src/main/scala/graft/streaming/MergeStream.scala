@@ -67,6 +67,10 @@ object MergeStream {
   def applyBatch(spark: SparkSession, path: String, batch: DataFrame,
                  keys: Seq[String], versionCol: String): Unit = {
     if (batch.isEmpty) return
+    // a prior batch killed mid-swap leaves the live dir absent — finish
+    // that publish first (publishDirectory would too, but the MERGE
+    // below READS the live dir before publishing)
+    Layout.recoverPublishPending(spark, path)
     val collapsed = collapse(batch, keys, versionCol)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -77,16 +81,12 @@ object MergeStream {
           deleteCol = None,
           matchedCond = Some(col(s"c.$versionCol") >= col(s"t.$versionCol")))
       else collapsed
-    val staging = new org.apache.hadoop.fs.Path(s"${path}__staging")
-    out.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // never a moment with no table on disk: live -> __prev, staging ->
-    // live, drop __prev (recovery after a crash between renames: prefer
-    // __staging if live is missing, else __prev)
-    val prev = new org.apache.hadoop.fs.Path(s"${path}__prev")
-    fs.delete(prev, true)
-    if (fs.exists(live)) fs.rename(live, prev)
-    fs.rename(staging, live)
-    fs.delete(prev, true)
+    val staging = s"${path}__staging"
+    out.write.mode(SaveMode.Overwrite).parquet(staging)
+    // the marker-protocol swap: a kill between its renames recovers
+    // mechanically on the next call ([[Layout.publishDirectory]]) —
+    // never a moment where nothing self-heals
+    Layout.publishDirectory(spark, staging, path)
   }
 
   /** Attach the upsert sink to a change stream. Each micro-batch runs
@@ -213,13 +213,17 @@ object MergeStream {
     * [[graft.sources.SnapshotTable.readAdded]] between versions —
     * exact CDC, because appends never rewrite.
     *
-    * REPLAY CAVEAT, honestly: append is NOT idempotent — a foreachBatch
-    * replay after a crash between the append commit and the checkpoint
-    * write lands the batch twice (the CDC sinks' version condition
-    * cannot apply without keys). Exactly-once ingest needs a batchId
-    * ledger in the table metadata (out of scope here); downstream
-    * exact-dedup is the documented mitigation at 100 TB (the dedup
-    * family exists for worse).
+    * EXACTLY-ONCE, not merely at-least-once: every append carries a
+    * `(sinkId = checkpoint path, batchId)` ledger entry that commits
+    * in the SAME atomic manifest rename as the batch's rows
+    * ([[graft.sources.SnapshotTable.append]]'s `ledger`) — a
+    * foreachBatch replay after a crash between the append commit and
+    * the checkpoint write finds its batchId already recorded and lands
+    * ZERO duplicate rows, and [[graft.sources.SnapshotTable.readAdded]]
+    * across the replay still sees the batch exactly once (no version
+    * is minted for the skip). The ledger survives compaction and
+    * whole-snapshot rewrites (all commit paths carry the header
+    * forward).
     */
   def appendSink(events: DataFrame, table: String, scopeCol: String,
                  checkpoint: String, compactEvery: Int = 8,
@@ -227,17 +231,32 @@ object MergeStream {
     require(compactEvery >= 1)
     events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!batch.isEmpty) {
-          graft.sources.SnapshotTable.append(spark, table,
-            batch.sortWithinPartitions(scopeCol), statsCols = Seq(scopeCol))
-          if ((batchId + 1) % compactEvery == 0)
-            graft.sources.SnapshotTable.compactScoped(spark, table, scopeCol,
-              maxFilesPerScope): Unit
-        }
+        appendBatch(batch.sparkSession, table, batch, scopeCol,
+          sinkId = checkpoint, batchId = batchId,
+          compactEvery = compactEvery, maxFilesPerScope = maxFilesPerScope)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
+
+  /** One [[appendSink]] micro-batch, exposed for direct certification
+    * (the replay spec drives it with a repeated batchId): exactly-once
+    * append via the snapshot ledger, then scheduled compaction — which
+    * fires on the batch COUNTER, not the batch's contents (an empty
+    * batch on the compactEvery-th slot must not silently skip the
+    * maintenance the schedule promised).
+    */
+  def appendBatch(spark: SparkSession, table: String, batch: DataFrame,
+                  scopeCol: String, sinkId: String, batchId: Long,
+                  compactEvery: Int = 8, maxFilesPerScope: Int = 8): Unit = {
+    if (!batch.isEmpty)
+      graft.sources.SnapshotTable.append(spark, table,
+        batch.sortWithinPartitions(scopeCol), statsCols = Seq(scopeCol),
+        ledger = Some((sinkId, batchId)))
+    if ((batchId + 1) % compactEvery == 0 &&
+        graft.sources.SnapshotTable.currentVersion(spark, table) > 0L)
+      graft.sources.SnapshotTable.compactScoped(spark, table, scopeCol,
+        maxFilesPerScope): Unit
   }
 
   /** The serving view: live rows only (tombstones filtered). */
@@ -249,24 +268,26 @@ object MergeStream {
     * past the horizon, no change below it can still arrive, so the
     * resurrection guard is no longer needed for older deletes. Returns
     * the number of tombstones purged.
+    *
+    * The swap goes through [[Layout.publishDirectory]]'s marker
+    * protocol: a kill between the swap's renames recovers mechanically
+    * on the next publish (or an explicit
+    * [[Layout.recoverPublishPending]]) — never a hand-rolled two-rename
+    * gap with no self-heal.
     */
   def purgeTombstones(spark: SparkSession, path: String, deleteCol: String,
                       versionCol: String, versionHorizon: Long): Long = {
+    // a prior purge (or compaction) killed mid-swap leaves the live dir
+    // absent — finish THAT publish before reading
+    Layout.recoverPublishPending(spark, path)
     val t = spark.read.parquet(path)
     val dead = coalesce(col(deleteCol), lit(false))
     val purged = t.filter(dead && col(versionCol) < versionHorizon).count()
     if (purged == 0) return 0L
     val out = t.filter(!dead || col(versionCol) >= versionHorizon)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(s"${path}__staging")
-    out.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val live = new org.apache.hadoop.fs.Path(path)
-    val prev = new org.apache.hadoop.fs.Path(s"${path}__prev")
-    fs.delete(prev, true)
-    fs.rename(live, prev)
-    fs.rename(staging, live)
-    fs.delete(prev, true)
+    val staging = s"${path}__staging"
+    out.write.mode(SaveMode.Overwrite).parquet(staging)
+    Layout.publishDirectory(spark, staging, path)
     purged
   }
 }

@@ -117,6 +117,79 @@ class MergeStreamSpec extends SparkSpec {
       "idempotent: nothing left below the horizon")
   }
 
+  test("purgeTombstones killed between the swap's renames recovers mechanically") {
+    import spark.implicits._
+    val path = tmp("merge-purge-kill")
+    applyBatch(path, Seq(
+      Change(1, "dead-old", 10, true), Change(2, "live", 30, false)))
+    // the kill point: a purge staged its output, wrote the publish
+    // marker, renamed live aside — and died before renaming the staging
+    // in. The live path is ABSENT; the marker says how to finish.
+    val staging = s"${path}__staging"
+    Seq(Change(2, "live", 30, false)).toDF()
+      .write.parquet(staging)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${path}__PUBLISH_PENDING"),
+      staging.getBytes("UTF-8"))
+    val trash = new java.io.File(s"${path}__trash")
+    assert(new java.io.File(path).renameTo(trash), "simulate rename-aside")
+    // the NEXT purge call self-heals at entry, then proceeds on the
+    // recovered (already-purged) table — nothing left below the horizon
+    assert(MergeStream.purgeTombstones(spark, path, "deleted", "version", 20L) == 0L)
+    assert(tableRows(path) == Set(Change(2, "live", 30, false)),
+      "the staged purge landed; the table is whole")
+    assert(!trash.exists() &&
+      !new java.io.File(s"${path}__PUBLISH_PENDING").exists() &&
+      !new java.io.File(staging).exists(), "publish machinery fully retired")
+    // and applyBatch self-heals the same state before merging
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${path}__PUBLISH_PENDING"),
+      s"${path}__staging2".getBytes("UTF-8"))
+    Seq(Change(2, "recovered", 31, false)).toDF()
+      .write.parquet(s"${path}__staging2")
+    assert(new java.io.File(path).renameTo(new java.io.File(s"${path}__trash")))
+    applyBatch(path, Seq(Change(3, "new", 40, false)))
+    assert(tableRows(path) ==
+      Set(Change(2, "recovered", 31, false), Change(3, "new", 40, false)),
+      "applyBatch recovered the pending publish BEFORE merging on top of it")
+  }
+
+  test("appendBatch is exactly-once under replay; scheduled compaction fires on empty batches") {
+    import spark.implicits._
+    val table = tmp("append-batch")
+    val sink = "ckpt://append-batch-test"
+    def batch(day: Long, n: Int, tag: String): DataFrame =
+      (0 until n).map(i => (day * 100L + i, day, s"$tag-$i")).toDF("k", "day", "v")
+    def run(id: Long, df: DataFrame): Unit =
+      MergeStream.appendBatch(spark, table, df, "day", sink, id,
+        compactEvery = 4, maxFilesPerScope = 2)
+    run(0L, batch(0L, 10, "b0"))
+    val v1 = graft.sources.SnapshotTable.currentVersion(spark, table)
+    // the crash-replay: foreachBatch re-delivers batch 0 after a crash
+    // between the table commit and the checkpoint write
+    run(0L, batch(0L, 10, "b0"))
+    assert(graft.sources.SnapshotTable.currentVersion(spark, table) == v1 &&
+      graft.sources.SnapshotTable.read(spark, table).count() == 10,
+      "replayed batch lands zero duplicate rows, mints no version")
+    // fragment one scope with two more appends...
+    run(1L, batch(0L, 3, "b1"))
+    run(2L, batch(0L, 3, "b2"))
+    val fragmented = graft.sources.SnapshotTable.snapshotFiles(spark, table).size
+    assert(fragmented >= 3, s"three appends fragment the scope: $fragmented files")
+    // ...then the compactEvery-th batch is EMPTY: maintenance must fire
+    // anyway (the schedule is the counter, not the contents)
+    run(3L, Seq.empty[(Long, Long, String)].toDF("k", "day", "v"))
+    val after = graft.sources.SnapshotTable.snapshotFiles(spark, table).size
+    assert(after <= 2, s"compaction fired on the empty scheduled batch: $after files")
+    assert(graft.sources.SnapshotTable.read(spark, table).count() == 16)
+    // the ledger survived the compaction: replays of batches 0-2 skip
+    Seq(0L -> 10, 1L -> 3, 2L -> 3).foreach { case (id, n) =>
+      run(id, batch(0L, n, s"b$id"))
+    }
+    assert(graft.sources.SnapshotTable.read(spark, table).count() == 16,
+      "post-compaction replays all skip via the carried ledger")
+  }
+
   test("upsertSink maintains the table through a checkpointed restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -184,9 +184,14 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[graft.sources.ConcurrentCommitException] {
       SnapshotTable.merge(spark, t, changes, Seq("k"))
     }
-    // vacuum must NOT touch it (above current — could be a live writer)
+    // vacuum must NOT touch ANY of it (above current — could be a live
+    // writer mid-commit): not the claim, and not the staged data dir
+    // either — deleting data-00002 here would let a live writer publish
+    // a manifest referencing vanished files
     SnapshotTable.vacuum(spark, t, retain = 1)
     assert(new java.io.File(s"$t/_graft_meta/claim-00002").exists())
+    assert(new java.io.File(s"$t/data-00002").exists(),
+      "a staged data dir above current survives vacuum (live-writer guard)")
     // the maintenance call with an age threshold releases it — claim,
     // orphan data dir AND orphan leaf all go
     assert(SnapshotTable.releaseStaleClaims(spark, t, olderThanMs = 0L) == 1L)
@@ -551,6 +556,89 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.compactScoped(spark, t, "day", maxFilesPerScope = 2) == 0L)
     assert(SnapshotTable.currentVersion(spark, t) == curBefore,
       "no empty maintenance versions")
+  }
+
+  test("a live writer mid-commit survives a concurrent vacuum and completes") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t, Seq((1L, "live")).toDF("k", "v"))
+    // a writer claimed v2 and staged its data; its manifest hasn't
+    // landed yet — exactly the state a concurrent vacuum sees mid-commit
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(t, "_graft_meta", "claim-00002"))
+    Seq((2L, "staged")).toDF("k", "v").write.parquet(s"$t/data-00002")
+    SnapshotTable.vacuum(spark, t, retain = 1)
+    // the writer now completes: its staged file must still exist, and
+    // the published snapshot must be fully readable
+    val staged = new java.io.File(s"$t/data-00002").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted
+    assert(staged.nonEmpty, "vacuum must not delete a mid-commit stage")
+    val lines = ("#schema\t" + Seq((2L, "staged")).toDF("k", "v").schema.json) +:
+      staged.map(n => s"data-00002/$n").toSeq
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_graft_meta", "manifest-00002"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "_graft_meta", "claim-00002"))
+    assert(SnapshotTable.read(spark, t).select("v").head().getString(0)
+      == "staged", "the writer's commit lands intact after the vacuum")
+  }
+
+  test("a failed commit releases its claim: caller errors never starve conditional commits") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t, Seq((1L, "live")).toDF("k", "v"))
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    // an EMPTY batch is a routine caller error — it must fail loudly...
+    intercept[IllegalArgumentException] { SnapshotTable.append(spark, t, empty) }
+    intercept[IllegalArgumentException] { SnapshotTable.commit(spark, t, empty) }
+    // ...and leave NO residue: no claim above current (which would make
+    // every later conditional commit lose 8 retries until a manual
+    // releaseStaleClaims), no orphan stage
+    val meta = new java.io.File(s"$t/_graft_meta").list().toSeq
+    assert(!meta.exists(_.startsWith("claim-")), s"claims released: $meta")
+    assert(!new java.io.File(s"$t/data-00002").exists(), "stage reclaimed")
+    // the next conditional commit succeeds IMMEDIATELY as v2
+    val v = SnapshotTable.merge(spark, t,
+      Seq((1L, "merged")).toDF("k", "v"), Seq("k"))
+    assert(v == 2L, s"conditional commit unstarved, got v$v")
+  }
+
+  test("append with a sink ledger is exactly-once: a replayed batch lands zero duplicate rows") {
+    import spark.implicits._
+    val t = mkTable()
+    val sink = "/tmp/ckpt/ingest-1"
+    val b0 = (0L until 10L).map(i => (i, "b0")).toDF("k", "tag")
+    val v1 = SnapshotTable.append(spark, t, b0, ledger = Some((sink, 0L)))
+    assert(v1 == 1L && SnapshotTable.lastCommittedBatch(spark, t, sink) == Some(0L))
+    // the replay: same sinkId + batchId — a no-op returning the current
+    // version, minting NO new version and NO duplicate rows
+    val vReplay = SnapshotTable.append(spark, t, b0, ledger = Some((sink, 0L)))
+    assert(vReplay == 1L && SnapshotTable.currentVersion(spark, t) == 1L)
+    assert(SnapshotTable.read(spark, t).count() == 10, "zero duplicates")
+    // the next batch commits normally; the diff across the replay holds
+    // the batch exactly once
+    val v2 = SnapshotTable.append(spark, t,
+      (10L until 15L).map(i => (i, "b1")).toDF("k", "tag"),
+      ledger = Some((sink, 1L)))
+    assert(v2 == 2L)
+    assert(SnapshotTable.readAdded(spark, t, v1, v2).count() == 5)
+    // the ledger survives maintenance (compaction carries the header) —
+    // a replay arriving AFTER a compaction must still skip
+    SnapshotTable.compactSnapshot(spark, t)
+    assert(SnapshotTable.lastCommittedBatch(spark, t, sink) == Some(1L),
+      "ledger survives a whole-snapshot rewrite")
+    SnapshotTable.append(spark, t,
+      (10L until 15L).map(i => (i, "b1")).toDF("k", "tag"),
+      ledger = Some((sink, 1L)))
+    assert(SnapshotTable.read(spark, t).count() == 15,
+      "post-compaction replay still skipped")
+    // a SECOND sink's ledger is independent
+    val v4 = SnapshotTable.append(spark, t,
+      Seq((100L, "other")).toDF("k", "tag"), ledger = Some(("/tmp/ckpt/2", 0L)))
+    assert(v4 > 0L && SnapshotTable.read(spark, t).count() == 16)
+    assert(SnapshotTable.lastCommittedBatch(spark, t, sink) == Some(1L) &&
+      SnapshotTable.lastCommittedBatch(spark, t, "/tmp/ckpt/2") == Some(0L))
   }
 
   test("compactSnapshot merges files with zero vanish window and content equality") {
