@@ -786,6 +786,40 @@ object ScaleBench {
           Seq("k"), scopeCol = "day")
         sources.SnapshotTable.vacuum(spark, table, retain = 1)
       },
+      // ROW-LEVEL DELETE priced A/B (r11 verdict missing #2): a
+      // 0.1%-SCATTERED victim set (every 1000th key → present in every
+      // one of the 32 day-scopes). Copy-on-write (mergeScoped with a
+      // delete flag) must rewrite EVERY scope's files — scattered
+      // deletes are its worst case, and the rewrite grows with the
+      // table. Merge-on-read (deleteWhere) commits one tiny equality-
+      // delete key file and defers the subtraction to read time — so
+      // BOTH rows include a full delete-aware read+count: the honest
+      // comparison charges MoR its read-side anti-join. At 100 TB the
+      // CoW shape rewrites the table to remove 0.1% of it; MoR writes
+      // kilobytes and lets the next scheduled compaction fold the
+      // purge into maintenance it was doing anyway.
+      t("snapshot_delete_mor_1m") {
+        val table = ensureMergeBase(s"$out/delete_mor", scoped = true)
+        val victims = spark.range(mergeRows / 1000L)
+          .select((col("id") * 1000L).as("k"))
+        sources.SnapshotTable.deleteWhere(spark, table, victims)
+        val n = sources.SnapshotTable.read(spark, table).count()
+        sources.SnapshotTable.vacuum(spark, table, retain = 1)
+        n
+      },
+      t("snapshot_delete_cow_1m") {
+        val table = ensureMergeBase(s"$out/delete_cow", scoped = true)
+        val changes = spark.range(mergeRows / 1000L).select(
+          (col("id") * 1000L).as("k"),
+          ((col("id") * 1000L) / mergePerDay).cast("long").as("day"),
+          mergePayload("del").as("v"),
+          lit(true).as("del"))
+        sources.SnapshotTable.mergeScoped(spark, table, changes,
+          Seq("k"), scopeCol = "day", deleteCol = Some("del"))
+        val n = sources.SnapshotTable.read(spark, table).count()
+        sources.SnapshotTable.vacuum(spark, table, retain = 1)
+        n
+      },
       t("prune_static_3day_1m") {
         sources.Layout.readPartitioned(spark, ensureEventsByDate())
           .filter(col("p_date").between("2024-01-10", "2024-01-12"))

@@ -137,7 +137,19 @@ object SnapshotTable {
   private val SchemaHeader = "#schema\t"
   private val LedgerTag = "#ledger"
   private val IncludeTag = "@include"
+  private val DeleteTag = "@delete"
   private val LeafRe = "^leaf-([0-9]{5})$".r
+  private val DataVerRe = "data-([0-9]{5})".r
+
+  /** The version whose commit wrote this file — parsed from its data
+    * dir (`data-N/...`), the file's Iceberg-style SEQUENCE NUMBER. An
+    * equality delete committed at version D applies exactly to files
+    * with a LOWER number: rows re-inserted (or rewritten by a merge /
+    * compaction) after the delete land in a higher-numbered dir and
+    * are untouched by it.
+    */
+  private def dataVersionOf(rel: String): Long =
+    DataVerRe.findFirstMatchIn(rel).map(_.group(1).toLong).getOrElse(0L)
 
   private def manifestLines(f: org.apache.hadoop.fs.FileSystem,
                             table: String, v: Long): Seq[String] = {
@@ -175,6 +187,15 @@ object SnapshotTable {
   }
   private case class IncludeLine(leaf: String, stats: Map[String, (Long, Long)],
                                  raw: String) extends TopLine
+  /** An EQUALITY-DELETE file: `path` holds key rows (parquet, columns
+    * `cols`); every data file with a lower data-version serves its
+    * rows MINUS the keys — resolved at read (merge-on-read), purged
+    * physically by compaction.
+    */
+  private case class DeleteLine(path: String, cols: Seq[String],
+                                raw: String) extends TopLine {
+    def appliesBelow: Long = dataVersionOf(path)
+  }
 
   private def topLines(f: org.apache.hadoop.fs.FileSystem,
                        table: String, v: Long): Seq[TopLine] =
@@ -182,6 +203,9 @@ object SnapshotTable {
       if (line.startsWith(IncludeTag + "\t")) {
         val toks = line.split("\t")
         IncludeLine(toks(1), parseStats(toks.drop(2).toSeq), line)
+      } else if (line.startsWith(DeleteTag + "\t")) {
+        val toks = line.split("\t")
+        DeleteLine(toks(1), toks(2).split(",").toSeq, line)
       } else EntryLine(parseEntry(line))
     }
 
@@ -235,6 +259,11 @@ object SnapshotTable {
       case el: EntryLine =>
         if (entryTouched(el.entry)) touched += el.entry
         else carried += el.entry.render
+      // delete lines carry verbatim: they apply only to data versions
+      // below their own, so the rewrite's NEW files (higher version)
+      // are out of their reach by construction — and the touched slice
+      // is read delete-aware, so purged rows don't resurrect
+      case dl: DeleteLine => carried += dl.raw
     }
     (carried.result(), touched.result())
   }
@@ -300,6 +329,7 @@ object SnapshotTable {
     topLines(f, table, v).flatMap {
       case EntryLine(e) => Seq(e)
       case il: IncludeLine => leafEntries(f, table, il.leaf)
+      case _: DeleteLine => Nil // key files, not data files
     }
   }
 
@@ -317,9 +347,12 @@ object SnapshotTable {
     * whole reason to exist, solved here at the format level without
     * the per-file footer union mergeSchema pays).
     */
-  def read(spark: SparkSession, table: String, version: Long = 0L): DataFrame =
-    readPaths(spark, table, resolve(spark, table, version),
-      snapshotFiles(spark, table, version).map(rel => s"$table/$rel"))
+  def read(spark: SparkSession, table: String, version: Long = 0L): DataFrame = {
+    val v = resolve(spark, table, version)
+    applyDeletes(spark, table, v,
+      readPaths(spark, table, v,
+        snapshotFiles(spark, table, version).map(rel => s"$table/$rel")))
+  }
 
   private def readPaths(spark: SparkSession, table: String, v: Long,
                         paths: Seq[String]): DataFrame =
@@ -327,6 +360,101 @@ object SnapshotTable {
       case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
+
+  /** Snapshot `version`'s equality-delete entries (path → key columns);
+    * empty on a table that has never seen [[deleteWhere]].
+    */
+  def deleteFiles(spark: SparkSession, table: String,
+                  version: Long = 0L): Seq[(String, Seq[String])] = {
+    val v = resolve(spark, table, version)
+    topLines(fs(spark, table), table, v)
+      .collect { case dl: DeleteLine => dl.path -> dl.cols }
+  }
+
+  /** MERGE-ON-READ: subtract the snapshot's equality deletes from `df`
+    * (a read of some subset of its data files). Each row's SEQUENCE
+    * NUMBER is its file's data-version (from `input_file_name`); a
+    * delete file at version D anti-joins away matching keys in rows
+    * whose number is BELOW D — re-inserted and rewritten rows are out
+    * of reach by construction. One broadcast anti-join per distinct
+    * key-column set (typically one); tables without deletes return
+    * `df` untouched — the common path pays nothing.
+    */
+  private def applyDeletes(spark: SparkSession, table: String, v: Long,
+                           df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name,
+      lit, regexp_extract}
+    val deletes = topLines(fs(spark, table), table, v)
+      .collect { case dl: DeleteLine => dl }
+    if (deletes.isEmpty) return df
+    val dv = Iterator.iterate("__dv")(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    // the LAST data-N segment of the file URI (the table path itself
+    // could contain a data-N-shaped directory name above the table)
+    val tagged = df.withColumn(dv,
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.regexp_extract_all(
+          input_file_name(), lit("data-([0-9]{5})/"), lit(1)), -1).cast("long"))
+    val out = deletes.groupBy(_.cols).foldLeft(tagged) { case (d, (cols, dels)) =>
+      val keys = dels.map { de =>
+        spark.read.parquet(s"$table/${de.path}")
+          .select(cols.map(col): _*)
+          .withColumn("__below", lit(de.appliesBelow))
+      }.reduce(_ unionByName _)
+      val cond = cols.map(c => d(c) <=> keys(c)).reduce(_ && _) &&
+        keys("__below") > d(dv)
+      d.join(broadcast(keys), cond, "left_anti")
+    }
+    out.drop(dv)
+  }
+
+  /** ROW-LEVEL DELETE, merge-on-read: commit the distinct rows of
+    * `keys` (a frame of key columns) as an EQUALITY-DELETE file — no
+    * data file is read or rewritten; the commit cost is the key rows,
+    * regardless of how scattered the victims are or how big the table
+    * is. Readers ([[read]]/[[readPruned]]/[[readAdded]], and the merge
+    * paths through them) resolve deletes with a broadcast anti-join;
+    * [[compactScoped]]/[[compactSnapshot]]/[[merge]] purge them
+    * physically (rewritten rows carry a higher sequence number, putting
+    * them out of the delete's reach, and a delete no remaining file
+    * pre-dates is dropped from the manifest).
+    *
+    * Contrast [[mergeScoped]] with a delete flag — copy-on-write, which
+    * rewrites every TOUCHED FILE: at 100 TB a compliance-delete of
+    * scattered keys would rewrite orders of magnitude more bytes than
+    * it removes; here it writes kilobytes and defers the rewrite to the
+    * next scheduled compaction of each scope.
+    *
+    * Semantics: a key row deletes ALL rows equal on the delete frame's
+    * columns (SQL `DELETE WHERE (k1,k2) IN (...)`; null keys match via
+    * null-safe equality). Rows appended AFTER the delete are new rows
+    * and survive. Returns the committed version.
+    */
+  def deleteWhere(spark: SparkSession, table: String, keys: DataFrame): Long = {
+    require(keys.columns.nonEmpty, "delete keys need at least one column")
+    retryingCommit(spark, table) { base =>
+      require(base > 0L, s"$table has no committed snapshot")
+      val f = fs(spark, table)
+      val schema = snapshotSchema(spark, table, base)
+      schema.foreach { s =>
+        val have = s.fields.map(_.name.toLowerCase).toSet
+        keys.columns.foreach(c => require(have.contains(c.toLowerCase),
+          s"delete key column '$c' is not in the table schema"))
+      }
+      val prior = topLines(f, table, base).map(_.raw)
+      withClaim(f, table, Some(base)) { n =>
+        val written = writeData(spark, table, n, keys.dropDuplicates(), Nil)
+        require(written.nonEmpty, "refusing to commit an empty delete set")
+        val colList = keys.columns.mkString(",")
+        val delLines = written.map { l =>
+          Seq(DeleteTag, l.split("\t").head, colList).mkString("\t")
+        }
+        val headers = schema.map(schemaLine).toSeq ++
+          ledgerLines(ledgerOf(f, table, base))
+        commitManifest(f, table, n, headers ++ prior ++ delLines)
+      }
+    }
+  }
 
   /** Take `claim-N` for the next free version. Returns the claimed N.
     * Exclusive: create(overwrite=false) is the cross-process primitive
@@ -610,7 +738,12 @@ object SnapshotTable {
     // missing manifest ever be resolved (the pre-fix crash: vacuum
     // walked a dense version range and threw on the gap)
     val keepVersions = versions.takeRight(retain).toSet
-    val referenced = keepVersions.flatMap(v => snapshotFiles(spark, table, v))
+    // referenced = data files AND equality-delete key files — a delete
+    // file's data dir may hold nothing else, and sweeping it would
+    // leave a live manifest pointing at a vanished delete
+    val referenced = keepVersions.flatMap(v =>
+      snapshotFiles(spark, table, v) ++
+        topLines(f, table, v).collect { case dl: DeleteLine => dl.path })
     // leaf manifests referenced by any retained top manifest survive;
     // the rest (superseded versions' leaves, crashed appends' orphans)
     // are dead ONLY at or below the current version — above it they
@@ -680,6 +813,7 @@ object SnapshotTable {
       case il: IncludeLine if !intersects(il.stats) => Nil
       case il: IncludeLine => leafEntries(f, table, il.leaf)
       case EntryLine(e) => Seq(e)
+      case _: DeleteLine => Nil // applied below, never scanned as data
     }.filter(e => intersects(e.stats))
     def residual(df: DataFrame): DataFrame =
       preds.foldLeft(df) { case (d, (c, lo, hi)) =>
@@ -687,7 +821,8 @@ object SnapshotTable {
       }
     if (keep.isEmpty) // empty relation WITH the right schema
       return residual(read(spark, table, version)).limit(0)
-    residual(spark.read.parquet(keep.map(e => s"$table/${e.path}"): _*))
+    residual(applyDeletes(spark, table, v,
+      spark.read.parquet(keep.map(e => s"$table/${e.path}"): _*)))
   }
 
   /** Single-column convenience overload of [[readPruned]]. */
@@ -772,10 +907,13 @@ object SnapshotTable {
       // resolves to entries and partitions per file
       val (carried, touched) = splitForRewrite(fs(spark, table), table, base,
         envUntouched, e => !envUntouched(e.stats))
+      // the touched slice is read DELETE-AWARE: its rewrite lands at a
+      // higher sequence number, out of every delete's reach, so a row
+      // an equality delete removed must not ride the rewrite back in
       val target =
         if (touched.isEmpty) read(spark, table, base).limit(0)
-        else readPaths(spark, table, base,
-          touched.map(e => s"$table/${e.path}"))
+        else applyDeletes(spark, table, base, readPaths(spark, table, base,
+          touched.map(e => s"$table/${e.path}")))
       // RANGE-cluster the new files on the scope so each file covers a
       // CONTIGUOUS scope interval (hash partitioning mixes distant
       // scope values into one partition — e.g. days {0,3} in one file
@@ -966,7 +1104,10 @@ object SnapshotTable {
     val before = snapshotFiles(spark, table, fromVersion).toSet
     val added = snapshotFiles(spark, table, to).filterNot(before)
     if (added.isEmpty) return read(spark, table, to).limit(0)
-    readPaths(spark, table, to, added.map(rel => s"$table/$rel"))
+    // delete-aware like read: a consumer of the diff must not see rows
+    // an equality delete (committed before `to`) already removed
+    applyDeletes(spark, table, to,
+      readPaths(spark, table, to, added.map(rel => s"$table/$rel")))
   }
 
   /** SCOPE-AWARE COMPACTION — the maintenance op a [[mergeScoped]]
@@ -1023,12 +1164,30 @@ object SnapshotTable {
           case None => true // no envelope: fold it into the clustered rewrite
         }
       // cold leaves carry as one unopened @include line each
-      val (carried, touched) = splitForRewrite(fs(spark, table), table, base,
+      val (carried0, touched) = splitForRewrite(fs(spark, table), table, base,
         stats => !hotEnv(stats), e => hotEnv(e.stats))
       if (touched.isEmpty && entries.forall(_.stats.contains(scopeCol)))
         return 0L // nothing fragmented, nothing enveloped-less: no-op
-      val rows = readPaths(spark, table, base,
-        touched.map(e => s"$table/${e.path}"))
+      // DELETE PURGE: the rewrite applies equality deletes (the
+      // delete-aware read below) and its output carries a sequence
+      // number above them — after it, a delete that no REMAINING data
+      // file pre-dates has nothing left to apply to and its manifest
+      // line (and, post-vacuum, its key file) is dropped. minRemaining
+      // over carried lines: an entry's own data version; a leaf's
+      // version (leaf-N holds only data-N files, by append's
+      // construction); plus the new files' version n > every delete.
+      val minRemaining = carried0.collect {
+        case l if l.startsWith(IncludeTag + "\t") =>
+          l.split("\t")(1) match { case LeafRe(m) => m.toLong; case _ => 0L }
+        case l if !l.startsWith(DeleteTag + "\t") =>
+          dataVersionOf(l.split("\t").head)
+      }.foldLeft(Long.MaxValue)(math.min)
+      val carried = carried0.filterNot { l =>
+        l.startsWith(DeleteTag + "\t") &&
+          dataVersionOf(l.split("\t")(1)) <= minRemaining
+      }
+      val rows = applyDeletes(spark, table, base,
+        readPaths(spark, table, base, touched.map(e => s"$table/${e.path}")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // one range partition per rewritten scope value, capped — a

@@ -641,6 +641,126 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.lastCommittedBatch(spark, t, "/tmp/ckpt/2") == Some(0L))
   }
 
+  test("deleteWhere is merge-on-read: no data file rewritten, reads subtract the keys, re-inserts survive") {
+    import spark.implicits._
+    val t = mkTable()
+    val rows = for (d <- 0L until 4L; k <- 0L until 10L)
+      yield (d * 100L + k, d, s"r-$d-$k")
+    SnapshotTable.commit(spark, t,
+      rows.toDF("k", "day", "v").repartitionByRange(4, col("day"))
+        .sortWithinPartitions("day"),
+      statsCols = Seq("day"))
+    val dataBefore = SnapshotTable.snapshotFiles(spark, t).toSet
+    // scattered victims across two scopes — the copy-on-write path
+    // would rewrite both scopes' files; this writes ONE tiny key file
+    val v2 = SnapshotTable.deleteWhere(spark, t,
+      Seq(3L, 305L, 307L).toDF("k"))
+    assert(v2 == 2L)
+    assert(SnapshotTable.snapshotFiles(spark, t).toSet == dataBefore,
+      "equality delete rewrites NOTHING: same data files by reference")
+    assert(SnapshotTable.deleteFiles(spark, t)
+      .map(_._2).toSet == Set(Seq("k")), "the delete entry is in the manifest")
+    val got = SnapshotTable.read(spark, t).as[(Long, Long, String)]
+      .collect().map(_._1).toSet
+    assert(got.size == rows.size - 3 && !got.contains(3L) &&
+      !got.contains(305L) && !got.contains(307L), "reads subtract the keys")
+    // time travel: the pre-delete snapshot still serves the rows
+    assert(SnapshotTable.read(spark, t, version = 1L).count() == rows.size)
+    // pruned reads are delete-aware too
+    assert(SnapshotTable.readPruned(spark, t, "day", 3L, 3L)
+      .as[(Long, Long, String)].collect().map(_._1).toSet
+      == (0L until 10L).map(300L + _).toSet -- Set(305L, 307L))
+    // a RE-INSERT of a deleted key lands at a higher sequence number —
+    // out of the delete's reach, so it serves (Iceberg semantics)
+    SnapshotTable.append(spark, t, Seq((3L, 0L, "REBORN")).toDF("k", "day", "v"),
+      statsCols = Seq("day"))
+    val reborn = SnapshotTable.read(spark, t)
+      .filter(col("k") === 3L).select("v").as[String].collect().toSeq
+    assert(reborn == Seq("REBORN"), s"re-insert survives the older delete: $reborn")
+    // ...and a NEWER delete reaches it
+    SnapshotTable.deleteWhere(spark, t, Seq(3L).toDF("k"))
+    assert(SnapshotTable.read(spark, t).filter(col("k") === 3L).count() == 0)
+  }
+
+  test("rewrites never resurrect equality-deleted rows; compaction purges them physically") {
+    import spark.implicits._
+    val t = mkTable()
+    val rows = for (d <- 0L until 3L; k <- 0L until 10L)
+      yield (d * 100L + k, d, "seed")
+    SnapshotTable.commit(spark, t,
+      rows.toDF("k", "day", "v").repartitionByRange(3, col("day"))
+        .sortWithinPartitions("day"),
+      statsCols = Seq("day"))
+    SnapshotTable.deleteWhere(spark, t, Seq(105L).toDF("k"))
+    // a scoped merge REWRITES day 1 (the deleted key's scope): its new
+    // files carry a sequence number above the delete — if the rewrite
+    // read were not delete-aware, 105 would ride it back to life
+    SnapshotTable.mergeScoped(spark, t,
+      Seq((107L, 1L, "UPD")).toDF("k", "day", "v"), Seq("k"), "day")
+    val after = SnapshotTable.read(spark, t).as[(Long, Long, String)].collect()
+    assert(!after.exists(_._1 == 105L), "no resurrection through the rewrite")
+    assert(after.count(_._3 == "UPD") == 1 && after.length == rows.size - 1)
+    // the delete line is still live (days 0/2 pre-date it)...
+    assert(SnapshotTable.deleteFiles(spark, t).nonEmpty)
+    // ...until a WHOLE rewrite: merge-commit purges physically
+    SnapshotTable.merge(spark, t,
+      Seq((205L, 2L, "UPD2")).toDF("k", "day", "v"), Seq("k"))
+    assert(SnapshotTable.deleteFiles(spark, t).isEmpty,
+      "whole-snapshot rewrite drops the delete entries")
+    // physically gone: a RAW scan of the snapshot's files (bypassing
+    // merge-on-read) no longer holds the key
+    val raw = spark.read.parquet(
+      SnapshotTable.snapshotFiles(spark, t).map(f => s"$t/$f"): _*)
+    assert(raw.filter(col("k") === 105L).count() == 0, "purged from disk")
+  }
+
+  test("compactScoped purges deletes from rewritten scopes and drops obsolete delete lines") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      (0L until 10L).map(k => (k, 0L, "seed")).toDF("k", "day", "v"),
+      statsCols = Seq("day"))
+    SnapshotTable.deleteWhere(spark, t, Seq(5L).toDF("k"))
+    // fragment day 0 so compaction targets it
+    (1 to 4).foreach { i =>
+      SnapshotTable.append(spark, t,
+        Seq((100L + i, 0L, s"a$i")).toDF("k", "day", "v"), statsCols = Seq("day"))
+    }
+    val v = SnapshotTable.compactScoped(spark, t, "day", maxFilesPerScope = 2)
+    assert(v > 0L, "fragmentation triggers the compaction")
+    // day 0's only pre-delete file was rewritten → nothing remaining
+    // pre-dates the delete → the line is dropped, the rows are purged
+    assert(SnapshotTable.deleteFiles(spark, t).isEmpty,
+      "obsolete delete line dropped by the compaction")
+    val raw = spark.read.parquet(
+      SnapshotTable.snapshotFiles(spark, t).map(f => s"$t/$f"): _*)
+    assert(raw.filter(col("k") === 5L).count() == 0, "physically purged")
+    assert(SnapshotTable.read(spark, t).count() == 13)
+  }
+
+  test("readAdded is delete-aware and vacuum keeps live delete key files") {
+    import spark.implicits._
+    val t = mkTable()
+    val v1 = SnapshotTable.append(spark, t,
+      (0L until 10L).map(i => (i, "b1")).toDF("k", "tag"))
+    val v2 = SnapshotTable.append(spark, t,
+      (10L until 20L).map(i => (i, "b2")).toDF("k", "tag"))
+    val v3 = SnapshotTable.deleteWhere(spark, t, Seq(12L, 15L).toDF("k"))
+    // the diff consumer must not see rows the delete already removed
+    val added = SnapshotTable.readAdded(spark, t, v1, v3)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(added == (10L until 20L).toSet -- Set(12L, 15L),
+      s"delete-aware CDC diff: $added")
+    // vacuum(retain=1): the delete's key file is REFERENCED by the
+    // current manifest — its dir must survive even though it holds no
+    // data entries
+    SnapshotTable.vacuum(spark, t, retain = 1)
+    assert(new java.io.File(s"$t/data-00003").exists(),
+      "live delete key file survives vacuum")
+    assert(SnapshotTable.read(spark, t).count() == 18,
+      "reads stay whole (and delete-aware) after vacuum")
+  }
+
   test("compactSnapshot merges files with zero vanish window and content equality") {
     import spark.implicits._
     val t = mkTable()
