@@ -11,6 +11,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
+/** The atomic "take version N" primitive the snapshot commit protocol
+  * rests on — the one operation that must be exclusive CROSS-PROCESS.
+  * [[CreateExclusive]] (the default) uses filesystem create-with-
+  * overwrite=false: atomic on HDFS, and on a plain POSIX fs exclusive
+  * up to the same-JVM lock [[SnapshotTable]] holds around it. An
+  * object-store deployment injects a conditional-put implementation
+  * instead (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, Azure
+  * `If-None-Match`) via [[SnapshotTable.claimPrimitive]] — the rest of
+  * the protocol (claim → stage → manifest rename) is unchanged, which
+  * is the point of the seam.
+  */
+trait CommitPrimitive {
+  /** Atomically create the claim marker at `path` iff absent.
+    * True = the version is ours; false = a rival holds it. Must never
+    * partially succeed.
+    */
+  def tryClaim(f: org.apache.hadoop.fs.FileSystem,
+               path: org.apache.hadoop.fs.Path): Boolean
+
+  /** Retire a claim this writer owns (after its manifest landed, or
+    * when aborting).
+    */
+  def release(f: org.apache.hadoop.fs.FileSystem,
+              path: org.apache.hadoop.fs.Path): Unit
+}
+
+/** The filesystem default: create-exclusive + delete. */
+object CreateExclusive extends CommitPrimitive {
+  def tryClaim(f: org.apache.hadoop.fs.FileSystem,
+               path: org.apache.hadoop.fs.Path): Boolean =
+    try { f.create(path, false).close(); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException => false
+    }
+  def release(f: org.apache.hadoop.fs.FileSystem,
+              path: org.apache.hadoop.fs.Path): Unit =
+    f.delete(path, false)
+}
+
 /** A minimal manifest-of-files table format: ATOMIC snapshot commits
   * over plain parquet — the missing piece every directory-swap helper
   * in [[Layout]] documents ("snapshot isolation needs a table format's
@@ -94,6 +134,13 @@ object SnapshotTable {
     */
   private val claimLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The injectable claim primitive (see [[CommitPrimitive]]) —
+    * deployment-level configuration, set once at startup when the
+    * table root is an object store. Every claim take and retirement
+    * routes through it.
+    */
+  @volatile var claimPrimitive: CommitPrimitive = CreateExclusive
 
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -497,21 +544,17 @@ object SnapshotTable {
         attempts += 1
         require(attempts <= 50, s"could not claim a version for $table " +
           s"after $attempts attempts — runaway contention or a listing bug")
-        try {
-          val out = f.create(hp(table, MetaDir, f"claim-$n%05d"), false)
-          out.close()
+        if (claimPrimitive.tryClaim(f, hp(table, MetaDir, f"claim-$n%05d")))
           claimed = n
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-               _: java.nio.file.FileAlreadyExistsException =>
-            // a cross-process rival beat us to N — with expectedBase
-            // that rival invalidates our base; without, just move up
-            expectedBase.foreach { base =>
-              throw new ConcurrentCommitException(
-                s"$table: rival writer claimed v$n while committing " +
-                  s"against base v$base — re-read and recompute")
-            }
-            n += 1L
+        else {
+          // a cross-process rival beat us to N — with expectedBase
+          // that rival invalidates our base; without, just move up
+          expectedBase.foreach { base =>
+            throw new ConcurrentCommitException(
+              s"$table: rival writer claimed v$n while committing " +
+                s"against base v$base — re-read and recompute")
+          }
+          n += 1L
         }
       }
       claimed
@@ -540,7 +583,7 @@ object SnapshotTable {
           f.delete(hp(table, f"data-$n%05d"), true)
           f.delete(hp(table, MetaDir, f"leaf-$n%05d"), false)
           f.delete(hp(table, MetaDir, f"manifest-$n%05d.tmp-$n"), false)
-          f.delete(hp(table, MetaDir, f"claim-$n%05d"), false)
+          claimPrimitive.release(f, hp(table, MetaDir, f"claim-$n%05d"))
         }
         throw e
     }
@@ -571,41 +614,96 @@ object SnapshotTable {
       }.toMap
   }
 
-  /** Rows in a parquet file, from its FOOTER — a driver-side metadata
-    * read (no data pages touched). Used to keep zero-row files out of
-    * manifests: Spark writes one schema-only file for a fully-empty
-    * frame, which would otherwise commit as a phantom "batch".
+  /** A parquet file's row count and, for the requested INTEGER columns,
+    * its [min, max] envelope — all from the FOOTER: a driver-side
+    * metadata read, no data pages touched and NO Spark job. The row
+    * count keeps zero-row files (the schema-only artifact of an empty
+    * frame) out of manifests; the envelopes replace a whole-file
+    * aggregate job for the common case (integer scope/stats columns).
+    * A column is omitted when any row group lacks valid statistics or
+    * holds only nulls there — the same "no envelope = never pruned"
+    * conservatism as the aggregate path.
     */
-  private def footerRowCount(spark: SparkSession,
-                             p: org.apache.hadoop.fs.Path): Long = {
+  private def footerStats(spark: SparkSession, p: org.apache.hadoop.fs.Path,
+                          cols: Seq[String]): (Long, Map[String, (Long, Long)]) = {
+    import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       p, spark.sparkContext.hadoopConfiguration)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = cols.flatMap { c =>
+        val chunks = blocks.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == c))
+        if (chunks.exists(_.isEmpty)) None
+        else {
+          val ss = chunks.flatten.map(_.getStatistics)
+          if (ss.exists(s => s == null || s.isEmpty)) None
+          else {
+            val live = ss.filter(_.hasNonNullValue)
+            if (live.isEmpty) None // all-null column in this file
+            else Some(c -> (
+              live.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+              live.map(_.genericGetMax.asInstanceOf[Number].longValue).max))
+          }
+        }
+      }.toMap
+      (rows, stats)
+    } finally r.close()
+  }
+
+  /** Can `statsCols` envelopes be read straight off parquet footers for
+    * this schema? True only when every stats column is a plain integer
+    * type — where the footer's physical int32/int64 min/max EQUALS the
+    * cast-to-long the aggregate path computes. Anything else (decimal
+    * unscaled ints, timestamps, strings) falls back to the aggregate.
+    */
+  private def footerResolvable(schema: org.apache.spark.sql.types.StructType,
+                               statsCols: Seq[String]): Boolean = {
+    import org.apache.spark.sql.types._
+    statsCols.forall { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
   }
 
   /** Write `df` as version `n`'s data dir and return its manifest
     * lines (with stat tokens when `statsCols` given). The dir is
-    * exclusively ours: `n` is claimed. Zero-row files (the schema-only
-    * artifact of an empty frame) are excluded — an all-empty write
-    * returns NO lines, which the callers' non-empty requires turn into
-    * a loud error (and [[withClaim]] into a clean one).
+    * exclusively ours: `n` is claimed. Zero-row files are excluded —
+    * an all-empty write returns NO lines, which the callers' non-empty
+    * requires turn into a loud error (and [[withClaim]] into a clean
+    * one). Stats come from the footers already being opened for the
+    * row counts when the columns are integer-typed (zero extra jobs —
+    * the commit's only Spark job is the data write itself); otherwise
+    * from one aggregate over the new files.
     */
   private def writeData(spark: SparkSession, table: String, n: Long,
                         df: DataFrame, statsCols: Seq[String]): Seq[String] = {
     val dataDir = f"data-$n%05d"
     df.write.parquet(s"$table/$dataDir")
     val f = fs(spark, table)
-    val files = f.listStatus(hp(table, dataDir))
+    val useFooter = footerResolvable(df.schema, statsCols)
+    val perFile = f.listStatus(hp(table, dataDir))
       .filter(s => s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
-      .filter(p => footerRowCount(spark, p) > 0L)
-      .map(p => s"$dataDir/${p.getName}").sorted.toSeq
-    if (files.isEmpty) return Nil
-    val stats = statTokens(spark, table, dataDir, statsCols)
-    files.map { rel =>
-      val name = rel.split("/").last
-      (rel +: stats.getOrElse(name, Nil)).mkString("\t")
+      .map { s =>
+        val (rows, fstats) =
+          footerStats(spark, s.getPath, if (useFooter) statsCols else Nil)
+        (s"$dataDir/${s.getPath.getName}", rows, fstats)
+      }
+      .filter(_._2 > 0L).sortBy(_._1).toSeq
+    if (perFile.isEmpty) return Nil
+    val aggStats =
+      if (useFooter || statsCols.isEmpty) Map.empty[String, Seq[String]]
+      else statTokens(spark, table, dataDir, statsCols)
+    perFile.map { case (rel, _, fstats) =>
+      val toks =
+        if (useFooter) statsCols.flatMap(c =>
+          fstats.get(c).map { case (lo, hi) => s"$c=$lo..$hi" })
+        else aggStats.getOrElse(rel.split("/").last, Nil)
+      (rel +: toks).mkString("\t")
     }
   }
 
@@ -667,7 +765,7 @@ object SnapshotTable {
       s"$table: manifest-$n already exists at publish time — a rival " +
         "won the residual claim window; re-read and recompute")
     require(f.rename(tmp, manifest), s"manifest publish failed for $table v$n")
-    f.delete(hp(table, MetaDir, f"claim-$n%05d"), false)
+    claimPrimitive.release(f, hp(table, MetaDir, f"claim-$n%05d"))
     n
   }
 
@@ -989,15 +1087,17 @@ object SnapshotTable {
       try return attempt(base)
       catch {
         case e: ConcurrentCommitException =>
-          if (tries >= 8) throw new ConcurrentCommitException(
+          if (tries >= 10) throw new ConcurrentCommitException(
             s"$table: lost the commit race $tries times — a crashed " +
               s"writer's claim above the current version may be " +
               s"blocking conditional commits; releaseStaleClaims(...) " +
               s"clears it. Last: ${e.getMessage}")
-          // linear backoff: the rival whose claim beat us may still be
-          // writing data — give it time to land its manifest so the
-          // re-read sees a NEW base instead of spinning on the old one
-          Thread.sleep(100L * tries)
+          // linear backoff (~8 s total patience): the rival whose claim
+          // beat us may still be WRITING its data — a commit can
+          // legitimately take seconds — so give it time to land its
+          // manifest and the re-read a NEW base, instead of burning the
+          // retry budget spinning on the old one
+          Thread.sleep(150L * tries)
       }
     }
     -1L // unreachable

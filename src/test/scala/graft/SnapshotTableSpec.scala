@@ -761,6 +761,89 @@ class SnapshotTableSpec extends SparkSpec {
       "reads stay whole (and delete-aware) after vacuum")
   }
 
+  test("the commit protocol runs unchanged over a conditional-put primitive (object-store seam)") {
+    import spark.implicits._
+    // an in-memory CAS primitive: claims are conditional puts into a
+    // map, never files — the S3 If-None-Match / GCS ifGenerationMatch=0
+    // shape. The REST of the protocol (stage, manifest rename, retry
+    // loops) must not notice.
+    val cas = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    val prior = SnapshotTable.claimPrimitive
+    SnapshotTable.claimPrimitive = new graft.sources.CommitPrimitive {
+      def tryClaim(f: org.apache.hadoop.fs.FileSystem,
+                   path: org.apache.hadoop.fs.Path): Boolean =
+        cas.putIfAbsent(path.toString, java.lang.Boolean.TRUE) == null
+      def release(f: org.apache.hadoop.fs.FileSystem,
+                  path: org.apache.hadoop.fs.Path): Unit = {
+        cas.remove(path.toString); ()
+      }
+    }
+    try {
+      val t = mkTable()
+      SnapshotTable.commit(spark, t,
+        (0L until 10L).map(i => (i, 0L, "seed")).toDF("k", "day", "v"),
+        statsCols = Seq("day"))
+      SnapshotTable.merge(spark, t,
+        Seq((3L, 0L, "UPD")).toDF("k", "day", "v"), Seq("k"))
+      SnapshotTable.append(spark, t,
+        Seq((100L, 1L, "app")).toDF("k", "day", "v"),
+        statsCols = Seq("day"), ledger = Some(("s", 0L)))
+      SnapshotTable.deleteWhere(spark, t, Seq(5L).toDF("k"))
+      assert(SnapshotTable.read(spark, t).count() == 10)
+      // racing committers still get distinct dense versions through CAS
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val vs = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence((0 until 3).map(w =>
+          scala.concurrent.Future(SnapshotTable.append(spark, t,
+            Seq((200L + w, 2L, s"c$w")).toDF("k", "day", "v"))))),
+        scala.concurrent.duration.Duration(120, "s"))
+      pool.shutdown()
+      assert(vs.toSet.size == 3, s"distinct versions via conditional put: $vs")
+      assert(SnapshotTable.read(spark, t).count() == 13)
+      // and NO claim file ever touched the filesystem
+      val claims = new java.io.File(s"$t/_graft_meta").list()
+        .filter(_.startsWith("claim-"))
+      assert(claims.isEmpty, s"claims lived in the CAS, not on disk: ${claims.toSeq}")
+      assert(cas.isEmpty, "every claim was released")
+    } finally SnapshotTable.claimPrimitive = prior
+  }
+
+  test("a lost conditional put: unconditional commits move up a version, conditional ones retry") {
+    import spark.implicits._
+    // contention fake: the FIRST take (of the whole test) fails as if a
+    // rival's conditional put won the version; everything after is real
+    def armed() = new java.util.concurrent.atomic.AtomicBoolean(true)
+    var fireOnce = armed()
+    val prior = SnapshotTable.claimPrimitive
+    SnapshotTable.claimPrimitive = new graft.sources.CommitPrimitive {
+      def tryClaim(f: org.apache.hadoop.fs.FileSystem,
+                   path: org.apache.hadoop.fs.Path): Boolean =
+        if (fireOnce.compareAndSet(true, false)) false
+        else graft.sources.CreateExclusive.tryClaim(f, path)
+      def release(f: org.apache.hadoop.fs.FileSystem,
+                  path: org.apache.hadoop.fs.Path): Unit =
+        graft.sources.CreateExclusive.release(f, path)
+    }
+    try {
+      val t = mkTable()
+      // unconditional commit: v1 "stolen" → the writer moves up to v2;
+      // the version-number gap at 1 is tolerated everywhere
+      val v = SnapshotTable.commit(spark, t, Seq((1L, "a")).toDF("k", "v"))
+      assert(v == 2L, s"lost put skips to the next version, got v$v")
+      assert(SnapshotTable.currentVersion(spark, t) == 2L)
+      // conditional commit: the lost put aborts the attempt
+      // (ConcurrentCommitException) and the retry loop re-reads and lands
+      fireOnce = armed()
+      val v2 = SnapshotTable.merge(spark, t,
+        Seq((1L, "merged")).toDF("k", "v"), Seq("k"))
+      assert(v2 == 3L, s"conditional commit retried past the lost put: v$v2")
+      assert(SnapshotTable.read(spark, t)
+        .select("v").head().getString(0) == "merged")
+    } finally SnapshotTable.claimPrimitive = prior
+  }
+
   test("compactSnapshot merges files with zero vanish window and content equality") {
     import spark.implicits._
     val t = mkTable()
