@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** The DataSourceV2 door into the snapshot format: `spark.read
+  * .format("graft-snapshot")` must resolve tables by the format's own
+  * rules — manifest file list, manifest schema, versionAsOf time
+  * travel — and be row-identical to `SnapshotTable.read` on every
+  * delete-free snapshot.
+  */
+class GraftSnapshotSourceSpec extends SparkSpec {
+
+  private def mkTable(): String =
+    Files.createTempDirectory("snapdsv2").toString + "/t"
+
+  private def viaFormat(t: String, version: Long = 0L) = {
+    val r = spark.read.format("graft-snapshot")
+    (if (version > 0L) r.option("versionAsOf", version) else r).load(t)
+  }
+
+  test("format reads = SnapshotTable.read: manifest file list, not directory listing") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // an ORPHAN file in the data tree (a crashed writer's residue): the
+    // directory has it, the manifest does not — format reads must not
+    Seq((999L, "orphan")).toDF("k", "v").write.mode("append").parquet(s"$t/data-00001")
+    assert(viaFormat(t).count() == 20,
+      "manifest-resolved file set: the orphan is invisible")
+    // row-identical parity with the Scala door (which excludes it too)
+    assert(viaFormat(t).as[(Long, String)].collect().toSet
+      == SnapshotTable.read(spark, t).as[(Long, String)].collect().toSet)
+  }
+
+  test("versionAsOf time travel and manifest-schema resolution (footer lottery closed)") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      (0L until 5L).map(i => (i, s"v$i")).toDF("k", "v"))
+    SnapshotTable.append(spark, t,
+      Seq((100L, "new", 7L)).toDF("k", "v", "extra")) // schema evolution
+    // current: the manifest's evolved schema, pre-evolution rows NULL
+    val cur = viaFormat(t)
+    assert(cur.columns.toSeq == Seq("k", "v", "extra"))
+    assert(cur.filter(col("extra").isNull).count() == 5)
+    assert(cur.as[(Long, String, Option[Long])].collect().toSet
+      == SnapshotTable.read(spark, t).as[(Long, String, Option[Long])]
+        .collect().toSet, "parity across schema evolution")
+    // time travel reads v1 UNDER ITS OWN schema
+    val v1 = viaFormat(t, version = 1L)
+    assert(v1.columns.toSeq == Seq("k", "v") && v1.count() == 5)
+    // predicate pushdown reaches the parquet scan (stock ParquetScan)
+    val plan = cur.filter(col("k") === 100L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,100)]"),
+      s"pushdown must survive the connector: $plan")
+  }
+
+  test("a snapshot with live equality deletes is refused loudly; purged tables read again") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    SnapshotTable.deleteWhere(spark, t, Seq(3L).toDF("k"))
+    val e = intercept[UnsupportedOperationException] { viaFormat(t).count() }
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
+    // the PRE-delete version still reads (no deletes apply to it)
+    assert(viaFormat(t, version = 1L).count() == 10)
+    // compaction purges physically — the format door reopens, parity holds
+    SnapshotTable.compactSnapshot(spark, t)
+    assert(viaFormat(t).as[(Long, String)].collect().toSet
+      == SnapshotTable.read(spark, t).as[(Long, String)].collect().toSet)
+    assert(viaFormat(t).count() == 9 &&
+      viaFormat(t).filter(col("k") === 3L).count() == 0)
+  }
+}
