@@ -794,18 +794,20 @@ object SnapshotTable {
     */
   def commit(spark: SparkSession, table: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
-             expectedBase: Option[Long] = None): Long = {
+             expectedBase: Option[Long] = None,
+             ledger: Option[(String, Long)] = None): Long = {
     val f = fs(spark, table)
     // sink-ledger headers survive a whole-snapshot replace: the rewrite
     // READ the rows those batch commits produced, so a post-replace
     // replay of an already-committed batch must still skip (without
     // this, compactSnapshot/merge on an append table would silently
-    // re-open the duplicate window the ledger closed)
-    val ledger = ledgerOf(f, table,
+    // re-open the duplicate window the ledger closed). `ledger` adds or
+    // advances this committer's own sink entry (see [[append]]).
+    val priorLedger = ledgerOf(f, table,
       expectedBase.getOrElse(currentVersion(spark, table)))
     withClaim(f, table, expectedBase) { n =>
       commitManifest(f, table, n,
-        (schemaLine(df.schema) +: ledgerLines(ledger)) ++
+        (schemaLine(df.schema) +: ledgerLines(priorLedger ++ ledger.toMap)) ++
           writeData(spark, table, n, df, statsCols))
     }
   }
@@ -942,11 +944,21 @@ object SnapshotTable {
     */
   def merge(spark: SparkSession, table: String, changes: DataFrame,
             keys: Seq[String], deleteCol: Option[String] = None,
-            matchedCond: Option[org.apache.spark.sql.Column] = None): Long =
+            matchedCond: Option[org.apache.spark.sql.Column] = None,
+            ledger: Option[(String, Long)] = None): Long =
     retryingCommit(spark, table) { base =>
-      val out = Layout.merged(read(spark, table, base), changes, keys,
-        deleteCol, matchedCond)
-      commit(spark, table, out, expectedBase = Some(base))
+      // sink replays skip at VERSION level, like append: the batch's
+      // rows and its ledger entry committed atomically last time, so a
+      // replay must mint no version (not even a byte-identical one)
+      val replayed = ledger.exists { case (sinkId, batchId) =>
+        ledgerOf(fs(spark, table), table, base).get(sinkId).exists(_ >= batchId)
+      }
+      if (replayed) base
+      else {
+        val out = Layout.merged(read(spark, table, base), changes, keys,
+          deleteCol, matchedCond)
+        commit(spark, table, out, expectedBase = Some(base), ledger = ledger)
+      }
     }
 
   /** FILE-SCOPED MERGE — the manifest-sharing scale path (the Iceberg
@@ -982,7 +994,8 @@ object SnapshotTable {
                   keys: Seq[String], scopeCol: String,
                   deleteCol: Option[String] = None,
                   statsCols: Seq[String] = Nil,
-                  matchedCond: Option[org.apache.spark.sql.Column] = None): Long = {
+                  matchedCond: Option[org.apache.spark.sql.Column] = None,
+                  ledger: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.col
     val stats = if (statsCols.isEmpty) Seq(scopeCol) else statsCols
     require(stats.contains(scopeCol),
@@ -996,6 +1009,11 @@ object SnapshotTable {
         r.getLong(0)
       }.sorted
     retryingCommit(spark, table) { base =>
+      // version-level replay skip, as in [[merge]]/[[append]]
+      val replayed = ledger.exists { case (sinkId, batchId) =>
+        ledgerOf(fs(spark, table), table, base).get(sinkId).exists(_ >= batchId)
+      }
+      if (replayed) return base
       def envUntouched(stats: Map[String, (Long, Long)]): Boolean =
         stats.get(scopeCol).exists { case (lo, hi) =>
           !scopeVals.exists(v => v >= lo && v <= hi)
@@ -1031,7 +1049,7 @@ object SnapshotTable {
           val newLines = writeData(spark, table, n, out, stats)
           val schema = snapshotSchema(spark, table, base).getOrElse(out.schema)
           val headers = schemaLine(schema) +:
-            ledgerLines(ledgerOf(f, table, base))
+            ledgerLines(ledgerOf(f, table, base) ++ ledger.toMap)
           commitManifest(f, table, n, headers ++ (carried ++ newLines))
         }
       } finally merged0.unpersist(false)

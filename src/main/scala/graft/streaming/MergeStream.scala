@@ -107,29 +107,42 @@ object MergeStream {
     * instead of the directory swap: each micro-batch commits ONE atomic
     * version, so a reader sees a complete pre-batch or post-batch
     * snapshot — never the swap's rename window — and the retained
-    * version history gives per-batch time travel until vacuum. A
-    * foreachBatch REPLAY re-merges idempotently (the version condition)
-    * and lands as an extra byte-identical version, content-safe by
-    * construction.
+    * version history gives per-batch time travel until vacuum.
+    * EXACTLY-ONCE at two levels: the version condition makes a replayed
+    * merge CONTENT-idempotent regardless, and the `(sinkId, batchId)`
+    * ledger (committed atomically with the batch) makes it VERSION-
+    * idempotent too — a foreachBatch replay after a crash between the
+    * table commit and the checkpoint write mints nothing at all.
     */
   def applyBatchSnapshot(spark: SparkSession, table: String, batch: DataFrame,
-                         keys: Seq[String], versionCol: String): Unit = {
+                         keys: Seq[String], versionCol: String,
+                         ledger: Option[(String, Long)] = None): Unit = {
     if (batch.isEmpty) return
+    // a known replay skips BEFORE the collapse window runs (the merge's
+    // internal base-consistent check remains the authoritative backstop)
+    val seen = ledger.exists { case (sinkId, batchId) =>
+      graft.sources.SnapshotTable.lastCommittedBatch(spark, table, sinkId)
+        .exists(_ >= batchId)
+    }
+    if (seen) return
     val collapsed = collapse(batch, keys, versionCol)
     if (graft.sources.SnapshotTable.currentVersion(spark, table) == 0L)
-      graft.sources.SnapshotTable.commit(spark, table, collapsed)
+      graft.sources.SnapshotTable.commit(spark, table, collapsed,
+        ledger = ledger)
     else
       graft.sources.SnapshotTable.merge(spark, table, collapsed, keys,
         deleteCol = None,
-        matchedCond = Some(col(s"c.$versionCol") >= col(s"t.$versionCol")))
+        matchedCond = Some(col(s"c.$versionCol") >= col(s"t.$versionCol")),
+        ledger = ledger)
   }
 
   /** [[upsertSink]] over the snapshot table format. */
   def upsertSnapshotSink(changes: DataFrame, table: String, keys: Seq[String],
                          versionCol: String, checkpoint: String): StreamingQuery =
     changes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatchSnapshot(batch.sparkSession, table, batch, keys, versionCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchSnapshot(batch.sparkSession, table, batch, keys, versionCol,
+          ledger = Some((checkpoint, batchId)))
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -153,20 +166,29 @@ object MergeStream {
     */
   def applyBatchSnapshotScoped(spark: SparkSession, table: String,
                                batch: DataFrame, keys: Seq[String],
-                               versionCol: String, scopeCol: String): Unit = {
+                               versionCol: String, scopeCol: String,
+                               ledger: Option[(String, Long)] = None): Unit = {
     if (batch.isEmpty) return
+    // version-level replay skip, as in applyBatchSnapshot
+    val seen = ledger.exists { case (sinkId, batchId) =>
+      graft.sources.SnapshotTable.lastCommittedBatch(spark, table, sinkId)
+        .exists(_ >= batchId)
+    }
+    if (seen) return
     // persisted: the collapse window is consumed TWICE downstream
     // (mergeScoped's scope-value collect and the merge join itself) —
     // uncached it would run per consumer
     val collapsed = collapse(batch, keys, versionCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try applyScopedCollapsed(spark, table, collapsed, keys, versionCol, scopeCol)
+    try applyScopedCollapsed(spark, table, collapsed, keys, versionCol,
+      scopeCol, ledger)
     finally collapsed.unpersist(false)
   }
 
   private def applyScopedCollapsed(spark: SparkSession, table: String,
                                    collapsed: DataFrame, keys: Seq[String],
-                                   versionCol: String, scopeCol: String): Unit = {
+                                   versionCol: String, scopeCol: String,
+                                   ledger: Option[(String, Long)]): Unit = {
     if (graft.sources.SnapshotTable.currentVersion(spark, table) == 0L) {
       // range-cluster the seed like mergeScoped clusters its rewrites:
       // contiguous per-file scope envelopes are what lets every later
@@ -180,12 +202,13 @@ object MergeStream {
       graft.sources.SnapshotTable.commit(spark, table,
         collapsed.repartitionByRange(nScopes, col(scopeCol))
           .sortWithinPartitions(scopeCol),
-        statsCols = Seq(scopeCol))
+        statsCols = Seq(scopeCol), ledger = ledger)
     }
     else
       graft.sources.SnapshotTable.mergeScoped(spark, table, collapsed, keys,
         scopeCol = scopeCol, deleteCol = None, statsCols = Seq(scopeCol),
-        matchedCond = Some(col(s"c.$versionCol") >= col(s"t.$versionCol")))
+        matchedCond = Some(col(s"c.$versionCol") >= col(s"t.$versionCol")),
+        ledger = ledger)
   }
 
   /** [[upsertSnapshotSink]]'s file-scoped twin. */
@@ -194,9 +217,9 @@ object MergeStream {
                                scopeCol: String,
                                checkpoint: String): StreamingQuery =
     changes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatchSnapshotScoped(batch.sparkSession, table, batch, keys,
-          versionCol, scopeCol)
+          versionCol, scopeCol, ledger = Some((checkpoint, batchId)))
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -154,6 +154,44 @@ class MergeStreamSpec extends SparkSpec {
       "applyBatch recovered the pending publish BEFORE merging on top of it")
   }
 
+  test("CDC snapshot sinks with a ledger are VERSION-idempotent under replay, not just content-idempotent") {
+    import spark.implicits._
+    val whole = tmp("cdc-ledger-whole")
+    val scoped = tmp("cdc-ledger-scoped")
+    val sink = "ckpt://cdc-ledger"
+    def b(id: Long, rows: Seq[ChangeS]) = {
+      MergeStream.applyBatchSnapshot(spark, whole, rows.toDF(), Seq("id"),
+        "version", ledger = Some((sink, id)))
+      MergeStream.applyBatchSnapshotScoped(spark, scoped, rows.toDF(), Seq("id"),
+        "version", "day", ledger = Some((sink, id)))
+    }
+    b(0L, Seq(ChangeS(1, 1, "a", 1, false), ChangeS(2, 2, "b", 2, false)))
+    b(1L, Seq(ChangeS(1, 1, "a2", 3, false)))
+    val vWhole = graft.sources.SnapshotTable.currentVersion(spark, whole)
+    val vScoped = graft.sources.SnapshotTable.currentVersion(spark, scoped)
+    // the crash-replay of batch 1: WITHOUT the ledger this re-merges
+    // idempotently but mints an extra byte-identical version; with it,
+    // nothing at all happens
+    b(1L, Seq(ChangeS(1, 1, "a2", 3, false)))
+    assert(graft.sources.SnapshotTable.currentVersion(spark, whole) == vWhole &&
+      graft.sources.SnapshotTable.currentVersion(spark, scoped) == vScoped,
+      "replays mint no version")
+    // an even older replay: also nothing
+    b(0L, Seq(ChangeS(1, 1, "a", 1, false), ChangeS(2, 2, "b", 2, false)))
+    assert(graft.sources.SnapshotTable.currentVersion(spark, whole) == vWhole &&
+      graft.sources.SnapshotTable.currentVersion(spark, scoped) == vScoped)
+    // content is the max-version row per key on both lanes
+    Seq(whole, scoped).foreach { t =>
+      val got = graft.sources.SnapshotTable.read(spark, t)
+        .select("id", "payload").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a2"), (2L, "b")), s"$t: $got")
+    }
+    // and the NEXT real batch still lands
+    b(2L, Seq(ChangeS(3, 3, "c", 4, false)))
+    assert(graft.sources.SnapshotTable.read(spark, whole).count() == 3 &&
+      graft.sources.SnapshotTable.read(spark, scoped).count() == 3)
+  }
+
   test("appendBatch is exactly-once under replay; scheduled compaction fires on empty batches") {
     import spark.implicits._
     val table = tmp("append-batch")
