@@ -481,6 +481,9 @@ object ScaleBench {
       graft.sources.SnapshotTable.read(spark, table).count()
     }
 
+    // warm/timed twin selector for the range-delete row
+    var drInvocation = 0
+
     /** The 1-of-32-days change set both merge rows apply. */
     def mergeDayChanges(): DataFrame =
       spark.range(7L * mergePerDay, 8L * mergePerDay)
@@ -806,6 +809,38 @@ object ScaleBench {
         val n = sources.SnapshotTable.read(spark, table).count()
         sources.SnapshotTable.vacuum(spark, table, retain = 1)
         n
+      },
+      // RANGE DELETE priced (r12): drop 8 CONTIGUOUS days of 32 from a
+      // day-clustered table — the retention shape. Every affected
+      // file's envelope is entirely inside the range, so the commit is
+      // ONE manifest write and zero data jobs: the time should be FLAT
+      // in table size (compare the MoR/CoW pair above, both of which
+      // scale). Two pre-seeded twin tables so the warm and timed
+      // passes each delete from a fresh one; returns the surviving
+      // file count (driver-resolved — the op has no deferred read
+      // cost to charge).
+      t("snapshot_delete_range_1m") {
+        if (drInvocation == 0) (1 to 2).foreach { i =>
+          // both twins built (or rebuilt, when a prior run consumed
+          // them) on the FIRST call only — the warm pass absorbs the
+          // seeding, the timed pass is the pure delete
+          val tbl = s"$out/delete_range_$i"
+          if (sources.SnapshotTable.currentVersion(spark, tbl) != 1L) {
+            rmTree(tbl)
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", "8192")
+            try sources.SnapshotTable.commit(spark, tbl,
+              spark.range(mergeRows).select(
+                col("id").as("k"),
+                (col("id") / mergePerDay).cast("long").as("day"),
+                mergePayload("base").as("v")),
+              statsCols = Seq("day"))
+            finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+          }
+        }
+        drInvocation += 1
+        val tbl = s"$out/delete_range_${math.min(drInvocation, 2)}"
+        sources.SnapshotTable.deleteRange(spark, tbl, "day", 0L, 7L)
+        sources.SnapshotTable.snapshotFiles(spark, tbl).size.toLong
       },
       t("snapshot_delete_cow_1m") {
         val table = ensureMergeBase(s"$out/delete_cow", scoped = true)

@@ -1056,6 +1056,92 @@ object SnapshotTable {
     }
   }
 
+  /** RANGE DELETE — the retention / compliance shape (`DELETE WHERE
+    * lo <= col <= hi`, e.g. "drop everything older than the cutoff"),
+    * priced by the MANIFEST, not the table:
+    *
+    *  - a file whose committed `col` envelope lies ENTIRELY inside the
+    *    range is dropped from the manifest — a METADATA-ONLY delete
+    *    (the bytes go at the next vacuum). A leaf whose AGGREGATE
+    *    envelope is inside drops as one line, unopened. On a
+    *    time-clustered table (every append/compaction clusters on its
+    *    scope) this is the whole answer: dropping 30 of 3000 days
+    *    rewrites nothing and touches ~1% of the manifest lines;
+    *  - a BOUNDARY file (envelope straddles a range edge) is rewritten
+    *    with the complement filter, delete-aware, re-clustered on
+    *    `col` with fresh envelopes;
+    *  - a file with no `col` envelope is conservatively a boundary
+    *    file;
+    *  - everything else carries by reference, byte-for-byte.
+    *
+    * Returns the committed version, or 0 with NO commit when the range
+    * provably misses every file (maintenance must not mint versions).
+    * Concurrency-safe like every commit here (conditional + retry).
+    * Contrast [[deleteWhere]] (merge-on-read for SCATTERED keys) —
+    * this op is for CONTIGUOUS ranges of a clustered column, where
+    * whole files die and nothing needs deferring.
+    */
+  def deleteRange(spark: SparkSession, table: String, col: String,
+                  lo: Long, hi: Long, statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    require(lo <= hi, s"empty range: $lo..$hi")
+    val stats = if (statsCols.isEmpty) Seq(col) else statsCols
+    require(stats.contains(col),
+      s"statsCols must include $col — without its envelope the NEXT " +
+        "range delete cannot skip the boundary files this one rewrites")
+    retryingCommit(spark, table) { base =>
+      def inside(s: Map[String, (Long, Long)]): Boolean =
+        s.get(col).exists { case (flo, fhi) => flo >= lo && fhi <= hi }
+      def disjoint(s: Map[String, (Long, Long)]): Boolean =
+        s.get(col).exists { case (flo, fhi) => fhi < lo || flo > hi }
+      val f = fs(spark, table)
+      val carried = Seq.newBuilder[String]
+      val boundary = Seq.newBuilder[ManifestEntry]
+      var dropped = 0
+      topLines(f, table, base).foreach {
+        case il: IncludeLine if inside(il.stats) => dropped += 1
+        case il: IncludeLine if disjoint(il.stats) => carried += il.raw
+        case il: IncludeLine =>
+          leafEntries(f, table, il.leaf).foreach { e =>
+            if (inside(e.stats)) dropped += 1
+            else if (disjoint(e.stats)) carried += e.render
+            else boundary += e
+          }
+        case el: EntryLine =>
+          if (inside(el.entry.stats)) dropped += 1
+          else if (disjoint(el.entry.stats)) carried += el.entry.render
+          else boundary += el.entry
+        case dl: DeleteLine => carried += dl.raw
+      }
+      val edges = boundary.result()
+      if (dropped == 0 && edges.isEmpty) return 0L // provably a no-op
+      val headersOf = (schema: org.apache.spark.sql.types.StructType) =>
+        schemaLine(schema) +: ledgerLines(ledgerOf(f, table, base))
+      val schema = snapshotSchema(spark, table, base)
+      if (edges.isEmpty) {
+        // the pure retention case: no boundary files — the commit is
+        // ONE manifest write, zero data jobs, any table size
+        return withClaim(f, table, Some(base)) { n =>
+          commitManifest(f, table, n,
+            headersOf(schema.getOrElse(read(spark, table, base).schema)) ++
+              carried.result())
+        }
+      }
+      val survivors = applyDeletes(spark, table, base,
+        readPaths(spark, table, base, edges.map(e => s"$table/${e.path}")))
+        .filter(!c(col).cast("long").between(lo, hi))
+      withClaim(f, table, Some(base)) { n =>
+        val newLines = writeData(spark, table, n,
+          survivors.repartitionByRange(math.max(1, edges.size), c(col))
+            .sortWithinPartitions(col),
+          stats)
+        commitManifest(f, table, n,
+          headersOf(schema.getOrElse(survivors.schema)) ++
+            (carried.result() ++ newLines))
+      }
+    }
+  }
+
   /** Release claims ABOVE the current version whose writer is presumed
     * dead — the one starvation case the conditional-commit protocol
     * has: a writer that claimed `current + 1` and crashed before its

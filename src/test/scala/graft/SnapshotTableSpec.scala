@@ -761,6 +761,80 @@ class SnapshotTableSpec extends SparkSpec {
       "reads stay whole (and delete-aware) after vacuum")
   }
 
+  test("deleteRange drops whole in-range files metadata-only; boundary files rewrite with the complement") {
+    import spark.implicits._
+    val t = mkTable()
+    // 4 day-clustered files: day envelopes [0,0][1,1][2,2][3,3]
+    val rows = for (d <- 0L until 4L; k <- 0L until 10L)
+      yield (d * 100L + k, d, s"r-$d-$k")
+    // BOTH columns enveloped: the k-range case below must be able to
+    // PROVE day 0's file disjoint (a file without a k envelope is
+    // conservatively a boundary file and would rewrite)
+    SnapshotTable.commit(spark, t,
+      rows.toDF("k", "day", "v").repartitionByRange(4, col("day"))
+        .sortWithinPartitions("day"),
+      statsCols = Seq("day", "k"))
+    val dataDirsBefore = new java.io.File(t).list().count(_.startsWith("data-"))
+    // retention: drop days 1..2 — every affected file is ENTIRELY in
+    // range, so the commit is one manifest write and ZERO data jobs
+    val v2 = SnapshotTable.deleteRange(spark, t, "day", 1L, 2L)
+    assert(v2 == 2L)
+    assert(new java.io.File(t).list().count(_.startsWith("data-"))
+      == dataDirsBefore, "metadata-only: no new data dir written")
+    val got = SnapshotTable.read(spark, t).as[(Long, Long, String)].collect()
+    assert(got.length == 20 && got.forall(r => r._2 == 0L || r._2 == 3L))
+    assert(SnapshotTable.read(spark, t, version = 1L).count() == 40,
+      "time travel over the retained pre-delete snapshot")
+    // BOUNDARY case: a range cutting INTO day 3 (values 305..399 of
+    // k) — day 3's file straddles, day 0's is disjoint and must carry
+    val before = SnapshotTable.snapshotEntries(spark, t, v2)
+    val day0 = before.filter(_.stats.get("day").exists(_._2 == 0L))
+    val v3 = SnapshotTable.deleteRange(spark, t, "k", 305L, 9999L,
+      statsCols = Seq("day", "k")) // rewritten files keep BOTH envelopes
+    val after = SnapshotTable.snapshotEntries(spark, t, v3)
+    val afterLines = after.map(_.render).toSet
+    day0.foreach(e => assert(afterLines.contains(e.render),
+      s"disjoint file carried verbatim: ${e.render}"))
+    val got3 = SnapshotTable.read(spark, t).as[(Long, Long, String)].collect()
+    assert(got3.count(_._2 == 3L) == 5 && got3.length == 15,
+      "boundary rewrite keeps only the complement")
+    // a provably-missing range mints NO version
+    assert(SnapshotTable.deleteRange(spark, t, "day", 50L, 60L) == 0L)
+    assert(SnapshotTable.currentVersion(spark, t) == v3)
+  }
+
+  test("deleteRange drops whole append LEAVES and composes with equality deletes") {
+    import spark.implicits._
+    val t = mkTable()
+    (0 until 4).foreach { b =>
+      SnapshotTable.append(spark, t,
+        (0L until 10L).map(i => (b * 100L + i, b.toLong, "old"))
+          .toDF("k", "day", "v"),
+        statsCols = Seq("day"))
+    }
+    // an equality delete on a key in day 3 — day 3's file will be a
+    // BOUNDARY file below; the rewrite must not resurrect the key
+    SnapshotTable.deleteWhere(spark, t, Seq(305L).toDF("k"))
+    // drop days 0..1 whole (two append leaves die as single lines) and
+    // cut into day 3 via k >= 303 (a boundary rewrite)
+    val v = SnapshotTable.deleteRange(spark, t, "day", 0L, 1L)
+    val top = manifestLinesOf(t, v).filter(_.startsWith("@include"))
+    assert(top.size == 2, s"two whole leaves dropped metadata-only: $top")
+    assert(SnapshotTable.read(spark, t).count() == 19) // 20 - eq-delete
+    val v2 = SnapshotTable.deleteRange(spark, t, "k", 303L, 307L)
+    val got = SnapshotTable.read(spark, t).as[(Long, Long, String)]
+      .collect().map(_._1).toSet
+    assert(!got.contains(305L) && !got.contains(303L) && got.contains(308L) &&
+      got.contains(201L), s"boundary rewrite composes with the eq-delete: $got")
+    assert(SnapshotTable.read(spark, t).count() == 15)
+    // vacuum reclaims the dropped days' data
+    SnapshotTable.vacuum(spark, t, retain = 1)
+    assert(!new java.io.File(s"$t/data-00001").exists() &&
+      !new java.io.File(s"$t/data-00002").exists(),
+      "dropped files reclaimed by vacuum")
+    assert(SnapshotTable.read(spark, t).count() == 15, "intact after vacuum")
+  }
+
   test("the commit protocol runs unchanged over a conditional-put primitive (object-store seam)") {
     import spark.implicits._
     // an in-memory CAS primitive: claims are conditional puts into a
