@@ -710,32 +710,66 @@ object SnapshotTable {
   private def schemaLine(schema: org.apache.spark.sql.types.StructType): String =
     SchemaHeader + schema.json
 
+  /** The wider of two primitive types when parquet files written under
+    * the NARROWER read losslessly under the WIDER (Spark's parquet
+    * type-widening support, SPARK-40876: integral upcasts, float →
+    * double, sub-long integrals → double). None = not widenable —
+    * long → double is deliberately excluded (lossy above 2^53), as is
+    * anything non-numeric.
+    */
+  private def widerOf(a: org.apache.spark.sql.types.DataType,
+                      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    if (a == b) Some(a)
+    else (intRank.get(a), intRank.get(b)) match {
+      case (Some(ra), Some(rb)) => Some(if (ra >= rb) a else b)
+      case _ => (a, b) match {
+        case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+          Some(DoubleType)
+        case (i, DoubleType) if intRank.get(i).exists(_ <= 3) => Some(DoubleType)
+        case (DoubleType, i) if intRank.get(i).exists(_ <= 3) => Some(DoubleType)
+        case (i, FloatType) if intRank.get(i).exists(_ <= 3) => Some(DoubleType)
+        case (FloatType, i) if intRank.get(i).exists(_ <= 3) => Some(DoubleType)
+        case _ => None
+      }
+    }
+  }
+
   /** Widen `prior` by `next`'s new columns (appended at the end,
     * nullable — pre-evolution files serve NULL for them); a column
-    * present in both must keep its exact type, else the evolution
-    * fails LOUDLY here instead of corrupting reads later. Columns
-    * `next` lacks stay (its files serve NULL for them). Matching is
-    * case-insensitive like Spark's resolution default.
+    * present in both either keeps its type, WIDENS losslessly
+    * ([[widerOf]]: int → long, float → double, … — the committed
+    * schema becomes the wider type and ALL files, old and new, read
+    * under it), or fails LOUDLY here instead of corrupting reads
+    * later. Columns `next` lacks stay (its files serve NULL for
+    * them). Matching is case-insensitive like Spark's resolution
+    * default.
     */
   private def evolveSchema(prior: org.apache.spark.sql.types.StructType,
                            next: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
-    val byName = prior.fields.map(f => f.name.toLowerCase -> f).toMap
-    next.fields.foreach { nf =>
-      byName.get(nf.name.toLowerCase).foreach { pf =>
-        require(pf.dataType == nf.dataType,
-          s"schema evolution conflict on '${nf.name}': table has " +
-            s"${pf.dataType.simpleString}, incoming batch has " +
-            s"${nf.dataType.simpleString} — cast the batch explicitly")
+    val byName = next.fields.map(f => f.name.toLowerCase -> f).toMap
+    val widened = prior.fields.map { pf =>
+      byName.get(pf.name.toLowerCase) match {
+        case Some(nf) =>
+          val t = widerOf(pf.dataType, nf.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema evolution conflict on '${nf.name}': table has " +
+                s"${pf.dataType.simpleString}, incoming batch has " +
+                s"${nf.dataType.simpleString} and neither widens the " +
+                "other losslessly — cast the batch explicitly"))
+          pf.copy(dataType = t)
+        case None =>
+          // a column the batch lacks now has files without it → nullable
+          pf.copy(nullable = true)
       }
     }
-    val nextNames = next.fields.map(_.name.toLowerCase).toSet
-    val widened = prior.fields.map { pf =>
-      // a column the batch lacks now has files without it → nullable
-      if (!nextNames.contains(pf.name.toLowerCase)) pf.copy(nullable = true) else pf
-    }
+    val priorNames = prior.fields.map(_.name.toLowerCase).toSet
     val added = next.fields
-      .filterNot(nf => byName.contains(nf.name.toLowerCase))
+      .filterNot(nf => priorNames.contains(nf.name.toLowerCase))
       .map(_.copy(nullable = true)) // absent from every pre-evolution file
     org.apache.spark.sql.types.StructType(widened ++ added)
   }

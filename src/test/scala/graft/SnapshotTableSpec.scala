@@ -761,6 +761,38 @@ class SnapshotTableSpec extends SparkSpec {
       "reads stay whole (and delete-aware) after vacuum")
   }
 
+  test("schema evolution WIDENS numeric columns losslessly; incompatible changes still fail loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      Seq((1, 1.5f), (2, 2.5f)).toDF("k", "x")) // int32 / float files
+    // a batch with WIDER types: the committed schema becomes
+    // long/double and the OLD int32/float files read under it
+    SnapshotTable.append(spark, t,
+      Seq((100L, 9.25)).toDF("k", "x"))
+    val df = SnapshotTable.read(spark, t)
+    assert(df.schema.fields.map(_.dataType).toSeq
+      == Seq(LongType, DoubleType), df.schema.simpleString)
+    val got = df.as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.5), (2L, 2.5), (100L, 9.25)),
+      s"pre-widening values read exactly under the wider schema: $got")
+    // a NARROW batch after the widening: schema stays wide, the new
+    // int32 file reads under long
+    SnapshotTable.append(spark, t, Seq((7, 0.5f)).toDF("k", "x"))
+    assert(SnapshotTable.read(spark, t).schema.fields.map(_.dataType).toSeq
+      == Seq(LongType, DoubleType))
+    assert(SnapshotTable.read(spark, t).count() == 4)
+    // long -> double is LOSSY above 2^53 and must refuse
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, t, Seq((1.0, 1.0)).toDF("k", "x"))
+    }
+    assert(e.getMessage.contains("schema evolution conflict"), e.getMessage)
+    // time travel still reads v1 under ITS narrow schema
+    assert(SnapshotTable.read(spark, t, version = 1L)
+      .schema.fields.map(_.dataType).toSeq == Seq(IntegerType, FloatType))
+  }
+
   test("deleteRange drops whole in-range files metadata-only; boundary files rewrite with the complement") {
     import spark.implicits._
     val t = mkTable()
