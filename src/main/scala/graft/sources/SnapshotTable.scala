@@ -187,6 +187,11 @@ object SnapshotTable {
   private val DeleteTag = "@delete"
   private val LeafRe = "^leaf-([0-9]{5})$".r
   private val DataVerRe = "data-([0-9]{5})".r
+  /** Reserved stats token: a file's exact row count as a degenerate
+    * `__rows=n..n` envelope (see [[rowCount]]). Not a prunable column —
+    * reserved so user stats columns cannot collide with it.
+    */
+  private val RowsCol = "__rows"
 
   /** The version whose commit wrote this file — parsed from its data
     * dir (`data-N/...`), the file's Iceberg-style SEQUENCE NUMBER. An
@@ -682,6 +687,7 @@ object SnapshotTable {
     */
   private def writeData(spark: SparkSession, table: String, n: Long,
                         df: DataFrame, statsCols: Seq[String]): Seq[String] = {
+    require(!statsCols.contains(RowsCol), s"$RowsCol is a reserved stats token")
     val dataDir = f"data-$n%05d"
     df.write.parquet(s"$table/$dataDir")
     val f = fs(spark, table)
@@ -698,13 +704,36 @@ object SnapshotTable {
     val aggStats =
       if (useFooter || statsCols.isEmpty) Map.empty[String, Seq[String]]
       else statTokens(spark, table, dataDir, statsCols)
-    perFile.map { case (rel, _, fstats) =>
+    perFile.map { case (rel, rows, fstats) =>
       val toks =
         if (useFooter) statsCols.flatMap(c =>
           fstats.get(c).map { case (lo, hi) => s"$c=$lo..$hi" })
         else aggStats.getOrElse(rel.split("/").last, Nil)
-      (rel +: toks).mkString("\t")
+      // every file records its exact row count (free: the footer is
+      // already open) as a degenerate envelope — [[rowCount]] then
+      // answers count(*) from the MANIFEST, no scan
+      (rel +: (toks :+ s"$RowsCol=$rows..$rows")).mkString("\t")
     }
+  }
+
+  /** EXACT `count(*)` from the manifest alone — O(manifest lines), no
+    * data file opened: every file committed since the row-count token
+    * landed carries its footer row count as a `__rows` envelope. None
+    * when the count cannot be certified from metadata: some entry
+    * pre-dates the token, or live equality deletes make file counts an
+    * overestimate (callers fall back to `read(...).count()`). At
+    * 100 TB this is the difference between a driver-side manifest read
+    * and a full-table scan for the most common query there is.
+    */
+  def rowCount(spark: SparkSession, table: String,
+               version: Long = 0L): Option[Long] = {
+    val v = resolve(spark, table, version)
+    val f = fs(spark, table)
+    val hasDeletes = topLines(f, table, v).exists(_.isInstanceOf[DeleteLine])
+    if (hasDeletes) return None
+    val counts = snapshotEntries(spark, table, v).map(_.stats.get(RowsCol))
+    if (counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.map(_._1).sum)
   }
 
   private def schemaLine(schema: org.apache.spark.sql.types.StructType): String =

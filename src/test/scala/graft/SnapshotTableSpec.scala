@@ -761,6 +761,51 @@ class SnapshotTableSpec extends SparkSpec {
       "reads stay whole (and delete-aware) after vacuum")
   }
 
+  test("rowCount answers count(*) from the manifest; refuses when metadata cannot certify it") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      (0L until 40L).map(i => (i, i % 4, s"r$i")).toDF("k", "day", "v")
+        .repartition(4), statsCols = Seq("day"))
+    assert(SnapshotTable.rowCount(spark, t) == Some(40L), "exact, no scan")
+    SnapshotTable.append(spark, t,
+      (100L until 107L).map(i => (i, 9L, "a")).toDF("k", "day", "v"))
+    assert(SnapshotTable.rowCount(spark, t) == Some(47L),
+      "appends extend the manifest count")
+    assert(SnapshotTable.rowCount(spark, t, version = 1L) == Some(40L),
+      "per-version counts")
+    assert(SnapshotTable.read(spark, t).count() == 47L, "matches the scan")
+    // a scoped merge with a DELETE rewrites touched files — counts stay
+    // exact because the rewritten files carry fresh row counts
+    SnapshotTable.mergeScoped(spark, t,
+      Seq((101L, 9L, "", true)).toDF("k", "day", "v", "del"),
+      Seq("k"), "day", deleteCol = Some("del"))
+    assert(SnapshotTable.rowCount(spark, t) == Some(46L))
+    // live EQUALITY deletes make file counts an overestimate: refuse
+    SnapshotTable.deleteWhere(spark, t, Seq(5L, 6L).toDF("k"))
+    assert(SnapshotTable.rowCount(spark, t).isEmpty,
+      "merge-on-read counts are not certifiable from metadata")
+    assert(SnapshotTable.read(spark, t).count() == 44L, "the fallback is the scan")
+    // compaction purges the deletes physically: exact again
+    SnapshotTable.compactSnapshot(spark, t)
+    assert(SnapshotTable.rowCount(spark, t) == Some(44L))
+    // a hand-written legacy manifest line without the token: refuse
+    val mf = new java.io.File(s"$t/_graft_meta").list()
+      .filter(_.startsWith("manifest-")).sorted.last
+    val p = java.nio.file.Paths.get(t, "_graft_meta", mf)
+    val lines = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .linesIterator.map(l =>
+        if (l.startsWith("#") || !l.contains("__rows=")) l
+        else l.split("\t").filterNot(_.startsWith("__rows=")).mkString("\t"))
+      .mkString("\n")
+    java.nio.file.Files.write(p, lines.getBytes("UTF-8"))
+    // the raw edit bypassed Hadoop's checksum sidecar — drop it
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t, "_graft_meta", s".$mf.crc"))
+    assert(SnapshotTable.rowCount(spark, t).isEmpty,
+      "pre-token entries make the count uncertifiable")
+  }
+
   test("schema evolution WIDENS numeric columns losslessly; incompatible changes still fail loudly") {
     import spark.implicits._
     import org.apache.spark.sql.types._
