@@ -2,12 +2,14 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.execution.streaming.{Offset => SourceOffset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -38,9 +40,59 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * deletes and their next scheduled compaction — reads identically
   * through both doors (spec-pinned parity).
   */
-class GraftSnapshotSource extends TableProvider with DataSourceRegister {
+class GraftSnapshotSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft-snapshot"
+
+  // ---------------------------------------------------------------- //
+  // Streaming: the table AS A STREAM (`spark.readStream.format(...)`) //
+  // ---------------------------------------------------------------- //
+
+  /** Offsets are SNAPSHOT VERSIONS (delivered-through, inclusive) and a
+    * micro-batch (start, end] is exactly
+    * [[SnapshotTable.readAdded]](start, end) — the manifest diff, so a
+    * batch costs the files added in that version range and nothing
+    * else. `option("startingVersion", ...)`:
+    *  - absent (default): the first batch is the FULL current snapshot,
+    *    then increments — the bootstrap-a-downstream shape;
+    *  - `"latest"`: only changes committed after the stream starts;
+    *  - `<v>`: changes after version v (v itself excluded).
+    * Replays are exactly-once by construction: getBatch(start, end] is
+    * deterministic while the versions are retained — VACUUM RETENTION
+    * must cover the consumer's maximum lag, else the replay fails
+    * loudly (never silently skips). The schema is pinned at stream
+    * start; each batch casts/projects to it, so later appends with
+    * widened or added columns keep serving the pinned shape (restart
+    * the stream to pick up an evolved schema).
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot stream needs .load(<table root>) or option(\"path\", ...)"))
+    require(SnapshotTable.currentVersion(spark, root) > 0L,
+      s"$root has no committed snapshot")
+    (shortName(), schema.getOrElse(
+      SnapshotTable.snapshotSchema(spark, root)
+        .getOrElse(SnapshotTable.read(spark, root).schema)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val root = parameters("path")
+    val pinned = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val startAfter = parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion")) match {
+      case Some("latest") => SnapshotTable.currentVersion(spark, root)
+      case Some(v) => v.toLong
+      case None => 0L // version 0 = nothing delivered yet → full snapshot
+    }
+    new GraftSnapshotStreamSource(spark, root, pinned, startAfter)
+  }
 
   private def tableRoot(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path"))
@@ -84,4 +136,46 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
   }
 
   override def supportsExternalMetadata(): Boolean = false
+}
+
+/** The snapshot table as a structured-streaming SOURCE (see
+  * [[GraftSnapshotSource.sourceSchema]] for the contract): offsets are
+  * versions, a micro-batch is the manifest diff between two of them,
+  * resolved delete-aware by [[SnapshotTable.readAdded]].
+  */
+private[sources] class GraftSnapshotStreamSource(
+    spark: SparkSession, table: String, pinned: StructType,
+    startAfter: Long) extends Source {
+
+  import org.apache.spark.sql.functions.col
+
+  override def schema: StructType = pinned
+
+  private def versionOf(o: SourceOffset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset after restart
+  }
+
+  override def getOffset: Option[SourceOffset] = {
+    val cur = SnapshotTable.currentVersion(spark, table)
+    if (cur <= startAfter && startAfter > 0L) Some(LongOffset(startAfter))
+    else if (cur == 0L) None
+    else Some(LongOffset(cur))
+  }
+
+  override def getBatch(start: Option[SourceOffset],
+                        end: SourceOffset): DataFrame = {
+    val to = versionOf(end)
+    val from = start.map(versionOf).getOrElse(startAfter)
+    val batch =
+      if (from >= to) SnapshotTable.read(spark, table, to).limit(0)
+      else if (from == 0L) SnapshotTable.read(spark, table, to) // bootstrap
+      else SnapshotTable.readAdded(spark, table, from, to)
+    // serve the PINNED stream schema whatever the table evolved to,
+    // streaming-flagged as MicroBatchExecution requires of V1 sources
+    org.apache.spark.sql.GraftStreamShim.asStreaming(
+      batch.select(pinned.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
+  }
+
+  override def stop(): Unit = ()
 }

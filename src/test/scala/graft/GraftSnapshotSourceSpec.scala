@@ -58,6 +58,60 @@ class GraftSnapshotSourceSpec extends SparkSpec {
       s"pushdown must survive the connector: $plan")
   }
 
+  test("the table is a streaming source: bootstrap + per-version increments, restart without duplicates") {
+    import spark.implicits._
+    val t = mkTable()
+    val ckpt = Files.createTempDirectory("snapstream-ckpt").toString
+    SnapshotTable.append(spark, t,
+      (0L until 10L).map(i => (i, "b1")).toDF("k", "tag"))
+    SnapshotTable.append(spark, t,
+      (10L until 15L).map(i => (i, "b2")).toDF("k", "tag"))
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def start() = spark.readStream.format("graft-snapshot").load(t)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.as[(Long, String)].collect() }; ()
+      }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(got.size == 15 && got.map(_._1).toSet == (0L until 15L).toSet,
+      s"bootstrap batch = the full current snapshot: ${got.size}")
+    // an incremental append streams as EXACTLY the manifest diff
+    SnapshotTable.append(spark, t,
+      (15L until 18L).map(i => (i, "b3")).toDF("k", "tag"))
+    q1.processAllAvailable()
+    assert(got.size == 18, s"one increment, no re-delivery: ${got.size}")
+    q1.stop()
+    // appends while the stream is DOWN are picked up from the
+    // checkpoint on restart — once, with no duplicates of the past
+    SnapshotTable.append(spark, t,
+      (18L until 20L).map(i => (i, "b4")).toDF("k", "tag"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.size == 20 && got.map(_._1).toSet == (0L until 20L).toSet,
+      s"restart delivers exactly the missed versions: ${got.size}")
+    // startingVersion=latest: a fresh stream sees only what comes next
+    val late = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q3 = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "latest").load(t)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("snapstream-ckpt2").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        late.synchronized { late ++= df.as[(Long, String)].collect().map(_._1) }; ()
+      }
+      .start()
+    q3.processAllAvailable()
+    assert(late.isEmpty, s"latest: nothing historical delivered: $late")
+    SnapshotTable.append(spark, t, Seq((99L, "b5")).toDF("k", "tag"))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(late.toSeq == Seq(99L), s"latest: only the new append: $late")
+  }
+
   test("a snapshot with live equality deletes is refused loudly; purged tables read again") {
     import spark.implicits._
     val t = mkTable()
