@@ -58,6 +58,10 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
     *    then increments — the bootstrap-a-downstream shape;
     *  - `"latest"`: only changes committed after the stream starts;
     *  - `<v>`: changes after version v (v itself excluded).
+    * `option("maxVersionsPerTrigger", n)` paces consumption: each
+    * micro-batch advances at most n versions past the served
+    * high-water mark, so a consumer restarted after a long outage
+    * drains its backlog in bounded batches instead of one giant read.
     * Replays are exactly-once by construction: getBatch(start, end] is
     * deterministic while the versions are retained — VACUUM RETENTION
     * must cover the consumer's maximum lag, else the replay fails
@@ -91,7 +95,10 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
       case Some(v) => v.toLong
       case None => 0L // version 0 = nothing delivered yet → full snapshot
     }
-    new GraftSnapshotStreamSource(spark, root, pinned, startAfter)
+    val maxPerTrigger = parameters.get("maxversionspertrigger")
+      .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
+    maxPerTrigger.foreach(m => require(m >= 1, "maxVersionsPerTrigger >= 1"))
+    new GraftSnapshotStreamSource(spark, root, pinned, startAfter, maxPerTrigger)
   }
 
   private def tableRoot(options: CaseInsensitiveStringMap): String = {
@@ -145,7 +152,8 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
   */
 private[sources] class GraftSnapshotStreamSource(
     spark: SparkSession, table: String, pinned: StructType,
-    startAfter: Long) extends Source {
+    startAfter: Long, maxVersionsPerTrigger: Option[Long] = None)
+    extends Source {
 
   import org.apache.spark.sql.functions.col
 
@@ -156,17 +164,32 @@ private[sources] class GraftSnapshotStreamSource(
     case other => other.json.trim.toLong // SerializedOffset after restart
   }
 
+  /** ADMISSION CONTROL high-water mark: the highest version already
+    * handed to a batch (recovered batches included — getBatch raises
+    * it, so a restart never re-caps below what the checkpoint holds).
+    * `maxVersionsPerTrigger` then bounds each micro-batch to that many
+    * versions past it — a consumer restarted after a long outage
+    * drains a 10,000-version backlog in paced batches instead of one
+    * giant catch-up read.
+    */
+  @volatile private var served: Long = startAfter
+
   override def getOffset: Option[SourceOffset] = {
     val cur = SnapshotTable.currentVersion(spark, table)
-    if (cur <= startAfter && startAfter > 0L) Some(LongOffset(startAfter))
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) => math.min(cur, math.max(served, startAfter) + m)
+      case None => cur
+    }
+    if (capped <= startAfter && startAfter > 0L) Some(LongOffset(startAfter))
     else if (cur == 0L) None
-    else Some(LongOffset(cur))
+    else Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[SourceOffset],
                         end: SourceOffset): DataFrame = {
     val to = versionOf(end)
     val from = start.map(versionOf).getOrElse(startAfter)
+    served = math.max(served, to)
     val batch =
       if (from >= to) SnapshotTable.read(spark, table, to).limit(0)
       else if (from == 0L) SnapshotTable.read(spark, table, to) // bootstrap

@@ -112,6 +112,33 @@ class GraftSnapshotSourceSpec extends SparkSpec {
     assert(late.toSeq == Seq(99L), s"latest: only the new append: $late")
   }
 
+  test("maxVersionsPerTrigger paces the stream: bounded batches drain a backlog without loss") {
+    import spark.implicits._
+    val t = mkTable()
+    // a 6-version backlog before the stream ever starts
+    (1 to 6).foreach { b =>
+      SnapshotTable.append(spark, t,
+        (0L until 5L).map(i => (b * 100L + i, s"b$b")).toDF("k", "tag"))
+    }
+    val batches = new scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("maxVersionsPerTrigger", 2).load(t)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("snapstream-ckpt3").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = df.as[(Long, String)].collect().map(_._1).toSet
+        if (ks.nonEmpty) batches.synchronized { batches += ks }; ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.size == 3,
+      s"6 versions at 2/trigger = 3 batches, got ${batches.size}")
+    assert(batches.forall(_.size == 10), "each batch spans exactly 2 versions")
+    assert(batches.flatten.toSet.size == 30, "the union is the whole backlog, no loss")
+  }
+
   test("a snapshot with live equality deletes is refused loudly; purged tables read again") {
     import spark.implicits._
     val t = mkTable()

@@ -670,6 +670,13 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.readPruned(spark, t, "day", 3L, 3L)
       .as[(Long, Long, String)].collect().map(_._1).toSet
       == (0L until 10L).map(300L + _).toSet -- Set(305L, 307L))
+    // PLAN AUDIT: merge-on-read resolves as a BROADCAST hash anti-join
+    // (the delete side is key rows), never a sort-merge join — at
+    // 100 TB the corpus side must not shuffle to subtract kilobytes
+    val plan = SnapshotTable.read(spark, t).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"delete application must broadcast: $plan")
+    assert(!plan.contains("SortMergeJoin"), "no shuffle for the anti-join")
     // a RE-INSERT of a deleted key lands at a higher sequence number —
     // out of the delete's reach, so it serves (Iceberg semantics)
     SnapshotTable.append(spark, t, Seq((3L, 0L, "REBORN")).toDF("k", "day", "v"),
