@@ -185,13 +185,33 @@ object SnapshotTable {
   private val LedgerTag = "#ledger"
   private val IncludeTag = "@include"
   private val DeleteTag = "@delete"
-  private val LeafRe = "^leaf-([0-9]{5})$".r
+  private val LeafRe = "^leaf-([0-9]{5})(?:-[0-9]+)?$".r
   private val DataVerRe = "data-([0-9]{5})".r
   /** Reserved stats token: a file's exact row count as a degenerate
     * `__rows=n..n` envelope (see [[rowCount]]). Not a prunable column —
     * reserved so user stats columns cannot collide with it.
     */
   private val RowsCol = "__rows"
+
+  /** Reserved INCLUDE-line token: the minimum data version among a
+    * leaf's entries (`__minv=k..k`). For append-written leaves this
+    * equals the leaf's own version (leaf-N ⊆ data-N); for MERGED
+    * leaves ([[rewriteManifests]]) it does not — and the delete-drop
+    * rule MUST use it, else a delete older than the merged leaf's NAME
+    * but newer than some folded file would be dropped while its
+    * victims still exist on disk.
+    */
+  private val MinVerCol = "__minv"
+
+  /** The minimum data version inside an include line's leaf: its
+    * `__minv` token when present, else the leaf's own version (the
+    * append invariant).
+    */
+  private def includeMinVersion(il: IncludeLine): Long =
+    il.stats.get(MinVerCol).map(_._1).getOrElse(il.leaf match {
+      case LeafRe(n) => n.toLong
+      case _ => 0L
+    })
 
   /** The version whose commit wrote this file — parsed from its data
     * dir (`data-N/...`), the file's Iceberg-style SEQUENCE NUMBER. An
@@ -269,23 +289,26 @@ object SnapshotTable {
     finally in.close()
   }
 
-  /** Write version `n`'s leaf manifest (immutable; the claim makes the
-    * name ours) and return its include line: aggregate envelopes only
-    * for columns EVERY entry carries — a column missing somewhere
-    * cannot prune at leaf resolution and is omitted (conservative).
+  /** Write a leaf manifest under `name` (immutable; the claim on its
+    * version prefix makes the name ours) and return its include line:
+    * aggregate envelopes only for columns EVERY entry carries — a
+    * column missing somewhere cannot prune at leaf resolution and is
+    * omitted (conservative) — plus the reserved `__minv` token (see
+    * [[MinVerCol]]: the delete-drop rule depends on it for MERGED
+    * leaves).
     */
   private def writeLeaf(f: org.apache.hadoop.fs.FileSystem, table: String,
-                        n: Long, entryLines: Seq[String]): String = {
-    val name = f"leaf-$n%05d"
+                        name: String, entryLines: Seq[String]): String = {
     val out = f.create(hp(table, MetaDir, name), false)
     try out.write(entryLines.mkString("\n").getBytes("UTF-8")) finally out.close()
     val entries = entryLines.map(parseEntry)
-    val shared = entries.map(_.stats.keySet).reduce(_ intersect _)
+    val shared = entries.map(_.stats.keySet).reduce(_ intersect _) - MinVerCol
     val agg = shared.toSeq.sorted.map { c =>
       val ranges = entries.map(_.stats(c))
       s"$c=${ranges.map(_._1).min}..${ranges.map(_._2).max}"
     }
-    (Seq(IncludeTag, name) ++ agg).mkString("\t")
+    val minv = entries.map(e => dataVersionOf(e.path)).min
+    (Seq(IncludeTag, name) ++ agg :+ s"$MinVerCol=$minv..$minv").mkString("\t")
   }
 
   /** Split a snapshot's top lines for a scoped rewrite: lines whose
@@ -586,7 +609,10 @@ object SnapshotTable {
       case e: Throwable =>
         if (!f.exists(hp(table, MetaDir, f"manifest-$n%05d"))) {
           f.delete(hp(table, f"data-$n%05d"), true)
-          f.delete(hp(table, MetaDir, f"leaf-$n%05d"), false)
+          // all of version n's leaves: leaf-N and rewriteManifests'
+          // leaf-N-i parts
+          metaNames(f, table).filter(_.startsWith(f"leaf-$n%05d"))
+            .foreach(l => f.delete(hp(table, MetaDir, l), false))
           f.delete(hp(table, MetaDir, f"manifest-$n%05d.tmp-$n"), false)
           claimPrimitive.release(f, hp(table, MetaDir, f"claim-$n%05d"))
         }
@@ -1205,6 +1231,54 @@ object SnapshotTable {
     }
   }
 
+  /** MANIFEST MAINTENANCE: fold runs of `groupSize` consecutive
+    * top-manifest data lines into merged LEAF manifests — a pure
+    * metadata commit (no data file read, written, or re-referenced:
+    * the file set is byte-identical before and after, so incremental
+    * consumers see an empty diff). The top manifest of a long-lived
+    * append table grows one include line per append FOREVER without
+    * this; folding bounds it at ~lines/groupSize while keeping leaf
+    * aggregate envelopes NARROW (consecutive appends are
+    * envelope-adjacent on time-clustered tables, so merged leaves
+    * still skip as single lines). Merged includes carry `__minv` (the
+    * minimum folded data version) because the delete-drop rule needs
+    * it — a merged leaf's NAME version says nothing about its
+    * contents' age. Delete lines and headers carry verbatim. Returns
+    * the committed version, or 0 with NO commit when no group has
+    * more than one line to fold.
+    */
+  def rewriteManifests(spark: SparkSession, table: String,
+                       groupSize: Int = 64): Long = {
+    require(groupSize >= 2, "folding needs groups of at least 2")
+    retryingCommit(spark, table) { base =>
+      val f = fs(spark, table)
+      val lines = topLines(f, table, base)
+      val deletes = lines.collect { case dl: DeleteLine => dl.raw }
+      val dataLines = lines.filterNot(_.isInstanceOf[DeleteLine])
+      if (dataLines.size <= 1 ||
+          dataLines.grouped(groupSize).forall(_.size <= 1)) return 0L
+      val headers = snapshotSchema(spark, table, base).map(schemaLine).toSeq ++
+        ledgerLines(ledgerOf(f, table, base))
+      withClaim(f, table, Some(base)) { n =>
+        var leafIdx = 0
+        val folded = dataLines.grouped(groupSize).map { g =>
+          if (g.size == 1) g.head.raw // a lone tail line folds nothing
+          else {
+            val entries = g.flatMap {
+              case EntryLine(e) => Seq(e)
+              case il: IncludeLine => leafEntries(f, table, il.leaf)
+              case _: DeleteLine => Nil // filtered above; exhaustiveness
+            }
+            leafIdx += 1
+            writeLeaf(f, table, f"leaf-$n%05d-$leafIdx",
+              entries.map(_.render))
+          }
+        }.toSeq
+        commitManifest(f, table, n, headers ++ folded ++ deletes)
+      }
+    }
+  }
+
   /** Release claims ABOVE the current version whose writer is presumed
     * dead — the one starvation case the conditional-commit protocol
     * has: a writer that claimed `current + 1` and crashed before its
@@ -1232,7 +1306,8 @@ object SnapshotTable {
         if (n > cur && !manifests.contains(n) && age > olderThanMs) {
           f.delete(p, false)
           f.delete(hp(table, f"data-$n%05d"), true) // orphan stage, if any
-          f.delete(hp(table, MetaDir, f"leaf-$n%05d"), false) // orphan leaf
+          metaNames(f, table).filter(_.startsWith(f"leaf-$n%05d")) // orphan leaves
+            .foreach(l => f.delete(hp(table, MetaDir, l), false))
           released += 1
         }
       case _ =>
@@ -1338,7 +1413,7 @@ object SnapshotTable {
           // the batch's files land as ONE immutable leaf + one include
           // line carrying the leaf's aggregate envelopes — scoped merges
           // and pruned reads skip the whole batch without opening it
-          val include = writeLeaf(f, table, n, newLines)
+          val include = writeLeaf(f, table, f"leaf-$n%05d", newLines)
           val headers = schemaLine(schema) +:
             ledgerLines(priorLedger ++ ledger.toMap)
           commitManifest(f, table, n, headers ++ (prior :+ include))
@@ -1441,11 +1516,13 @@ object SnapshotTable {
       // file pre-dates has nothing left to apply to and its manifest
       // line (and, post-vacuum, its key file) is dropped. minRemaining
       // over carried lines: an entry's own data version; a leaf's
-      // version (leaf-N holds only data-N files, by append's
-      // construction); plus the new files' version n > every delete.
+      // `__minv` token (equal to its name for append leaves, lower
+      // for rewriteManifests-merged ones); plus the new files'
+      // version n > every delete.
       val minRemaining = carried0.collect {
         case l if l.startsWith(IncludeTag + "\t") =>
-          l.split("\t")(1) match { case LeafRe(m) => m.toLong; case _ => 0L }
+          val toks = l.split("\t")
+          includeMinVersion(IncludeLine(toks(1), parseStats(toks.drop(2).toSeq), l))
         case l if !l.startsWith(DeleteTag + "\t") =>
           dataVersionOf(l.split("\t").head)
       }.foldLeft(Long.MaxValue)(math.min)

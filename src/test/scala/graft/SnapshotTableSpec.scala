@@ -768,6 +768,78 @@ class SnapshotTableSpec extends SparkSpec {
       "reads stay whole (and delete-aware) after vacuum")
   }
 
+  test("rewriteManifests folds top lines metadata-only: identical file set, empty CDC diff") {
+    import spark.implicits._
+    val t = mkTable()
+    (0 until 10).foreach { b =>
+      SnapshotTable.append(spark, t,
+        (0L until 6L).map(i => (b * 100L + i, b.toLong, s"r$i"))
+          .toDF("k", "day", "v"),
+        statsCols = Seq("day"))
+    }
+    assert(manifestLinesOf(t, 10L).count(_.startsWith("@include")) == 10)
+    val filesBefore = SnapshotTable.snapshotFiles(spark, t).toSet
+    val v = SnapshotTable.rewriteManifests(spark, t, groupSize = 4)
+    assert(v == 11L)
+    val top = manifestLinesOf(t, v).filterNot(_.startsWith("#"))
+    assert(top.size == 3 && top.forall(_.startsWith("@include")),
+      s"10 lines at groupSize 4 fold to 3 merged leaves: $top")
+    assert(SnapshotTable.snapshotFiles(spark, t).toSet == filesBefore,
+      "pure metadata: the data file set is byte-identical")
+    assert(SnapshotTable.readAdded(spark, t, 10L, v).count() == 0,
+      "incremental consumers see an EMPTY diff across the fold")
+    assert(SnapshotTable.read(spark, t).count() == 60)
+    // leaf aggregate envelopes still prune: day 9 lives in ONE merged leaf
+    assert(SnapshotTable.readPruned(spark, t, "day", 9L, 9L).count() == 6)
+    // repeated folding converges and then no-ops
+    assert(SnapshotTable.rewriteManifests(spark, t, groupSize = 4) == 12L)
+    assert(SnapshotTable.rewriteManifests(spark, t, groupSize = 4) == 0L,
+      "a single surviving line folds nothing: no version minted")
+    // vacuum sweeps the superseded append leaves, keeps the merged ones
+    SnapshotTable.vacuum(spark, t, retain = 1)
+    val leaves = new java.io.File(s"$t/_graft_meta").list().toSeq
+      .filter(_.startsWith("leaf-"))
+    assert(leaves.forall(_.startsWith("leaf-00012")), s"only the live fold: $leaves")
+    assert(SnapshotTable.read(spark, t).count() == 60, "intact after vacuum")
+  }
+
+  test("a delete survives manifest folding: the merged leaf's __minv guards the drop rule") {
+    import spark.implicits._
+    val t = mkTable()
+    // v1: day 0 as ONE file (holds the victim; must stay COLD below),
+    // v2: the equality delete, v3-v5: day-1 appends (fragmentation)
+    SnapshotTable.append(spark, t,
+      (0L until 10L).map(i => (i, 0L, "d0")).toDF("k", "day", "v")
+        .coalesce(1),
+      statsCols = Seq("day"))
+    SnapshotTable.deleteWhere(spark, t, Seq(5L).toDF("k"))
+    (1 to 3).foreach { i =>
+      SnapshotTable.append(spark, t,
+        Seq((100L + i, 1L, s"d1-$i")).toDF("k", "day", "v"),
+        statsCols = Seq("day"))
+    }
+    // fold everything into ONE merged leaf whose NAME version (6) is
+    // above the delete's (2) — only its __minv token (1) records that
+    // pre-delete files are inside
+    val v = SnapshotTable.rewriteManifests(spark, t, groupSize = 8)
+    assert(v == 6L && SnapshotTable.deleteFiles(spark, t).nonEmpty)
+    // compaction of the fragmented day 1 runs the delete-DROP rule;
+    // without __minv it would read the merged leaf's name, conclude
+    // nothing pre-dates the delete, drop it — and k=5 (alive in
+    // data-00001, untouched by this rewrite) would resurrect
+    val v2 = SnapshotTable.compactScoped(spark, t, "day", maxFilesPerScope = 2)
+    assert(v2 > 0L, "day 1 is fragmented; compaction must fire")
+    assert(SnapshotTable.deleteFiles(spark, t).nonEmpty,
+      "the delete line survives: a folded file still pre-dates it")
+    val got = SnapshotTable.read(spark, t).as[(Long, Long, String)]
+      .collect().map(_._1).toSet
+    assert(!got.contains(5L) && got.size == 12, s"no resurrection: $got")
+    // a full compaction (everything rewritten) finally purges it
+    SnapshotTable.compactSnapshot(spark, t)
+    assert(SnapshotTable.deleteFiles(spark, t).isEmpty)
+    assert(SnapshotTable.read(spark, t).count() == 12)
+  }
+
   test("rowCount answers count(*) from the manifest; refuses when metadata cannot certify it") {
     import spark.implicits._
     val t = mkTable()
