@@ -991,6 +991,56 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).count() == 15, "intact after vacuum")
   }
 
+  test("racing deleteWhere and appends all land: conditional commits serialize the delete correctly") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      (0L until 30L).map(i => (i, "seed")).toDF("k", "v"))
+    // three appenders of DISJOINT new keys race one deleter of seed
+    // keys; whatever the serialization, the outcome is deterministic:
+    // seed minus victims plus every append (appended keys are not
+    // victims, and a delete sequences AFTER any append it follows)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val work =
+      (0 until 3).map { w =>
+        scala.concurrent.Future(SnapshotTable.append(spark, t,
+          (0L until 5L).map(i => (1000L + w * 10L + i, s"a$w")).toDF("k", "v")))
+      } :+ scala.concurrent.Future(
+        SnapshotTable.deleteWhere(spark, t, Seq(3L, 7L, 11L).toDF("k")))
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(work),
+      scala.concurrent.duration.Duration(180, "s"))
+    pool.shutdown()
+    val got = SnapshotTable.read(spark, t).as[(Long, String)].collect().map(_._1).toSet
+    val want = (0L until 30L).toSet -- Set(3L, 7L, 11L) ++
+      (for (w <- 0 until 3; i <- 0 until 5) yield 1000L + w * 10L + i).toSet
+    assert(got == want, s"every racer landed exactly once: ${got.size} vs ${want.size}")
+  }
+
+  test("widerOf-backed evolution is commutative and idempotent across the numeric lattice") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // append order must not change the final schema: int then long
+    // lands where long then int does
+    val a = mkTable(); val b = mkTable()
+    SnapshotTable.commit(spark, a, Seq((1, 1.5f)).toDF("k", "x"))
+    SnapshotTable.append(spark, a, Seq((2L, 2.5)).toDF("k", "x"))
+    SnapshotTable.commit(spark, b, Seq((2L, 2.5)).toDF("k", "x"))
+    SnapshotTable.append(spark, b, Seq((1, 1.5f)).toDF("k", "x"))
+    val (sa, sb) = (SnapshotTable.read(spark, a).schema,
+      SnapshotTable.read(spark, b).schema)
+    assert(sa.fields.map(_.dataType).toSeq == Seq(LongType, DoubleType) &&
+      sb.fields.map(_.dataType).toSeq == Seq(LongType, DoubleType),
+      s"commutative widening: ${sa.simpleString} / ${sb.simpleString}")
+    // idempotent: re-appending the SAME narrow shape changes nothing
+    SnapshotTable.append(spark, a, Seq((3, 3.5f)).toDF("k", "x"))
+    assert(SnapshotTable.read(spark, a).schema.fields.map(_.dataType).toSeq
+      == Seq(LongType, DoubleType))
+    assert(SnapshotTable.read(spark, a).as[(Long, Double)].collect().toSet
+      == Set((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+  }
+
   test("the commit protocol runs unchanged over a conditional-put primitive (object-store seam)") {
     import spark.implicits._
     // an in-memory CAS primitive: claims are conditional puts into a
