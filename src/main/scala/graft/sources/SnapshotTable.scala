@@ -1555,6 +1555,37 @@ object SnapshotTable {
     }
   }
 
+  /** One retained snapshot's metadata summary — resolved from manifests
+    * alone (no data file opened). `rows` is [[rowCount]]'s certified
+    * count (None when merge-on-read deletes or pre-token entries make
+    * metadata insufficient).
+    */
+  case class SnapshotInfo(version: Long, files: Long, deleteFiles: Long,
+                          rows: Option[Long], schemaColumns: Int,
+                          sinkLedger: Map[String, Long])
+
+  /** The table's retained history, newest first — the operational
+    * introspection surface (what versions exist to time-travel or
+    * stream from, how fragmented each is, which sinks have committed
+    * how far). Pure manifest reads: O(retained versions × lines).
+    */
+  def history(spark: SparkSession, table: String): Seq[SnapshotInfo] = {
+    val f = fs(spark, table)
+    metaNames(f, table).collect { case ManifestRe(n) => n.toLong }
+      .sorted.reverse.map { v =>
+        val entries = snapshotEntries(spark, table, v)
+        SnapshotInfo(
+          version = v,
+          files = entries.size.toLong,
+          deleteFiles = topLines(f, table, v)
+            .count(_.isInstanceOf[DeleteLine]).toLong,
+          rows = rowCount(spark, table, v),
+          schemaColumns = snapshotSchema(spark, table, v)
+            .map(_.fields.length).getOrElse(0),
+          sinkLedger = ledgerOf(f, table, v))
+      }
+  }
+
   /** [[Layout.compact]] through the snapshot commit: rewrite the
     * current snapshot's rows into ~targetBytes files and commit them
     * as the next version — readers NEVER see a vanish window (contrast

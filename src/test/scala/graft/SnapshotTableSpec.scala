@@ -991,6 +991,30 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).count() == 15, "intact after vacuum")
   }
 
+  test("history summarizes retained versions from manifests alone") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.append(spark, t,
+      (0L until 10L).map(i => (i, "b0")).toDF("k", "v"),
+      ledger = Some(("s1", 0L)))
+    SnapshotTable.append(spark, t,
+      (10L until 15L).map(i => (i, "b1")).toDF("k", "v"),
+      ledger = Some(("s1", 1L)))
+    SnapshotTable.deleteWhere(spark, t, Seq(3L).toDF("k"))
+    val h = SnapshotTable.history(spark, t)
+    assert(h.map(_.version) == Seq(3L, 2L, 1L), "newest first")
+    val v3 = h.head
+    assert(v3.deleteFiles == 1 && v3.rows.isEmpty,
+      "live deletes: count uncertifiable from metadata")
+    assert(v3.sinkLedger == Map("s1" -> 1L), "the sink's committed watermark")
+    val v2 = h(1)
+    assert(v2.rows == Some(15L) && v2.deleteFiles == 0 && v2.schemaColumns == 2)
+    assert(h.last.rows == Some(10L))
+    // vacuum shrinks the history to the retained window
+    SnapshotTable.vacuum(spark, t, retain = 1)
+    assert(SnapshotTable.history(spark, t).map(_.version) == Seq(3L))
+  }
+
   test("racing deleteWhere and appends all land: conditional commits serialize the delete correctly") {
     import spark.implicits._
     val t = mkTable()
