@@ -182,6 +182,7 @@ object SnapshotTable {
   }
 
   private val SchemaHeader = "#schema\t"
+  private val TsHeader = "#ts\t"
   private val LedgerTag = "#ledger"
   private val IncludeTag = "@include"
   private val DeleteTag = "@delete"
@@ -192,6 +193,19 @@ object SnapshotTable {
     * reserved so user stats columns cannot collide with it.
     */
   private val RowsCol = "__rows"
+
+  /** Reserved stats-token prefix: `__nn_<col>=k..k` records the file's
+    * NULL COUNT in stats column `<col>`. Envelopes cover non-null
+    * values only — correct for range PRUNING (a range predicate never
+    * matches NULL) but NOT for [[deleteRange]]'s metadata-only file
+    * drop: a file whose non-null values all sit inside the range may
+    * still hold null rows, which SQL DELETE semantics keep. The drop
+    * therefore requires a certified zero null count; without the token
+    * (older manifests) the file is conservatively rewritten instead.
+    * On leaf include lines the aggregate is [min, max] over the folded
+    * files' counts, so `hi == 0` certifies a whole leaf null-free.
+    */
+  private val NullsPrefix = "__nn_"
 
   /** Reserved INCLUDE-line token: the minimum data version among a
     * leaf's entries (`__minv=k..k`). For append-written leaves this
@@ -262,9 +276,13 @@ object SnapshotTable {
   /** An EQUALITY-DELETE file: `path` holds key rows (parquet, columns
     * `cols`); every data file with a lower data-version serves its
     * rows MINUS the keys — resolved at read (merge-on-read), purged
-    * physically by compaction.
+    * physically by compaction. `stats` carries the key file's certified
+    * `__rows` envelope (absent on lines written before the token), so
+    * [[applyDeletes]] can size its broadcast-vs-shuffle decision from
+    * the manifest alone.
     */
   private case class DeleteLine(path: String, cols: Seq[String],
+                                stats: Map[String, (Long, Long)],
                                 raw: String) extends TopLine {
     def appliesBelow: Long = dataVersionOf(path)
   }
@@ -277,7 +295,8 @@ object SnapshotTable {
         IncludeLine(toks(1), parseStats(toks.drop(2).toSeq), line)
       } else if (line.startsWith(DeleteTag + "\t")) {
         val toks = line.split("\t")
-        DeleteLine(toks(1), toks(2).split(",").toSeq, line)
+        DeleteLine(toks(1), toks(2).split(",").toSeq,
+          parseStats(toks.drop(3).toSeq), line)
       } else EntryLine(parseEntry(line))
     }
 
@@ -365,6 +384,117 @@ object SnapshotTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** The wall-clock instant snapshot `version` (default: current)
+    * committed — the manifest's `#ts` header, stamped atomically with
+    * the commit itself ([[commitManifest]]). None only for manifests
+    * written before the header existed.
+    */
+  def commitTimestamp(spark: SparkSession, table: String,
+                      version: Long = 0L): Option[Long] = {
+    val v = resolve(spark, table, version)
+    manifestLines(fs(spark, table), table, v)
+      .find(_.startsWith(TsHeader))
+      .map(_.stripPrefix(TsHeader).trim.toLong)
+  }
+
+  /** TIME TRAVEL BY TIMESTAMP: the newest retained version whose commit
+    * timestamp is at or before `tsMs` — `SELECT ... TIMESTAMP AS OF` in
+    * the format's own terms. Resolved from manifest headers alone. A
+    * pre-`#ts` manifest (no stamp) is older than every stamped one and
+    * is eligible at any `tsMs`. Errors loudly when every retained
+    * snapshot is newer than `tsMs` (the history before it was vacuumed
+    * or never existed — serving the later version silently would be a
+    * wrong answer, not time travel).
+    */
+  def versionAt(spark: SparkSession, table: String, tsMs: Long): Long = {
+    val f = fs(spark, table)
+    val versions = metaNames(f, table)
+      .collect { case ManifestRe(n) => n.toLong }.sorted
+    require(versions.nonEmpty, s"$table has no committed snapshot")
+    val eligible = versions.filter(v =>
+      commitTimestamp(spark, table, v).forall(_ <= tsMs))
+    require(eligible.nonEmpty,
+      s"$table: no retained snapshot committed at or before $tsMs — " +
+        s"the earliest retained version is v${versions.head}" +
+        commitTimestamp(spark, table, versions.head)
+          .map(t => s" (committed $t)").getOrElse(""))
+    eligible.last
+  }
+
+  private val PinPrefix = "pin-"
+
+  /** A vacuum-proof slug for a consumer identity (pins are files; the
+    * identity is typically a checkpoint PATH): readable head + content
+    * hash so distinct identities can never collide.
+    */
+  private def pinName(consumerId: String): String = {
+    val slug = consumerId.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(consumerId.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"$PinPrefix$slug-$h"
+  }
+
+  /** RETENTION PIN: record that consumer `consumerId` still needs
+    * version `version` and everything after it — [[vacuum]] keeps every
+    * manifest at or above the MINIMUM live pin, whatever its `retain`
+    * says, so an aggressive vacuum cannot break a lagging streaming
+    * consumer's replay (the incremental read of (v, v'] needs BOTH
+    * manifests). Pins are monotone (never lowered) and refreshed on
+    * every call — a LIVE consumer's pin mtime stays fresh; a dead
+    * consumer's stops moving and ages out under vacuum's `pinMaxAgeMs`,
+    * so an abandoned checkpoint cannot pin the table's history forever.
+    * The snapshot streaming source pins automatically from its commit
+    * callback; batch consumers doing incremental reads can pin
+    * explicitly.
+    */
+  def pinVersion(spark: SparkSession, table: String, consumerId: String,
+                 version: Long): Unit = {
+    require(version >= 1L, s"pin needs a committed version, got $version")
+    val f = fs(spark, table)
+    f.mkdirs(hp(table, MetaDir))
+    val p = hp(table, MetaDir, pinName(consumerId))
+    val prior = readPin(f, p)
+    // refresh even at an UNCHANGED version: the rewrite bumps mtime, so
+    // a live consumer at a stable offset (no new data for days) does
+    // not age out like a dead one
+    if (prior.forall(_ <= version)) {
+      val out = f.create(p, true)
+      try out.write(s"$version\t$consumerId".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** A pin file's version; Some(0) on a torn/unparsable read — the
+    * CONSERVATIVE floor (keep everything) because a vacuum that guesses
+    * wrong deletes a live consumer's replay window.
+    */
+  private def readPin(f: org.apache.hadoop.fs.FileSystem,
+                      p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(scala.util.Try(txt.split("\t").head.trim.toLong).getOrElse(0L))
+    }
+
+  /** Live pins on the table: consumer pin-file name → pinned version.
+    * Operational introspection (who is holding history, how far back).
+    */
+  def pinnedVersions(spark: SparkSession, table: String): Map[String, Long] = {
+    val f = fs(spark, table)
+    metaNames(f, table).filter(_.startsWith(PinPrefix)).flatMap { name =>
+      readPin(f, hp(table, MetaDir, name)).map(name -> _)
+    }.toMap
+  }
+
+  /** Drop a consumer's pin (a decommissioned consumer releasing its
+    * hold explicitly instead of waiting out `pinMaxAgeMs`).
+    */
+  def unpin(spark: SparkSession, table: String, consumerId: String): Unit =
+    fs(spark, table).delete(hp(table, MetaDir, pinName(consumerId)), false)
+
   /** The sink-commit ledger of snapshot `version`: for each streaming
     * sink identity, the highest micro-batch id whose append COMMITTED —
     * the `#ledger` header lines. This is what turns foreachBatch's
@@ -446,14 +576,37 @@ object SnapshotTable {
       .collect { case dl: DeleteLine => dl.path -> dl.cols }
   }
 
+  /** Above this many OUTSTANDING delete-key rows (summed over a
+    * snapshot's delete files per key-column set), [[applyDeletes]]
+    * drops its broadcast hint and lets the anti-join shuffle: a
+    * pipeline that defers compaction under a heavy delete load must
+    * degrade to a shuffled anti-join, not to a broadcast OOM. The
+    * default fits comfortably in executor memory (key rows are a few
+    * dozen bytes); compaction purges the backlog either way.
+    */
+  @volatile var deleteBroadcastMaxRows: Long = 4L * 1000 * 1000
+
+  /** A delete file's key-row count: the manifest-certified `__rows`
+    * token when present, else one driver-side footer read (lines
+    * written before the token landed).
+    */
+  private def deleteRows(spark: SparkSession, table: String,
+                         dl: DeleteLine): Long =
+    dl.stats.get(RowsCol).map(_._1).getOrElse(
+      footerStats(spark, hp(table, dl.path), Nil)._1)
+
   /** MERGE-ON-READ: subtract the snapshot's equality deletes from `df`
     * (a read of some subset of its data files). Each row's SEQUENCE
     * NUMBER is its file's data-version (from `input_file_name`); a
     * delete file at version D anti-joins away matching keys in rows
     * whose number is BELOW D — re-inserted and rewritten rows are out
-    * of reach by construction. One broadcast anti-join per distinct
-    * key-column set (typically one); tables without deletes return
-    * `df` untouched — the common path pays nothing.
+    * of reach by construction. One anti-join per distinct key-column
+    * set (typically one): BROADCAST while the manifest-certified
+    * backlog is at or under [[deleteBroadcastMaxRows]], a shuffled
+    * anti-join past it (the null-safe key equalities hash-partition;
+    * the sequence-number bound rides as the residual condition).
+    * Tables without deletes return `df` untouched — the common path
+    * pays nothing.
     */
   private def applyDeletes(spark: SparkSession, table: String, v: Long,
                            df: DataFrame): DataFrame = {
@@ -478,7 +631,9 @@ object SnapshotTable {
       }.reduce(_ unionByName _)
       val cond = cols.map(c => d(c) <=> keys(c)).reduce(_ && _) &&
         keys("__below") > d(dv)
-      d.join(broadcast(keys), cond, "left_anti")
+      val backlog = dels.map(de => deleteRows(spark, table, de)).sum
+      val side = if (backlog <= deleteBroadcastMaxRows) broadcast(keys) else keys
+      d.join(side, cond, "left_anti")
     }
     out.drop(dv)
   }
@@ -521,8 +676,14 @@ object SnapshotTable {
         val written = writeData(spark, table, n, keys.dropDuplicates(), Nil)
         require(written.nonEmpty, "refusing to commit an empty delete set")
         val colList = keys.columns.mkString(",")
+        // carry the key file's `__rows` token onto the delete line: the
+        // manifest then certifies the outstanding delete backlog size,
+        // and readers size the broadcast-vs-shuffle decision without
+        // opening a footer
         val delLines = written.map { l =>
-          Seq(DeleteTag, l.split("\t").head, colList).mkString("\t")
+          val toks = l.split("\t")
+          (Seq(DeleteTag, toks.head, colList) ++
+            toks.tail.filter(_.startsWith(RowsCol + "="))).mkString("\t")
         }
         val headers = schema.map(schemaLine).toSeq ++
           ledgerLines(ledgerOf(f, table, base))
@@ -572,9 +733,24 @@ object SnapshotTable {
         attempts += 1
         require(attempts <= 50, s"could not claim a version for $table " +
           s"after $attempts attempts — runaway contention or a listing bug")
-        if (claimPrimitive.tryClaim(f, hp(table, MetaDir, f"claim-$n%05d")))
-          claimed = n
-        else {
+        if (claimPrimitive.tryClaim(f, hp(table, MetaDir, f"claim-$n%05d"))) {
+          // residual cross-process window: a rival may have COMMITTED
+          // manifest-n (and retired its claim) between our listing and
+          // our create-exclusive — the claim then succeeds on a version
+          // that is already taken, and proceeding would collide on the
+          // data dir with an engine-level error instead of the
+          // retryable signal. Detect it here: release and re-route.
+          if (f.exists(hp(table, MetaDir, f"manifest-$n%05d"))) {
+            claimPrimitive.release(f, hp(table, MetaDir, f"claim-$n%05d"))
+            expectedBase.foreach { base =>
+              throw new ConcurrentCommitException(
+                s"$table: v$n committed by a rival in the residual claim " +
+                  s"window while committing against base v$base — re-read " +
+                  "and recompute")
+            }
+            n += 1L
+          } else claimed = n
+        } else {
           // a cross-process rival beat us to N — with expectedBase
           // that rival invalidates our base; without, just move up
           expectedBase.foreach { base =>
@@ -626,10 +802,14 @@ object SnapshotTable {
     */
   private def statTokens(spark: SparkSession, table: String, dataDir: String,
                          statsCols: Seq[String]): Map[String, Seq[String]] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min,
+      sum, when, lit}
     if (statsCols.isEmpty) return Map.empty
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")), max(col(c).cast("long"))))
+      min(col(c).cast("long")), max(col(c).cast("long")),
+      // nulls counted on the CAST column: a lossy-cast value acts as
+      // null everywhere envelopes are consulted, so it must count here
+      sum(when(col(c).cast("long").isNull, lit(1L)).otherwise(lit(0L)))))
     spark.read.parquet(s"$table/$dataDir")
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -637,9 +817,10 @@ object SnapshotTable {
       .map { r =>
         val name = r.getString(0).split("/").takeRight(1).head
         val envs = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val nulls = s"$NullsPrefix$c=${r.getLong(3 + 3 * i)}..${r.getLong(3 + 3 * i)}"
           // all-null column in this file: no envelope token
-          if (r.isNullAt(1 + 2 * i)) None
-          else Some(s"$c=${r.getLong(1 + 2 * i)}..${r.getLong(2 + 2 * i)}")
+          if (r.isNullAt(1 + 3 * i)) Seq(nulls)
+          else Seq(s"$c=${r.getLong(1 + 3 * i)}..${r.getLong(2 + 3 * i)}", nulls)
         }
         name -> envs
       }.toMap
@@ -656,7 +837,8 @@ object SnapshotTable {
     * conservatism as the aggregate path.
     */
   private def footerStats(spark: SparkSession, p: org.apache.hadoop.fs.Path,
-                          cols: Seq[String]): (Long, Map[String, (Long, Long)]) = {
+                          cols: Seq[String])
+      : (Long, Map[String, (Long, Long)], Map[String, Long]) = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       p, spark.sparkContext.hadoopConfiguration)
@@ -664,9 +846,11 @@ object SnapshotTable {
     try {
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
+      val chunksOf = cols.map { c =>
+        c -> blocks.map(_.getColumns.asScala.find(_.getPath.toDotString == c))
+      }.toMap
       val stats = cols.flatMap { c =>
-        val chunks = blocks.map(_.getColumns.asScala
-          .find(_.getPath.toDotString == c))
+        val chunks = chunksOf(c)
         if (chunks.exists(_.isEmpty)) None
         else {
           val ss = chunks.flatten.map(_.getStatistics)
@@ -680,7 +864,18 @@ object SnapshotTable {
           }
         }
       }.toMap
-      (rows, stats)
+      // a column's exact NULL COUNT, certified only when every row
+      // group's statistics carry one — see [[NullsPrefix]]
+      val nulls = cols.flatMap { c =>
+        val chunks = chunksOf(c)
+        if (chunks.exists(_.isEmpty)) None
+        else {
+          val ss = chunks.flatten.map(_.getStatistics)
+          if (ss.exists(s => s == null || !s.isNumNullsSet)) None
+          else Some(c -> ss.map(_.getNumNulls).sum)
+        }
+      }.toMap
+      (rows, stats, nulls)
     } finally r.close()
   }
 
@@ -714,6 +909,8 @@ object SnapshotTable {
   private def writeData(spark: SparkSession, table: String, n: Long,
                         df: DataFrame, statsCols: Seq[String]): Seq[String] = {
     require(!statsCols.contains(RowsCol), s"$RowsCol is a reserved stats token")
+    require(!statsCols.exists(_.startsWith(NullsPrefix)),
+      s"$NullsPrefix* are reserved stats tokens")
     val dataDir = f"data-$n%05d"
     df.write.parquet(s"$table/$dataDir")
     val f = fs(spark, table)
@@ -721,19 +918,20 @@ object SnapshotTable {
     val perFile = f.listStatus(hp(table, dataDir))
       .filter(s => s.getPath.getName.endsWith(".parquet"))
       .map { s =>
-        val (rows, fstats) =
+        val (rows, fstats, fnulls) =
           footerStats(spark, s.getPath, if (useFooter) statsCols else Nil)
-        (s"$dataDir/${s.getPath.getName}", rows, fstats)
+        (s"$dataDir/${s.getPath.getName}", rows, fstats, fnulls)
       }
       .filter(_._2 > 0L).sortBy(_._1).toSeq
     if (perFile.isEmpty) return Nil
     val aggStats =
       if (useFooter || statsCols.isEmpty) Map.empty[String, Seq[String]]
       else statTokens(spark, table, dataDir, statsCols)
-    perFile.map { case (rel, rows, fstats) =>
+    perFile.map { case (rel, rows, fstats, fnulls) =>
       val toks =
         if (useFooter) statsCols.flatMap(c =>
-          fstats.get(c).map { case (lo, hi) => s"$c=$lo..$hi" })
+          fstats.get(c).map { case (lo, hi) => s"$c=$lo..$hi" }.toSeq ++
+            fnulls.get(c).map(k => s"$NullsPrefix$c=$k..$k"))
         else aggStats.getOrElse(rel.split("/").last, Nil)
       // every file records its exact row count (free: the footer is
       // already open) as a degenerate envelope — [[rowCount]] then
@@ -839,9 +1037,14 @@ object SnapshotTable {
                              lines: Seq[String]): Long = {
     require(lines.exists(l => !l.startsWith("#")),
       "refusing to commit an empty snapshot (headers are not content)")
+    // every manifest carries its commit wall-clock (`#ts` header),
+    // stamped HERE so no commit path can forget it: [[history]] gets a
+    // timestamp column, [[versionAt]] time travel by timestamp, and
+    // [[vacuum]] a duration-based retention form, all from metadata
+    val stamped = (TsHeader + System.currentTimeMillis()) +: lines
     val tmp = hp(table, MetaDir, f"manifest-$n%05d.tmp-$n")
     val out = f.create(tmp, true)
-    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write(stamped.mkString("\n").getBytes("UTF-8")) finally out.close()
     val manifest = hp(table, MetaDir, f"manifest-$n%05d")
     // the claim makes the destination ours and vacant — except in the
     // acknowledged cross-process residual window on a plain local fs
@@ -915,18 +1118,41 @@ object SnapshotTable {
     * references ANY file inside it (manifests share files across
     * versions after [[mergeScoped]]).
     */
-  def vacuum(spark: SparkSession, table: String, retain: Int = 1): Long = {
+  def vacuum(spark: SparkSession, table: String, retain: Int = 1,
+             retainForMs: Long = 0L,
+             pinMaxAgeMs: Long = 7L * 24 * 3600 * 1000): Long = {
     require(retain >= 1, "must retain at least the current snapshot")
     val f = fs(spark, table)
     val names = metaNames(f, table)
     val versions = names.collect { case ManifestRe(n) => n.toLong }.sorted
     if (versions.isEmpty) return 0L
     val cur = versions.last
+    val now = System.currentTimeMillis()
+    // CONSUMER PINS extend retention below the count/duration rules:
+    // the floor is the minimum LIVE pin — a pin older than pinMaxAgeMs
+    // belongs to a presumed-dead consumer (live ones refresh on every
+    // committed batch) and is swept here, so an abandoned checkpoint
+    // cannot hold history forever
+    val pinFloor = names.filter(_.startsWith(PinPrefix)).flatMap { p =>
+      val path = hp(table, MetaDir, p)
+      val age = now - f.getFileStatus(path).getModificationTime
+      if (age > pinMaxAgeMs) { f.delete(path, false); None }
+      else readPin(f, path)
+    }.foldLeft(Long.MaxValue)(math.min)
+    // duration-based retention (`retainForMs` > 0): keep every version
+    // committed within the window, BY ITS #ts STAMP — a pre-#ts
+    // manifest has no stamp and is older than every stamped one, so it
+    // is NOT time-kept (count-based `retain` still protects it)
+    val timeKept =
+      if (retainForMs <= 0L) Set.empty[Long]
+      else versions.filter(v => commitTimestamp(spark, table, v)
+        .exists(_ >= now - retainForMs)).toSet
     // the newest `retain` manifests that actually exist — a version
     // GAP (crashed claim) must not shrink the kept set, nor may a
     // missing manifest ever be resolved (the pre-fix crash: vacuum
     // walked a dense version range and threw on the gap)
-    val keepVersions = versions.takeRight(retain).toSet
+    val keepVersions = versions.takeRight(retain).toSet ++ timeKept ++
+      versions.filter(_ >= pinFloor)
     // referenced = data files AND equality-delete key files — a delete
     // file's data dir may hold nothing else, and sweeping it would
     // leave a live manifest pointing at a vanished delete
@@ -1179,8 +1405,20 @@ object SnapshotTable {
       s"statsCols must include $col — without its envelope the NEXT " +
         "range delete cannot skip the boundary files this one rewrites")
     retryingCommit(spark, table) { base =>
+      // a METADATA-ONLY drop (file dies whole, no rewrite) needs two
+      // certificates: the non-null envelope inside the range AND a
+      // certified ZERO null count ([[NullsPrefix]]) — envelopes ignore
+      // nulls, and null rows do not satisfy `BETWEEN`, so they must
+      // SURVIVE a range delete; a file (or folded leaf) without the
+      // null token is conservatively rewritten instead
+      def noNulls(s: Map[String, (Long, Long)]): Boolean =
+        s.get(NullsPrefix + col).exists(_._2 == 0L)
       def inside(s: Map[String, (Long, Long)]): Boolean =
-        s.get(col).exists { case (flo, fhi) => flo >= lo && fhi <= hi }
+        s.get(col).exists { case (flo, fhi) => flo >= lo && fhi <= hi } &&
+          noNulls(s)
+      // disjoint needs no null certificate: carrying a file verbatim
+      // keeps its null rows, which is exactly what DELETE semantics
+      // require of them
       def disjoint(s: Map[String, (Long, Long)]): Boolean =
         s.get(col).exists { case (flo, fhi) => fhi < lo || flo > hi }
       val f = fs(spark, table)
@@ -1216,9 +1454,16 @@ object SnapshotTable {
               carried.result())
         }
       }
+      // survivors = rows NOT in the range, under SQL DELETE semantics: a
+      // NULL (or non-castable) range value does not satisfy `BETWEEN`,
+      // so the row SURVIVES — a bare `!between` would evaluate to NULL
+      // and silently drop every null-valued row in a boundary file (and
+      // an all-null file, having no envelope, is classified boundary on
+      // EVERY range delete — it would drain to nothing)
       val survivors = applyDeletes(spark, table, base,
         readPaths(spark, table, base, edges.map(e => s"$table/${e.path}")))
-        .filter(!c(col).cast("long").between(lo, hi))
+        .filter(c(col).cast("long").isNull ||
+          !c(col).cast("long").between(lo, hi))
       withClaim(f, table, Some(base)) { n =>
         val newLines = writeData(spark, table, n,
           survivors.repartitionByRange(math.max(1, edges.size), c(col))
@@ -1562,7 +1807,8 @@ object SnapshotTable {
     */
   case class SnapshotInfo(version: Long, files: Long, deleteFiles: Long,
                           rows: Option[Long], schemaColumns: Int,
-                          sinkLedger: Map[String, Long])
+                          sinkLedger: Map[String, Long],
+                          timestampMs: Option[Long] = None)
 
   /** The table's retained history, newest first — the operational
     * introspection surface (what versions exist to time-travel or
@@ -1582,7 +1828,8 @@ object SnapshotTable {
           rows = rowCount(spark, table, v),
           schemaColumns = snapshotSchema(spark, table, v)
             .map(_.fields.length).getOrElse(0),
-          sinkLedger = ledgerOf(f, table, v))
+          sinkLedger = ledgerOf(f, table, v),
+          timestampMs = commitTimestamp(spark, table, v))
       }
   }
 
@@ -1593,13 +1840,22 @@ object SnapshotTable {
     * stay readable until [[vacuum]].
     */
   def compactSnapshot(spark: SparkSession, table: String,
-                      targetBytes: Long = 128L << 20): Long = {
-    val cur = read(spark, table)
-    val referenced = snapshotFiles(spark, table)
-    val f = fs(spark, table)
-    val onDisk = referenced.map(rel =>
-      f.getFileStatus(hp(table, rel)).getLen).sum
-    val nFiles = math.max(1L, (onDisk + targetBytes - 1) / targetBytes)
-    commit(spark, table, cur.coalesce(nFiles.toInt))
-  }
+                      targetBytes: Long = 128L << 20): Long =
+    // CONDITIONAL on the base the rewrite read: an unconditional commit
+    // here would carry the ledger read at `base` while silently erasing
+    // a sink append that landed between that read and the claim — both
+    // its rows and its ledger entry — reopening the duplicate-replay
+    // hole the ledger exists to close. A rival landing mid-compaction
+    // forces a re-read + recompute instead (maintenance loses races,
+    // never data).
+    retryingCommit(spark, table) { base =>
+      val cur = read(spark, table, base)
+      val referenced = snapshotFiles(spark, table, base)
+      val f = fs(spark, table)
+      val onDisk = referenced.map(rel =>
+        f.getFileStatus(hp(table, rel)).getLen).sum
+      val nFiles = math.max(1L, (onDisk + targetBytes - 1) / targetBytes)
+      commit(spark, table, cur.coalesce(nFiles.toInt),
+        expectedBase = Some(base))
+    }
 }
