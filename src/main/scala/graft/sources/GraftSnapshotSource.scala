@@ -98,7 +98,8 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
     val maxPerTrigger = parameters.get("maxversionspertrigger")
       .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
     maxPerTrigger.foreach(m => require(m >= 1, "maxVersionsPerTrigger >= 1"))
-    new GraftSnapshotStreamSource(spark, root, pinned, startAfter, maxPerTrigger)
+    new GraftSnapshotStreamSource(spark, root, pinned, startAfter,
+      maxPerTrigger, Some(metadataPath))
   }
 
   private def tableRoot(options: CaseInsensitiveStringMap): String = {
@@ -152,7 +153,8 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
   */
 private[sources] class GraftSnapshotStreamSource(
     spark: SparkSession, table: String, pinned: StructType,
-    startAfter: Long, maxVersionsPerTrigger: Option[Long] = None)
+    startAfter: Long, maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: Option[String] = None)
     extends Source {
 
   import org.apache.spark.sql.functions.col
@@ -164,15 +166,47 @@ private[sources] class GraftSnapshotStreamSource(
     case other => other.json.trim.toLong // SerializedOffset after restart
   }
 
-  /** ADMISSION CONTROL high-water mark: the highest version already
-    * handed to a batch (recovered batches included — getBatch raises
-    * it, so a restart never re-caps below what the checkpoint holds).
-    * `maxVersionsPerTrigger` then bounds each micro-batch to that many
-    * versions past it — a consumer restarted after a long outage
-    * drains a 10,000-version backlog in paced batches instead of one
-    * giant catch-up read.
+  private val mfs = metadataPath.map(mp =>
+    new org.apache.hadoop.fs.Path(mp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration))
+  private val hwmFile = metadataPath.map(mp =>
+    new org.apache.hadoop.fs.Path(mp, "graft-served-hwm"))
+
+  /** The persisted high-water mark (see [[served]]), recovered at
+    * restart. Without persistence, a CLEAN restart (last batch
+    * committed) with `maxVersionsPerTrigger` set would re-cap the next
+    * offset BELOW the checkpoint's committed offset — Spark's V1
+    * recovery only re-runs getBatch for a PENDING batch, so `served`
+    * would restart at `startAfter` and already-delivered version
+    * ranges would be re-served: duplicate redelivery. The mark is
+    * advisory pacing state (the checkpoint's offset log stays the
+    * source of truth for delivery), so a torn read just falls back to
+    * `startAfter` — the worst case is the pre-persistence behavior,
+    * never data loss.
     */
-  @volatile private var served: Long = startAfter
+  private def readHwm(): Long = (for {
+    f <- mfs; p <- hwmFile if f.exists(p)
+  } yield {
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    scala.util.Try(txt.trim.toLong).getOrElse(startAfter)
+  }).getOrElse(startAfter)
+
+  private def writeHwm(v: Long): Unit = for { f <- mfs; p <- hwmFile } {
+    val out = f.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** ADMISSION CONTROL high-water mark: the highest version already
+    * handed to a batch, persisted under the source's metadataPath (the
+    * standard V1 pattern) so a restart — clean OR mid-batch — never
+    * re-caps below what the checkpoint holds. `maxVersionsPerTrigger`
+    * then bounds each micro-batch to that many versions past it — a
+    * consumer restarted after a long outage drains a 10,000-version
+    * backlog in paced batches instead of one giant catch-up read.
+    */
+  @volatile private var served: Long = math.max(startAfter, readHwm())
 
   override def getOffset: Option[SourceOffset] = {
     val cur = SnapshotTable.currentVersion(spark, table)
@@ -189,7 +223,17 @@ private[sources] class GraftSnapshotStreamSource(
                         end: SourceOffset): DataFrame = {
     val to = versionOf(end)
     val from = start.map(versionOf).getOrElse(startAfter)
-    served = math.max(served, to)
+    if (to > served) { served = to; writeHwm(to) }
+    // retention pin at this batch's REPLAY FLOOR: `start` is durable by
+    // the time Spark constructs (start, end] (batch N+1 only runs after
+    // batch N's commit log entry), and a retry of THIS batch re-reads
+    // from it; the bootstrap batch (from = 0) reads the whole snapshot
+    // at `to`, so `to` is its floor. Source.commit() raises the pin one
+    // batch later — this is the one that must exist BEFORE a vacuum can
+    // run between the first batch and the first commit callback.
+    val floor = if (from >= 1L) from else to
+    if (floor >= 1L) metadataPath.foreach(mp =>
+      SnapshotTable.pinVersion(spark, table, mp, floor))
     val batch =
       if (from >= to) SnapshotTable.read(spark, table, to).limit(0)
       else if (from == 0L) SnapshotTable.read(spark, table, to) // bootstrap
@@ -198,6 +242,21 @@ private[sources] class GraftSnapshotStreamSource(
     // streaming-flagged as MicroBatchExecution requires of V1 sources
     org.apache.spark.sql.GraftStreamShim.asStreaming(
       batch.select(pinned.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
+  }
+
+  /** RETENTION coordination: every committed offset refreshes this
+    * consumer's pin on the table ([[SnapshotTable.pinVersion]], keyed
+    * by the checkpoint's metadataPath), so a vacuum — however
+    * aggressive its `retain` — keeps every manifest the replay window
+    * (committed, current] needs. A consumer that dies stops
+    * refreshing and its pin ages out under vacuum's `pinMaxAgeMs`;
+    * the failure mode then degrades to today's loud replay error,
+    * never a silent skip.
+    */
+  override def commit(end: SourceOffset): Unit = {
+    val v = versionOf(end)
+    if (v >= 1L) metadataPath.foreach(mp =>
+      SnapshotTable.pinVersion(spark, table, mp, v))
   }
 
   override def stop(): Unit = ()

@@ -139,6 +139,74 @@ class GraftSnapshotSourceSpec extends SparkSpec {
     assert(batches.flatten.toSet.size == 30, "the union is the whole backlog, no loss")
   }
 
+  test("pacing survives a CLEAN restart: no duplicate redelivery with maxVersionsPerTrigger") {
+    import spark.implicits._
+    val t = mkTable()
+    val ckpt = Files.createTempDirectory("snapstream-ckpt-hwm").toString
+    (1 to 4).foreach { b =>
+      SnapshotTable.append(spark, t,
+        Seq((b * 10L, s"b$b")).toDF("k", "tag"))
+    }
+    val got = new scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = spark.readStream.format("graft-snapshot")
+      .option("maxVersionsPerTrigger", 1).load(t)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.as[(Long, String)].collect().map(_._1) }; ()
+      }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // CLEAN stop: the last batch committed
+    assert(got.sorted == Seq(10L, 20L, 30L, 40L), s"backlog drained paced: $got")
+    // the served high-water mark must survive the restart: without
+    // persistence, getOffset would re-cap at startAfter + 1 — BELOW
+    // the checkpointed offset — and re-serve delivered version ranges
+    SnapshotTable.append(spark, t, Seq((50L, "b5")).toDF("k", "tag"))
+    SnapshotTable.append(spark, t, Seq((60L, "b6")).toDF("k", "tag"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.sorted == Seq(10L, 20L, 30L, 40L, 50L, 60L),
+      s"exactly the two new versions, ZERO duplicates: ${got.sorted}")
+  }
+
+  test("a lagging consumer's committed offsets pin retention: aggressive vacuum cannot break replay") {
+    import spark.implicits._
+    val t = mkTable()
+    val ckpt = Files.createTempDirectory("snapstream-ckpt-pin").toString
+    (1 to 3).foreach { b =>
+      SnapshotTable.append(spark, t, Seq((b.toLong, s"b$b")).toDF("k", "tag"))
+    }
+    val got = new scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = spark.readStream.format("graft-snapshot").load(t)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.as[(Long, String)].collect().map(_._1) }; ()
+      }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // consumer committed through v3, then goes DOWN
+    assert(SnapshotTable.pinnedVersions(spark, t).values.toSeq == Seq(3L),
+      "the commit callback pinned the committed-through version")
+    // while it lags, the table moves on and someone vacuums aggressively
+    (4 to 6).foreach { b =>
+      SnapshotTable.append(spark, t, Seq((b.toLong, s"b$b")).toDF("k", "tag"))
+    }
+    SnapshotTable.vacuum(spark, t, retain = 1)
+    assert(SnapshotTable.history(spark, t).map(_.version).min == 3L,
+      "the pin held v3+ against retain=1")
+    // the lagging consumer restarts and replays exactly (3, 6]
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.sorted == (1L to 6L),
+      s"replay across the vacuum delivered exactly the missed versions: ${got.sorted}")
+  }
+
   test("a snapshot with live equality deletes is refused loudly; purged tables read again") {
     import spark.implicits._
     val t = mkTable()
