@@ -33,12 +33,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the connector adds table resolution, not a read path.
   *
   * Tables carrying live EQUALITY DELETES ([[SnapshotTable.deleteWhere]])
-  * are refused loudly: merge-on-read needs the anti-join that
-  * [[SnapshotTable.read]] plans, which a bare file scan cannot express.
-  * Run a compaction (which purges deletes physically) or read through
-  * the Scala API. A delete-free table — the steady state between
-  * deletes and their next scheduled compaction — reads identically
-  * through both doors (spec-pinned parity).
+  * read through a MERGE-ON-READ scan ([[GraftMorTable]]): the same
+  * stock parquet machinery with the delete keys applied inside the
+  * partition readers — the deleteWhere-then-compact steady state reads
+  * identically through the SQL and Scala doors (spec-pinned parity),
+  * with filter pushdown intact. Both resolutions happen exactly ONCE
+  * per load (`inferSchema` pins, `getTable` reuses), so a concurrent
+  * commit can never pair one version's schema with another's files.
   */
 class GraftSnapshotSource extends TableProvider with DataSourceRegister
     with StreamSourceProvider {
@@ -109,38 +110,103 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
     p.get
   }
 
-  private def resolve(options: CaseInsensitiveStringMap)
-      : (String, Long, Seq[String], Option[StructType]) = {
+  /** One read's fully-resolved snapshot state, computed ONCE per load:
+    * Spark calls `inferSchema` then `getTable` back-to-back on the same
+    * provider instance, and resolving `currentVersion` independently in
+    * each opened a race — a commit landing between the calls could pair
+    * version-N's schema with version-N+1's file list (and a deleteWhere
+    * landing there escaped the delete handling entirely). `inferSchema`
+    * resolves and PINS; `getTable` reuses the pinned state, so a read
+    * is one consistent (version, files, schema, deletes) regardless of
+    * concurrent writers.
+    */
+  private case class Resolved(root: String, version: Long,
+                              files: Seq[String], schema: StructType,
+                              deletes: Seq[SnapshotTable.DeleteFileInfo])
+  @volatile private var pinned: Option[Resolved] = None
+
+  private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val spark = SparkSession.active
     val root = tableRoot(options)
-    val version = Option(options.get("versionAsOf")).map(_.toLong).getOrElse(0L)
-    val cur = SnapshotTable.currentVersion(spark, root)
-    require(cur > 0L, s"$root has no committed snapshot")
-    val v = if (version > 0L) version else cur
-    val deletes = SnapshotTable.deleteFiles(spark, root, v)
-    if (deletes.nonEmpty) throw new UnsupportedOperationException(
-      s"$root v$v carries ${deletes.size} live equality-delete file(s): " +
-        "merge-on-read needs SnapshotTable.read's anti-join, which a bare " +
-        "file scan cannot express — compact the table (purges deletes " +
-        "physically) or read through graft.sources.SnapshotTable.read")
-    val files = SnapshotTable.snapshotFiles(spark, root, v)
-      .map(rel => s"$root/$rel")
-    (root, v, files, SnapshotTable.snapshotSchema(spark, root, v))
+    val versionOpt = Option(options.get("versionAsOf")).map(_.toLong)
+    pinned match {
+      case Some(r) if r.root == root && versionOpt.forall(_ == r.version) =>
+        r // same load: reuse the single resolution
+      case _ =>
+        val cur = SnapshotTable.currentVersion(spark, root)
+        require(cur > 0L, s"$root has no committed snapshot")
+        val v = versionOpt.filter(_ > 0L).getOrElse(cur)
+        val files = SnapshotTable.snapshotFiles(spark, root, v)
+          .map(rel => s"$root/$rel")
+        // pre-#schema-header manifests (none written since r11) fall
+        // back to footer inference over the committed file list
+        val schema = SnapshotTable.snapshotSchema(spark, root, v)
+          .getOrElse(spark.read.parquet(files: _*).schema)
+        val r = Resolved(root, v, files, schema,
+          SnapshotTable.deleteFileInfos(spark, root, v))
+        pinned = Some(r)
+        r
+    }
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (_, _, files, schema) = resolve(options)
-    // pre-#schema-header manifests (none written since r11) fall back
-    // to footer inference over the committed file list
-    schema.getOrElse(SparkSession.active.read.parquet(files: _*).schema)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options).schema
+
+  /** Resolve a delete file's key rows to an executor-shippable
+    * [[GraftDeleteSpec]]: the key columns CAST to the table's column
+    * types (the anti-join the Scala reader plans would insert the same
+    * casts), collected as internal rows. Driver-side and bounded: the
+    * manifest-certified backlog was size-checked before this runs.
+    */
+  private def deleteSpecs(spark: SparkSession, r: Resolved): Seq[GraftDeleteSpec] = {
+    import org.apache.spark.sql.functions.col
+    r.deletes.map { d =>
+      val casts = d.cols.map { c =>
+        val t = r.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalStateException(
+            s"delete key column '$c' missing from ${r.root} v${r.version} schema"))
+        col(c).cast(t.dataType)
+      }
+      val df = spark.read.parquet(s"${r.root}/${d.path}").select(casts: _*)
+      val dts = df.schema.fields.map(_.dataType)
+      // copy() per row: the internal-row iterator REUSES its buffer, so
+      // a bare collect() would yield N references to the last key
+      val keys = df.queryExecution.toRdd.map(_.copy()).collect().map { row =>
+        dts.indices.map(i => row.get(i, dts(i))): Seq[Any]
+      }.toSet
+      GraftDeleteSpec(d.cols, d.appliesBelow, keys)
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    val (root, v, files, _) = resolve(options)
-    ParquetTable(s"graft-snapshot $root@v$v", SparkSession.active, options,
-      files, Some(schema), classOf[ParquetFileFormat])
+    val spark = SparkSession.active
+    val r = resolve(options)
+    val name = s"graft-snapshot ${r.root}@v${r.version}"
+    if (r.deletes.isEmpty)
+      // the delete-free fast path: the stock vectorized parquet table
+      // over the committed file list, untouched
+      ParquetTable(name, spark, options, r.files, Some(schema),
+        classOf[ParquetFileFormat])
+    else {
+      // merge-on-read through SQL: key sets ship with the reader
+      // factory, so the certified backlog must fit the same bound the
+      // Scala reader's broadcast uses — past it, the remedies are the
+      // Scala door (which degrades to a shuffled anti-join) or a
+      // compaction (which purges the backlog physically)
+      val backlog = r.deletes.map(_.rows).sum
+      if (backlog > SnapshotTable.deleteBroadcastMaxRows)
+        throw new UnsupportedOperationException(
+          s"${r.root} v${r.version}: $backlog outstanding delete-key rows " +
+            s"exceed deleteBroadcastMaxRows=" +
+            s"${SnapshotTable.deleteBroadcastMaxRows} — compact the table " +
+            "(SnapshotTable.compactScoped/compactSnapshot purges deletes " +
+            "physically) or read via SnapshotTable.read, whose anti-join " +
+            "shuffles instead")
+      new GraftMorTable(name, spark, options, r.files, schema,
+        deleteSpecs(spark, r))
+    }
   }
 
   override def supportsExternalMetadata(): Boolean = false

@@ -576,6 +576,28 @@ object SnapshotTable {
       .collect { case dl: DeleteLine => dl.path -> dl.cols }
   }
 
+  /** A delete file's resolved description for the DSv2 merge-on-read
+    * scan: key file path, key columns, certified key-row count, and
+    * the sequence number it applies below.
+    */
+  private[sources] case class DeleteFileInfo(path: String, cols: Seq[String],
+                                             rows: Long, appliesBelow: Long)
+
+  private[sources] def deleteFileInfos(spark: SparkSession, table: String,
+                                       version: Long): Seq[DeleteFileInfo] = {
+    val v = resolve(spark, table, version)
+    topLines(fs(spark, table), table, v).collect { case dl: DeleteLine =>
+      DeleteFileInfo(dl.path, dl.cols, deleteRows(spark, table, dl),
+        dl.appliesBelow)
+    }
+  }
+
+  /** The sequence number of a manifest-relative file path (its
+    * `data-N/` prefix) — see [[dataVersionOf]].
+    */
+  private[sources] def dataVersionOfFile(rel: String): Long =
+    dataVersionOf(rel)
+
   /** Above this many OUTSTANDING delete-key rows (summed over a
     * snapshot's delete files per key-column set), [[applyDeletes]]
     * drops its broadcast hint and lets the anti-join shuffle: a

@@ -207,21 +207,94 @@ class GraftSnapshotSourceSpec extends SparkSpec {
       s"replay across the vacuum delivered exactly the missed versions: ${got.sorted}")
   }
 
-  test("a snapshot with live equality deletes is refused loudly; purged tables read again") {
+  test("merge-on-read through SQL: live equality deletes resolve inside the scan, parity with the Scala door") {
     import spark.implicits._
     val t = mkTable()
     SnapshotTable.commit(spark, t,
-      (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"))
-    SnapshotTable.deleteWhere(spark, t, Seq(3L).toDF("k"))
-    val e = intercept[UnsupportedOperationException] { viaFormat(t).count() }
-    assert(e.getMessage.contains("equality-delete"), e.getMessage)
-    // the PRE-delete version still reads (no deletes apply to it)
-    assert(viaFormat(t, version = 1L).count() == 10)
-    // compaction purges physically — the format door reopens, parity holds
+      (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v"))       // v1
+    SnapshotTable.deleteWhere(spark, t, Seq(3L, 7L).toDF("k"))   // v2: applies to v1 files
+    SnapshotTable.append(spark, t,
+      Seq((3L, "reborn"), (50L, "new")).toDF("k", "v"))          // v3: out of v2's reach
+    SnapshotTable.deleteWhere(spark, t, Seq(50L, 11L).toDF("k")) // v4: applies to v1 AND v3
+    def scalaRows(v: Long = 0L) =
+      SnapshotTable.read(spark, t, v).as[(Long, String)].collect().toSet
+    // row-identical parity, including the SEQUENCE-NUMBER rule: k=3
+    // reborn at v3 survives v2's delete; k=50 dies to v4
+    assert(viaFormat(t).as[(Long, String)].collect().toSet == scalaRows(),
+      "MoR parity with SnapshotTable.read")
+    assert(viaFormat(t).filter(col("k") === 3L).as[(Long, String)]
+      .collect().toSet == Set((3L, "reborn")),
+      "re-inserted rows are out of older deletes' reach via SQL too")
+    assert(viaFormat(t).count() == 18) // 20 - 3 dead + 1 reborn... = 18
+    // COLUMN PRUNING past the delete key: selecting only `v` still
+    // filters on k internally, then serves the requested shape
+    assert(viaFormat(t).select("v").as[String].collect().sorted.toSeq
+      == SnapshotTable.read(spark, t).select("v").as[String]
+        .collect().sorted.toSeq, "prune-below-key-column parity")
+    // FILTER PUSHDOWN still reaches the parquet scan under MoR
+    val plan = viaFormat(t).filter(col("k") > 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(k,10)") &&
+      plan.split("PushedFilters: \\[").last.takeWhile(_ != ']')
+        .contains("GreaterThan(k,10)"),
+      s"pushdown must survive the MoR connector: $plan")
+    // time travel under deletes: v1 pre-dates every delete; v3 sees
+    // only v2's
+    assert(viaFormat(t, version = 1L).count() == 20)
+    assert(viaFormat(t, version = 3L).as[(Long, String)].collect().toSet
+      == scalaRows(3L))
+    // compaction purges physically — back on the pure columnar path,
+    // parity holds
     SnapshotTable.compactSnapshot(spark, t)
-    assert(viaFormat(t).as[(Long, String)].collect().toSet
-      == SnapshotTable.read(spark, t).as[(Long, String)].collect().toSet)
-    assert(viaFormat(t).count() == 9 &&
-      viaFormat(t).filter(col("k") === 3L).count() == 0)
+    assert(viaFormat(t).as[(Long, String)].collect().toSet == scalaRows())
+    assert(viaFormat(t).count() == 18 &&
+      viaFormat(t).filter(col("k") === 11L).count() == 0)
+  }
+
+  test("one resolution per load: a commit between inferSchema and getTable cannot mix versions") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      (0L until 5L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // drive the provider's two-phase handshake by hand, with a rival
+    // commit (and a deleteWhere) landing in between — the exact race
+    // the pinned resolution closes
+    val provider = new graft.sources.GraftSnapshotSource
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", t))
+    val schema = provider.inferSchema(opts)
+    SnapshotTable.append(spark, t,
+      Seq((100L, "late", 1L)).toDF("k", "v", "extra")) // schema evolves
+    SnapshotTable.deleteWhere(spark, t, Seq(0L).toDF("k"))
+    val table = provider.getTable(schema, Array.empty,
+      new java.util.HashMap(java.util.Map.of("path", t)))
+    // the table must be ENTIRELY the pre-commit version: old schema,
+    // old file list, no delete applied (the delete post-dates the pin)
+    assert(table.schema().fieldNames.toSeq == Seq("k", "v"))
+    val scan = table.asInstanceOf[
+      org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(opts).build()
+    assert(scan.readSchema().fieldNames.toSeq == Seq("k", "v"))
+    // a FRESH load on a fresh provider sees the evolved, deleted table
+    val fresh = viaFormat(t)
+    assert(fresh.columns.toSeq == Seq("k", "v", "extra") &&
+      fresh.count() == 5 && fresh.filter(col("k") === 0L).count() == 0)
+  }
+
+  test("the delete backlog past the broadcast cap is refused with the remedies named") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"))
+    SnapshotTable.deleteWhere(spark, t, (0L until 30L).toDF("k"))
+    val prev = SnapshotTable.deleteBroadcastMaxRows
+    try {
+      SnapshotTable.deleteBroadcastMaxRows = 10L
+      val e = intercept[UnsupportedOperationException] { viaFormat(t).count() }
+      assert(e.getMessage.contains("compact") &&
+        e.getMessage.contains("SnapshotTable.read"), e.getMessage)
+    } finally SnapshotTable.deleteBroadcastMaxRows = prev
+    // within the cap the same table reads fine
+    assert(viaFormat(t).count() == 70)
   }
 }
