@@ -27,6 +27,33 @@ private[sources] case class GraftDeleteSpec(cols: Seq[String],
                                             appliesBelow: Long,
                                             keys: Set[Seq[Any]])
 
+/** A READ-ONLY veneer over the stock [[ParquetTable]]: scans delegate
+  * verbatim (vectorized readers, pushdown, pruning — everything), but
+  * the write capabilities are deliberately NOT exposed. A raw
+  * [[ParquetTable]] is `SupportsWrite`, and `df.write.format(...)`
+  * against it would write parquet files straight into the data tree —
+  * bypassing the claim + manifest commit protocol and corrupting the
+  * table. Without `BATCH_WRITE`, Spark routes writes to the provider's
+  * V1 seam ([[GraftSnapshotSource.createRelation]]), which IS the
+  * commit protocol. `delegate = None` marks a not-yet-existing table
+  * (the write flow resolves it before creating): reads fail loudly.
+  */
+private[sources] class GraftReadTable(tableName: String, root: String,
+    tableSchema: StructType, delegate: Option[Table])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    delegate match {
+      case Some(t) => t.asInstanceOf[SupportsRead].newScanBuilder(o)
+      case None => throw new IllegalArgumentException(
+        s"$root has no committed snapshot")
+    }
+}
+
 /** The connector's MERGE-ON-READ table: the stock vectorized
   * [[ParquetTable]] machinery over the committed file list, with the
   * snapshot's equality deletes applied INSIDE the scan — the SQL door

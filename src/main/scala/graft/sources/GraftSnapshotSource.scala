@@ -9,9 +9,11 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.execution.streaming.{Offset => SourceOffset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.SaveMode
 
 /** DataSourceV2 READ connector for [[SnapshotTable]] — the SQL-first
   * door into the snapshot format:
@@ -42,9 +44,73 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * commit can never pair one version's schema with another's files.
   */
 class GraftSnapshotSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with CreatableRelationProvider {
 
   override def shortName(): String = "graft-snapshot"
+
+  // ---------------------------------------------------------------- //
+  // Writes: `df.write.format("graft-snapshot")` — the SQL-first door  //
+  // OUT, riding the same claim + ledger machinery as the Scala API    //
+  // ---------------------------------------------------------------- //
+
+  /** Batch write path (Spark routes a TableProvider without
+    * BATCH_WRITE capability to this V1 seam — deliberately: the V1
+    * surface hands over the WHOLE DataFrame, so the write IS
+    * [[SnapshotTable.append]]/[[SnapshotTable.commit]] with every
+    * protocol guarantee intact — claim-serialized concurrent writers,
+    * loud schema evolution, the exactly-once sink ledger — rather than
+    * a re-implementation of them behind per-task writer commits).
+    *
+    *  - mode("append")    → [[SnapshotTable.append]] (fast append;
+    *    creates the table at v1 when absent)
+    *  - mode("overwrite") → [[SnapshotTable.commit]] (whole-snapshot
+    *    replace; ledger headers carry forward)
+    *  - mode("errorifexists") (default) → append only if no snapshot
+    *    exists yet, else error
+    *  - mode("ignore")    → no-op if a snapshot exists
+    *
+    * Options: `statsCols` (comma-separated) records per-file envelopes
+    * for manifest pruning; `sinkId` + `batchId` thread the exactly-once
+    * ledger through `foreachBatch`:
+    * {{{
+    * .foreachBatch { (df, id) => df.write.format("graft-snapshot")
+    *   .option("sinkId", ckpt).option("batchId", id)
+    *   .mode("append").save(root) }
+    * }}}
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    def opt(k: String): Option[String] =
+      parameters.get(k).orElse(parameters.get(k.toLowerCase))
+    val root = opt("path").getOrElse(throw new IllegalArgumentException(
+      "graft-snapshot write needs .save(<table root>) or option(\"path\", ...)"))
+    val statsCols = opt("statsCols").map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val ledger = for { s <- opt("sinkId"); b <- opt("batchId") }
+      yield (s, b.toLong)
+    val exists = SnapshotTable.currentVersion(spark, root) > 0L
+    mode match {
+      case SaveMode.Append =>
+        SnapshotTable.append(spark, root, data, statsCols, ledger)
+      case SaveMode.Overwrite =>
+        SnapshotTable.commit(spark, root, data, statsCols, ledger = ledger)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"$root already holds a committed snapshot " +
+            s"(v${SnapshotTable.currentVersion(spark, root)}): use " +
+            "mode(\"append\") or mode(\"overwrite\")")
+        SnapshotTable.append(spark, root, data, statsCols, ledger)
+      case SaveMode.Ignore =>
+        if (!exists) SnapshotTable.append(spark, root, data, statsCols, ledger)
+    }
+    new BaseRelation {
+      override def sqlContext: SQLContext = sqlContext0
+      override def schema: StructType = data.schema
+      private def sqlContext0 = spark.sqlContext
+    }
+  }
 
   // ---------------------------------------------------------------- //
   // Streaming: the table AS A STREAM (`spark.readStream.format(...)`) //
@@ -134,16 +200,26 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
         r // same load: reuse the single resolution
       case _ =>
         val cur = SnapshotTable.currentVersion(spark, root)
-        require(cur > 0L, s"$root has no committed snapshot")
-        val v = versionOpt.filter(_ > 0L).getOrElse(cur)
-        val files = SnapshotTable.snapshotFiles(spark, root, v)
-          .map(rel => s"$root/$rel")
-        // pre-#schema-header manifests (none written since r11) fall
-        // back to footer inference over the committed file list
-        val schema = SnapshotTable.snapshotSchema(spark, root, v)
-          .getOrElse(spark.read.parquet(files: _*).schema)
-        val r = Resolved(root, v, files, schema,
-          SnapshotTable.deleteFileInfos(spark, root, v))
+        val r =
+          if (cur == 0L) {
+            // no committed snapshot: legal for the WRITE flow (Spark
+            // resolves the provider's table before routing the write;
+            // mode("append") then CREATES the table) — a READ of this
+            // resolution fails loudly at scan construction instead
+            require(versionOpt.forall(_ <= 0L),
+              s"$root has no committed snapshot to time-travel into")
+            Resolved(root, 0L, Nil, StructType(Nil), Nil)
+          } else {
+            val v = versionOpt.filter(_ > 0L).getOrElse(cur)
+            val files = SnapshotTable.snapshotFiles(spark, root, v)
+              .map(rel => s"$root/$rel")
+            // pre-#schema-header manifests (none written since r11) fall
+            // back to footer inference over the committed file list
+            val schema = SnapshotTable.snapshotSchema(spark, root, v)
+              .getOrElse(spark.read.parquet(files: _*).schema)
+            Resolved(root, v, files, schema,
+              SnapshotTable.deleteFileInfos(spark, root, v))
+          }
         pinned = Some(r)
         r
     }
@@ -184,11 +260,21 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
     val spark = SparkSession.active
     val r = resolve(options)
     val name = s"graft-snapshot ${r.root}@v${r.version}"
-    if (r.deletes.isEmpty)
-      // the delete-free fast path: the stock vectorized parquet table
-      // over the committed file list, untouched
-      ParquetTable(name, spark, options, r.files, Some(schema),
-        classOf[ParquetFileFormat])
+    if (r.version == 0L)
+      // write-flow resolution of a not-yet-existing table: reads fail
+      // loudly at scan construction; writes never reach this table
+      // (no BATCH_WRITE capability routes them to [[createRelation]])
+      new GraftReadTable(name, r.root, StructType(Nil), None)
+    else if (r.deletes.isEmpty)
+      // the delete-free fast path: the stock vectorized parquet SCAN
+      // over the committed file list — but wrapped READ-ONLY: the raw
+      // ParquetTable is SupportsWrite, and exposing that would let
+      // `df.write` bypass the manifest commit protocol entirely (and
+      // corrupt the table); without BATCH_WRITE, Spark routes writes
+      // to the V1 seam ([[createRelation]]) = the real commit path
+      new GraftReadTable(name, r.root, schema,
+        Some(ParquetTable(name, spark, options, r.files, Some(schema),
+          classOf[ParquetFileFormat])))
     else {
       // merge-on-read through SQL: key sets ship with the reader
       // factory, so the certified backlog must fit the same bound the
