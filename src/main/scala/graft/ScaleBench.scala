@@ -481,6 +481,27 @@ object ScaleBench {
       graft.sources.SnapshotTable.read(spark, table).count()
     }
 
+    /** Build (once) a snapshot table carrying a LARGE outstanding
+      * equality-delete backlog — 10% of keys across ten deleteWhere
+      * commits, the deferred-compaction state the broadcast guard
+      * exists for. Read-only from the priced rows, so one seed serves
+      * warm and timed passes.
+      */
+    def ensureDeleteBacklog(): String = {
+      val table = s"$out/delete_backlog"
+      if (sources.SnapshotTable.currentVersion(spark, table) == 0L) {
+        sources.SnapshotTable.commit(spark, table,
+          spark.range(mergeRows).select(
+            col("id").as("k"), mergePayload("base").as("v")))
+        (0 until 10).foreach { i =>
+          sources.SnapshotTable.deleteWhere(spark, table,
+            spark.range(mergeRows / 100L)
+              .select((col("id") * 100L + i).as("k")))
+        }
+      }
+      table
+    }
+
     // warm/timed twin selector for the range-delete row
     var drInvocation = 0
 
@@ -854,6 +875,22 @@ object ScaleBench {
         val n = sources.SnapshotTable.read(spark, table).count()
         sources.SnapshotTable.vacuum(spark, table, retain = 1)
         n
+      },
+      // MERGE-ON-READ under a HEAVY backlog, both anti-join modes
+      // (r12 verdict what's-wrong #2): 10% of keys outstanding across
+      // 10 delete files. The broadcast mode ships the key union to
+      // every task; past deleteBroadcastMaxRows the guard drops the
+      // hint and the anti-join shuffles — slower here, but bounded in
+      // executor memory however far compaction is deferred. The pair
+      // prices the crossover the guard's default encodes.
+      t("snapshot_mor_read_bcast_1m") {
+        sources.SnapshotTable.read(spark, ensureDeleteBacklog()).count()
+      },
+      t("snapshot_mor_read_shuffle_1m") {
+        val prev = sources.SnapshotTable.deleteBroadcastMaxRows
+        sources.SnapshotTable.deleteBroadcastMaxRows = 1L
+        try sources.SnapshotTable.read(spark, ensureDeleteBacklog()).count()
+        finally sources.SnapshotTable.deleteBroadcastMaxRows = prev
       },
       t("prune_static_3day_1m") {
         sources.Layout.readPartitioned(spark, ensureEventsByDate())
