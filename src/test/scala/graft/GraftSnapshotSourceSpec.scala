@@ -254,6 +254,25 @@ class GraftSnapshotSourceSpec extends SparkSpec {
       viaFormat(t).filter(col("k") === 11L).count() == 0)
   }
 
+  test("equality AND range deletes together: the SQL door reads the full MoR steady state") {
+    import spark.implicits._
+    val t = mkTable()
+    // day-clustered commit so deleteRange can drop whole files
+    SnapshotTable.commit(spark, t,
+      (0L until 400L).map(i => (i, i / 100L, s"v$i")).toDF("k", "day", "v")
+        .repartitionByRange(4, col("day")).sortWithinPartitions("day"),
+      statsCols = Seq("day"))
+    SnapshotTable.deleteWhere(spark, t, Seq(5L, 150L, 399L).toDF("k"))
+    SnapshotTable.deleteRange(spark, t, "day", 0L, 0L) // day 0 dies whole
+    def viaScala = SnapshotTable.read(spark, t)
+      .as[(Long, Long, String)].collect().toSet
+    val got = viaFormat(t).as[(Long, Long, String)].collect().toSet
+    assert(got == viaScala, "parity under mixed delete shapes")
+    assert(got.size == 298, // 400 - 100 (day 0, incl. k=5) - 2 equality
+      s"day 0 gone whole, scattered keys 150/399 gone: ${got.size}")
+    assert(!got.exists(_._2 == 0L) && !got.exists(r => r._1 == 150L || r._1 == 399L))
+  }
+
   test("one resolution per load: a commit between inferSchema and getTable cannot mix versions") {
     import spark.implicits._
     val t = mkTable()
