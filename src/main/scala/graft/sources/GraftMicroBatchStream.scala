@@ -1,0 +1,264 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast,
+  Expression, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  Offset => V2Offset}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Stream offsets ARE snapshot versions (delivered-through, inclusive).
+  * The JSON form is the bare number — byte-compatible with the V1
+  * source's LongOffset checkpoints, so existing checkpoints resume.
+  */
+private[sources] case class GraftVersionOffset(version: Long) extends V2Offset {
+  override def json(): String = version.toString
+}
+
+/** Scan-builder veneer for [[GraftReadTable]]: batch work delegates
+  * verbatim to the parquet builder (pushdown, pruning — the veneer
+  * implements the same interfaces), and `build()` wraps the scan so it
+  * ALSO answers `toMicroBatchStream` — one table serves
+  * `spark.read` (stock vectorized batch) and `spark.readStream` (the
+  * DSv2 micro-batch stream below) without a V1 `Source` in sight.
+  */
+private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
+    root: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters {
+
+  override def pruneColumns(required: StructType): Unit =
+    delegate.pruneColumns(required)
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    delegate.pushFilters(filters)
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+
+  override def build(): Scan =
+    new GraftStreamableScan(delegate.build(), root, tableSchema, options)
+}
+
+/** Batch reads delegate whole (same Batch object — vectorized readers,
+  * pushdown untouched); `toMicroBatchStream` starts the version-offset
+  * stream. `readSchema` is the delegate's for batch correctness; the
+  * STREAM always serves the table schema pinned at load.
+  */
+private[sources] class GraftStreamableScan(delegate: Scan, root: String,
+    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String = delegate.description()
+  override def toBatch: Batch = delegate.toBatch
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(SparkSession.active, root, tableSchema,
+      options, checkpointLocation)
+}
+
+/** The snapshot table as a DataSourceV2 MICRO-BATCH STREAM — the
+  * version-offset contract of the retired V1 source, on the modern
+  * interface (no `execution.streaming` internals, no isStreaming
+  * shim):
+  *
+  *  - offsets are versions; a micro-batch (start, end] is the manifest
+  *    DIFF read delete-aware (the files added in that range, minus
+  *    version-`end`'s equality deletes), so a batch costs its changes;
+  *  - `startingVersion` absent → bootstrap (first batch = the full
+  *    snapshot), `"latest"` → only post-start changes, `<v>` → changes
+  *    after v;
+  *  - `maxVersionsPerTrigger` paces catch-up, with the served
+  *    high-water mark persisted under the checkpoint so a CLEAN
+  *    restart never re-caps below the committed offset;
+  *  - every planned batch lays a retention pin at its replay floor and
+  *    `commit` raises it — vacuum coordination identical to the batch
+  *    consumers';
+  *  - the stream serves the schema PINNED at start: each batch's files
+  *    are read under THEIR committed schema (so widened columns
+  *    decode correctly) and cast/projected to the pinned shape with a
+  *    codegen'd projection.
+  */
+private[sources] class GraftMicroBatchStream(spark: SparkSession,
+    root: String, pinned: StructType, options: CaseInsensitiveStringMap,
+    checkpointLocation: String) extends MicroBatchStream {
+
+  private val startAfter: Long =
+    Option(options.get("startingVersion")).map(_.trim) match {
+      case Some("latest") => SnapshotTable.currentVersion(spark, root)
+      case Some(v) => v.toLong
+      case None => 0L // version 0 = nothing delivered yet → full snapshot
+    }
+  private val maxPerTrigger: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+  maxPerTrigger.foreach(m => require(m >= 1, "maxVersionsPerTrigger >= 1"))
+
+  private val mfs = new org.apache.hadoop.fs.Path(checkpointLocation)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val hwmFile =
+    new org.apache.hadoop.fs.Path(checkpointLocation, "graft-served-hwm")
+
+  /** See the V1 predecessor's rationale, unchanged: pacing state must
+    * survive a clean restart or `maxVersionsPerTrigger` re-caps below
+    * the checkpointed offset and re-serves delivered ranges. Torn read
+    * → the startAfter floor (pre-persistence behavior, never loss).
+    */
+  private def readHwm(): Long =
+    if (!mfs.exists(hwmFile)) startAfter
+    else {
+      val in = mfs.open(hwmFile)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      scala.util.Try(txt.trim.toLong).getOrElse(startAfter)
+    }
+
+  private def writeHwm(v: Long): Unit = {
+    val out = mfs.create(hwmFile, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  @volatile private var served: Long = math.max(startAfter, readHwm())
+
+  override def initialOffset(): V2Offset = GraftVersionOffset(startAfter)
+
+  override def deserializeOffset(json: String): V2Offset =
+    GraftVersionOffset(json.trim.toLong)
+
+  override def latestOffset(): V2Offset = {
+    val cur = SnapshotTable.currentVersion(spark, root)
+    val capped = maxPerTrigger match {
+      case Some(m) => math.min(cur, math.max(served, startAfter) + m)
+      case None => cur
+    }
+    GraftVersionOffset(math.max(capped, startAfter))
+  }
+
+  /** Per-batch plan state: planInputPartitions and createReaderFactory
+    * are driver-side and sequential within one micro-batch's planning,
+    * and the factory depends on the batch's resolved schema + delete
+    * set — stashed here between the two calls.
+    */
+  @volatile private var batchFactory: PartitionReaderFactory = _
+
+  override def planInputPartitions(start: V2Offset, end: V2Offset)
+      : Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftVersionOffset].version
+    val to = end.asInstanceOf[GraftVersionOffset].version
+    if (to > served) { served = to; writeHwm(to) }
+    // retention pin at the replay floor (durable `start`; bootstrap
+    // pins its end) — identical contract to the batch consumers'
+    val floor = if (from >= 1L) from else to
+    if (floor >= 1L)
+      SnapshotTable.pinVersion(spark, root, checkpointLocation, floor)
+    if (from >= to) { batchFactory = EmptyReaderFactory; return Array.empty }
+    val files =
+      if (from == 0L) SnapshotTable.snapshotFiles(spark, root, to) // bootstrap
+      else {
+        val before = SnapshotTable.snapshotFiles(spark, root, from).toSet
+        SnapshotTable.snapshotFiles(spark, root, to).filterNot(before)
+      }
+    if (files.isEmpty) { batchFactory = EmptyReaderFactory; return Array.empty }
+    // the batch's files decode under the schema THEY were committed
+    // with; the reader then casts/projects to the pinned stream shape
+    val atTo = SnapshotTable.snapshotSchema(spark, root, to).getOrElse(pinned)
+    val specs = GraftDeleteSpec.resolve(spark, root, to, atTo)
+    val keyCols = specs.flatMap(_.cols.map(_.toLowerCase)).toSet
+    val needed = StructType(atTo.fields.filter(f =>
+      keyCols.contains(f.name.toLowerCase) ||
+        pinned.fields.exists(_.name.equalsIgnoreCase(f.name))))
+    val pt = ParquetTable(s"graft-snapshot-stream $root@($from,$to]", spark,
+      options, files.map(rel => s"$root/$rel"), Some(atTo),
+      classOf[ParquetFileFormat])
+    val sb = pt.newScanBuilder(options).asInstanceOf[ParquetScanBuilder]
+    sb.pruneColumns(needed)
+    val ps = sb.build()
+    batchFactory = new GraftStreamReaderFactory(
+      ps.toBatch.createReaderFactory(), ps.readDataSchema, pinned,
+      specs.toArray)
+    ps.toBatch.planInputPartitions().flatMap {
+      case fp: FilePartition =>
+        fp.files.groupBy { pf =>
+          val v = SnapshotTable.dataVersionOfFile(pf.filePath.toString)
+          specs.indices.filter(i => v < specs(i).appliesBelow)
+        }.map { case (applicable, fls) =>
+          GraftMorPartition(FilePartition(fp.index, fls), applicable.toArray)
+        }
+      case other => throw new IllegalStateException(
+        s"parquet batch planned a non-file partition: ${other.getClass}")
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = batchFactory
+
+  override def commit(end: V2Offset): Unit = {
+    val v = end.asInstanceOf[GraftVersionOffset].version
+    if (v >= 1L) SnapshotTable.pinVersion(spark, root, checkpointLocation, v)
+  }
+
+  override def stop(): Unit = ()
+}
+
+private[sources] object EmptyReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    throw new IllegalStateException("empty batch planned no partitions")
+}
+
+/** Per-batch reader: the delegate parquet reader (rows in the batch's
+  * committed schema), minus the applicable equality-delete keys, then
+  * a codegen'd cast/projection to the PINNED stream schema (widening
+  * evolution: the stream keeps serving the shape it started with; a
+  * pinned column a batch's schema lacks serves NULL).
+  */
+private[sources] class GraftStreamReaderFactory(
+    delegate: PartitionReaderFactory, readSchema: StructType,
+    pinned: StructType, specs: Array[GraftDeleteSpec])
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case GraftMorPartition(inner, applicable) =>
+        val reader = delegate.createReader(inner)
+        val dts = readSchema.fields.map(_.dataType)
+        val lower = readSchema.fields.map(_.name.toLowerCase).zipWithIndex.toMap
+        val matchers = applicable.map { i =>
+          (specs(i).cols.map(c => lower(c.toLowerCase)).toArray, specs(i).keys)
+        }
+        val exprs: Seq[Expression] = pinned.fields.toSeq.map { f =>
+          lower.get(f.name.toLowerCase) match {
+            case Some(i) => Cast(
+              BoundReference(i, dts(i), nullable = true), f.dataType,
+              Some("UTC"))
+            case None => Literal(null, f.dataType)
+          }
+        }
+        new PartitionReader[InternalRow] {
+          private lazy val project = UnsafeProjection.create(exprs)
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (reader.next()) {
+              val r = reader.get()
+              val dead = matchers.exists { case (ords, keys) =>
+                keys.contains(ords.toSeq.map(o => r.get(o, dts(o))))
+              }
+              if (!dead) { cur = r; return true }
+            }
+            false
+          }
+          override def get(): InternalRow = project(cur)
+          override def close(): Unit = reader.close()
+        }
+      case other => throw new IllegalStateException(
+        s"unexpected partition type: ${other.getClass}")
+    }
+}

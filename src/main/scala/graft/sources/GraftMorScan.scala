@@ -27,6 +27,47 @@ private[sources] case class GraftDeleteSpec(cols: Seq[String],
                                             appliesBelow: Long,
                                             keys: Set[Seq[Any]])
 
+private[sources] object GraftDeleteSpec {
+  /** Resolve snapshot `version`'s equality deletes to executor-
+    * shippable specs: key columns CAST to the table's column types
+    * (the anti-join the Scala reader plans would insert the same
+    * casts), key rows collected driver-side. The manifest-certified
+    * backlog is size-checked FIRST — the keys ship with reader
+    * factories (task broadcast), so an oversized backlog must fail at
+    * planning with the remedies named, never as an executor OOM.
+    */
+  def resolve(spark: SparkSession, root: String, version: Long,
+              schema: StructType): Seq[GraftDeleteSpec] = {
+    import org.apache.spark.sql.functions.col
+    val infos = SnapshotTable.deleteFileInfos(spark, root, version)
+    if (infos.isEmpty) return Nil
+    val backlog = infos.map(_.rows).sum
+    if (backlog > SnapshotTable.deleteBroadcastMaxRows)
+      throw new UnsupportedOperationException(
+        s"$root v$version: $backlog outstanding delete-key rows exceed " +
+          s"deleteBroadcastMaxRows=${SnapshotTable.deleteBroadcastMaxRows} " +
+          "— compact the table (SnapshotTable.compactScoped/" +
+          "compactSnapshot purges deletes physically) or read via " +
+          "SnapshotTable.read, whose anti-join shuffles instead")
+    infos.map { d =>
+      val casts = d.cols.map { c =>
+        val t = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalStateException(
+            s"delete key column '$c' missing from $root v$version schema"))
+        col(c).cast(t.dataType)
+      }
+      val df = spark.read.parquet(s"$root/${d.path}").select(casts: _*)
+      val dts = df.schema.fields.map(_.dataType)
+      // copy() per row: the internal-row iterator REUSES its buffer, so
+      // a bare collect() would yield N references to the last key
+      val keys = df.queryExecution.toRdd.map(_.copy()).collect().map { row =>
+        dts.indices.map(i => row.get(i, dts(i))): Seq[Any]
+      }.toSet
+      GraftDeleteSpec(d.cols, d.appliesBelow, keys)
+    }
+  }
+}
+
 /** A READ-ONLY veneer over the stock [[ParquetTable]]: scans delegate
   * verbatim (vectorized readers, pushdown, pruning — everything), but
   * the write capabilities are deliberately NOT exposed. A raw
@@ -45,10 +86,13 @@ private[sources] class GraftReadTable(tableName: String, root: String,
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] = Array.empty
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     delegate match {
-      case Some(t) => t.asInstanceOf[SupportsRead].newScanBuilder(o)
+      case Some(t) => new GraftStreamableScanBuilder(
+        t.asInstanceOf[SupportsRead].newScanBuilder(o)
+          .asInstanceOf[ParquetScanBuilder], root, tableSchema, o)
       case None => throw new IllegalArgumentException(
         s"$root has no committed snapshot")
     }
@@ -76,9 +120,10 @@ private[sources] class GraftReadTable(tableName: String, root: String,
   *    Delete-free snapshots never come here — they get the pure
   *    columnar [[ParquetTable]] fast path.
   */
-private[sources] class GraftMorTable(tableName: String, spark: SparkSession,
-    options: CaseInsensitiveStringMap, files: Seq[String],
-    tableSchema: StructType, specs: Seq[GraftDeleteSpec])
+private[sources] class GraftMorTable(tableName: String, root: String,
+    spark: SparkSession, options: CaseInsensitiveStringMap,
+    files: Seq[String], tableSchema: StructType,
+    specs: Seq[GraftDeleteSpec])
     extends Table with SupportsRead {
 
   private val parquet = ParquetTable(tableName, spark, options, files,
@@ -88,12 +133,13 @@ private[sources] class GraftMorTable(tableName: String, spark: SparkSession,
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] = Array.empty
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GraftMorScanBuilder(
       parquet.newScanBuilder(o).asInstanceOf[ParquetScanBuilder],
-      tableSchema, specs)
+      root, tableSchema, specs, o)
 }
 
 /** Delegating scan builder: pushdown goes to parquet untouched; column
@@ -101,7 +147,8 @@ private[sources] class GraftMorTable(tableName: String, spark: SparkSession,
   * the scan can project back down).
   */
 private[sources] class GraftMorScanBuilder(delegate: ParquetScanBuilder,
-    tableSchema: StructType, specs: Seq[GraftDeleteSpec])
+    root: String, tableSchema: StructType, specs: Seq[GraftDeleteSpec],
+    options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters {
 
@@ -133,7 +180,7 @@ private[sources] class GraftMorScanBuilder(delegate: ParquetScanBuilder,
     // the struct handed to pruneColumns
     val ps = delegate.build()
     new GraftMorScan(ps, ps.readDataSchema,
-      requested.fields.map(_.name).toSeq, specs)
+      requested.fields.map(_.name).toSeq, specs, root, tableSchema, options)
   }
 }
 
@@ -147,8 +194,20 @@ private[sources] case class GraftMorPartition(inner: FilePartition,
 }
 
 private[sources] class GraftMorScan(delegate: Scan, unionRead: StructType,
-    requestedNames: Seq[String], specs: Seq[GraftDeleteSpec])
+    requestedNames: Seq[String], specs: Seq[GraftDeleteSpec],
+    root: String, tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
     extends Scan with Batch {
+
+  /** Streaming a delete-carrying table: deletes are resolved PER BATCH
+    * by [[GraftMicroBatchStream]] anyway (each diff read applies its
+    * end version's deletes), so the stream needs only the table
+    * coordinates, not this scan's snapshot-wide spec set.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(SparkSession.active, root, tableSchema,
+      options, checkpointLocation)
 
   private val ordinalOf: Map[String, Int] =
     unionRead.fields.map(_.name.toLowerCase).zipWithIndex.toMap

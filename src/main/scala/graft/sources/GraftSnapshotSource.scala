@@ -7,10 +7,8 @@ import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.execution.streaming.{Offset => SourceOffset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, StreamSourceProvider}
+  DataSourceRegister}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.SaveMode
@@ -44,7 +42,7 @@ import org.apache.spark.sql.SaveMode
   * commit can never pair one version's schema with another's files.
   */
 class GraftSnapshotSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider with CreatableRelationProvider {
+    with CreatableRelationProvider {
 
   override def shortName(): String = "graft-snapshot"
 
@@ -114,60 +112,11 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
 
   // ---------------------------------------------------------------- //
   // Streaming: the table AS A STREAM (`spark.readStream.format(...)`) //
+  // is the DataSourceV2 micro-batch path — the tables below advertise //
+  // MICRO_BATCH_READ and their scans answer `toMicroBatchStream` with //
+  // [[GraftMicroBatchStream]] (version offsets, paced catch-up,       //
+  // persisted pacing mark, retention pins; contract documented there) //
   // ---------------------------------------------------------------- //
-
-  /** Offsets are SNAPSHOT VERSIONS (delivered-through, inclusive) and a
-    * micro-batch (start, end] is exactly
-    * [[SnapshotTable.readAdded]](start, end) — the manifest diff, so a
-    * batch costs the files added in that version range and nothing
-    * else. `option("startingVersion", ...)`:
-    *  - absent (default): the first batch is the FULL current snapshot,
-    *    then increments — the bootstrap-a-downstream shape;
-    *  - `"latest"`: only changes committed after the stream starts;
-    *  - `<v>`: changes after version v (v itself excluded).
-    * `option("maxVersionsPerTrigger", n)` paces consumption: each
-    * micro-batch advances at most n versions past the served
-    * high-water mark, so a consumer restarted after a long outage
-    * drains its backlog in bounded batches instead of one giant read.
-    * Replays are exactly-once by construction: getBatch(start, end] is
-    * deterministic while the versions are retained — VACUUM RETENTION
-    * must cover the consumer's maximum lag, else the replay fails
-    * loudly (never silently skips). The schema is pinned at stream
-    * start; each batch casts/projects to it, so later appends with
-    * widened or added columns keep serving the pinned shape (restart
-    * the stream to pick up an evolved schema).
-    */
-  override def sourceSchema(sqlContext: SQLContext,
-                            schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): (String, StructType) = {
-    val spark = sqlContext.sparkSession
-    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-snapshot stream needs .load(<table root>) or option(\"path\", ...)"))
-    require(SnapshotTable.currentVersion(spark, root) > 0L,
-      s"$root has no committed snapshot")
-    (shortName(), schema.getOrElse(
-      SnapshotTable.snapshotSchema(spark, root)
-        .getOrElse(SnapshotTable.read(spark, root).schema)))
-  }
-
-  override def createSource(sqlContext: SQLContext, metadataPath: String,
-                            schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source = {
-    val spark = sqlContext.sparkSession
-    val root = parameters("path")
-    val pinned = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    val startAfter = parameters.get("startingversion")
-      .orElse(parameters.get("startingVersion")) match {
-      case Some("latest") => SnapshotTable.currentVersion(spark, root)
-      case Some(v) => v.toLong
-      case None => 0L // version 0 = nothing delivered yet → full snapshot
-    }
-    val maxPerTrigger = parameters.get("maxversionspertrigger")
-      .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
-    maxPerTrigger.foreach(m => require(m >= 1, "maxVersionsPerTrigger >= 1"))
-    new GraftSnapshotStreamSource(spark, root, pinned, startAfter,
-      maxPerTrigger, Some(metadataPath))
-  }
 
   private def tableRoot(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path"))
@@ -228,32 +177,6 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     resolve(options).schema
 
-  /** Resolve a delete file's key rows to an executor-shippable
-    * [[GraftDeleteSpec]]: the key columns CAST to the table's column
-    * types (the anti-join the Scala reader plans would insert the same
-    * casts), collected as internal rows. Driver-side and bounded: the
-    * manifest-certified backlog was size-checked before this runs.
-    */
-  private def deleteSpecs(spark: SparkSession, r: Resolved): Seq[GraftDeleteSpec] = {
-    import org.apache.spark.sql.functions.col
-    r.deletes.map { d =>
-      val casts = d.cols.map { c =>
-        val t = r.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-          throw new IllegalStateException(
-            s"delete key column '$c' missing from ${r.root} v${r.version} schema"))
-        col(c).cast(t.dataType)
-      }
-      val df = spark.read.parquet(s"${r.root}/${d.path}").select(casts: _*)
-      val dts = df.schema.fields.map(_.dataType)
-      // copy() per row: the internal-row iterator REUSES its buffer, so
-      // a bare collect() would yield N references to the last key
-      val keys = df.queryExecution.toRdd.map(_.copy()).collect().map { row =>
-        dts.indices.map(i => row.get(i, dts(i))): Seq[Any]
-      }.toSet
-      GraftDeleteSpec(d.cols, d.appliesBelow, keys)
-    }
-  }
-
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
@@ -275,141 +198,14 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
       new GraftReadTable(name, r.root, schema,
         Some(ParquetTable(name, spark, options, r.files, Some(schema),
           classOf[ParquetFileFormat])))
-    else {
-      // merge-on-read through SQL: key sets ship with the reader
-      // factory, so the certified backlog must fit the same bound the
-      // Scala reader's broadcast uses — past it, the remedies are the
-      // Scala door (which degrades to a shuffled anti-join) or a
-      // compaction (which purges the backlog physically)
-      val backlog = r.deletes.map(_.rows).sum
-      if (backlog > SnapshotTable.deleteBroadcastMaxRows)
-        throw new UnsupportedOperationException(
-          s"${r.root} v${r.version}: $backlog outstanding delete-key rows " +
-            s"exceed deleteBroadcastMaxRows=" +
-            s"${SnapshotTable.deleteBroadcastMaxRows} — compact the table " +
-            "(SnapshotTable.compactScoped/compactSnapshot purges deletes " +
-            "physically) or read via SnapshotTable.read, whose anti-join " +
-            "shuffles instead")
-      new GraftMorTable(name, spark, options, r.files, schema,
-        deleteSpecs(spark, r))
-    }
+    else
+      // merge-on-read through SQL — GraftDeleteSpec.resolve size-checks
+      // the certified backlog (key sets ship with reader factories) and
+      // fails loudly past deleteBroadcastMaxRows, remedies named
+      new GraftMorTable(name, r.root, spark, options, r.files, schema,
+        GraftDeleteSpec.resolve(spark, r.root, r.version, r.schema))
   }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
-/** The snapshot table as a structured-streaming SOURCE (see
-  * [[GraftSnapshotSource.sourceSchema]] for the contract): offsets are
-  * versions, a micro-batch is the manifest diff between two of them,
-  * resolved delete-aware by [[SnapshotTable.readAdded]].
-  */
-private[sources] class GraftSnapshotStreamSource(
-    spark: SparkSession, table: String, pinned: StructType,
-    startAfter: Long, maxVersionsPerTrigger: Option[Long] = None,
-    metadataPath: Option[String] = None)
-    extends Source {
-
-  import org.apache.spark.sql.functions.col
-
-  override def schema: StructType = pinned
-
-  private def versionOf(o: SourceOffset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong // SerializedOffset after restart
-  }
-
-  private val mfs = metadataPath.map(mp =>
-    new org.apache.hadoop.fs.Path(mp)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration))
-  private val hwmFile = metadataPath.map(mp =>
-    new org.apache.hadoop.fs.Path(mp, "graft-served-hwm"))
-
-  /** The persisted high-water mark (see [[served]]), recovered at
-    * restart. Without persistence, a CLEAN restart (last batch
-    * committed) with `maxVersionsPerTrigger` set would re-cap the next
-    * offset BELOW the checkpoint's committed offset — Spark's V1
-    * recovery only re-runs getBatch for a PENDING batch, so `served`
-    * would restart at `startAfter` and already-delivered version
-    * ranges would be re-served: duplicate redelivery. The mark is
-    * advisory pacing state (the checkpoint's offset log stays the
-    * source of truth for delivery), so a torn read just falls back to
-    * `startAfter` — the worst case is the pre-persistence behavior,
-    * never data loss.
-    */
-  private def readHwm(): Long = (for {
-    f <- mfs; p <- hwmFile if f.exists(p)
-  } yield {
-    val in = f.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    scala.util.Try(txt.trim.toLong).getOrElse(startAfter)
-  }).getOrElse(startAfter)
-
-  private def writeHwm(v: Long): Unit = for { f <- mfs; p <- hwmFile } {
-    val out = f.create(p, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-  }
-
-  /** ADMISSION CONTROL high-water mark: the highest version already
-    * handed to a batch, persisted under the source's metadataPath (the
-    * standard V1 pattern) so a restart — clean OR mid-batch — never
-    * re-caps below what the checkpoint holds. `maxVersionsPerTrigger`
-    * then bounds each micro-batch to that many versions past it — a
-    * consumer restarted after a long outage drains a 10,000-version
-    * backlog in paced batches instead of one giant catch-up read.
-    */
-  @volatile private var served: Long = math.max(startAfter, readHwm())
-
-  override def getOffset: Option[SourceOffset] = {
-    val cur = SnapshotTable.currentVersion(spark, table)
-    val capped = maxVersionsPerTrigger match {
-      case Some(m) => math.min(cur, math.max(served, startAfter) + m)
-      case None => cur
-    }
-    if (capped <= startAfter && startAfter > 0L) Some(LongOffset(startAfter))
-    else if (cur == 0L) None
-    else Some(LongOffset(capped))
-  }
-
-  override def getBatch(start: Option[SourceOffset],
-                        end: SourceOffset): DataFrame = {
-    val to = versionOf(end)
-    val from = start.map(versionOf).getOrElse(startAfter)
-    if (to > served) { served = to; writeHwm(to) }
-    // retention pin at this batch's REPLAY FLOOR: `start` is durable by
-    // the time Spark constructs (start, end] (batch N+1 only runs after
-    // batch N's commit log entry), and a retry of THIS batch re-reads
-    // from it; the bootstrap batch (from = 0) reads the whole snapshot
-    // at `to`, so `to` is its floor. Source.commit() raises the pin one
-    // batch later — this is the one that must exist BEFORE a vacuum can
-    // run between the first batch and the first commit callback.
-    val floor = if (from >= 1L) from else to
-    if (floor >= 1L) metadataPath.foreach(mp =>
-      SnapshotTable.pinVersion(spark, table, mp, floor))
-    val batch =
-      if (from >= to) SnapshotTable.read(spark, table, to).limit(0)
-      else if (from == 0L) SnapshotTable.read(spark, table, to) // bootstrap
-      else SnapshotTable.readAdded(spark, table, from, to)
-    // serve the PINNED stream schema whatever the table evolved to,
-    // streaming-flagged as MicroBatchExecution requires of V1 sources
-    org.apache.spark.sql.GraftStreamShim.asStreaming(
-      batch.select(pinned.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
-  }
-
-  /** RETENTION coordination: every committed offset refreshes this
-    * consumer's pin on the table ([[SnapshotTable.pinVersion]], keyed
-    * by the checkpoint's metadataPath), so a vacuum — however
-    * aggressive its `retain` — keeps every manifest the replay window
-    * (committed, current] needs. A consumer that dies stops
-    * refreshing and its pin ages out under vacuum's `pinMaxAgeMs`;
-    * the failure mode then degrades to today's loud replay error,
-    * never a silent skip.
-    */
-  override def commit(end: SourceOffset): Unit = {
-    val v = versionOf(end)
-    if (v >= 1L) metadataPath.foreach(mp =>
-      SnapshotTable.pinVersion(spark, table, mp, v))
-  }
-
-  override def stop(): Unit = ()
-}

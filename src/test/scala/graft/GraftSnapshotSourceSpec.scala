@@ -210,6 +210,71 @@ class GraftSnapshotSourceSpec extends SparkSpec {
       s"replay across the vacuum delivered exactly the missed versions: ${got.sorted}")
   }
 
+  test("stream across schema evolution: batches decode under THEIR schema, serve the pinned shape") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      Seq((1, "a"), (2, "b")).toDF("k", "tag")) // k is INT at stream start
+    val got = new scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    val q = spark.readStream.format("graft-snapshot").load(t)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("snapstream-evo").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(df.schema.map(f => (f.name, f.dataType.typeName))
+          == Seq(("k", "integer"), ("tag", "string")),
+          "every batch serves the schema pinned at stream start")
+        got.synchronized { got ++= df.as[(Int, String)].collect() }; ()
+      }.start()
+    q.processAllAvailable()
+    // the table evolves UNDER the running stream: k widens to long and
+    // a column appears — the new files decode under the evolved schema
+    // and are cast/projected back to the pinned shape
+    SnapshotTable.append(spark, t,
+      Seq((3L, "c", 9.9)).toDF("k", "tag", "score"))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sorted == Seq((1, "a"), (2, "b"), (3, "c")).sorted,
+      s"widened batch served in the pinned shape: $got")
+  }
+
+  test("streaming a table while deletes land: diffs stay delete-aware, key files never stream") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.append(spark, t,
+      (0L until 10L).map(i => (i, "b1")).toDF("k", "tag"))
+    val got = new scala.collection.mutable.ArrayBuffer[Long]()
+    val ckpt = Files.createTempDirectory("snapstream-del").toString
+    def start() = spark.readStream.format("graft-snapshot").load(t)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.as[(Long, String)].collect().map(_._1) }; ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(got.sorted == (0L until 10L))
+    // a deleteWhere commit adds a KEY file, not data: its diff batch is
+    // empty (deletes are not retroactive CDC — same as readAdded)
+    SnapshotTable.deleteWhere(spark, t, Seq(3L, 12L).toDF("k"))
+    q1.processAllAvailable()
+    assert(got.size == 10, "the delete version streams no rows")
+    q1.stop()
+    // while the stream is DOWN: new data lands, then one of the new
+    // keys is deleted — the restart batch spans both versions, so the
+    // diff must apply its END version's deletes to the new files:
+    // k=13 arrives dead; k=12's delete PRE-DATES its file (sequence
+    // rule: the v3 delete applies below v4) so it streams
+    SnapshotTable.append(spark, t,
+      Seq((12L, "b2"), (13L, "b2")).toDF("k", "tag"))
+    SnapshotTable.deleteWhere(spark, t, Seq(13L).toDF("k"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.sorted == ((0L until 10L) :+ 12L),
+      s"deterministic replay window: ${got.sorted}")
+  }
+
   test("merge-on-read through SQL: live equality deletes resolve inside the scan, parity with the Scala door") {
     import spark.implicits._
     val t = mkTable()
