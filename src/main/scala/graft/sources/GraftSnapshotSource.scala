@@ -19,7 +19,9 @@ import org.apache.spark.sql.SaveMode
   * {{{
   * spark.read.format("graft-snapshot").load("/data/events")
   * spark.read.format("graft-snapshot")
-  *   .option("versionAsOf", 3).load("/data/events")   // time travel
+  *   .option("versionAsOf", 3).load("/data/events")       // time travel
+  * spark.read.format("graft-snapshot")
+  *   .option("timestampAsOf", epochMs).load("/data/events") // by wall-clock
   * }}}
   *
   * Resolution delegates entirely to the format's own rules and then
@@ -143,7 +145,12 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val spark = SparkSession.active
     val root = tableRoot(options)
+    // time travel: by version, or by wall-clock through the manifests'
+    // #ts headers (`timestampAsOf` accepts epoch millis) — resolved to
+    // a version HERE so the pin covers it like any other read
     val versionOpt = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map(ts =>
+        SnapshotTable.versionAt(spark, root, ts.toLong)))
     pinned match {
       case Some(r) if r.root == root && versionOpt.forall(_ == r.version) =>
         r // same load: reuse the single resolution

@@ -210,6 +210,25 @@ class GraftSnapshotSourceSpec extends SparkSpec {
       s"replay across the vacuum delivered exactly the missed versions: ${got.sorted}")
   }
 
+  test("timestampAsOf: wall-clock time travel through the SQL door") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t, Seq((1L, "v1")).toDF("k", "tag"))
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    SnapshotTable.commit(spark, t, Seq((2L, "v2")).toDF("k", "tag"))
+    val old = spark.read.format("graft-snapshot")
+      .option("timestampAsOf", between).load(t)
+    assert(old.select("tag").head().getString(0) == "v1",
+      "resolves the newest version committed at or before the timestamp")
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("timestampAsOf", between - 100000).load(t).count()
+    }
+    assert(e.getMessage.contains("at or before"), e.getMessage)
+  }
+
   test("stream across schema evolution: batches decode under THEIR schema, serve the pinned shape") {
     import spark.implicits._
     val t = mkTable()
