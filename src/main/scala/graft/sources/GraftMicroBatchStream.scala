@@ -9,7 +9,6 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset => V2Offset}
-import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -128,16 +127,48 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
 
   @volatile private var served: Long = math.max(startAfter, readHwm())
 
+  /** Can `latestOffset` CAP safely? Capping below the checkpoint's
+    * committed offset would REGRESS the offset log and re-deliver
+    * committed version ranges — and Spark calls `latestOffset` on
+    * restart BEFORE handing us any logged offset to learn the floor
+    * from. The floor is known when the persisted mark exists, or when
+    * there is no offset log yet (a fresh stream: the floor IS
+    * startAfter). A restarted stream WITHOUT the mark (a pre-mark
+    * checkpoint, or a torn mark read) serves its first batch UNCAPPED
+    * — one unpaced catch-up batch is the safe degradation; pacing
+    * resumes once the first batch re-establishes the mark.
+    */
+  @volatile private var paceFloorKnown: Boolean =
+    mfs.exists(hwmFile) || {
+      val parent = new org.apache.hadoop.fs.Path(checkpointLocation).getParent
+      val ckptRoot =
+        if (parent != null && parent.getName == "sources") Option(parent.getParent)
+        else None
+      !ckptRoot.exists { r =>
+        val off = new org.apache.hadoop.fs.Path(r, "offsets")
+        mfs.exists(off) && mfs.listStatus(off).nonEmpty
+      }
+    }
+
+  private def raiseServed(v: Long): Unit =
+    if (v > served) { served = v; writeHwm(v); paceFloorKnown = true }
+    else if (!paceFloorKnown && v >= startAfter) paceFloorKnown = true
+
   override def initialOffset(): V2Offset = GraftVersionOffset(startAfter)
 
-  override def deserializeOffset(json: String): V2Offset =
-    GraftVersionOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): V2Offset = {
+    val v = json.trim.toLong
+    // any checkpointed offset passing through teaches us the floor
+    raiseServed(v)
+    GraftVersionOffset(v)
+  }
 
   override def latestOffset(): V2Offset = {
     val cur = SnapshotTable.currentVersion(spark, root)
     val capped = maxPerTrigger match {
-      case Some(m) => math.min(cur, math.max(served, startAfter) + m)
-      case None => cur
+      case Some(m) if paceFloorKnown =>
+        math.min(cur, math.max(served, startAfter) + m)
+      case _ => cur
     }
     GraftVersionOffset(math.max(capped, startAfter))
   }
@@ -149,11 +180,31 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
     */
   @volatile private var batchFactory: PartitionReaderFactory = _
 
+  /** Delete specs cached by the snapshot's delete-file set: most
+    * consecutive batches share it (deletes land rarely relative to
+    * appends), and re-collecting the key backlog from parquet every
+    * trigger would charge steady-state ingest for a rare event.
+    */
+  @volatile private var specCache
+      : Option[(Set[String], Seq[GraftDeleteSpec])] = None
+
+  private def specsFor(to: Long, atTo: StructType): Seq[GraftDeleteSpec] = {
+    val infos = SnapshotTable.deleteFileInfos(spark, root, to)
+    val key = infos.map(_.path).toSet
+    specCache match {
+      case Some((k, s)) if k == key => s
+      case _ =>
+        val s = GraftDeleteSpec.resolve(spark, root, to, atTo, infos)
+        specCache = Some((key, s))
+        s
+    }
+  }
+
   override def planInputPartitions(start: V2Offset, end: V2Offset)
       : Array[InputPartition] = {
     val from = start.asInstanceOf[GraftVersionOffset].version
     val to = end.asInstanceOf[GraftVersionOffset].version
-    if (to > served) { served = to; writeHwm(to) }
+    raiseServed(to)
     // retention pin at the replay floor (durable `start`; bootstrap
     // pins its end) — identical contract to the batch consumers'
     val floor = if (from >= 1L) from else to
@@ -170,7 +221,7 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
     // the batch's files decode under the schema THEY were committed
     // with; the reader then casts/projects to the pinned stream shape
     val atTo = SnapshotTable.snapshotSchema(spark, root, to).getOrElse(pinned)
-    val specs = GraftDeleteSpec.resolve(spark, root, to, atTo)
+    val specs = specsFor(to, atTo)
     val keyCols = specs.flatMap(_.cols.map(_.toLowerCase)).toSet
     val needed = StructType(atTo.fields.filter(f =>
       keyCols.contains(f.name.toLowerCase) ||
@@ -184,17 +235,7 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
     batchFactory = new GraftStreamReaderFactory(
       ps.toBatch.createReaderFactory(), ps.readDataSchema, pinned,
       specs.toArray)
-    ps.toBatch.planInputPartitions().flatMap {
-      case fp: FilePartition =>
-        fp.files.groupBy { pf =>
-          val v = SnapshotTable.dataVersionOfFile(pf.filePath.toString)
-          specs.indices.filter(i => v < specs(i).appliesBelow)
-        }.map { case (applicable, fls) =>
-          GraftMorPartition(FilePartition(fp.index, fls), applicable.toArray)
-        }
-      case other => throw new IllegalStateException(
-        s"parquet batch planned a non-file partition: ${other.getClass}")
-    }
+    GraftMor.splitByProfile(ps.toBatch.planInputPartitions(), specs)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = batchFactory
@@ -228,35 +269,21 @@ private[sources] class GraftStreamReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case GraftMorPartition(inner, applicable) =>
-        val reader = delegate.createReader(inner)
-        val dts = readSchema.fields.map(_.dataType)
-        val lower = readSchema.fields.map(_.name.toLowerCase).zipWithIndex.toMap
-        val matchers = applicable.map { i =>
-          (specs(i).cols.map(c => lower(c.toLowerCase)).toArray, specs(i).keys)
-        }
+        val lower = readSchema.fields.map(_.name.toLowerCase)
+          .zipWithIndex.toMap
+        val rdts = readSchema.fields.map(_.dataType)
         val exprs: Seq[Expression] = pinned.fields.toSeq.map { f =>
           lower.get(f.name.toLowerCase) match {
             case Some(i) => Cast(
-              BoundReference(i, dts(i), nullable = true), f.dataType,
+              BoundReference(i, rdts(i), nullable = true), f.dataType,
               Some("UTC"))
             case None => Literal(null, f.dataType)
           }
         }
-        new PartitionReader[InternalRow] {
+        new GraftMor.FilteringReader(delegate.createReader(inner),
+            readSchema, applicable, specs) {
           private lazy val project = UnsafeProjection.create(exprs)
-          private var cur: InternalRow = _
-          override def next(): Boolean = {
-            while (reader.next()) {
-              val r = reader.get()
-              val dead = matchers.exists { case (ords, keys) =>
-                keys.contains(ords.toSeq.map(o => r.get(o, dts(o))))
-              }
-              if (!dead) { cur = r; return true }
-            }
-            false
-          }
           override def get(): InternalRow = project(cur)
-          override def close(): Unit = reader.close()
         }
       case other => throw new IllegalStateException(
         s"unexpected partition type: ${other.getClass}")

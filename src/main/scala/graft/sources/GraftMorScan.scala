@@ -28,24 +28,30 @@ private[sources] case class GraftDeleteSpec(cols: Seq[String],
                                             keys: Set[Seq[Any]])
 
 private[sources] object GraftDeleteSpec {
-  /** Resolve snapshot `version`'s equality deletes to executor-
-    * shippable specs: key columns CAST to the table's column types
-    * (the anti-join the Scala reader plans would insert the same
-    * casts), key rows collected driver-side. The manifest-certified
-    * backlog is size-checked FIRST — the keys ship with reader
-    * factories (task broadcast), so an oversized backlog must fail at
-    * planning with the remedies named, never as an executor OOM.
+  /** Resolve equality-delete key files to executor-shippable specs:
+    * key columns CAST to the table's column types (the anti-join the
+    * Scala reader plans would insert the same casts), key rows
+    * collected driver-side. The manifest-certified backlog is
+    * size-checked FIRST — the keys ship with reader factories (task
+    * broadcast) in a boxed per-key representation heavier than the
+    * compact broadcast relation [[SnapshotTable.applyDeletes]] builds,
+    * so the ceiling is the LOWER of the two knobs; an oversized
+    * backlog fails at planning with the remedies named, never as a
+    * driver or executor OOM.
     */
   def resolve(spark: SparkSession, root: String, version: Long,
-              schema: StructType): Seq[GraftDeleteSpec] = {
+              schema: StructType,
+              infos: Seq[SnapshotTable.DeleteFileInfo]): Seq[GraftDeleteSpec] = {
     import org.apache.spark.sql.functions.col
-    val infos = SnapshotTable.deleteFileInfos(spark, root, version)
     if (infos.isEmpty) return Nil
     val backlog = infos.map(_.rows).sum
-    if (backlog > SnapshotTable.deleteBroadcastMaxRows)
+    val cap = math.min(SnapshotTable.deleteBroadcastMaxRows,
+      SnapshotTable.deleteSpecMaxRows)
+    if (backlog > cap)
       throw new UnsupportedOperationException(
         s"$root v$version: $backlog outstanding delete-key rows exceed " +
-          s"deleteBroadcastMaxRows=${SnapshotTable.deleteBroadcastMaxRows} " +
+          s"the DSv2 merge-on-read ceiling $cap " +
+          "(min of deleteBroadcastMaxRows and deleteSpecMaxRows) " +
           "— compact the table (SnapshotTable.compactScoped/" +
           "compactSnapshot purges deletes physically) or read via " +
           "SnapshotTable.read, whose anti-join shuffles instead")
@@ -65,6 +71,79 @@ private[sources] object GraftDeleteSpec {
       }.toSet
       GraftDeleteSpec(d.cols, d.appliesBelow, keys)
     }
+  }
+}
+
+/** Shared merge-on-read machinery for the batch scan and the
+  * micro-batch stream — ONE implementation of the two delicate pieces
+  * (the sequence-number partition split and the per-row key filter),
+  * so batch and stream delete semantics cannot silently diverge.
+  */
+private[sources] object GraftMor {
+
+  /** Re-split parquet [[FilePartition]]s so every partition's files
+    * share ONE delete-applicability profile (the set of deletes whose
+    * sequence number exceeds the file's) — row-level filtering then
+    * needs no per-row file attribution. Profiles are monotone in the
+    * sequence number, so splits ≤ distinct delete versions + 1.
+    */
+  def splitByProfile(parts: Array[InputPartition],
+                     specs: Seq[GraftDeleteSpec]): Array[InputPartition] =
+    parts.flatMap {
+      case fp: FilePartition =>
+        fp.files.groupBy { pf =>
+          val v = SnapshotTable.dataVersionOfFile(pf.filePath.toString)
+          specs.indices.filter(i => v < specs(i).appliesBelow)
+        }.map { case (applicable, files) =>
+          GraftMorPartition(FilePartition(fp.index, files),
+            applicable.toArray)
+        }
+      case other => throw new IllegalStateException(
+        s"parquet batch planned a non-file partition: ${other.getClass}")
+    }
+
+  /** Row filter over `inner`: a row dies when any applicable delete's
+    * key projection (null-safe, internal values) is in its key set.
+    * Subclasses shape `get()` (projection differs between batch and
+    * stream); `cur` holds the surviving delegate row. Probe buffers
+    * are REUSED across rows (the Set lookup hashes the wrapped array
+    * per call and retains nothing) — zero per-row allocation in the
+    * filter itself.
+    */
+  abstract class FilteringReader(inner: PartitionReader[InternalRow],
+      readSchema: StructType, applicable: Array[Int],
+      specs: Array[GraftDeleteSpec]) extends PartitionReader[InternalRow] {
+
+    protected val dts: Array[org.apache.spark.sql.types.DataType] =
+      readSchema.fields.map(_.dataType)
+    private val lower = readSchema.fields.map(_.name.toLowerCase)
+      .zipWithIndex.toMap
+    private val matchers = applicable.map { i =>
+      val ords = specs(i).cols.map(c => lower(c.toLowerCase)).toArray
+      (ords, new Array[Any](ords.length), specs(i).keys)
+    }
+    protected var cur: InternalRow = _
+
+    override def next(): Boolean = {
+      while (inner.next()) {
+        val r = inner.get()
+        var dead = false
+        var m = 0
+        while (!dead && m < matchers.length) {
+          val (ords, probe, keys) = matchers(m)
+          var i = 0
+          while (i < ords.length) {
+            probe(i) = r.get(ords(i), dts(ords(i))); i += 1
+          }
+          dead = keys.contains(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(probe))
+          m += 1
+        }
+        if (!dead) { cur = r; return true }
+      }
+      false
+    }
+    override def close(): Unit = inner.close()
   }
 }
 
@@ -224,21 +303,7 @@ private[sources] class GraftMorScan(delegate: Scan, unionRead: StructType,
   private lazy val delegateBatch = delegate.toBatch
 
   override def planInputPartitions(): Array[InputPartition] =
-    delegateBatch.planInputPartitions().flatMap {
-      case fp: FilePartition =>
-        // split so each partition's files see the SAME delete set —
-        // profiles are monotone in the file's sequence number, so the
-        // split count is bounded by the distinct delete versions + 1
-        fp.files.groupBy { pf =>
-          val v = SnapshotTable.dataVersionOfFile(pf.filePath.toString)
-          specs.indices.filter(i => v < specs(i).appliesBelow)
-        }.map { case (applicable, files) =>
-          GraftMorPartition(FilePartition(fp.index, files),
-            applicable.toArray)
-        }
-      case other => throw new IllegalStateException(
-        s"parquet batch planned a non-file partition: ${other.getClass}")
-    }
+    GraftMor.splitByProfile(delegateBatch.planInputPartitions(), specs)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftMorReaderFactory(delegateBatch.createReaderFactory(),
@@ -252,30 +317,18 @@ private[sources] class GraftMorReaderFactory(delegate: PartitionReaderFactory,
     specs: Array[GraftDeleteSpec]) extends PartitionReaderFactory {
 
   // the delete filter needs per-row value access — the documented
-  // row-based price of the MoR read path
+  // row-based price of the MoR read path. This is all-or-nothing by
+  // Spark's contract (BatchScanExec refuses mixed row/columnar
+  // partitions in one scan), so even partitions whose delete set is
+  // empty read row-based here; the delete-FREE snapshot never comes
+  // through this factory at all (it gets the pure columnar path).
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case GraftMorPartition(inner, applicable) =>
-        val reader = delegate.createReader(inner)
-        val dts = unionRead.fields.map(_.dataType)
-        val lower = unionRead.fields.map(_.name.toLowerCase).zipWithIndex.toMap
-        val matchers = applicable.map { i =>
-          (specs(i).cols.map(c => lower(c.toLowerCase)).toArray, specs(i).keys)
-        }
-        new PartitionReader[InternalRow] {
-          private var cur: InternalRow = _
-          override def next(): Boolean = {
-            while (reader.next()) {
-              val r = reader.get()
-              val dead = matchers.exists { case (ords, keys) =>
-                keys.contains(ords.toSeq.map(o => r.get(o, dts(o))))
-              }
-              if (!dead) { cur = r; return true }
-            }
-            false
-          }
+        new GraftMor.FilteringReader(delegate.createReader(inner),
+            unionRead, applicable, specs) {
           override def get(): InternalRow = {
             val out = new GenericInternalRow(outOrdinals.length)
             var i = 0
@@ -288,7 +341,6 @@ private[sources] class GraftMorReaderFactory(delegate: PartitionReaderFactory,
             }
             out
           }
-          override def close(): Unit = reader.close()
         }
       case other => throw new IllegalStateException(
         s"unexpected partition type: ${other.getClass}")

@@ -90,20 +90,29 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
       .filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val ledger = for { s <- opt("sinkId"); b <- opt("batchId") }
       yield (s, b.toLong)
-    val exists = SnapshotTable.currentVersion(spark, root) > 0L
+    // ErrorIfExists/Ignore must decide existence ATOMICALLY with the
+    // commit — a separate pre-read would let two racing default-mode
+    // writers both pass the check and both land. Committing with
+    // expectedBase = 0 makes the claim itself the existence test:
+    // exactly one racer takes v1, the loser gets the conditional-
+    // commit signal and resolves it per its mode's semantics.
+    def createOnly(): Unit =
+      try SnapshotTable.commit(spark, root, data, statsCols,
+        expectedBase = Some(0L), ledger = ledger)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (mode == SaveMode.ErrorIfExists)
+            throw new IllegalStateException(
+              s"$root already holds a committed snapshot: use " +
+                "mode(\"append\") or mode(\"overwrite\")", e)
+        // Ignore: someone else's snapshot exists — the mode's no-op
+      }
     mode match {
       case SaveMode.Append =>
         SnapshotTable.append(spark, root, data, statsCols, ledger)
       case SaveMode.Overwrite =>
         SnapshotTable.commit(spark, root, data, statsCols, ledger = ledger)
-      case SaveMode.ErrorIfExists =>
-        if (exists) throw new IllegalStateException(
-          s"$root already holds a committed snapshot " +
-            s"(v${SnapshotTable.currentVersion(spark, root)}): use " +
-            "mode(\"append\") or mode(\"overwrite\")")
-        SnapshotTable.append(spark, root, data, statsCols, ledger)
-      case SaveMode.Ignore =>
-        if (!exists) SnapshotTable.append(spark, root, data, statsCols, ledger)
+      case SaveMode.ErrorIfExists | SaveMode.Ignore => createOnly()
     }
     new BaseRelation {
       override def sqlContext: SQLContext = sqlContext0
@@ -141,20 +150,29 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
                               files: Seq[String], schema: StructType,
                               deletes: Seq[SnapshotTable.DeleteFileInfo])
   @volatile private var pinned: Option[Resolved] = None
+  // the RAW option key the pin was computed from — the cache must hit
+  // before any re-resolution (versionAt, currentVersion) runs, else a
+  // timestampAsOf load pays the timestamp sweep twice and a concurrent
+  // vacuum between the calls could even resolve a different version
+  // than the pinned one
+  @volatile private var pinnedKey: Option[(String, String, String)] = None
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val spark = SparkSession.active
     val root = tableRoot(options)
-    // time travel: by version, or by wall-clock through the manifests'
-    // #ts headers (`timestampAsOf` accepts epoch millis) — resolved to
-    // a version HERE so the pin covers it like any other read
-    val versionOpt = Option(options.get("versionAsOf")).map(_.toLong)
-      .orElse(Option(options.get("timestampAsOf")).map(ts =>
-        SnapshotTable.versionAt(spark, root, ts.toLong)))
+    val key = (root,
+      Option(options.get("versionAsOf")).getOrElse(""),
+      Option(options.get("timestampAsOf")).getOrElse(""))
     pinned match {
-      case Some(r) if r.root == root && versionOpt.forall(_ == r.version) =>
+      case Some(r) if pinnedKey.contains(key) =>
         r // same load: reuse the single resolution
       case _ =>
+        // time travel: by version, or by wall-clock through the
+        // manifests' #ts headers (`timestampAsOf` = epoch millis) —
+        // resolved to a version HERE so the pin covers it too
+        val versionOpt = Option(options.get("versionAsOf")).map(_.toLong)
+          .orElse(Option(options.get("timestampAsOf")).map(ts =>
+            SnapshotTable.versionAt(spark, root, ts.toLong)))
         val cur = SnapshotTable.currentVersion(spark, root)
         val r =
           if (cur == 0L) {
@@ -177,6 +195,7 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
               SnapshotTable.deleteFileInfos(spark, root, v))
           }
         pinned = Some(r)
+        pinnedKey = Some(key)
         r
     }
   }
@@ -208,9 +227,11 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
     else
       // merge-on-read through SQL — GraftDeleteSpec.resolve size-checks
       // the certified backlog (key sets ship with reader factories) and
-      // fails loudly past deleteBroadcastMaxRows, remedies named
+      // fails loudly past the DSv2 ceiling, remedies named; the infos
+      // come from the pinned resolution (no second manifest read)
       new GraftMorTable(name, r.root, spark, options, r.files, schema,
-        GraftDeleteSpec.resolve(spark, r.root, r.version, r.schema))
+        GraftDeleteSpec.resolve(spark, r.root, r.version, r.schema,
+          r.deletes))
   }
 
   override def supportsExternalMetadata(): Boolean = false

@@ -232,10 +232,14 @@ object SnapshotTable {
     * equality delete committed at version D applies exactly to files
     * with a LOWER number: rows re-inserted (or rewritten by a merge /
     * compaction) after the delete land in a higher-numbered dir and
-    * are untouched by it.
+    * are untouched by it. The LAST `data-N` segment wins: callers may
+    * pass a full URI, and the TABLE ROOT itself could contain a
+    * data-N-shaped directory name above the table (the same defense
+    * [[applyDeletes]]'s row-side extraction takes with element_at(-1)).
     */
   private def dataVersionOf(rel: String): Long =
-    DataVerRe.findFirstMatchIn(rel).map(_.group(1).toLong).getOrElse(0L)
+    DataVerRe.findAllMatchIn(rel).toSeq.lastOption
+      .map(_.group(1).toLong).getOrElse(0L)
 
   private def manifestLines(f: org.apache.hadoop.fs.FileSystem,
                             table: String, v: Long): Seq[String] = {
@@ -392,9 +396,15 @@ object SnapshotTable {
   def commitTimestamp(spark: SparkSession, table: String,
                       version: Long = 0L): Option[Long] = {
     val v = resolve(spark, table, version)
-    manifestLines(fs(spark, table), table, v)
+    // header-only read: stop at the first non-header line, so sweeping
+    // timestamps across many retained versions ([[versionAt]],
+    // [[vacuum]]'s retainFor) never materializes a large manifest body
+    val in = fs(spark, table).open(hp(table, MetaDir, f"manifest-$v%05d"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .takeWhile(_.startsWith("#"))
       .find(_.startsWith(TsHeader))
       .map(_.stripPrefix(TsHeader).trim.toLong)
+    finally in.close()
   }
 
   /** TIME TRAVEL BY TIMESTAMP: the newest retained version whose commit
@@ -607,6 +617,14 @@ object SnapshotTable {
     * dozen bytes); compaction purges the backlog either way.
     */
   @volatile var deleteBroadcastMaxRows: Long = 4L * 1000 * 1000
+
+  /** Ceiling for the DSv2 doors' merge-on-read key sets (boxed
+    * per-key driver/task representation — an order of magnitude
+    * heavier per row than the compact broadcast relation
+    * [[applyDeletes]] builds, hence the lower default). The effective
+    * DSv2 bound is the MIN of this and [[deleteBroadcastMaxRows]].
+    */
+  @volatile var deleteSpecMaxRows: Long = 1L * 1000 * 1000
 
   /** A delete file's key-row count: the manifest-certified `__rows`
     * token when present, else one driver-side footer read (lines
@@ -1440,9 +1458,14 @@ object SnapshotTable {
           noNulls(s)
       // disjoint needs no null certificate: carrying a file verbatim
       // keeps its null rows, which is exactly what DELETE semantics
-      // require of them
+      // require of them. A certified ALL-NULL file (null count equals
+      // the row count) is disjoint from EVERY range — without this, an
+      // envelope-less all-null file would be classified boundary and
+      // byte-identically rewritten on every range delete, forever
       def disjoint(s: Map[String, (Long, Long)]): Boolean =
-        s.get(col).exists { case (flo, fhi) => fhi < lo || flo > hi }
+        s.get(col).exists { case (flo, fhi) => fhi < lo || flo > hi } ||
+          (for { n <- s.get(NullsPrefix + col); r <- s.get(RowsCol) }
+            yield n._2 == r._1 && n._1 == r._1).getOrElse(false)
       val f = fs(spark, table)
       val carried = Seq.newBuilder[String]
       val boundary = Seq.newBuilder[ManifestEntry]

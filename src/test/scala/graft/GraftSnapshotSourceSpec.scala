@@ -210,6 +210,58 @@ class GraftSnapshotSourceSpec extends SparkSpec {
       s"replay across the vacuum delivered exactly the missed versions: ${got.sorted}")
   }
 
+  test("a data-N-shaped directory ABOVE the table root cannot corrupt sequence numbers") {
+    import spark.implicits._
+    // the table lives UNDER a directory named like a data dir: every
+    // file URI contains two data-N segments, and taking the FIRST
+    // would give every file sequence number 1 — a v2 delete would then
+    // wrongly apply to files written at v3+ (silent data loss through
+    // the SQL door). The LAST segment must win, as in applyDeletes.
+    val t = Files.createTempDirectory("morroot").toString + "/data-00001/t"
+    SnapshotTable.commit(spark, t,
+      (0L until 10L).map(i => (i, "v1")).toDF("k", "v"))
+    SnapshotTable.deleteWhere(spark, t, Seq(3L).toDF("k"))      // v2
+    SnapshotTable.append(spark, t, Seq((3L, "reborn")).toDF("k", "v")) // v3
+    val got = viaFormat(t).as[(Long, String)].collect().toSet
+    assert(got == SnapshotTable.read(spark, t).as[(Long, String)]
+      .collect().toSet, "parity under a data-N-shaped root")
+    assert(got.contains((3L, "reborn")) && !got.contains((3L, "v1")),
+      s"the v3 re-insert must survive the v2 delete: $got")
+  }
+
+  test("restart without the pacing mark (V1-era checkpoint): the offset log still holds the floor") {
+    import spark.implicits._
+    val t = mkTable()
+    val ckpt = Files.createTempDirectory("snapstream-nohwm").toString
+    (1 to 3).foreach { b =>
+      SnapshotTable.append(spark, t, Seq((b.toLong, s"b$b")).toDF("k", "tag"))
+    }
+    val got = new scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = spark.readStream.format("graft-snapshot")
+      .option("maxVersionsPerTrigger", 1).load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.as[(Long, String)].collect().map(_._1) }; ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(got.sorted == Seq(1L, 2L, 3L))
+    // a checkpoint migrated from the V1 source has no graft-served-hwm
+    // file — deserializeOffset must raise the pacing mark from the
+    // offset log itself, else latestOffset re-caps BELOW the committed
+    // offset and re-delivers
+    java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator()
+      .forEachRemaining { p =>
+        if (p.getFileName.toString == "graft-served-hwm")
+          java.nio.file.Files.delete(p)
+      }
+    SnapshotTable.append(spark, t, Seq((4L, "b4")).toDF("k", "tag"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(got.sorted == Seq(1L, 2L, 3L, 4L),
+      s"no duplicate redelivery without the mark file: ${got.sorted}")
+  }
+
   test("timestampAsOf: wall-clock time travel through the SQL door") {
     import spark.implicits._
     val t = mkTable()
