@@ -1461,11 +1461,22 @@ object SnapshotTable {
       // require of them. A certified ALL-NULL file (null count equals
       // the row count) is disjoint from EVERY range — without this, an
       // envelope-less all-null file would be classified boundary and
-      // byte-identically rewritten on every range delete, forever
+      // byte-identically rewritten on every range delete, forever.
+      // On a FOLDED leaf the tokens are [min,max] AGGREGATES over its
+      // files, and the only sound all-null certificate at that
+      // granularity is min(nulls) >= max(rows): nulls_i <= rows_i per
+      // file, so it forces nulls_i == rows_i for EVERY folded file. A
+      // weaker envelope comparison (the pre-fix bug) let a leaf folding
+      // an all-null file (5/5) with a mixed file (5 nulls of 7 rows)
+      // certify — rows=[5,7], nulls=[5,5] passed — and the mixed file's
+      // in-range rows silently survived the DELETE. A mixed-leaf miss
+      // here is merely conservative: the leaf opens and its files
+      // certify individually (per-file tokens are degenerate k..k, for
+      // which min(nulls) >= max(rows) IS nulls == rows).
       def disjoint(s: Map[String, (Long, Long)]): Boolean =
         s.get(col).exists { case (flo, fhi) => fhi < lo || flo > hi } ||
           (for { n <- s.get(NullsPrefix + col); r <- s.get(RowsCol) }
-            yield n._2 == r._1 && n._1 == r._1).getOrElse(false)
+            yield n._1 >= r._2).getOrElse(false)
       val f = fs(spark, table)
       val carried = Seq.newBuilder[String]
       val boundary = Seq.newBuilder[ManifestEntry]

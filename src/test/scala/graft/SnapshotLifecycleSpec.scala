@@ -128,6 +128,35 @@ class SnapshotLifecycleSpec extends SparkSpec {
       "all four null-ts rows survive a second boundary rewrite too")
   }
 
+  test("deleteRange: a leaf folding an all-null file with a MIXED file is no all-null certificate") {
+    import spark.implicits._
+    val t = mkTable()
+    // file A: 5 rows, ALL null ts (tokens: __nn_ts=5..5, __rows=5..5,
+    // no ts envelope); file B: 7 rows, 5 null + 2 IN-RANGE values
+    // (ts=10,11; tokens: ts=10..11, __nn_ts=5..5, __rows=7..7)
+    SnapshotTable.append(spark, t,
+      (0L until 5L).map(i => (i, None: Option[Long])).toDF("k", "ts")
+        .coalesce(1), statsCols = Seq("ts"))
+    SnapshotTable.append(spark, t,
+      ((100L until 105L).map(i => (i, None: Option[Long])) ++
+        Seq((200L, Some(10L)), (201L, Some(11L)))).toDF("k", "ts")
+        .coalesce(1), statsCols = Seq("ts"))
+    // fold BOTH files into one merged leaf: its aggregate tokens are
+    // __nn_ts=5..5, __rows=5..7 — the exact shape the pre-fix
+    // certificate (null envelope vs rows.lo) wrongly certified as
+    // all-null-disjoint, carrying the leaf verbatim
+    assert(SnapshotTable.rewriteManifests(spark, t, groupSize = 2) > 0L)
+    val v = SnapshotTable.deleteRange(spark, t, "ts", 0L, 20L)
+    assert(v > 0L)
+    val got = SnapshotTable.read(spark, t).as[(Long, Option[Long])]
+      .collect().toSet
+    val want = ((0L until 5L).map(i => (i, None: Option[Long])) ++
+      (100L until 105L).map(i => (i, None: Option[Long]))).toSet
+    assert(got == want,
+      s"the folded leaf's in-range rows (ts=10,11) must NOT survive the " +
+        s"range delete; every null row must: ${got.toSeq.sortBy(_._1)}")
+  }
+
   test("compactSnapshot is a CONDITIONAL commit: a sink append racing it is never erased") {
     import spark.implicits._
     val t = mkTable()
