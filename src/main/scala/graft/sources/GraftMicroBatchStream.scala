@@ -163,7 +163,30 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
     GraftVersionOffset(v)
   }
 
+  /** The replay floor this stream last pinned, and when it last TOUCHED
+    * the pin file. planInputPartitions/commit refresh the pin — but
+    * they only run when the table has NEW versions, so a live stream
+    * idling on a quiet table would stop refreshing and its pin would
+    * age out under vacuum's `pinMaxAgeMs` like a dead consumer's; a
+    * later burst of commits plus an aggressive vacuum between triggers
+    * could then sweep the manifest its next diff needs. `latestOffset`
+    * fires EVERY trigger regardless of data, so it re-touches the pin
+    * on a throttled cadence ([[GraftMicroBatchStream.pinRefreshMs]]) —
+    * liveness tied to the trigger loop, not to data arrival.
+    */
+  @volatile private var lastPinnedFloor: Long = 0L
+  @volatile private var lastPinTouchMs: Long = System.currentTimeMillis()
+
+  private def pinFloor(floor: Long): Unit = {
+    SnapshotTable.pinVersion(spark, root, checkpointLocation, floor)
+    lastPinnedFloor = math.max(lastPinnedFloor, floor)
+    lastPinTouchMs = System.currentTimeMillis()
+  }
+
   override def latestOffset(): V2Offset = {
+    if (lastPinnedFloor >= 1L && System.currentTimeMillis() - lastPinTouchMs >
+        GraftMicroBatchStream.pinRefreshMs)
+      pinFloor(lastPinnedFloor)
     val cur = SnapshotTable.currentVersion(spark, root)
     val capped = maxPerTrigger match {
       case Some(m) if paceFloorKnown =>
@@ -208,8 +231,7 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
     // retention pin at the replay floor (durable `start`; bootstrap
     // pins its end) — identical contract to the batch consumers'
     val floor = if (from >= 1L) from else to
-    if (floor >= 1L)
-      SnapshotTable.pinVersion(spark, root, checkpointLocation, floor)
+    if (floor >= 1L) pinFloor(floor)
     if (from >= to) { batchFactory = EmptyReaderFactory; return Array.empty }
     val files =
       if (from == 0L) SnapshotTable.snapshotFiles(spark, root, to) // bootstrap
@@ -242,10 +264,19 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
 
   override def commit(end: V2Offset): Unit = {
     val v = end.asInstanceOf[GraftVersionOffset].version
-    if (v >= 1L) SnapshotTable.pinVersion(spark, root, checkpointLocation, v)
+    if (v >= 1L) pinFloor(v)
   }
 
   override def stop(): Unit = ()
+}
+
+object GraftMicroBatchStream {
+  /** How long an IDLE stream lets its retention pin's mtime age before
+    * `latestOffset` re-touches it. One tiny file rewrite per interval
+    * per stream; must sit comfortably under any vacuum `pinMaxAgeMs`
+    * (default 7 d) — an hour leaves ~168 refreshes of margin.
+    */
+  @volatile var pinRefreshMs: Long = 3600 * 1000L
 }
 
 private[sources] object EmptyReaderFactory extends PartitionReaderFactory {

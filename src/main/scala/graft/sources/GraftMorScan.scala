@@ -60,6 +60,28 @@ private[sources] object GraftDeleteSpec {
         val t = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
           throw new IllegalStateException(
             s"delete key column '$c' missing from $root v$version schema"))
+        // key matching below is JVM VALUE equality over internal
+        // values. Atomics are safe (boxed primitives, UTF8String,
+        // Decimal all define equals); BinaryType's internal value is
+        // Array[Byte] (REFERENCE equality — normalized to a
+        // byte-comparable wrapper on both sides, see normalize); and
+        // struct/array/map internal values (InternalRow/ArrayData/
+        // MapData) define NO value equality at all — matching on them
+        // would silently delete nothing through the SQL doors while
+        // the Scala door's <=> anti-join removes rows. Refuse loudly.
+        t.dataType match {
+          case _: org.apache.spark.sql.types.StructType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType =>
+            throw new UnsupportedOperationException(
+              s"$root v$version: delete key column '$c' has nested type " +
+                s"${t.dataType.simpleString} — the DSv2 merge-on-read " +
+                "doors match keys by JVM value equality, which nested " +
+                "internal values do not define; read via " +
+                "SnapshotTable.read (null-safe anti-join) or re-key the " +
+                "delete on atomic columns")
+          case _ => ()
+        }
         col(c).cast(t.dataType)
       }
       val df = spark.read.parquet(s"$root/${d.path}").select(casts: _*)
@@ -67,7 +89,8 @@ private[sources] object GraftDeleteSpec {
       // copy() per row: the internal-row iterator REUSES its buffer, so
       // a bare collect() would yield N references to the last key
       val keys = df.queryExecution.toRdd.map(_.copy()).collect().map { row =>
-        dts.indices.map(i => row.get(i, dts(i))): Seq[Any]
+        dts.indices.map(i =>
+          GraftMor.normalize(row.get(i, dts(i)), dts(i))): Seq[Any]
       }.toSet
       GraftDeleteSpec(d.cols, d.appliesBelow, keys)
     }
@@ -80,6 +103,21 @@ private[sources] object GraftDeleteSpec {
   * so batch and stream delete semantics cannot silently diverge.
   */
 private[sources] object GraftMor {
+
+  /** Key/probe value under a representation with VALUE equality:
+    * BinaryType's internal Array[Byte] compares by reference, so both
+    * the driver-resolved key set and the per-row probe wrap it in an
+    * immutable ArraySeq (element-wise equals + element-based hash).
+    * Everything else passes through — atomic internal values already
+    * define equals (nested types are refused at resolve).
+    */
+  def normalize(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
+    v match {
+      case b: Array[Byte]
+          if dt == org.apache.spark.sql.types.BinaryType =>
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+      case other => other
+    }
 
   /** Re-split parquet [[FilePartition]]s so every partition's files
     * share ONE delete-applicability profile (the set of deletes whose
@@ -120,7 +158,11 @@ private[sources] object GraftMor {
       .zipWithIndex.toMap
     private val matchers = applicable.map { i =>
       val ords = specs(i).cols.map(c => lower(c.toLowerCase)).toArray
-      (ords, new Array[Any](ords.length), specs(i).keys)
+      // positions needing probe normalization (binary → value-equal
+      // wrapper, mirroring the key set's representation)
+      val bin = ords.map(o =>
+        dts(o) == org.apache.spark.sql.types.BinaryType)
+      (ords, bin, new Array[Any](ords.length), specs(i).keys)
     }
     protected var cur: InternalRow = _
 
@@ -130,10 +172,12 @@ private[sources] object GraftMor {
         var dead = false
         var m = 0
         while (!dead && m < matchers.length) {
-          val (ords, probe, keys) = matchers(m)
+          val (ords, bin, probe, keys) = matchers(m)
           var i = 0
           while (i < ords.length) {
-            probe(i) = r.get(ords(i), dts(ords(i))); i += 1
+            val v = r.get(ords(i), dts(ords(i)))
+            probe(i) = if (bin(i)) GraftMor.normalize(v, dts(ords(i))) else v
+            i += 1
           }
           dead = keys.contains(
             scala.collection.immutable.ArraySeq.unsafeWrapArray(probe))

@@ -439,6 +439,73 @@ class GraftSnapshotSourceSpec extends SparkSpec {
       fresh.count() == 5 && fresh.filter(col("k") === 0L).count() == 0)
   }
 
+  test("an IDLE stream re-touches its retention pin from the trigger loop") {
+    import spark.implicits._
+    val t = mkTable()
+    val ckpt = Files.createTempDirectory("snapstream-idlepin").toString
+    SnapshotTable.append(spark, t, Seq((1L, "b1")).toDF("k", "tag"))
+    val prev = graft.sources.GraftMicroBatchStream.pinRefreshMs
+    graft.sources.GraftMicroBatchStream.pinRefreshMs = 1L
+    val q = spark.readStream.format("graft-snapshot").load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    try {
+      q.processAllAvailable()
+      val pin = new java.io.File(s"$t/_graft_meta").listFiles()
+        .find(_.getName.startsWith("pin-")).get
+      // age the pin as if the table had been quiet for a long time:
+      // without the latestOffset refresh, ONLY a new table version
+      // would ever bump this mtime again, and vacuum's age sweep would
+      // eventually reap a LIVE stream's pin
+      val aged = System.currentTimeMillis() - 10L * 60 * 1000
+      assert(pin.setLastModified(aged))
+      // idle triggers keep firing latestOffset; with the refresh
+      // cadence at 1 ms each one re-touches the pin
+      val deadline = System.currentTimeMillis() + 10000
+      while (pin.lastModified() <= aged + 1000 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(pin.lastModified() > aged + 1000,
+        "an idle-but-live stream's pin mtime must keep moving")
+    } finally {
+      q.stop()
+      graft.sources.GraftMicroBatchStream.pinRefreshMs = prev
+    }
+  }
+
+  test("binary delete keys match by VALUE through the SQL door; nested key types refuse loudly") {
+    import spark.implicits._
+    val t = mkTable()
+    // binary key column: the internal value is Array[Byte], whose bare
+    // JVM equality is REFERENCE equality — without normalization the
+    // SQL door's key-set lookup silently matched nothing while the
+    // Scala door's <=> anti-join removed the rows (cross-door divergence)
+    SnapshotTable.commit(spark, t,
+      (0L until 10L).map(i =>
+        (Array(i.toByte, (i + 1).toByte), s"v$i")).toDF("kb", "v"))
+    SnapshotTable.deleteWhere(spark, t,
+      Seq(Array(3.toByte, 4.toByte), Array(7.toByte, 8.toByte)).toDF("kb"))
+    val got = viaFormat(t).select("v").as[String].collect().toSet
+    val want = SnapshotTable.read(spark, t).select("v").as[String]
+      .collect().toSet
+    assert(got == want && got.size == 8 &&
+      !got.contains("v3") && !got.contains("v7"),
+      s"binary keys must remove rows through the SQL door too: $got")
+    // nested key type: no value equality on internal rows — refuse
+    // loudly with the Scala-door remedy named instead of silently
+    // serving undeleted rows
+    val t2 = mkTable()
+    SnapshotTable.commit(spark, t2,
+      Seq((Seq(1L, 2L), "a"), (Seq(3L, 4L), "b")).toDF("ka", "v"))
+    SnapshotTable.deleteWhere(spark, t2, Seq(Seq(1L, 2L)).toDF("ka"))
+    val e = intercept[UnsupportedOperationException] { viaFormat(t2).count() }
+    assert(e.getMessage.contains("nested") &&
+      e.getMessage.contains("SnapshotTable.read"), e.getMessage)
+    // the Scala door still resolves array keys (null-safe anti-join)
+    assert(SnapshotTable.read(spark, t2).select("v").as[String]
+      .collect().toSeq == Seq("b"))
+  }
+
   test("the delete backlog past the broadcast cap is refused with the remedies named") {
     import spark.implicits._
     val t = mkTable()
