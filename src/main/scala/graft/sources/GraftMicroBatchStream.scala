@@ -29,24 +29,49 @@ private[sources] case class GraftVersionOffset(version: Long) extends V2Offset {
   * ALSO answers `toMicroBatchStream` — one table serves
   * `spark.read` (stock vectorized batch) and `spark.readStream` (the
   * DSv2 micro-batch stream below) without a V1 `Source` in sight.
+  * `build()` additionally prunes the FILE LIST against the pushed
+  * filters' manifest stat envelopes ([[GraftPrune]]): files provably
+  * dead by envelope are never handed to parquet at all — the
+  * [[SnapshotTable.readPruned]] skip, now on the SQL path.
   */
-private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
+private[sources] class GraftStreamableScanBuilder(in: GraftScanInputs,
     root: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters {
 
-  override def pruneColumns(required: StructType): Unit =
-    delegate.pruneColumns(required)
+  private val delegate = in.parquetBuilder(options, in.files)
+  private var required: Option[StructType] = None
+  private var raw: Seq[Expression] = Nil
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+  override def pruneColumns(required: StructType): Unit = {
+    this.required = Some(required)
+    delegate.pruneColumns(required)
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    raw = filters
     delegate.pushFilters(filters)
+  }
 
   override def pushedFilters
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
 
-  override def build(): Scan =
-    new GraftStreamableScan(delegate.build(), root, tableSchema, options)
+  override def build(): Scan = {
+    val ranges = GraftPrune.ranges(raw)
+    val kept = GraftPrune.prune(in.files, in.stats, ranges)
+    val chosen =
+      if (kept.size == in.files.size) delegate
+      else {
+        // re-plan the stock parquet scan over the envelope survivors,
+        // replaying the pushdown conversation verbatim
+        val b = in.parquetBuilder(options, kept)
+        if (raw.nonEmpty) b.pushFilters(raw)
+        required.foreach(b.pruneColumns)
+        b
+      }
+    new GraftStreamableScan(chosen.build(), root, tableSchema, options, ranges)
+  }
 }
 
 /** Batch reads delegate whole (same Batch object — vectorized readers,
@@ -55,14 +80,15 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
   * STREAM always serves the table schema pinned at load.
   */
 private[sources] class GraftStreamableScan(delegate: Scan, root: String,
-    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    tableSchema: StructType, options: CaseInsensitiveStringMap,
+    ranges: Seq[(String, Long, Long)] = Nil)
     extends Scan {
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
   override def toBatch: Batch = delegate.toBatch
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(SparkSession.active, root, tableSchema,
-      options, checkpointLocation)
+      options, checkpointLocation, ranges)
 }
 
 /** The snapshot table as a DataSourceV2 MICRO-BATCH STREAM — the
@@ -89,7 +115,8 @@ private[sources] class GraftStreamableScan(delegate: Scan, root: String,
   */
 private[sources] class GraftMicroBatchStream(spark: SparkSession,
     root: String, pinned: StructType, options: CaseInsensitiveStringMap,
-    checkpointLocation: String) extends MicroBatchStream {
+    checkpointLocation: String,
+    ranges: Seq[(String, Long, Long)] = Nil) extends MicroBatchStream {
 
   private val startAfter: Long =
     Option(options.get("startingVersion")).map(_.trim) match {
@@ -233,12 +260,19 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
     val floor = if (from >= 1L) from else to
     if (floor >= 1L) pinFloor(floor)
     if (from >= to) { batchFactory = EmptyReaderFactory; return Array.empty }
-    val files =
-      if (from == 0L) SnapshotTable.snapshotFiles(spark, root, to) // bootstrap
+    val addedEntries =
+      if (from == 0L) SnapshotTable.snapshotEntries(spark, root, to) // bootstrap
       else {
         val before = SnapshotTable.snapshotFiles(spark, root, from).toSet
-        SnapshotTable.snapshotFiles(spark, root, to).filterNot(before)
+        SnapshotTable.snapshotEntries(spark, root, to)
+          .filterNot(e => before(e.path))
       }
+    // the batch door's envelope skip, per micro-batch: files of the
+    // diff provably dead under the query's pushed filters are never
+    // read (a filtered stream over a time-clustered table pays only
+    // for the slices it asked for)
+    val files = addedEntries
+      .filter(e => GraftPrune.keep(e.stats, ranges)).map(_.path)
     if (files.isEmpty) { batchFactory = EmptyReaderFactory; return Array.empty }
     // the batch's files decode under the schema THEY were committed
     // with; the reader then casts/projects to the pinned stream shape

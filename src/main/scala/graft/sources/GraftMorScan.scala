@@ -191,6 +191,23 @@ private[sources] object GraftMor {
   }
 }
 
+/** One pinned resolution's scan-side inputs: the committed file list
+  * WITH its per-file manifest stat envelopes (keyed by the same full
+  * paths), plus everything needed to construct the stock parquet
+  * machinery over any SUBSET of it — the scan builders re-plan over a
+  * pruned list when pushed filters prove files dead by envelope
+  * ([[GraftPrune]]).
+  */
+private[sources] case class GraftScanInputs(spark: SparkSession,
+    name: String, schema: StructType, files: Seq[String],
+    stats: Map[String, Map[String, (Long, Long)]]) {
+  def parquetBuilder(options: CaseInsensitiveStringMap,
+                     kept: Seq[String]): ParquetScanBuilder =
+    ParquetTable(name, spark, options, kept, Some(schema),
+      classOf[ParquetFileFormat])
+      .newScanBuilder(options).asInstanceOf[ParquetScanBuilder]
+}
+
 /** A READ-ONLY veneer over the stock [[ParquetTable]]: scans delegate
   * verbatim (vectorized readers, pushdown, pruning — everything), but
   * the write capabilities are deliberately NOT exposed. A raw
@@ -199,11 +216,11 @@ private[sources] object GraftMor {
   * bypassing the claim + manifest commit protocol and corrupting the
   * table. Without `BATCH_WRITE`, Spark routes writes to the provider's
   * V1 seam ([[GraftSnapshotSource.createRelation]]), which IS the
-  * commit protocol. `delegate = None` marks a not-yet-existing table
+  * commit protocol. `inputs = None` marks a not-yet-existing table
   * (the write flow resolves it before creating): reads fail loudly.
   */
 private[sources] class GraftReadTable(tableName: String, root: String,
-    tableSchema: StructType, delegate: Option[Table])
+    tableSchema: StructType, inputs: Option[GraftScanInputs])
     extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -212,10 +229,8 @@ private[sources] class GraftReadTable(tableName: String, root: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    delegate match {
-      case Some(t) => new GraftStreamableScanBuilder(
-        t.asInstanceOf[SupportsRead].newScanBuilder(o)
-          .asInstanceOf[ParquetScanBuilder], root, tableSchema, o)
+    inputs match {
+      case Some(in) => new GraftStreamableScanBuilder(in, root, tableSchema, o)
       case None => throw new IllegalArgumentException(
         s"$root has no committed snapshot")
     }
@@ -244,66 +259,82 @@ private[sources] class GraftReadTable(tableName: String, root: String,
   *    columnar [[ParquetTable]] fast path.
   */
 private[sources] class GraftMorTable(tableName: String, root: String,
-    spark: SparkSession, options: CaseInsensitiveStringMap,
-    files: Seq[String], tableSchema: StructType,
-    specs: Seq[GraftDeleteSpec])
+    in: GraftScanInputs, specs: Seq[GraftDeleteSpec])
     extends Table with SupportsRead {
 
-  private val parquet = ParquetTable(tableName, spark, options, files,
-    Some(tableSchema), classOf[ParquetFileFormat])
-
   override def name(): String = tableName
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType = in.schema
   override def partitioning(): Array[Transform] = Array.empty
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftMorScanBuilder(
-      parquet.newScanBuilder(o).asInstanceOf[ParquetScanBuilder],
-      root, tableSchema, specs, o)
+    new GraftMorScanBuilder(in, root, specs, o)
 }
 
 /** Delegating scan builder: pushdown goes to parquet untouched; column
   * pruning widens the request by the delete key columns (recorded so
-  * the scan can project back down).
+  * the scan can project back down); build() first prunes the FILE
+  * LIST against the pushed filters' manifest envelopes (sound under
+  * deletes: deletes only REMOVE rows, so a file dead by envelope
+  * stays dead) and re-plans the stock parquet scan over the survivors.
   */
-private[sources] class GraftMorScanBuilder(delegate: ParquetScanBuilder,
-    root: String, tableSchema: StructType, specs: Seq[GraftDeleteSpec],
+private[sources] class GraftMorScanBuilder(in: GraftScanInputs,
+    root: String, specs: Seq[GraftDeleteSpec],
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters {
 
-  private var requested: StructType = tableSchema
+  private val delegate = in.parquetBuilder(options, in.files)
+  private var requested: StructType = in.schema
+  private var widened: Option[StructType] = None
+  private var raw: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    Nil
 
   override def pruneColumns(required: StructType): Unit = {
     requested = required
     val have = required.fields.map(_.name.toLowerCase).toSet
     val keyCols = specs.flatMap(_.cols).distinct
-    val extra = tableSchema.fields.filter(f =>
+    val extra = in.schema.fields.filter(f =>
       keyCols.exists(_.equalsIgnoreCase(f.name)) &&
         !have.contains(f.name.toLowerCase))
-    delegate.pruneColumns(StructType(required.fields ++ extra))
+    widened = Some(StructType(required.fields ++ extra))
+    delegate.pruneColumns(widened.get)
   }
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    raw = filters
     delegate.pushFilters(filters)
+  }
 
   override def pushedFilters
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
 
   override def build(): Scan = {
+    val ranges = GraftPrune.ranges(raw)
+    val kept = GraftPrune.prune(in.files, in.stats, ranges)
+    // envelope-pruned file list: re-plan the parquet side over the
+    // survivors, replaying the pushdown conversation verbatim
+    val chosen =
+      if (kept.size == in.files.size) delegate
+      else {
+        val b = in.parquetBuilder(options, kept)
+        if (raw.nonEmpty) b.pushFilters(raw)
+        widened.foreach(b.pruneColumns)
+        b
+      }
     // the built scan's readDataSchema is the delegate's ACTUAL row
     // layout (table-schema order filtered to the pruned names, nested
     // pruning applied) — ordinals below must come from it, not from
     // the struct handed to pruneColumns
-    val ps = delegate.build()
+    val ps = chosen.build()
     new GraftMorScan(ps, ps.readDataSchema,
-      requested.fields.map(_.name).toSeq, specs, root, tableSchema, options)
+      requested.fields.map(_.name).toSeq, specs, root, in.schema, options,
+      ranges)
   }
 }
 
@@ -319,18 +350,21 @@ private[sources] case class GraftMorPartition(inner: FilePartition,
 private[sources] class GraftMorScan(delegate: Scan, unionRead: StructType,
     requestedNames: Seq[String], specs: Seq[GraftDeleteSpec],
     root: String, tableSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    ranges: Seq[(String, Long, Long)] = Nil)
     extends Scan with Batch {
 
   /** Streaming a delete-carrying table: deletes are resolved PER BATCH
     * by [[GraftMicroBatchStream]] anyway (each diff read applies its
     * end version's deletes), so the stream needs only the table
-    * coordinates, not this scan's snapshot-wide spec set.
+    * coordinates — plus the pushed filters' envelope ranges, so each
+    * batch's manifest diff prunes files the same way the batch door
+    * does.
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(SparkSession.active, root, tableSchema,
-      options, checkpointLocation)
+      options, checkpointLocation, ranges)
 
   private val ordinalOf: Map[String, Int] =
     unionRead.fields.map(_.name.toLowerCase).zipWithIndex.toMap

@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType,
+  ShortType}
+
+/** Manifest-envelope FILE pruning for the DataSourceV2 read doors —
+  * the [[SnapshotTable.readPruned]] logic applied to PUSHED filters, so
+  * a SQL `WHERE ts > X` on a statsCols table skips whole files from
+  * the manifest before any footer is opened. At 100 TB the win of a
+  * stats envelope is never OPENING the file; parquet row-group
+  * skipping only saves the data pages after the footer read already
+  * cost a round trip per file.
+  *
+  * Soundness: a file is dropped only when some CONJUNCT of the pushed
+  * predicate provably matches no row in it. Pushed filters are the
+  * conjuncts of the Filter above the scan, each extracted range is
+  * null-rejecting on its column (a NULL never satisfies `=`, `<`,
+  * `BETWEEN`, or `IN`), and envelopes cover the file's non-null values
+  * — so "envelope disjoint from the conjunct's allowed interval"
+  * means no row, null or not, survives the full predicate. Spark
+  * re-evaluates the residual filter above the scan regardless, so
+  * pruning only ever removes provably-dead I/O, never changes rows.
+  * Everything unrecognized (other types, ORs, casts, functions) simply
+  * extracts nothing and prunes nothing.
+  */
+private[sources] object GraftPrune {
+
+  /** Is this an attribute type whose committed envelope (the
+    * cast-to-long [min,max] the manifest records) ORDERS THE SAME as
+    * the column itself? Plain integrals only — mirroring the commit
+    * side's footerResolvable rule.
+    */
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def litLong(l: Literal): Option[Long] = l.value match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case j: Long => Some(j)
+    case _ => None
+  }
+
+  /** The allowed [lo, hi] interval each recognized null-rejecting
+    * conjunct confines its column to, lowercase column name. `And`
+    * splits; anything else unrecognized contributes nothing.
+    */
+  def ranges(filters: Seq[Expression]): Seq[(String, Long, Long)] =
+    filters.flatMap(rangesOf)
+
+  private def rangesOf(e: Expression): Seq[(String, Long, Long)] = e match {
+    case And(l, r) => rangesOf(l) ++ rangesOf(r)
+    case EqualTo(a: Attribute, l: Literal) => eq(a, l)
+    case EqualTo(l: Literal, a: Attribute) => eq(a, l)
+    // <=> with a NON-null literal is = on non-null values and false on
+    // null ones — null-rejecting, same interval as =
+    case EqualNullSafe(a: Attribute, l: Literal) if l.value != null => eq(a, l)
+    case EqualNullSafe(l: Literal, a: Attribute) if l.value != null => eq(a, l)
+    case GreaterThan(a: Attribute, l: Literal) => above(a, l, open = true)
+    case GreaterThanOrEqual(a: Attribute, l: Literal) => above(a, l, open = false)
+    case LessThan(a: Attribute, l: Literal) => below(a, l, open = true)
+    case LessThanOrEqual(a: Attribute, l: Literal) => below(a, l, open = false)
+    // mirrored literal-first forms flip the comparison
+    case GreaterThan(l: Literal, a: Attribute) => below(a, l, open = true)
+    case GreaterThanOrEqual(l: Literal, a: Attribute) => below(a, l, open = false)
+    case LessThan(l: Literal, a: Attribute) => above(a, l, open = true)
+    case LessThanOrEqual(l: Literal, a: Attribute) => above(a, l, open = false)
+    // IN is a disjunction of equalities: its hull [min, max] is a
+    // SUPERSET of the allowed set — conservative, still sound
+    case In(a: Attribute, ls) if integral(a.dataType) &&
+        ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
+      val vs = ls.map(l => litLong(l.asInstanceOf[Literal]))
+      if (vs.exists(_.isEmpty)) Nil
+      else Seq((a.name.toLowerCase, vs.flatten.min, vs.flatten.max))
+    case InSet(a: Attribute, hset) if integral(a.dataType) && hset.nonEmpty =>
+      val vs = hset.toSeq.map {
+        case b: Byte => Some(b.toLong)
+        case s: Short => Some(s.toLong)
+        case i: Int => Some(i.toLong)
+        case j: Long => Some(j)
+        case _ => None
+      }
+      if (vs.exists(_.isEmpty)) Nil
+      else Seq((a.name.toLowerCase, vs.flatten.min, vs.flatten.max))
+    case _ => Nil
+  }
+
+  private def eq(a: Attribute, l: Literal): Seq[(String, Long, Long)] =
+    if (!integral(a.dataType)) Nil
+    else litLong(l).map(v => (a.name.toLowerCase, v, v)).toSeq
+
+  private def above(a: Attribute, l: Literal,
+                    open: Boolean): Seq[(String, Long, Long)] =
+    if (!integral(a.dataType)) Nil
+    else litLong(l).flatMap { v =>
+      if (open && v == Long.MaxValue) None // col > MAX: nothing to bound
+      else Some((a.name.toLowerCase, if (open) v + 1 else v, Long.MaxValue))
+    }.toSeq
+
+  private def below(a: Attribute, l: Literal,
+                    open: Boolean): Seq[(String, Long, Long)] =
+    if (!integral(a.dataType)) Nil
+    else litLong(l).flatMap { v =>
+      if (open && v == Long.MinValue) None
+      else Some((a.name.toLowerCase, Long.MinValue, if (open) v - 1 else v))
+    }.toSeq
+
+  /** Does a file with these committed stats possibly hold a surviving
+    * row? False only when some conjunct's interval is provably
+    * disjoint from the file's envelope. A file without an envelope for
+    * a conjunct's column is conservatively kept.
+    */
+  def keep(stats: Map[String, (Long, Long)],
+           rs: Seq[(String, Long, Long)]): Boolean = {
+    lazy val lower = stats.map { case (k, v) => k.toLowerCase -> v }
+    rs.forall { case (c, lo, hi) =>
+      lower.get(c).forall { case (flo, fhi) => flo <= hi && fhi >= lo }
+    }
+  }
+
+  /** The surviving file paths (same order), given per-path stats. */
+  def prune(files: Seq[String],
+            stats: Map[String, Map[String, (Long, Long)]],
+            rs: Seq[(String, Long, Long)]): Seq[String] =
+    if (rs.isEmpty) files
+    else files.filter(f => keep(stats.getOrElse(f, Map.empty), rs))
+}

@@ -5,8 +5,6 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
   DataSourceRegister}
 import org.apache.spark.sql.types.StructType
@@ -148,7 +146,8 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
     */
   private case class Resolved(root: String, version: Long,
                               files: Seq[String], schema: StructType,
-                              deletes: Seq[SnapshotTable.DeleteFileInfo])
+                              deletes: Seq[SnapshotTable.DeleteFileInfo],
+                              stats: Map[String, Map[String, (Long, Long)]])
   @volatile private var pinned: Option[Resolved] = None
   // the RAW option key the pin was computed from — the cache must hit
   // before any re-resolution (versionAt, currentVersion) runs, else a
@@ -182,17 +181,21 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
             // resolution fails loudly at scan construction instead
             require(versionOpt.forall(_ <= 0L),
               s"$root has no committed snapshot to time-travel into")
-            Resolved(root, 0L, Nil, StructType(Nil), Nil)
+            Resolved(root, 0L, Nil, StructType(Nil), Nil, Map.empty)
           } else {
             val v = versionOpt.filter(_ > 0L).getOrElse(cur)
-            val files = SnapshotTable.snapshotFiles(spark, root, v)
-              .map(rel => s"$root/$rel")
+            // entries, not just paths: the per-file stat envelopes ride
+            // into the scan builders, which prune the file list against
+            // pushed filters before parquet ever sees it (GraftPrune)
+            val entries = SnapshotTable.snapshotEntries(spark, root, v)
+            val files = entries.map(e => s"$root/${e.path}")
+            val stats = entries.map(e => s"$root/${e.path}" -> e.stats).toMap
             // pre-#schema-header manifests (none written since r11) fall
             // back to footer inference over the committed file list
             val schema = SnapshotTable.snapshotSchema(spark, root, v)
               .getOrElse(spark.read.parquet(files: _*).schema)
             Resolved(root, v, files, schema,
-              SnapshotTable.deleteFileInfos(spark, root, v))
+              SnapshotTable.deleteFileInfos(spark, root, v), stats)
           }
         pinned = Some(r)
         pinnedKey = Some(key)
@@ -208,7 +211,15 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
     val options = new CaseInsensitiveStringMap(properties)
     val spark = SparkSession.active
     val r = resolve(options)
+    // ONE-LOAD CONTRACT, enforced: the pin exists to make the
+    // inferSchema → getTable pair of THIS load resolve once; clearing
+    // it here means a provider instance reused for a second load of
+    // the same (unversioned) path re-resolves fresh instead of
+    // silently re-serving the first load's snapshot
+    pinned = None
+    pinnedKey = None
     val name = s"graft-snapshot ${r.root}@v${r.version}"
+    val inputs = GraftScanInputs(spark, name, r.schema, r.files, r.stats)
     if (r.version == 0L)
       // write-flow resolution of a not-yet-existing table: reads fail
       // loudly at scan construction; writes never reach this table
@@ -221,15 +232,13 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
       // `df.write` bypass the manifest commit protocol entirely (and
       // corrupt the table); without BATCH_WRITE, Spark routes writes
       // to the V1 seam ([[createRelation]]) = the real commit path
-      new GraftReadTable(name, r.root, schema,
-        Some(ParquetTable(name, spark, options, r.files, Some(schema),
-          classOf[ParquetFileFormat])))
+      new GraftReadTable(name, r.root, schema, Some(inputs))
     else
       // merge-on-read through SQL — GraftDeleteSpec.resolve size-checks
       // the certified backlog (key sets ship with reader factories) and
       // fails loudly past the DSv2 ceiling, remedies named; the infos
       // come from the pinned resolution (no second manifest read)
-      new GraftMorTable(name, r.root, spark, options, r.files, schema,
+      new GraftMorTable(name, r.root, inputs,
         GraftDeleteSpec.resolve(spark, r.root, r.version, r.schema,
           r.deletes))
   }
