@@ -233,14 +233,24 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
       // corrupt the table); without BATCH_WRITE, Spark routes writes
       // to the V1 seam ([[createRelation]]) = the real commit path
       new GraftReadTable(name, r.root, schema, Some(inputs))
-    else
-      // merge-on-read through SQL — GraftDeleteSpec.resolve size-checks
-      // the certified backlog (key sets ship with reader factories) and
-      // fails loudly past the DSv2 ceiling, remedies named; the infos
-      // come from the pinned resolution (no second manifest read)
-      new GraftMorTable(name, r.root, inputs,
-        GraftDeleteSpec.resolve(spark, r.root, r.version, r.schema,
-          r.deletes))
+    else {
+      // merge-on-read through SQL. Within the ceiling the delete keys
+      // resolve to executor-shippable specs (GraftDeleteSpec, sized by
+      // the manifest-certified backlog); PAST it the table is a marker
+      // that either rewrites to the Scala door's shuffled anti-join
+      // (GraftSnapshotExtensions registered) or refuses loudly with
+      // every remedy named — never an executor OOM.
+      val backlog = r.deletes.map(_.rows).sum
+      val cap = math.min(SnapshotTable.deleteBroadcastMaxRows,
+        SnapshotTable.deleteSpecMaxRows)
+      if (backlog > cap)
+        new GraftMorFallbackTable(name, r.root, r.version, r.schema,
+          backlog, cap)
+      else
+        new GraftMorTable(name, r.root, inputs,
+          GraftDeleteSpec.resolve(spark, r.root, r.version, r.schema,
+            r.deletes))
+    }
   }
 
   override def supportsExternalMetadata(): Boolean = false

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Past the DSv2 merge-on-read ceiling the SQL door must DEGRADE, not
+  * refuse: with [[graft.sources.GraftSnapshotExtensions]] registered,
+  * the marker relation rewrites during analysis into the Scala door's
+  * anti-join (hash-partitioned shuffle past the broadcast cap) and
+  * returns parity rows; without the extension the refusal stays loud
+  * and now names the extension as a remedy.
+  */
+class GraftMorFallbackSpec extends SparkSpec {
+
+  private def mkTable(): String =
+    Files.createTempDirectory("morfallback").toString + "/t"
+
+  /** A table whose certified backlog exceeds the (lowered) spec
+    * ceiling: 1000 rows, 50 delete keys, ceiling 10.
+    */
+  private def mkOversized(): String = {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.commit(spark, t,
+      (0L until 1000L).map(i => (i, s"r$i")).toDF("k", "tag"))
+    SnapshotTable.deleteWhere(spark, t, (0L until 50L).map(_ * 3).toDF("k"))
+    SnapshotTable.append(spark, t, Seq((3L, "reborn")).toDF("k", "tag"))
+    t
+  }
+
+  test("with the extension: SQL reads past the ceiling plan the Scala door's shuffled anti-join, parity rows") {
+    val t = mkOversized()
+    val prevSpec = SnapshotTable.deleteSpecMaxRows
+    val prevBcast = SnapshotTable.deleteBroadcastMaxRows
+    val old = spark
+    // a SECOND SparkSession over the SAME SparkContext, with the
+    // extension applied at build time (the only point analyzer rules
+    // inject); restored afterwards so later suites see the shared one
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions, not .config("spark.sql.extensions", ...): the
+    // conf form is a STATIC conf resolved from the already-running
+    // SparkContext, so it cannot take effect for a second session over
+    // a shared context — the programmatic hook is the public API for
+    // exactly this
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.sources.GraftSnapshotExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      // both knobs below the 50-key backlog: the DSv2 ceiling trips AND
+      // the Scala door's own anti-join drops its broadcast hint
+      SnapshotTable.deleteSpecMaxRows = 10L
+      SnapshotTable.deleteBroadcastMaxRows = 10L
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = s2.read.format("graft-snapshot").load(t)
+      val plan = finalPlanSection(finalizedPlan(df))
+      assert(plan.contains("LeftAnti") &&
+        (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")) &&
+        !plan.contains("BroadcastHashJoin"),
+        s"past the ceiling the subtraction must SHUFFLE:\n$plan")
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = SnapshotTable.read(s2, t).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want, "parity with SnapshotTable.read past the ceiling")
+      assert(got.size == 951 && got.contains((3L, "reborn")),
+        s"1000 - 50 dead + the reborn k=3 (higher sequence number): ${got.size}")
+      // filters compose above the rewritten plan: k<10 leaves
+      // {1,2,4,5,7,8} (0,3,6,9 deleted) plus the reborn k=3
+      assert(df.filter(col("k") < 10L).count() == 7,
+        "filtered read over the fallback plan")
+    } finally {
+      SnapshotTable.deleteSpecMaxRows = prevSpec
+      SnapshotTable.deleteBroadcastMaxRows = prevBcast
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
+  test("without the extension: the refusal stays loud and names the extension, compaction, and the Scala door") {
+    val t = mkOversized()
+    val prevSpec = SnapshotTable.deleteSpecMaxRows
+    try {
+      SnapshotTable.deleteSpecMaxRows = 10L
+      val e = intercept[UnsupportedOperationException] {
+        spark.read.format("graft-snapshot").load(t).count()
+      }
+      assert(e.getMessage.contains("GraftSnapshotExtensions") &&
+        e.getMessage.contains("compact") &&
+        e.getMessage.contains("SnapshotTable.read"), e.getMessage)
+    } finally SnapshotTable.deleteSpecMaxRows = prevSpec
+  }
+}
