@@ -116,7 +116,8 @@ private[sources] class GraftStreamableScan(delegate: Scan, root: String,
 private[sources] class GraftMicroBatchStream(spark: SparkSession,
     root: String, pinned: StructType, options: CaseInsensitiveStringMap,
     checkpointLocation: String,
-    ranges: Seq[(String, Long, Long)] = Nil) extends MicroBatchStream {
+    ranges: Seq[(String, Long, Long)] = Nil,
+    cdf: Boolean = false) extends MicroBatchStream {
 
   private val startAfter: Long =
     Option(options.get("startingVersion")).map(_.trim) match {
@@ -260,6 +261,14 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
     val floor = if (from >= 1L) from else to
     if (floor >= 1L) pinFloor(floor)
     if (from >= to) { batchFactory = EmptyReaderFactory; return Array.empty }
+    if (cdf) {
+      // CHANGE FEED: classify every version in (from, to] by its #op
+      // header and emit inserts/retractions (GraftCdf); offsets,
+      // pacing and pins above are shared with the plain stream
+      val (parts, fac) = GraftCdf.plan(spark, root, pinned, options, from, to)
+      batchFactory = fac
+      return parts
+    }
     val addedEntries =
       if (from == 0L) SnapshotTable.snapshotEntries(spark, root, to) // bootstrap
       else {

@@ -203,8 +203,12 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
     }
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val s = resolve(options).schema
+    // readChangeFeed widens the surface by the CDF columns — the
+    // streaming rows carry _change_type + _commit_version
+    if (GraftCdf.requested(options)) GraftCdf.schemaOf(s) else s
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
@@ -220,7 +224,12 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
     pinnedKey = None
     val name = s"graft-snapshot ${r.root}@v${r.version}"
     val inputs = GraftScanInputs(spark, name, r.schema, r.files, r.stats)
-    if (r.version == 0L)
+    if (GraftCdf.requested(options) && r.version > 0L)
+      // the change feed re-resolves each micro-batch from manifests;
+      // load-time deletes are immaterial here (they emit as
+      // retractions in their own versions)
+      new GraftCdfTable(name, r.root, r.schema)
+    else if (r.version == 0L)
       // write-flow resolution of a not-yet-existing table: reads fail
       // loudly at scan construction; writes never reach this table
       // (no BATCH_WRITE capability routes them to [[createRelation]])

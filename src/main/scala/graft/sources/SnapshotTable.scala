@@ -183,6 +183,7 @@ object SnapshotTable {
 
   private val SchemaHeader = "#schema\t"
   private val TsHeader = "#ts\t"
+  private val OpHeader = "#op\t"
   private val LedgerTag = "#ledger"
   private val IncludeTag = "@include"
   private val DeleteTag = "@delete"
@@ -431,6 +432,24 @@ object SnapshotTable {
     eligible.last
   }
 
+  /** The OPERATION that committed snapshot `version` (default:
+    * current) — the manifest's `#op` header: "append", "replace",
+    * "merge", "delete" (deleteWhere), "deleteRange", "compact",
+    * "rewriteManifests". None for pre-header manifests. The
+    * change-data-feed classifies versions by this; `history()`
+    * surfaces it.
+    */
+  def commitOp(spark: SparkSession, table: String,
+               version: Long = 0L): Option[String] = {
+    val v = resolve(spark, table, version)
+    val in = fs(spark, table).open(hp(table, MetaDir, f"manifest-$v%05d"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .takeWhile(_.startsWith("#"))
+      .find(_.startsWith(OpHeader))
+      .map(_.stripPrefix(OpHeader).trim)
+    finally in.close()
+  }
+
   private val PinPrefix = "pin-"
 
   /** A vacuum-proof slug for a consumer identity (pins are files; the
@@ -608,6 +627,15 @@ object SnapshotTable {
   private[sources] def dataVersionOfFile(rel: String): Long =
     dataVersionOf(rel)
 
+  /** EXISTING manifest versions, ascending — version-number gaps from
+    * crashed claims simply don't appear. The change-data-feed iterates
+    * these to classify and diff each commit in a range.
+    */
+  private[sources] def versionsOf(spark: SparkSession,
+                                  table: String): Seq[Long] =
+    metaNames(fs(spark, table), table)
+      .collect { case ManifestRe(n) => n.toLong }.sorted
+
   /** Above this many OUTSTANDING delete-key rows (summed over a
     * snapshot's delete files per key-column set), [[applyDeletes]]
     * drops its broadcast hint and lets the anti-join shuffle: a
@@ -727,7 +755,7 @@ object SnapshotTable {
         }
         val headers = schema.map(schemaLine).toSeq ++
           ledgerLines(ledgerOf(f, table, base))
-        commitManifest(f, table, n, headers ++ prior ++ delLines)
+        commitManifest(f, table, n, headers ++ prior ++ delLines, "delete")
       }
     }
   }
@@ -1074,14 +1102,17 @@ object SnapshotTable {
     */
   private def commitManifest(f: org.apache.hadoop.fs.FileSystem,
                              table: String, n: Long,
-                             lines: Seq[String]): Long = {
+                             lines: Seq[String], op: String): Long = {
     require(lines.exists(l => !l.startsWith("#")),
       "refusing to commit an empty snapshot (headers are not content)")
-    // every manifest carries its commit wall-clock (`#ts` header),
-    // stamped HERE so no commit path can forget it: [[history]] gets a
-    // timestamp column, [[versionAt]] time travel by timestamp, and
-    // [[vacuum]] a duration-based retention form, all from metadata
-    val stamped = (TsHeader + System.currentTimeMillis()) +: lines
+    // every manifest carries its commit wall-clock (`#ts` header) and
+    // its OPERATION (`#op` header), stamped HERE so no commit path can
+    // forget them: [[history]] gets timestamp + op columns,
+    // [[versionAt]] time travel by timestamp, [[vacuum]] duration
+    // retention, and the change-data-feed classifies versions by op —
+    // all from metadata
+    val stamped = (TsHeader + System.currentTimeMillis()) +:
+      (OpHeader + op) +: lines
     val tmp = hp(table, MetaDir, f"manifest-$n%05d.tmp-$n")
     val out = f.create(tmp, true)
     try out.write(stamped.mkString("\n").getBytes("UTF-8")) finally out.close()
@@ -1127,7 +1158,8 @@ object SnapshotTable {
   def commit(spark: SparkSession, table: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
              expectedBase: Option[Long] = None,
-             ledger: Option[(String, Long)] = None): Long = {
+             ledger: Option[(String, Long)] = None,
+             op: String = "replace"): Long = {
     val f = fs(spark, table)
     // sink-ledger headers survive a whole-snapshot replace: the rewrite
     // READ the rows those batch commits produced, so a post-replace
@@ -1140,7 +1172,7 @@ object SnapshotTable {
     withClaim(f, table, expectedBase) { n =>
       commitManifest(f, table, n,
         (schemaLine(df.schema) +: ledgerLines(priorLedger ++ ledger.toMap)) ++
-          writeData(spark, table, n, df, statsCols))
+          writeData(spark, table, n, df, statsCols), op)
     }
   }
 
@@ -1312,7 +1344,8 @@ object SnapshotTable {
       else {
         val out = Layout.merged(read(spark, table, base), changes, keys,
           deleteCol, matchedCond)
-        commit(spark, table, out, expectedBase = Some(base), ledger = ledger)
+        commit(spark, table, out, expectedBase = Some(base), ledger = ledger,
+          op = "merge")
       }
     }
 
@@ -1405,7 +1438,7 @@ object SnapshotTable {
           val schema = snapshotSchema(spark, table, base).getOrElse(out.schema)
           val headers = schemaLine(schema) +:
             ledgerLines(ledgerOf(f, table, base) ++ ledger.toMap)
-          commitManifest(f, table, n, headers ++ (carried ++ newLines))
+          commitManifest(f, table, n, headers ++ (carried ++ newLines), "merge")
         }
       } finally merged0.unpersist(false)
     }
@@ -1507,7 +1540,7 @@ object SnapshotTable {
         return withClaim(f, table, Some(base)) { n =>
           commitManifest(f, table, n,
             headersOf(schema.getOrElse(read(spark, table, base).schema)) ++
-              carried.result())
+              carried.result(), "deleteRange")
         }
       }
       // survivors = rows NOT in the range, under SQL DELETE semantics: a
@@ -1527,7 +1560,7 @@ object SnapshotTable {
           stats)
         commitManifest(f, table, n,
           headersOf(schema.getOrElse(survivors.schema)) ++
-            (carried.result() ++ newLines))
+            (carried.result() ++ newLines), "deleteRange")
       }
     }
   }
@@ -1575,7 +1608,7 @@ object SnapshotTable {
               entries.map(_.render))
           }
         }.toSeq
-        commitManifest(f, table, n, headers ++ folded ++ deletes)
+        commitManifest(f, table, n, headers ++ folded ++ deletes, "rewriteManifests")
       }
     }
   }
@@ -1717,7 +1750,7 @@ object SnapshotTable {
           val include = writeLeaf(f, table, f"leaf-$n%05d", newLines)
           val headers = schemaLine(schema) +:
             ledgerLines(priorLedger ++ ledger.toMap)
-          commitManifest(f, table, n, headers ++ (prior :+ include))
+          commitManifest(f, table, n, headers ++ (prior :+ include), "append")
         }
       }
     }
@@ -1850,7 +1883,7 @@ object SnapshotTable {
           val schema = snapshotSchema(spark, table, base).getOrElse(out.schema)
           val headers = schemaLine(schema) +:
             ledgerLines(ledgerOf(f, table, base))
-          commitManifest(f, table, n, headers ++ (carried ++ newLines))
+          commitManifest(f, table, n, headers ++ (carried ++ newLines), "compact")
         }
       } finally rows.unpersist(false)
     }
@@ -1864,7 +1897,8 @@ object SnapshotTable {
   case class SnapshotInfo(version: Long, files: Long, deleteFiles: Long,
                           rows: Option[Long], schemaColumns: Int,
                           sinkLedger: Map[String, Long],
-                          timestampMs: Option[Long] = None)
+                          timestampMs: Option[Long] = None,
+                          op: Option[String] = None)
 
   /** The table's retained history, newest first — the operational
     * introspection surface (what versions exist to time-travel or
@@ -1885,7 +1919,8 @@ object SnapshotTable {
           schemaColumns = snapshotSchema(spark, table, v)
             .map(_.fields.length).getOrElse(0),
           sinkLedger = ledgerOf(f, table, v),
-          timestampMs = commitTimestamp(spark, table, v))
+          timestampMs = commitTimestamp(spark, table, v),
+          op = commitOp(spark, table, v))
       }
   }
 
@@ -1912,6 +1947,6 @@ object SnapshotTable {
         f.getFileStatus(hp(table, rel)).getLen).sum
       val nFiles = math.max(1L, (onDisk + targetBytes - 1) / targetBytes)
       commit(spark, table, cur.coalesce(nFiles.toInt),
-        expectedBase = Some(base))
+        expectedBase = Some(base), op = "compact")
     }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** The change-data-feed: a downstream materialization maintained from
+  * `readChangeFeed` events — inserts from appends, key retractions
+  * from deleteWhere, NOTHING from compaction — must equal the batch
+  * recompute at every version.
+  */
+class GraftChangeFeedSpec extends SparkSpec {
+
+  private def mkTable(): String =
+    Files.createTempDirectory("snapcdf").toString + "/t"
+
+  private case class Evt(k: Option[Long], tag: Option[String],
+                         change: String, version: Long)
+
+  private def collectFeed(t: String, extra: (String, String)*): Seq[Evt] = {
+    val got = new scala.collection.mutable.ArrayBuffer[Evt]()
+    val r0 = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+    val r = extra.foldLeft(r0) { case (b, (k, v)) => b.option(k, v) }
+    val q = r.load(t).writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("snapcdf-ckpt").toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect().map { row =>
+          Evt(if (row.isNullAt(0)) None else Some(row.getLong(0)),
+            Option(row.getString(1)),
+            row.getString(2), row.getLong(3))
+        }
+        got.synchronized { got ++= rows }; ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    got.toSeq
+  }
+
+  /** Apply events in commit-version order: inserts add (row, stamp);
+    * a retraction at version v removes matching rows with stamp < v —
+    * the table's own sequence-number rule.
+    */
+  private def materialize(evts: Seq[Evt],
+                          upTo: Long = Long.MaxValue): Set[(Long, String)] = {
+    val live = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    evts.filter(_.version <= upTo).sortBy(_.version).foreach {
+      case Evt(Some(k), Some(tag), "insert", v) => live += ((k, tag, v))
+      case Evt(Some(k), _, "delete", v) =>
+        live.filterInPlace { case (lk, _, lv) => !(lk == k && lv < v) }
+      case other => fail(s"unexpected event shape: $other")
+    }
+    live.map { case (k, tag, _) => (k, tag) }.toSet
+  }
+
+  private def tableAt(t: String, v: Long): Set[(Long, String)] =
+    SnapshotTable.read(spark, t, v).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("append + deleteWhere + compaction: the feed-maintained state equals the batch recompute at every version") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.append(spark, t,
+      (0L until 10L).map(i => (i, "b1")).toDF("k", "tag"))          // v1
+    SnapshotTable.append(spark, t,
+      (10L until 15L).map(i => (i, "b2")).toDF("k", "tag"))         // v2
+    SnapshotTable.deleteWhere(spark, t, Seq(3L, 12L).toDF("k"))     // v3
+    SnapshotTable.compactSnapshot(spark, t)                         // v4
+    SnapshotTable.append(spark, t,
+      Seq((3L, "reborn"), (15L, "b5"), (16L, "b5")).toDF("k", "tag")) // v5
+    val evts = collectFeed(t)
+    // compaction emits NOTHING — rewritten rows are not changes
+    assert(!evts.exists(_.version == 4L),
+      s"v4 (compact) must emit zero events: ${evts.filter(_.version == 4L)}")
+    assert(evts.count(_.change == "insert") == 18 && // 10 + 5 + 3
+      evts.count(_.change == "delete") == 2,
+      s"10+5+3 inserts, 2 retractions: $evts")
+    // retraction rows populate the key, null elsewhere, stamped v3
+    val dels = evts.filter(_.change == "delete")
+    assert(dels.map(_.k).toSet == Set(Some(3L), Some(12L)) &&
+      dels.forall(e => e.tag.isEmpty && e.version == 3L))
+    // the materialization equals the table AT EVERY VERSION
+    (1L to 5L).foreach { v =>
+      assert(materialize(evts, v) == tableAt(t, v),
+        s"feed-maintained state diverges from the table at v$v")
+    }
+    // the reborn k=3 (stamp 5) survives the v3 retraction
+    assert(materialize(evts).contains((3L, "reborn")))
+  }
+
+  test("startingVersion bounds the feed; history surfaces the #op column") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.append(spark, t,
+      (0L until 5L).map(i => (i, "b1")).toDF("k", "tag"))           // v1
+    SnapshotTable.append(spark, t,
+      Seq((5L, "b2")).toDF("k", "tag"))                             // v2
+    SnapshotTable.deleteWhere(spark, t, Seq(0L).toDF("k"))          // v3
+    SnapshotTable.rewriteManifests(spark, t, groupSize = 2)         // v4
+    val evts = collectFeed(t, "startingVersion" -> "2")
+    assert(evts.map(e => (e.change, e.version)).sorted ==
+      Seq(("delete", 3L)),
+      s"only post-v2 changes; manifest folding emits nothing: $evts")
+    assert(SnapshotTable.history(spark, t).flatMap(_.op) ==
+      Seq("rewriteManifests", "delete", "append", "append"),
+      "history carries the op stamps, newest first")
+  }
+
+  test("in-place rewrites refuse loudly; batch reads of the feed refuse") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.append(spark, t,
+      (0L until 5L).map(i => (i, s"r$i")).toDF("k", "tag"))         // v1
+    SnapshotTable.merge(spark, t,
+      Seq((1L, "updated")).toDF("k", "tag"), Seq("k"))              // v2: merge
+    val e = intercept[Exception] { collectFeed(t) }
+    def rootMsg(x: Throwable): String =
+      if (x.getCause == null) x.getMessage else x.getMessage + rootMsg(x.getCause)
+    assert(rootMsg(e).contains("change feed") && rootMsg(e).contains("merge"),
+      s"a merge in range must refuse loudly: ${rootMsg(e)}")
+    // the feed is a streaming-only surface
+    val b = intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("readChangeFeed", "true").load(t).count()
+    }
+    assert(b.getMessage != null, b.toString)
+  }
+}
