@@ -5,8 +5,10 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException,
+  NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
+  SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A Spark SQL CATALOG over a warehouse of snapshot tables — the
@@ -21,7 +23,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * spark.sql("SELECT * FROM graft.events.clicks")
   * spark.sql("SELECT * FROM graft.events.clicks VERSION AS OF 3")
   * spark.sql("SELECT * FROM graft.events.clicks TIMESTAMP AS OF '...'")
+  * spark.sql("INSERT INTO graft.events.clicks SELECT ...")
   * spark.table("graft.events.clicks")                 // DataFrame API
+  * spark.sql("SHOW NAMESPACES IN graft")
   * }}}
   *
   * An identifier maps to `warehouse/<namespace.../name>`; a table
@@ -33,14 +37,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * format's own: `VERSION AS OF` → `versionAsOf`, `TIMESTAMP AS OF` →
   * [[SnapshotTable.versionAt]] over the `#ts` manifest headers.
   *
-  * Deliberately READ-focused: DDL (CREATE/ALTER/RENAME) and SQL DML
-  * refuse loudly — mutations go through `df.write.format(
-  * "graft-snapshot")` or the Scala API, the doors that carry the
-  * claim + ledger commit protocol. `DROP TABLE` works (it is a
-  * catalog-level operation with clear semantics: the table's
-  * directory is removed).
+  * DML: `INSERT INTO` / `INSERT OVERWRITE` work — catalog-loaded
+  * tables advertise the V1 write fallback, which routes the whole
+  * DataFrame into [[SnapshotTable.append]]/commit with the full claim
+  * + ledger protocol ([[GraftV1WriteBuilder]]). DELETE/MERGE via SQL
+  * and DDL (CREATE/ALTER/RENAME) still refuse loudly — those
+  * mutations go through the Scala API, whose semantics (merge-on-read
+  * deletes, scoped merges) SQL's generic plans cannot express here.
+  * `DROP TABLE` REFUSES while live consumer pins exist (the one
+  * destructive op that must respect the retention machinery vacuum
+  * respects); `DROP TABLE ... PURGE` overrides. Namespaces are
+  * directories: SHOW NAMESPACES / CREATE NAMESPACE / DROP NAMESPACE
+  * work against the warehouse tree.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -60,12 +70,18 @@ class GraftCatalog extends TableCatalog {
 
   private def spark = SparkSession.active
 
+  private def fsOf(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   override def tableExists(ident: Identifier): Boolean =
     SnapshotTable.currentVersion(spark, pathOf(ident)) > 0L
 
   private def load(ident: Identifier, extra: (String, String)*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val props = (Map("path" -> pathOf(ident)) ++ extra).asJava
+    // __graft_insertable: catalog tables opt into SQL INSERT (the V1
+    // write fallback through the commit protocol)
+    val props = (Map("path" -> pathOf(ident),
+      "__graft_insertable" -> "true") ++ extra).asJava
     val provider = new GraftSnapshotSource
     val schema = provider.inferSchema(new CaseInsensitiveStringMap(props))
     provider.getTable(schema, Array.empty,
@@ -95,10 +111,30 @@ class GraftCatalog extends TableCatalog {
       .map(n => Identifier.of(namespace, n))
   }
 
+  /** DROP TABLE — refused while LIVE consumer pins exist: a drop under
+    * a running streaming consumer would delete its replay window with
+    * no warning, where vacuum would have refused. `DROP TABLE ...
+    * PURGE` ([[purgeTable]]) is the explicit override.
+    */
   override def dropTable(ident: Identifier): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(pathOf(ident))
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    tableExists(ident) && f.delete(p, true)
+    val p = pathOf(ident)
+    if (!tableExists(ident)) return false
+    val pins = SnapshotTable.pinnedVersions(spark, p)
+    if (pins.nonEmpty) throw new IllegalStateException(
+      s"$p has live consumer retention pins " +
+        s"(${pins.keys.toSeq.sorted.mkString(", ")}) — a DROP would " +
+        "destroy their replay windows. Stop the consumers (or " +
+        "SnapshotTable.unpin them), or force with DROP TABLE ... PURGE")
+    fsOf(p).delete(new org.apache.hadoop.fs.Path(p), true)
+  }
+
+  /** `DROP TABLE ... PURGE`: drop regardless of pins — the operator
+    * explicitly chose to destroy consumer replay windows.
+    */
+  override def purgeTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    tableExists(ident) &&
+      fsOf(p).delete(new org.apache.hadoop.fs.Path(p), true)
   }
 
   override def createTable(ident: Identifier,
@@ -120,4 +156,85 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       s"$catalogName does not support RENAME TABLE: a rename would break " +
         "consumers pinned to the old path (pins, checkpoints)")
+
+  // ---------------------------------------------------------------- //
+  // Namespaces: directories under the warehouse. A directory that     //
+  // holds a committed snapshot is a TABLE; anything else is browsable //
+  // namespace space. CREATE NAMESPACE = mkdir.                        //
+  // ---------------------------------------------------------------- //
+
+  private def nsPath(namespace: Array[String]) =
+    new org.apache.hadoop.fs.Path((warehouse +: namespace).mkString("/"))
+
+  private def isTableDir(path: org.apache.hadoop.fs.Path): Boolean =
+    SnapshotTable.currentVersion(spark, path.toString) > 0L
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    val f = fsOf(p.toString)
+    namespace.nonEmpty && f.exists(p) && f.getFileStatus(p).isDirectory &&
+      !isTableDir(p)
+  }
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = nsPath(Array.empty)
+    val f = fsOf(root.toString)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).filter(_.isDirectory)
+      .filterNot(s => isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    val f = fsOf(nsPath(namespace).toString)
+    f.listStatus(nsPath(namespace)).filter(_.isDirectory)
+      .filterNot(s => isTableDir(s.getPath))
+      .map(s => namespace :+ s.getPath.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(catalogName +: namespace)
+    fsOf(nsPath(namespace).toString).mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName namespaces carry no metadata to alter")
+
+  /** DROP NAMESPACE: empty-only without CASCADE; with CASCADE, refuse
+    * while ANY contained table holds live pins (the dropTable rule,
+    * applied to the subtree).
+    */
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val p = nsPath(namespace)
+    val f = fsOf(p.toString)
+    val children = f.listStatus(p)
+    if (!cascade && children.nonEmpty) throw new IllegalStateException(
+      s"namespace ${namespace.mkString(".")} is not empty — use CASCADE")
+    if (cascade) {
+      val pinnedTables = children.filter(_.isDirectory)
+        .map(_.getPath).filter(isTableDir)
+        .filter(t => SnapshotTable.pinnedVersions(spark, t.toString).nonEmpty)
+      if (pinnedTables.nonEmpty) throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} holds tables with live " +
+          s"consumer pins (${pinnedTables.map(_.getName).mkString(", ")}) " +
+          "— stop the consumers or drop the tables with PURGE first")
+    }
+    f.delete(p, true)
+  }
 }

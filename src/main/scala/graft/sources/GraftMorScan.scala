@@ -220,14 +220,29 @@ private[sources] case class GraftScanInputs(spark: SparkSession,
   * (the write flow resolves it before creating): reads fail loudly.
   */
 private[sources] class GraftReadTable(tableName: String, root: String,
-    tableSchema: StructType, inputs: Option[GraftScanInputs])
-    extends Table with SupportsRead {
+    tableSchema: StructType, inputs: Option[GraftScanInputs],
+    insertable: Boolean = false)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] = Array.empty
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+    if (insertable)
+      // the CATALOG door: INSERT INTO / INSERT OVERWRITE plan as the
+      // V1 write fallback riding the commit protocol (GraftV1Write)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(insertable, s"$root is not writable through this surface")
+    new GraftV1WriteBuilder(root, info)
+  }
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     inputs match {
       case Some(in) => new GraftStreamableScanBuilder(in, root, tableSchema, o)
@@ -259,15 +274,31 @@ private[sources] class GraftReadTable(tableName: String, root: String,
   *    columnar [[ParquetTable]] fast path.
   */
 private[sources] class GraftMorTable(tableName: String, root: String,
-    in: GraftScanInputs, specs: Seq[GraftDeleteSpec])
-    extends Table with SupportsRead {
+    in: GraftScanInputs, specs: Seq[GraftDeleteSpec],
+    insertable: Boolean = false)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = in.schema
   override def partitioning(): Array[Transform] = Array.empty
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+    if (insertable)
+      // INSERT under live equality deletes is safe: appended rows land
+      // at a HIGHER sequence number, out of every delete's reach
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(insertable, s"$root is not writable through this surface")
+    new GraftV1WriteBuilder(root, info)
+  }
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GraftMorScanBuilder(in, root, specs, o)

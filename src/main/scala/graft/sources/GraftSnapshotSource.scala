@@ -224,6 +224,11 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
     pinnedKey = None
     val name = s"graft-snapshot ${r.root}@v${r.version}"
     val inputs = GraftScanInputs(spark, name, r.schema, r.files, r.stats)
+    // the CATALOG door opts its tables into SQL DML (INSERT riding the
+    // commit protocol via V1_BATCH_WRITE); path-based loads stay
+    // read-only so df.write.save(root) keeps its spec-pinned SaveMode
+    // semantics through the V1 createRelation seam
+    val insertable = options.getBoolean("__graft_insertable", false)
     if (GraftCdf.requested(options) && r.version > 0L)
       // the change feed re-resolves each micro-batch from manifests;
       // load-time deletes are immaterial here (they emit as
@@ -241,7 +246,7 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
       // `df.write` bypass the manifest commit protocol entirely (and
       // corrupt the table); without BATCH_WRITE, Spark routes writes
       // to the V1 seam ([[createRelation]]) = the real commit path
-      new GraftReadTable(name, r.root, schema, Some(inputs))
+      new GraftReadTable(name, r.root, schema, Some(inputs), insertable)
     else {
       // merge-on-read through SQL. Within the ceiling the delete keys
       // resolve to executor-shippable specs (GraftDeleteSpec, sized by
@@ -258,7 +263,7 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
       else
         new GraftMorTable(name, r.root, inputs,
           GraftDeleteSpec.resolve(spark, r.root, r.version, r.schema,
-            r.deletes))
+            r.deletes), insertable)
     }
   }
 

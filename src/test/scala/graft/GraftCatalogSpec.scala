@@ -76,17 +76,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM graft_test.mor.items ORDER BY k")
       .as[Long].collect().toSeq == Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L),
       "live equality deletes resolve inside the named SQL read")
-    // DDL/DML that would bypass the commit protocol refuses loudly
+    // DDL that would bypass the commit protocol refuses loudly
     val e1 = intercept[Exception] {
       spark.sql("CREATE TABLE graft_test.mor.fresh (k LONG) USING parquet")
     }
     assert(e1.getMessage.contains("graft-snapshot") ||
       e1.getMessage.contains("read-focused"), e1.getMessage)
+    // row-level SQL DML other than INSERT still refuses (merge-on-read
+    // deletes and scoped merges are the Scala API's semantics)
     val e2 = intercept[Exception] {
-      spark.sql("INSERT INTO graft_test.mor.items VALUES (99, 'x')")
+      spark.sql("DELETE FROM graft_test.mor.items WHERE k = 1")
     }
-    assert(e2.getMessage.toLowerCase.contains("does not support") ||
-      e2.getMessage.toLowerCase.contains("append"), e2.getMessage)
+    assert(e2.getMessage.toLowerCase.contains("delete") ||
+      e2.getMessage.toLowerCase.contains("support"), e2.getMessage)
     // a missing table is a catalog-level NoSuchTable, not a path error
     val e3 = intercept[Exception] {
       spark.sql("SELECT * FROM graft_test.mor.ghost").collect()
@@ -97,5 +99,121 @@ class GraftCatalogSpec extends SparkSpec {
       Seq((1L, "x")).toDF("k", "v"))
     spark.sql("DROP TABLE graft_test.mor.scratch")
     assert(SnapshotTable.currentVersion(spark, s"$wh/mor/scratch") == 0L)
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE ride the commit protocol; unsafe casts refuse") {
+    import spark.implicits._
+    ensureCatalog()
+    val t = s"$wh/dml/sales"
+    SnapshotTable.append(spark, t,
+      (0L until 5L).map(i => (i, s"v$i")).toDF("k", "v"))
+    spark.sql("INSERT INTO graft_test.dml.sales VALUES (100, 'ins1'), (101, 'ins2')")
+    assert(SnapshotTable.currentVersion(spark, t) == 2L &&
+      SnapshotTable.commitOp(spark, t).contains("append"),
+      "INSERT INTO = a protocol append commit")
+    assert(spark.table("graft_test.dml.sales").count() == 7)
+    // INSERT from a SELECT over another catalog table
+    spark.sql("INSERT INTO graft_test.dml.sales " +
+      "SELECT k + 200, v FROM graft_test.dml.sales WHERE k < 2")
+    assert(spark.table("graft_test.dml.sales").count() == 9)
+    // INSERT OVERWRITE = whole-snapshot replace (ledger semantics of
+    // commit; op stamped replace)
+    spark.sql("INSERT OVERWRITE graft_test.dml.sales VALUES (7, 'only')")
+    assert(spark.table("graft_test.dml.sales").as[(Long, String)]
+      .collect().toSeq == Seq((7L, "only")))
+    assert(SnapshotTable.commitOp(spark, t).contains("replace"))
+    // time travel still sees the pre-overwrite snapshot
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_test.dml.sales VERSION AS OF 3")
+      .head().getLong(0) == 9)
+    // ANSI store assignment: a string into the BIGINT column refuses
+    // at analysis — INSERT cannot evolve or corrupt the schema
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft_test.dml.sales VALUES ('oops', 'x')")
+    }
+    assert(e.getMessage.toLowerCase.contains("cast") ||
+      e.getMessage.toLowerCase.contains("incompatible"), e.getMessage)
+    // INSERT under LIVE deletes: appended rows are out of their reach
+    SnapshotTable.deleteWhere(spark, t, Seq(7L).toDF("k"))
+    spark.sql("INSERT INTO graft_test.dml.sales VALUES (7, 'reborn')")
+    assert(spark.table("graft_test.dml.sales").as[(Long, String)]
+      .collect().toSeq == Seq((7L, "reborn")),
+      "the re-inserted key survives the older equality delete")
+  }
+
+  test("concurrent INSERTs race through the claim protocol: both land, none lost") {
+    import spark.implicits._
+    ensureCatalog()
+    val t = s"$wh/dml/race"
+    SnapshotTable.append(spark, t, Seq((0L, "base")).toDF("k", "v"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val inserts = (1 to 4).map { i =>
+      Future {
+        spark.sql(s"INSERT INTO graft_test.dml.race VALUES ($i, 'w$i')")
+      }
+    }
+    Await.result(Future.sequence(inserts), 120.seconds)
+    assert(spark.table("graft_test.dml.race").count() == 5,
+      "every racing INSERT committed exactly once")
+    assert(SnapshotTable.currentVersion(spark, t) == 5L,
+      "four appends after the base = five versions")
+  }
+
+  test("DROP TABLE respects live consumer pins; PURGE overrides") {
+    import spark.implicits._
+    ensureCatalog()
+    val t = s"$wh/pins/held"
+    SnapshotTable.append(spark, t, Seq((1L, "x")).toDF("k", "v"))
+    SnapshotTable.pinVersion(spark, t, "ckpt://live-consumer", 1L)
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE graft_test.pins.held")
+    }
+    assert(e.getMessage.contains("pin") &&
+      e.getMessage.contains("live-consumer") &&
+      e.getMessage.contains("PURGE"),
+      s"a DROP under a live pin must refuse naming the consumer: ${e.getMessage}")
+    assert(SnapshotTable.currentVersion(spark, t) == 1L, "table untouched")
+    spark.sql("DROP TABLE graft_test.pins.held PURGE")
+    assert(SnapshotTable.currentVersion(spark, t) == 0L, "PURGE forces")
+    // without pins a plain DROP works
+    SnapshotTable.append(spark, s"$wh/pins/free", Seq((1L, "x")).toDF("k", "v"))
+    spark.sql("DROP TABLE graft_test.pins.free")
+    assert(SnapshotTable.currentVersion(spark, s"$wh/pins/free") == 0L)
+  }
+
+  test("namespace surface: SHOW/CREATE/DROP NAMESPACE over the warehouse tree") {
+    import spark.implicits._
+    ensureCatalog()
+    SnapshotTable.commit(spark, s"$wh/nsdemo/t1", Seq((1L, "a")).toDF("k", "v"))
+    val namespaces = spark.sql("SHOW NAMESPACES IN graft_test")
+      .collect().map(_.getString(0)).toSet
+    assert(namespaces.contains("nsdemo"), s"namespaces: $namespaces")
+    spark.sql("CREATE NAMESPACE graft_test.fresh_ns")
+    assert(spark.sql("SHOW NAMESPACES IN graft_test")
+      .collect().map(_.getString(0)).toSet.contains("fresh_ns"))
+    // create-if-absent semantics: a second CREATE refuses
+    val e = intercept[Exception] {
+      spark.sql("CREATE NAMESPACE graft_test.fresh_ns")
+    }
+    assert(e.getMessage.toLowerCase.contains("exists"), e.getMessage)
+    // SHOW TABLES inside a namespace lists only committed tables
+    import spark.implicits._
+    val listed = spark.sql("SHOW TABLES IN graft_test.nsdemo")
+      .select("tableName").as[String].collect().toSet
+    assert(listed == Set("t1"))
+    // empty namespace drops plainly; non-empty needs CASCADE
+    spark.sql("DROP NAMESPACE graft_test.fresh_ns")
+    assert(!spark.sql("SHOW NAMESPACES IN graft_test")
+      .collect().map(_.getString(0)).toSet.contains("fresh_ns"))
+    val e2 = intercept[Exception] {
+      spark.sql("DROP NAMESPACE graft_test.nsdemo")
+    }
+    assert(e2.getMessage.toLowerCase.contains("empty") ||
+      e2.getMessage.toLowerCase.contains("cascade"), e2.getMessage)
+    spark.sql("DROP NAMESPACE graft_test.nsdemo CASCADE")
+    assert(SnapshotTable.currentVersion(spark, s"$wh/nsdemo/t1") == 0L,
+      "CASCADE removed the namespace and its (unpinned) table")
   }
 }
