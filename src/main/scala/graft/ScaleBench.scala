@@ -892,6 +892,35 @@ object ScaleBench {
         try sources.SnapshotTable.read(spark, ensureDeleteBacklog()).count()
         finally sources.SnapshotTable.deleteBroadcastMaxRows = prev
       },
+      // the SQL DOOR's envelope skip (r13 verdict missing #1, priced):
+      // the same narrow id range through format("graft-snapshot") — the
+      // pushed filter prunes the committed file list against manifest
+      // envelopes BEFORE parquet plans a single footer read, so this
+      // row should track snapshot_prune_read_1m (the Scala door's
+      // readPruned), not snapshot_unpruned_read_1m
+      t("snapshot_sql_prune_read_1m") {
+        spark.read.format("graft-snapshot").load(ensureSnapshotEvents())
+          .filter(col("event_id").between(10000L, 19999L))
+          .agg(count(lit(1)), sum("value")).collect()(0).getLong(0)
+      },
+      // CHANGE FEED under the delete-heavy backlog (r14): replay the
+      // 1M-row table + its ten equality-delete files as
+      // inserts+retractions through readChangeFeed — the price of
+      // MAINTAINING a downstream materialization instead of
+      // recomputing it; returns events delivered (1M + 10×10k keys)
+      t("snapshot_cdf_feed_1m") {
+        val table = ensureDeleteBacklog()
+        var n = 0L
+        val q = spark.readStream.format("graft-snapshot")
+          .option("readChangeFeed", "true").load(table)
+          .writeStream
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("cdf-bench").toString)
+          .foreachBatch { (df: DataFrame, _: Long) => n += df.count(); () }
+          .start()
+        q.processAllAvailable(); q.stop()
+        n
+      },
       t("prune_static_3day_1m") {
         sources.Layout.readPartitioned(spark, ensureEventsByDate())
           .filter(col("p_date").between("2024-01-10", "2024-01-12"))
