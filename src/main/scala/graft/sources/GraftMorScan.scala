@@ -223,7 +223,11 @@ private[sources] class GraftReadTable(tableName: String, root: String,
     tableSchema: StructType, inputs: Option[GraftScanInputs],
     insertable: Boolean = false)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with GraftSqlDelete {
+  protected def deleteRoot: String = root
+  protected def deleteSchema: StructType = tableSchema
+  protected def dmlEnabled: Boolean = insertable
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] = Array.empty
@@ -277,7 +281,12 @@ private[sources] class GraftMorTable(tableName: String, root: String,
     in: GraftScanInputs, specs: Seq[GraftDeleteSpec],
     insertable: Boolean = false)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with GraftSqlDelete {
+
+  protected def deleteRoot: String = root
+  protected def deleteSchema: StructType = in.schema
+  protected def dmlEnabled: Boolean = insertable
 
   override def name(): String = tableName
   override def schema(): StructType = in.schema

@@ -1,9 +1,14 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.connector.catalog.SupportsDelete
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate,
   V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter,
+  GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull,
+  LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType,
+  ShortType, StructField, StructType}
 
 /** SQL DML's append half, through the commit protocol: catalog-loaded
   * snapshot tables advertise `V1_BATCH_WRITE` (+ `TRUNCATE`), so
@@ -43,5 +48,155 @@ private[sources] class GraftV1WriteBuilder(root: String,
             SnapshotTable.append(spark, root, data)
         }
       }
+  }
+}
+
+/** SQL `DELETE FROM graft.ns.t WHERE ...` mapped onto the format's OWN
+  * delete shapes — mixed into the catalog-loaded tables:
+  *
+  *  - a conjunction of equalities / IN-lists over distinct columns →
+  *    [[SnapshotTable.deleteWhere]]: ONE equality-delete key file
+  *    (the cross product of the IN lists, capped), commit cost = key
+  *    bytes, resolved merge-on-read — the scattered-key shape;
+  *  - a range conjunction over ONE integral column →
+  *    [[SnapshotTable.deleteRange]]: whole in-envelope files drop
+  *    from the manifest metadata-only, boundary files rewrite with
+  *    the complement — the retention shape;
+  *  - anything else (LIKE, OR, expressions, a provably-everything
+  *    TRUE) → `canDeleteWhere` = false and Spark refuses at analysis,
+  *    pointing at the condition; the Scala API expresses the rest.
+  *
+  * Both paths keep SQL DELETE null semantics: a NULL in the predicate
+  * column never matches, so null rows survive — deleteWhere's keys
+  * only match via null-safe equality against NON-null key values
+  * here (equality literals are non-null by construction), and
+  * deleteRange's boundary rewrite explicitly retains null range
+  * values.
+  */
+private[sources] trait GraftSqlDelete extends SupportsDelete {
+  /** The table root (provided by the mixing table). */
+  protected def deleteRoot: String
+  /** The committed schema (for key typing). */
+  protected def deleteSchema: StructType
+  /** SQL DML is a catalog-door surface, like INSERT. */
+  protected def dmlEnabled: Boolean
+
+  /** IN-list cross products beyond this many key rows refuse toward
+    * the Scala API (a generated mega-IN should ship as a keys FRAME,
+    * not a SQL literal).
+    */
+  private val MaxKeyRows = 100000
+
+  private sealed trait Translated
+  private case class Keys(cols: Seq[String], rows: Seq[Seq[Any]])
+      extends Translated
+  private case class Range(col: String, lo: Long, hi: Long) extends Translated
+
+  private def fieldOf(c: String): Option[StructField] =
+    deleteSchema.fields.find(_.name.equalsIgnoreCase(c))
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Byte => Some(n.toLong)
+    case n: Short => Some(n.toLong)
+    case n: Int => Some(n.toLong)
+    case n: Long => Some(n)
+    case _ => None
+  }
+
+  private def translate(filters: Array[Filter]): Option[Translated] = {
+    // IsNotNull conjuncts are redundant next to the null-rejecting
+    // shapes below — droppable when their column is otherwise
+    // constrained, untranslatable alone
+    val (notNulls, rest) = filters.partition(_.isInstanceOf[IsNotNull])
+    val nnCols = notNulls.collect { case IsNotNull(c) => c.toLowerCase }
+    if (rest.isEmpty) return None // DELETE with no usable predicate
+    // shape 1: equalities / IN-lists on distinct columns
+    val eqs = rest.map {
+      case EqualTo(c, v) if v != null => Some(c -> Seq(v))
+      case EqualNullSafe(c, v) => Some(c -> Seq(v)) // null key matches null rows
+      case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        Some(c -> vs.toSeq)
+      case _ => None
+    }
+    if (eqs.forall(_.isDefined)) {
+      val byCol = eqs.flatten.toSeq
+      val cols = byCol.map(_._1)
+      if (cols.map(_.toLowerCase).distinct.size == cols.size &&
+          cols.forall(c => fieldOf(c).isDefined) &&
+          nnCols.forall(c => cols.exists(_.toLowerCase == c)) &&
+          byCol.map(_._2.size.toLong).product <= MaxKeyRows) {
+        val rows = byCol.foldLeft(Seq(Seq.empty[Any])) { case (acc, (_, vs)) =>
+          for { r <- acc; v <- vs } yield r :+ v
+        }
+        return Some(Keys(cols, rows))
+      }
+      // duplicate columns, unknown columns, or an oversized cross
+      // product fall through — the range shape cannot match equality
+      // conjuncts, so the net is a refusal toward the Scala API
+    }
+    // shape 2: a range conjunction on ONE integral column
+    val ranges = rest.map {
+      case GreaterThan(c, v) => asLong(v).flatMap(x =>
+        if (x == Long.MaxValue) None else Some((c, x + 1, Long.MaxValue)))
+      case GreaterThanOrEqual(c, v) => asLong(v).map(x => (c, x, Long.MaxValue))
+      case LessThan(c, v) => asLong(v).flatMap(x =>
+        if (x == Long.MinValue) None else Some((c, Long.MinValue, x - 1)))
+      case LessThanOrEqual(c, v) => asLong(v).map(x => (c, Long.MinValue, x))
+      case _ => None
+    }
+    if (ranges.forall(_.isDefined)) {
+      val rs = ranges.flatten
+      val cols = rs.map(_._1.toLowerCase).distinct
+      if (cols.size == 1 && nnCols.forall(_ == cols.head) &&
+          fieldOf(cols.head).exists(f => integral(f.dataType))) {
+        val lo = rs.map(_._2).max
+        val hi = rs.map(_._3).min
+        return Some(Range(rs.head._1, lo, hi))
+      }
+    }
+    None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    dmlEnabled && translate(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    translate(filters).getOrElse(throw new UnsupportedOperationException(
+      s"$deleteRoot: unsupported DELETE condition — use " +
+        "SnapshotTable.deleteWhere/deleteRange")) match {
+      case Keys(cols, rows) =>
+        val schema = StructType(cols.map(c =>
+          fieldOf(c).get.copy(name = c, nullable = true)))
+        val coerced = rows.map { r =>
+          Row.fromSeq(r.zip(schema.fields).map { case (v, f) =>
+            coerce(v, f.dataType)
+          })
+        }
+        import scala.jdk.CollectionConverters._
+        SnapshotTable.deleteWhere(spark, deleteRoot,
+          spark.createDataFrame(coerced.asJava, schema))
+      case Range(col, lo, hi) =>
+        // an empty intersection is a provably-empty delete: no commit
+        if (lo <= hi) SnapshotTable.deleteRange(spark, deleteRoot, col, lo, hi)
+    }
+  }
+
+  /** V1 Filter literals arrive as plain JVM values whose width may not
+    * match the table column (an INT literal against a BIGINT column);
+    * align them so the keys frame carries the table's own types.
+    */
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (n: java.lang.Number, LongType) => n.longValue()
+    case (n: java.lang.Number, IntegerType) => n.intValue()
+    case (n: java.lang.Number, ShortType) => n.shortValue()
+    case (n: java.lang.Number, ByteType) => n.byteValue()
+    case (other, _) => other
   }
 }

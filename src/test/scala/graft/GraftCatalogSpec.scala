@@ -82,12 +82,12 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("graft-snapshot") ||
       e1.getMessage.contains("read-focused"), e1.getMessage)
-    // row-level SQL DML other than INSERT still refuses (merge-on-read
-    // deletes and scoped merges are the Scala API's semantics)
+    // row-level SQL UPDATE/MERGE still refuse (scoped merges are the
+    // Scala API's semantics)
     val e2 = intercept[Exception] {
-      spark.sql("DELETE FROM graft_test.mor.items WHERE k = 1")
+      spark.sql("UPDATE graft_test.mor.items SET v = 'x' WHERE k = 1")
     }
-    assert(e2.getMessage.toLowerCase.contains("delete") ||
+    assert(e2.getMessage.toLowerCase.contains("update") ||
       e2.getMessage.toLowerCase.contains("support"), e2.getMessage)
     // a missing table is a catalog-level NoSuchTable, not a path error
     val e3 = intercept[Exception] {
@@ -139,6 +139,51 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("graft_test.dml.sales").as[(Long, String)]
       .collect().toSeq == Seq((7L, "reborn")),
       "the re-inserted key survives the older equality delete")
+  }
+
+  test("SQL DELETE maps onto the format's own shapes: keys → deleteWhere, ranges → deleteRange") {
+    import spark.implicits._
+    ensureCatalog()
+    val t = s"$wh/dml/del"
+    // day-clustered with envelopes so the range shape can drop whole
+    // files metadata-only; one null-day row to pin null survival
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try SnapshotTable.commit(spark, t,
+      ((0L until 200L).map(i => (i, Some(i / 50L), s"v$i")) :+
+        ((999L, None: Option[Long], "nullday")))
+        .toDF("k", "day", "v")
+        .repartitionByRange(4, col("day")).sortWithinPartitions("day"),
+      statsCols = Seq("day"))
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    // equality → ONE equality-delete commit (merge-on-read keys)
+    spark.sql("DELETE FROM graft_test.dml.del WHERE k = 7")
+    assert(SnapshotTable.commitOp(spark, t).contains("delete"),
+      "an equality DELETE is a deleteWhere commit")
+    assert(spark.table("graft_test.dml.del").filter(col("k") === 7L).count() == 0)
+    // composite: IN × equality cross-product keys
+    spark.sql("DELETE FROM graft_test.dml.del WHERE k IN (10, 11) AND v = 'v10'")
+    assert(spark.table("graft_test.dml.del")
+      .filter(col("k").isin(10L, 11L)).select("v").as[String]
+      .collect().toSeq == Seq("v11"),
+      "only the (10,'v10') composite key dies; (11,'v11') survives")
+    // range on the clustered column → deleteRange (metadata-priced)
+    val filesBefore = SnapshotTable.snapshotFiles(spark, t).size
+    spark.sql("DELETE FROM graft_test.dml.del WHERE day >= 0 AND day <= 1")
+    assert(SnapshotTable.commitOp(spark, t).contains("deleteRange"),
+      "a range DELETE is a deleteRange commit")
+    assert(SnapshotTable.snapshotFiles(spark, t).size < filesBefore,
+      "in-envelope files dropped from the manifest")
+    val left = spark.table("graft_test.dml.del")
+    assert(left.filter(col("day") < 2L).count() == 0 &&
+      left.filter(col("day").isNull).count() == 1,
+      "days 0-1 gone; the null-day row SURVIVES (SQL DELETE semantics)")
+    assert(left.count() == 101, // days 2-3 (k 100..199) + the null-day row
+      s"surviving rows: ${left.count()}")
+    // unsupported shapes refuse at analysis toward the Scala API
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft_test.dml.del WHERE v LIKE 'v1%'")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
   }
 
   test("concurrent INSERTs race through the claim protocol: both land, none lost") {
