@@ -227,9 +227,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!cascade && children.nonEmpty) throw new IllegalStateException(
       s"namespace ${namespace.mkString(".")} is not empty — use CASCADE")
     if (cascade) {
-      val pinnedTables = children.filter(_.isDirectory)
-        .map(_.getPath).filter(isTableDir)
-        .filter(t => SnapshotTable.pinnedVersions(spark, t.toString).nonEmpty)
+      // the dropTable rule applied to the WHOLE subtree: tables can
+      // live under nested namespaces, and a cascade that only checked
+      // direct children would destroy a nested pinned table's replay
+      // window without refusal
+      def pinnedUnder(dir: org.apache.hadoop.fs.Path)
+          : Seq[org.apache.hadoop.fs.Path] =
+        f.listStatus(dir).filter(_.isDirectory).map(_.getPath).toSeq
+          .flatMap { d =>
+            if (isTableDir(d)) {
+              if (SnapshotTable.pinnedVersions(spark, d.toString).nonEmpty)
+                Seq(d)
+              else Nil
+            } else pinnedUnder(d)
+          }
+      val pinnedTables = pinnedUnder(p)
       if (pinnedTables.nonEmpty) throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} holds tables with live " +
           s"consumer pins (${pinnedTables.map(_.getName).mkString(", ")}) " +

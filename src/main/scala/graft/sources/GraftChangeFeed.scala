@@ -58,8 +58,15 @@ private[sources] object GraftCdf {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** The feed's schema: the data columns FORCED NULLABLE — a delete
+    * retraction populates only its key columns, and advertising the
+    * committed non-null flags would let the optimizer constant-fold
+    * `IS NULL` on the nulled-out columns to false — plus the two
+    * change stamps (genuinely non-null: every row carries literals).
+    */
   def schemaOf(data: StructType): StructType =
-    data.add(ChangeTypeCol, StringType, nullable = false)
+    StructType(data.fields.map(_.copy(nullable = true)))
+      .add(ChangeTypeCol, StringType, nullable = false)
       .add(CommitVersionCol, LongType, nullable = false)
 
   def requested(options: CaseInsensitiveStringMap): Boolean =
@@ -111,7 +118,12 @@ private[sources] object GraftCdf {
           SnapshotTable.dataVersionOfFile(d.path)))
         bootstrap = false
       } else {
-        val dropped = prevFiles.exists(p => !files.contains(p))
+        // only the rare pre-#op inference needs this; lazy keeps the
+        // common (#op-stamped) path from paying a set-diff per version
+        lazy val dropped = {
+          val fs = files.toSet
+          prevFiles.exists(p => !fs(p))
+        }
         val op = SnapshotTable.commitOp(spark, root, v).getOrElse {
           // pre-#op manifests: infer the unambiguous shapes
           if (newDeletes.nonEmpty && added.isEmpty) "delete"

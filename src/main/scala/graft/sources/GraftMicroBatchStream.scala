@@ -202,7 +202,29 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
     * on a throttled cadence ([[GraftMicroBatchStream.pinRefreshMs]]) —
     * liveness tied to the trigger loop, not to data arrival.
     */
-  @volatile private var lastPinnedFloor: Long = 0L
+  // seeded from the PREVIOUS process's own pin file at construction:
+  // a restarted stream on a quiet table plans no batch (and may never
+  // deserialize an offset), so without the seed the idle refresh
+  // would not engage and the pin would age out like a dead
+  // consumer's. The pin file is the ONLY safe seed — the pacing mark
+  // and the offset log can sit ABOVE the committed offset (a pending
+  // batch), and refreshing from them would RAISE the pin past the
+  // replay floor the recovered batch still needs
+  @volatile private var lastPinnedFloor: Long = {
+    // pin writes truncate-then-write, so a reader can catch a TORN
+    // (empty) file — readPin surfaces that as Some(0), the value every
+    // OTHER consumer treats conservatively (vacuum keeps everything,
+    // DROP refuses). Here 0 would silently DISABLE the idle refresh,
+    // so retry past the microseconds-wide window (the only writer of
+    // this pin is this stream's own predecessor winding down)
+    var seed = SnapshotTable.pinOf(spark, root, checkpointLocation)
+    var tries = 0
+    while (seed.contains(0L) && tries < 5) {
+      Thread.sleep(20); tries += 1
+      seed = SnapshotTable.pinOf(spark, root, checkpointLocation)
+    }
+    seed.filter(_ >= 1L).getOrElse(0L)
+  }
   @volatile private var lastPinTouchMs: Long = System.currentTimeMillis()
 
   private def pinFloor(floor: Long): Unit = {
@@ -256,9 +278,16 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
     val from = start.asInstanceOf[GraftVersionOffset].version
     val to = end.asInstanceOf[GraftVersionOffset].version
     raiseServed(to)
-    // retention pin at the replay floor (durable `start`; bootstrap
-    // pins its end) — identical contract to the batch consumers'
-    val floor = if (from >= 1L) from else to
+    // retention pin at the replay floor (durable `start`; a plain
+    // bootstrap pins its end — it reads only manifest `to`'s files).
+    // The CDF bootstrap replays EVERY retained version's manifest and
+    // files, so its floor is the lowest existing version: a concurrent
+    // vacuum must not sweep history out from under the replay
+    val floor =
+      if (from >= 1L) from
+      else if (cdf) SnapshotTable.versionsOf(spark, root)
+        .headOption.getOrElse(to)
+      else to
     if (floor >= 1L) pinFloor(floor)
     if (from >= to) { batchFactory = EmptyReaderFactory; return Array.empty }
     if (cdf) {

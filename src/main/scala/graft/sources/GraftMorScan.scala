@@ -104,18 +104,45 @@ private[sources] object GraftDeleteSpec {
   */
 private[sources] object GraftMor {
 
-  /** Key/probe value under a representation with VALUE equality:
-    * BinaryType's internal Array[Byte] compares by reference, so both
-    * the driver-resolved key set and the per-row probe wrap it in an
-    * immutable ArraySeq (element-wise equals + element-based hash).
-    * Everything else passes through — atomic internal values already
-    * define equals (nested types are refused at resolve).
+  /** Does this key-column type need [[normalize]] before the boxed
+    * equality lookup? Binary (reference equality) and floating types
+    * (-0.0 vs 0.0: boxed equals/hash differ while the Scala door's
+    * anti-join normalizes floats on its keys).
+    */
+  def needsNorm(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.BinaryType ||
+      dt == org.apache.spark.sql.types.DoubleType ||
+      dt == org.apache.spark.sql.types.FloatType
+
+  /** The canonical stand-in for a floating NaN key/probe value:
+    * Scala's `==` on boxed doubles compares PRIMITIVELY (NaN != NaN),
+    * while Spark's null-safe equality — the Scala door's anti-join —
+    * treats NaN as equal to itself; both sides map NaN here so the
+    * Set lookup agrees with the join. (Column types are fixed, so one
+    * sentinel serves float and double columns alike.)
+    */
+  private case object NaNKey
+
+  /** Key/probe value under a representation with VALUE equality under
+    * Scala `==`/hash: BinaryType's internal Array[Byte] compares by
+    * reference, so both the driver-resolved key set and the per-row
+    * probe wrap it in an immutable ArraySeq (element-wise equals +
+    * element-based hash); floating NaN maps to [[NaNKey]] (see there —
+    * the -0.0/0.0 pair already agrees: Scala `==` and `anyHash` on
+    * boxed doubles are primitive-valued, matching the SQL comparison
+    * and the Scala door's normalized join keys). Everything else
+    * passes through — atomic internal values already define the right
+    * equality (nested types are refused at resolve).
     */
   def normalize(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
     v match {
       case b: Array[Byte]
           if dt == org.apache.spark.sql.types.BinaryType =>
         scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+      case d: java.lang.Double if java.lang.Double.isNaN(d.doubleValue) =>
+        NaNKey
+      case f: java.lang.Float if java.lang.Float.isNaN(f.floatValue) =>
+        NaNKey
       case other => other
     }
 
@@ -158,11 +185,10 @@ private[sources] object GraftMor {
       .zipWithIndex.toMap
     private val matchers = applicable.map { i =>
       val ords = specs(i).cols.map(c => lower(c.toLowerCase)).toArray
-      // positions needing probe normalization (binary → value-equal
-      // wrapper, mirroring the key set's representation)
-      val bin = ords.map(o =>
-        dts(o) == org.apache.spark.sql.types.BinaryType)
-      (ords, bin, new Array[Any](ords.length), specs(i).keys)
+      // positions needing probe normalization (binary/float → the
+      // value-equal representation the key set was built with)
+      val norm = ords.map(o => GraftMor.needsNorm(dts(o)))
+      (ords, norm, new Array[Any](ords.length), specs(i).keys)
     }
     protected var cur: InternalRow = _
 
@@ -172,11 +198,11 @@ private[sources] object GraftMor {
         var dead = false
         var m = 0
         while (!dead && m < matchers.length) {
-          val (ords, bin, probe, keys) = matchers(m)
+          val (ords, norm, probe, keys) = matchers(m)
           var i = 0
           while (i < ords.length) {
             val v = r.get(ords(i), dts(ords(i)))
-            probe(i) = if (bin(i)) GraftMor.normalize(v, dts(ords(i))) else v
+            probe(i) = if (norm(i)) GraftMor.normalize(v, dts(ords(i))) else v
             i += 1
           }
           dead = keys.contains(

@@ -29,20 +29,27 @@ private[sources] object GraftPrune {
   /** Is this an attribute type whose committed envelope (the
     * cast-to-long [min,max] the manifest records) ORDERS THE SAME as
     * the column itself? Plain integrals only — mirroring the commit
-    * side's footerResolvable rule.
+    * side's footerResolvable rule. Shared with the SQL DELETE
+    * translation (GraftSqlDelete), which rides the same rule.
     */
-  private def integral(dt: DataType): Boolean = dt match {
+  def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
 
-  private def litLong(l: Literal): Option[Long] = l.value match {
+  /** A plain integral JVM value widened to Long (the shared literal
+    * rule of envelope pruning and SQL DELETE translation); None for
+    * anything else.
+    */
+  def asLong(v: Any): Option[Long] = v match {
     case b: Byte => Some(b.toLong)
     case s: Short => Some(s.toLong)
     case i: Int => Some(i.toLong)
     case j: Long => Some(j)
     case _ => None
   }
+
+  private def litLong(l: Literal): Option[Long] = asLong(l.value)
 
   /** The allowed [lo, hi] interval each recognized null-rejecting
     * conjunct confines its column to, lowercase column name. `And`
@@ -76,13 +83,7 @@ private[sources] object GraftPrune {
       if (vs.exists(_.isEmpty)) Nil
       else Seq((a.name.toLowerCase, vs.flatten.min, vs.flatten.max))
     case InSet(a: Attribute, hset) if integral(a.dataType) && hset.nonEmpty =>
-      val vs = hset.toSeq.map {
-        case b: Byte => Some(b.toLong)
-        case s: Short => Some(s.toLong)
-        case i: Int => Some(i.toLong)
-        case j: Long => Some(j)
-        case _ => None
-      }
+      val vs = hset.toSeq.map(asLong)
       if (vs.exists(_.isEmpty)) Nil
       else Seq((a.name.toLowerCase, vs.flatten.min, vs.flatten.max))
     case _ => Nil
@@ -114,12 +115,18 @@ private[sources] object GraftPrune {
     * a conjunct's column is conservatively kept.
     */
   def keep(stats: Map[String, (Long, Long)],
-           rs: Seq[(String, Long, Long)]): Boolean = {
-    lazy val lower = stats.map { case (k, v) => k.toLowerCase -> v }
+           rs: Seq[(String, Long, Long)]): Boolean =
     rs.forall { case (c, lo, hi) =>
-      lower.get(c).forall { case (flo, fhi) => flo <= hi && fhi >= lo }
+      // exact-key hit first (stats keys are committed column names,
+      // typically already lowercase), then a case-insensitive sweep of
+      // the handful of entries — no per-file map copy on a path that
+      // runs once per file per scan build / micro-batch
+      stats.get(c)
+        .orElse(stats.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(c) => v
+        })
+        .forall { case (flo, fhi) => flo <= hi && fhi >= lo }
     }
-  }
 
   /** The surviving file paths (same order), given per-path stats. */
   def prune(files: Seq[String],

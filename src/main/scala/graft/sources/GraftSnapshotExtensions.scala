@@ -26,23 +26,65 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 private[sources] class GraftMorFallbackTable(tableName: String,
     val root: String, val snapshotVersion: Long, tableSchema: StructType,
-    backlog: Long, cap: Long) extends Table with SupportsRead {
+    backlog: Long, cap: Long, insertable: Boolean = false)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with GraftSqlDelete {
+  protected def deleteRoot: String = root
+  protected def deleteSchema: StructType = tableSchema
+  protected def dmlEnabled: Boolean = insertable
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] = Array.empty
+  // writes don't read: a catalog INSERT/DELETE must keep working when
+  // the backlog crosses the read ceiling (appends land at a higher
+  // sequence number; a DELETE only grows the backlog compaction will
+  // purge) — losing DML exactly when the table most needs maintenance
+  // commits would be backwards
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+    if (insertable)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(insertable, s"$root is not writable through this surface")
+    new GraftV1WriteBuilder(root, info)
+  }
+  private def refusal = new UnsupportedOperationException(
+    s"$root v$snapshotVersion: $backlog outstanding delete-key rows exceed " +
+      s"the DSv2 merge-on-read ceiling $cap " +
+      "(min of deleteBroadcastMaxRows and deleteSpecMaxRows). " +
+      "Remedies: register graft.sources.GraftSnapshotExtensions " +
+      "(spark.sql.extensions) so this read plans as a shuffled " +
+      "anti-join; or compact the table (SnapshotTable.compactScoped/" +
+      "compactSnapshot purges deletes physically); or read via " +
+      "SnapshotTable.read, whose anti-join shuffles instead")
+
+  /** The refusal fires when the scan would actually PRODUCE data
+    * (toBatch / the stream), not at scan construction: the optimizer
+    * builds scans for relations that never execute — a `DELETE FROM`'s
+    * target relation, for one — and a construction-time throw would
+    * take working DML down with the unreadable read.
+    */
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    throw new UnsupportedOperationException(
-      s"$root v$snapshotVersion: $backlog outstanding delete-key rows exceed " +
-        s"the DSv2 merge-on-read ceiling $cap " +
-        "(min of deleteBroadcastMaxRows and deleteSpecMaxRows). " +
-        "Remedies: register graft.sources.GraftSnapshotExtensions " +
-        "(spark.sql.extensions) so this read plans as a shuffled " +
-        "anti-join; or compact the table (SnapshotTable.compactScoped/" +
-        "compactSnapshot purges deletes physically); or read via " +
-        "SnapshotTable.read, whose anti-join shuffles instead")
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = tableSchema
+          override def description(): String =
+            s"GraftMorFallbackScan (refuses at execution) $root"
+          override def toBatch
+              : org.apache.spark.sql.connector.read.Batch = throw refusal
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            throw refusal
+        }
+    }
 }
 
 /** Rewrites a [[GraftMorFallbackTable]] relation into the Scala door's

@@ -259,7 +259,7 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
         SnapshotTable.deleteSpecMaxRows)
       if (backlog > cap)
         new GraftMorFallbackTable(name, r.root, r.version, r.schema,
-          backlog, cap)
+          backlog, cap, insertable)
       else
         new GraftMorTable(name, r.root, inputs,
           GraftDeleteSpec.resolve(spark, r.root, r.version, r.schema,

@@ -95,18 +95,10 @@ private[sources] trait GraftSqlDelete extends SupportsDelete {
   private def fieldOf(c: String): Option[StructField] =
     deleteSchema.fields.find(_.name.equalsIgnoreCase(c))
 
-  private def integral(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType => true
-    case _ => false
-  }
-
-  private def asLong(v: Any): Option[Long] = v match {
-    case n: Byte => Some(n.toLong)
-    case n: Short => Some(n.toLong)
-    case n: Int => Some(n.toLong)
-    case n: Long => Some(n)
-    case _ => None
-  }
+  // the integral/widening rules are GraftPrune's — ONE definition of
+  // "plain integrals order the same as their cast-to-long envelope"
+  private def integral(dt: DataType): Boolean = GraftPrune.integral(dt)
+  private def asLong(v: Any): Option[Long] = GraftPrune.asLong(v)
 
   private def translate(filters: Array[Filter]): Option[Translated] = {
     // IsNotNull conjuncts are redundant next to the null-rejecting

@@ -488,9 +488,32 @@ object SnapshotTable {
     // a live consumer at a stable offset (no new data for days) does
     // not age out like a dead one
     if (prior.forall(_ <= version)) {
-      val out = f.create(p, true)
+      // ATOMIC publish (tmp + overwrite-rename): a truncate-then-write
+      // rewrite interrupted mid-flight — a stopping stream's last idle
+      // refresh, a killed process — left a permanently EMPTY pin file,
+      // destroying the consumer's recorded floor (readers then see the
+      // conservative 0). With the rename, readers see the old pin or
+      // the new one, never a torn file. The dot-prefixed tmp never
+      // matches PinPrefix, so it can't masquerade as a pin; orphans
+      // age out under vacuum's pin sweep.
+      val tmp = hp(table, MetaDir,
+        s".${pinName(consumerId)}.tmp-${System.nanoTime()}")
+      val out = f.create(tmp, true)
       try out.write(s"$version\t$consumerId".getBytes("UTF-8"))
       finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.makeQualified(tmp).toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(f.makeQualified(tmp), f.makeQualified(p),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+             _: UnsupportedOperationException =>
+          // no AbstractFileSystem for this scheme: delete+rename —
+          // a reader in the gap sees ABSENT (None), never torn
+          f.delete(p, false)
+          if (!f.rename(tmp, p)) f.delete(tmp, false)
+      }
     }
   }
 
@@ -517,6 +540,14 @@ object SnapshotTable {
       readPin(f, hp(table, MetaDir, name)).map(name -> _)
     }.toMap
   }
+
+  /** A single consumer's current pin, by identity (the streaming
+    * source re-reads its OWN pin at restart to seed its idle-refresh
+    * floor — the one value guaranteed at or below its replay floor).
+    */
+  def pinOf(spark: SparkSession, table: String,
+            consumerId: String): Option[Long] =
+    readPin(fs(spark, table), hp(table, MetaDir, pinName(consumerId)))
 
   /** Drop a consumer's pin (a decommissioned consumer releasing its
     * hold explicitly instead of waiting out `pinMaxAgeMs`).
@@ -1211,6 +1242,14 @@ object SnapshotTable {
       if (age > pinMaxAgeMs) { f.delete(path, false); None }
       else readPin(f, path)
     }.foldLeft(Long.MaxValue)(math.min)
+    // orphan pin-rewrite tmps (a crash between create and rename):
+    // dot-prefixed so they never read as pins; age-gated like pins
+    names.filter(n => n.startsWith("." + PinPrefix) && n.contains(".tmp-"))
+      .foreach { n =>
+        val path = hp(table, MetaDir, n)
+        if (now - f.getFileStatus(path).getModificationTime > pinMaxAgeMs)
+          f.delete(path, false)
+      }
     // duration-based retention (`retainForMs` > 0): keep every version
     // committed within the window, BY ITS #ts STAMP — a pre-#ts
     // manifest has no stamp and is older than every stamped one, so it

@@ -261,4 +261,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(SnapshotTable.currentVersion(spark, s"$wh/nsdemo/t1") == 0L,
       "CASCADE removed the namespace and its (unpinned) table")
   }
+
+  test("DROP NAMESPACE CASCADE respects live pins in NESTED namespaces") {
+    import spark.implicits._
+    ensureCatalog()
+    // the pinned table lives one namespace DEEPER than the drop target:
+    // a cascade that only checked direct children would destroy its
+    // replay window without refusal
+    val t = s"$wh/deepns/inner/held"
+    SnapshotTable.append(spark, t, Seq((1L, "x")).toDF("k", "v"))
+    SnapshotTable.pinVersion(spark, t, "ckpt://nested-consumer", 1L)
+    val e = intercept[Exception] {
+      spark.sql("DROP NAMESPACE graft_test.deepns CASCADE")
+    }
+    assert(e.getMessage.contains("pin") && e.getMessage.contains("held"),
+      s"nested pinned table must refuse the cascade: ${e.getMessage}")
+    assert(SnapshotTable.currentVersion(spark, t) == 1L, "subtree untouched")
+    SnapshotTable.unpin(spark, t, "ckpt://nested-consumer")
+    spark.sql("DROP NAMESPACE graft_test.deepns CASCADE")
+    assert(SnapshotTable.currentVersion(spark, t) == 0L)
+  }
 }

@@ -89,6 +89,43 @@ class GraftChangeFeedSpec extends SparkSpec {
     }
     // the reborn k=3 (stamp 5) survives the v3 retraction
     assert(materialize(evts).contains((3L, "reborn")))
+    // the feed's DATA columns read nullable regardless of the
+    // committed flags: retraction rows null out non-key columns, and
+    // advertising non-null would let the optimizer constant-fold
+    // `tag IS NULL` on them to false
+    val sch = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(t).schema
+    assert(sch.fields.dropRight(2).forall(_.nullable),
+      s"feed data columns must be nullable: $sch")
+    assert(!sch.fields.takeRight(2).exists(_.nullable),
+      "the change stamps are genuinely non-null")
+  }
+
+  test("the CDF bootstrap pins the LOWEST retained version: vacuum cannot outrun the replay") {
+    import spark.implicits._
+    val t = mkTable()
+    (1 to 3).foreach { i =>
+      SnapshotTable.append(spark, t,
+        Seq((i.toLong, s"b$i")).toDF("k", "tag"))
+    }
+    // drive the DSv2 handshake by hand so the PLANNING-time pin is
+    // observable (a full query's commit callback would raise it)
+    val provider = new graft.sources.GraftSnapshotSource
+    val props = java.util.Map.of("path", t, "readChangeFeed", "true")
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(props)
+    val schema = provider.inferSchema(opts)
+    val table = provider.getTable(schema, Array.empty,
+      new java.util.HashMap(props))
+    val stream = table.asInstanceOf[
+      org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(opts).build().toMicroBatchStream(
+        Files.createTempDirectory("snapcdf-pin").toString)
+    stream.planInputPartitions(stream.initialOffset(), stream.latestOffset())
+    // the plain stream's bootstrap pins `to` (it reads only manifest
+    // `to`'s files); the CDF replay walks EVERY retained manifest, so
+    // its floor must be the lowest existing version
+    assert(SnapshotTable.pinnedVersions(spark, t).values.min == 1L,
+      s"CDF bootstrap floor: ${SnapshotTable.pinnedVersions(spark, t)}")
   }
 
   test("startingVersion bounds the feed; history surfaces the #op column") {

@@ -82,6 +82,36 @@ class GraftMorFallbackSpec extends SparkSpec {
     }
   }
 
+  test("past the ceiling, catalog INSERT and DELETE keep working: writes don't read") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("morfb-wh").toString
+    spark.conf.set("spark.sql.catalog.graft_fb", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_fb.warehouse", wh)
+    val t = s"$wh/fb/t"
+    SnapshotTable.commit(spark, t,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("k", "tag"))
+    SnapshotTable.deleteWhere(spark, t, (0L until 30L).toDF("k"))
+    val prevSpec = SnapshotTable.deleteSpecMaxRows
+    try {
+      SnapshotTable.deleteSpecMaxRows = 10L
+      // reads refuse in this extension-less session...
+      intercept[UnsupportedOperationException] {
+        spark.sql("SELECT count(*) FROM graft_fb.fb.t").collect()
+      }
+      // ...but DML must NOT break exactly when the table most needs
+      // maintenance commits: appends land at a higher sequence number,
+      // a DELETE only grows the backlog compaction will purge
+      spark.sql("INSERT INTO graft_fb.fb.t VALUES (500, 'late')")
+      assert(SnapshotTable.commitOp(spark, t).contains("append"))
+      spark.sql("DELETE FROM graft_fb.fb.t WHERE k = 99")
+      assert(SnapshotTable.commitOp(spark, t).contains("delete"))
+    } finally SnapshotTable.deleteSpecMaxRows = prevSpec
+    // with the ceiling back, the Scala door confirms both mutations
+    val rows = SnapshotTable.read(spark, t).as[(Long, String)].collect().toSet
+    assert(rows.contains((500L, "late")) && !rows.exists(_._1 == 99L) &&
+      rows.size == 70) // 100 - 30 - 1(k=99) + 1(k=500)
+  }
+
   test("without the extension: the refusal stays loud and names the extension, compaction, and the Scala door") {
     val t = mkOversized()
     val prevSpec = SnapshotTable.deleteSpecMaxRows

@@ -467,8 +467,27 @@ class GraftSnapshotSourceSpec extends SparkSpec {
              System.currentTimeMillis() < deadline) Thread.sleep(100)
       assert(pin.lastModified() > aged + 1000,
         "an idle-but-live stream's pin mtime must keep moving")
-    } finally {
       q.stop()
+      // a RESTARTED stream on a quiet table plans no batch — the
+      // replay floor must seed from the checkpointed offset
+      // (deserializeOffset), else the refresh never engages and the
+      // previous process's pin ages out like a dead consumer's
+      val q2 = spark.readStream.format("graft-snapshot").load(t)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try {
+        q2.processAllAvailable() // no new versions: nothing planned
+        val aged2 = System.currentTimeMillis() - 10L * 60 * 1000
+        assert(pin.setLastModified(aged2))
+        val deadline2 = System.currentTimeMillis() + 10000
+        while (pin.lastModified() <= aged2 + 1000 &&
+               System.currentTimeMillis() < deadline2) Thread.sleep(100)
+        assert(pin.lastModified() > aged2 + 1000,
+          "a restarted idle stream must keep its pin fresh too")
+      } finally q2.stop()
+    } finally {
+      if (q.isActive) q.stop()
       graft.sources.GraftMicroBatchStream.pinRefreshMs = prev
     }
   }
@@ -504,6 +523,21 @@ class GraftSnapshotSourceSpec extends SparkSpec {
     // the Scala door still resolves array keys (null-safe anti-join)
     assert(SnapshotTable.read(spark, t2).select("v").as[String]
       .collect().toSeq == Seq("b"))
+    // floating keys: -0.0 vs 0.0 (boxed equality distinguishes the
+    // zeros, the SQL comparison and the Scala door's normalized join
+    // keys do not) and NaN (equal to itself under Spark's null-safe
+    // equality) must behave identically through both doors
+    val t3 = mkTable()
+    SnapshotTable.commit(spark, t3,
+      Seq((-0.0d, "negzero"), (0.0d, "poszero"), (1.5d, "keep"),
+        (Double.NaN, "nan")).toDF("kd", "v"))
+    SnapshotTable.deleteWhere(spark, t3,
+      Seq(0.0d, Double.NaN).toDF("kd"))
+    val sqlRows = viaFormat(t3).select("v").as[String].collect().toSet
+    val scalaRows = SnapshotTable.read(spark, t3).select("v").as[String]
+      .collect().toSet
+    assert(sqlRows == scalaRows && sqlRows == Set("keep"),
+      s"both zeros AND NaN die through BOTH doors: sql=$sqlRows scala=$scalaRows")
   }
 
   test("the delete backlog past the broadcast cap is refused with the remedies named") {
