@@ -157,8 +157,28 @@ private[sources] trait GraftSqlDelete extends SupportsDelete {
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     dmlEnabled && translate(filters).isDefined
 
+  /** `TRUNCATE TABLE` would commit an EMPTY snapshot, which the format
+    * refuses by design — and the default (returning false) makes
+    * TruncateTableExec a SILENT no-op, which is worse than a refusal.
+    */
+  override def truncateTable(): Boolean =
+    throw new UnsupportedOperationException(
+      s"$deleteRoot: TRUNCATE would commit an empty snapshot, which " +
+        "the format refuses — INSERT OVERWRITE replaces the contents; " +
+        "DROP TABLE removes the table")
+
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
+    // TRUNCATE TABLE arrives here directly (TruncatableTable's default
+    // bypasses canDeleteWhere) as an unconditional delete — which
+    // would commit an EMPTY snapshot, something the format refuses by
+    // design. Name the real doors.
+    if (filters.isEmpty ||
+        filters.exists(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      throw new UnsupportedOperationException(
+        s"$deleteRoot: unconditional DELETE/TRUNCATE would commit an " +
+          "empty snapshot, which the format refuses — INSERT OVERWRITE " +
+          "replaces the contents; DROP TABLE removes the table")
     translate(filters).getOrElse(throw new UnsupportedOperationException(
       s"$deleteRoot: unsupported DELETE condition — use " +
         "SnapshotTable.deleteWhere/deleteRange")) match {

@@ -184,6 +184,12 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("DELETE FROM graft_test.dml.del WHERE v LIKE 'v1%'")
     }
     assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // TRUNCATE would commit an empty snapshot — refused, doors named
+    val e2 = intercept[Exception] {
+      spark.sql("TRUNCATE TABLE graft_test.dml.del")
+    }
+    assert(e2.getMessage.contains("INSERT OVERWRITE") &&
+      e2.getMessage.contains("DROP TABLE"), e2.getMessage)
   }
 
   test("concurrent INSERTs race through the claim protocol: both land, none lost") {

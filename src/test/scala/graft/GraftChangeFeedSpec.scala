@@ -146,6 +146,45 @@ class GraftChangeFeedSpec extends SparkSpec {
       "history carries the op stamps, newest first")
   }
 
+  test("maxVersionsPerTrigger paces the feed: bounded batches, identical events, no loss") {
+    import spark.implicits._
+    val t = mkTable()
+    (1 to 4).foreach { b =>
+      SnapshotTable.append(spark, t,
+        (0L until 5L).map(i => (b * 100L + i, s"b$b")).toDF("k", "tag"))
+    }
+    SnapshotTable.deleteWhere(spark, t, Seq(101L, 302L).toDF("k")) // v5
+    val batches = new scala.collection.mutable.ArrayBuffer[Seq[Evt]]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", 2).load(t)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("snapcdf-paced").toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect().map { row =>
+          Evt(if (row.isNullAt(0)) None else Some(row.getLong(0)),
+            Option(row.getString(1)), row.getString(2), row.getLong(3))
+        }.toSeq
+        if (rows.nonEmpty) batches.synchronized { batches += rows }; ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.size == 3, // 5 versions at 2/trigger
+      s"5 versions at 2/trigger = 3 non-empty batches: ${batches.size}")
+    assert(batches.forall(_.map(_.version).distinct.size <= 2),
+      "each batch spans at most 2 versions")
+    val all = batches.flatten.toSeq
+    assert(all.count(_.change == "insert") == 20 &&
+      all.count(_.change == "delete") == 2,
+      s"paced union = the whole feed, no loss: ${all.size}")
+    // the paced feed materializes to the same table state
+    assert(materialize(all) ==
+      SnapshotTable.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("in-place rewrites refuse loudly; batch reads of the feed refuse") {
     import spark.implicits._
     val t = mkTable()
