@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, KnownNotNull}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
+  LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability}
@@ -55,15 +56,24 @@ private[sources] class GraftMorFallbackTable(tableName: String,
     require(insertable, s"$root is not writable through this surface")
     new GraftV1WriteBuilder(root, info)
   }
-  private def refusal = new UnsupportedOperationException(
+  // the extension remedy is BATCH-only: the fallback rule rewrites
+  // DataSourceV2Relation, and a readStream's StreamingRelationV2 never
+  // matches it — advertising it to a stream would send the user to a
+  // remedy that cannot work (compaction purges the backlog for BOTH)
+  private def refusal(streaming: Boolean) = new UnsupportedOperationException(
     s"$root v$snapshotVersion: $backlog outstanding delete-key rows exceed " +
       s"the DSv2 merge-on-read ceiling $cap " +
-      "(min of deleteBroadcastMaxRows and deleteSpecMaxRows). " +
-      "Remedies: register graft.sources.GraftSnapshotExtensions " +
-      "(spark.sql.extensions) so this read plans as a shuffled " +
-      "anti-join; or compact the table (SnapshotTable.compactScoped/" +
+      "(min of deleteBroadcastMaxRows and deleteSpecMaxRows). Remedies: " +
+      (if (streaming) ""
+       else "register graft.sources.GraftSnapshotExtensions " +
+         "(spark.sql.extensions) so this batch read plans as a shuffled " +
+         "anti-join; or ") +
+      "compact the table (SnapshotTable.compactScoped/" +
       "compactSnapshot purges deletes physically); or read via " +
-      "SnapshotTable.read, whose anti-join shuffles instead")
+      "SnapshotTable.read, whose anti-join shuffles instead" +
+      (if (streaming) " (the GraftSnapshotExtensions rewrite covers " +
+        "BATCH reads only — a stream past the ceiling needs compaction)"
+       else ""))
 
   /** The refusal fires when the scan would actually PRODUCE data
     * (toBatch / the stream), not at scan construction: the optimizer
@@ -79,10 +89,11 @@ private[sources] class GraftMorFallbackTable(tableName: String,
           override def description(): String =
             s"GraftMorFallbackScan (refuses at execution) $root"
           override def toBatch
-              : org.apache.spark.sql.connector.read.Batch = throw refusal
+              : org.apache.spark.sql.connector.read.Batch =
+            throw refusal(streaming = false)
           override def toMicroBatchStream(checkpointLocation: String)
               : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-            throw refusal
+            throw refusal(streaming = true)
         }
     }
 }
@@ -100,7 +111,26 @@ private[sources] class GraftMorFallbackTable(tableName: String,
   */
 private[sources] class GraftMorFallbackRule(session: SparkSession)
     extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan =
+
+  /** Command TARGETS are not reads. `DeleteFromTable` (and the other
+    * row-level commands) hold the target relation as a plan child, and
+    * a blanket bottom-up rewrite would hand the command a `Project`
+    * where it expects a table relation — `[INTERNAL_ERROR] Unexpected
+    * table relation` — taking DML down exactly when a past-the-ceiling
+    * table most needs maintenance commits ("writes don't read"). So
+    * the rule dispatches at the ROOT: command targets pass through
+    * untouched; genuine read sides (a MERGE source, an INSERT's
+    * query) still rewrite.
+    */
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: DeleteFromTable => d
+    case u: UpdateTable => u
+    case m: MergeIntoTable => m.copy(sourceTable = rewriteReads(m.sourceTable))
+    case w: V2WriteCommand => w.withNewQuery(rewriteReads(w.query))
+    case other => rewriteReads(other)
+  }
+
+  private def rewriteReads(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftMorFallbackTable] =>
@@ -109,7 +139,16 @@ private[sources] class GraftMorFallbackRule(session: SparkSession)
           SnapshotTable.read(session, t.root, t.snapshotVersion).queryExecution.analyzed
         val byName = child.output.map(a => a.name.toLowerCase -> a).toMap
         Project(r.output.map { o =>
-          Alias(byName(o.name.toLowerCase), o.name)(exprId = o.exprId)
+          val base = byName(o.name.toLowerCase)
+          // the Scala door reads parquet (everything nullable); where
+          // the committed schema declares NON-null, restore the marker
+          // relation's nullability — an INSERT INTO ... SELECT over
+          // this rewrite otherwise fails AppendData's output
+          // compatibility check (nullable query column into a non-null
+          // table column) as an unresolved-operator internal error
+          val expr = if (!o.nullable && base.nullable) KnownNotNull(base)
+                     else base
+          Alias(expr, o.name)(exprId = o.exprId)
         }, child)
     }
 }

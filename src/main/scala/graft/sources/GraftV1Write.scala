@@ -42,10 +42,22 @@ private[sources] class GraftV1WriteBuilder(root: String,
       new InsertableRelation {
         override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
           val spark = data.sparkSession
+          // carry the table's stat columns forward: a SQL-written file
+          // without envelopes is invisible to file pruning, and an
+          // INSERT OVERWRITE with statsCols = Nil would drop them
+          // TABLE-wide — silently disabling readPruned / the DSv2
+          // pruning this connector advertises. Restricted to columns
+          // the incoming frame still has with a long-castable type
+          // (an OVERWRITE may change the schema).
+          val stats = SnapshotTable.statsColsOf(spark, root).filter { c =>
+            data.schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+              org.apache.spark.sql.catalyst.expressions.Cast
+                .canCast(f.dataType, LongType))
+          }
           if (overwrite || overwriteFlag)
-            SnapshotTable.commit(spark, root, data)
+            SnapshotTable.commit(spark, root, data, statsCols = stats)
           else
-            SnapshotTable.append(spark, root, data)
+            SnapshotTable.append(spark, root, data, statsCols = stats)
         }
       }
   }
@@ -118,10 +130,19 @@ private[sources] trait GraftSqlDelete extends SupportsDelete {
     if (eqs.forall(_.isDefined)) {
       val byCol = eqs.flatten.toSeq
       val cols = byCol.map(_._1)
+      // SATURATING cross-product size: a plain Long product of several
+      // large IN lists can wrap negative and slip under the cap — after
+      // which the driver would materialize the full cross product the
+      // cap exists to refuse. Stop multiplying at the first crossing;
+      // every factor is >= 1 (empty IN lists never reach here), so the
+      // running product is monotone and the early exit is sound.
+      val crossSize = byCol.foldLeft(1L) { case (acc, (_, vs)) =>
+        if (acc > MaxKeyRows) acc else acc * vs.size
+      }
       if (cols.map(_.toLowerCase).distinct.size == cols.size &&
           cols.forall(c => fieldOf(c).isDefined) &&
           nnCols.forall(c => cols.exists(_.toLowerCase == c)) &&
-          byCol.map(_._2.size.toLong).product <= MaxKeyRows) {
+          crossSize <= MaxKeyRows) {
         val rows = byCol.foldLeft(Seq(Seq.empty[Any])) { case (acc, (_, vs)) =>
           for { r <- acc; v <- vs } yield r :+ v
         }
@@ -194,8 +215,15 @@ private[sources] trait GraftSqlDelete extends SupportsDelete {
         SnapshotTable.deleteWhere(spark, deleteRoot,
           spark.createDataFrame(coerced.asJava, schema))
       case Range(col, lo, hi) =>
-        // an empty intersection is a provably-empty delete: no commit
-        if (lo <= hi) SnapshotTable.deleteRange(spark, deleteRoot, col, lo, hi)
+        // an empty intersection is a provably-empty delete: no commit.
+        // The boundary rewrite re-commits files — carry EVERY existing
+        // stat column, not just the range column, or the rewrite
+        // silently narrows the table's envelope coverage
+        if (lo <= hi) {
+          val stats = SnapshotTable.statsColsOf(spark, deleteRoot)
+            .filterNot(_.equalsIgnoreCase(col)) :+ col
+          SnapshotTable.deleteRange(spark, deleteRoot, col, lo, hi, stats)
+        }
     }
   }
 

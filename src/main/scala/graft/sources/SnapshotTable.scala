@@ -450,6 +450,28 @@ object SnapshotTable {
     finally in.close()
   }
 
+  /** The stat columns snapshot `version` (default: current) carries
+    * envelopes for — the union of non-reserved stat tokens over the
+    * manifest's data lines, resolved without opening a data file. The
+    * SQL write door derives its statsCols from this so `INSERT INTO` /
+    * `INSERT OVERWRITE` / the SQL range DELETE's boundary rewrite keep
+    * the envelopes a Scala-door commit established (writing with
+    * statsCols = Nil there would silently disable [[readPruned]] and
+    * the DSv2 file pruning table-wide until the next Scala commit).
+    * Empty when the table has no snapshot.
+    */
+  def statsColsOf(spark: SparkSession, table: String,
+                  version: Long = 0L): Seq[String] = {
+    if (currentVersion(spark, table) == 0L) return Nil
+    val v = resolve(spark, table, version)
+    topLines(fs(spark, table), table, v).flatMap {
+      case il: IncludeLine => il.stats.keys
+      case el: EntryLine => el.entry.stats.keys
+      case _: DeleteLine => Seq.empty[String]
+    }.distinct.filterNot(c => c == RowsCol || c == MinVerCol ||
+      c.startsWith(NullsPrefix)).sorted
+  }
+
   private val PinPrefix = "pin-"
 
   /** A vacuum-proof slug for a consumer identity (pins are files; the
@@ -510,9 +532,21 @@ object SnapshotTable {
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
              _: UnsupportedOperationException =>
           // no AbstractFileSystem for this scheme: delete+rename —
-          // a reader in the gap sees ABSENT (None), never torn
+          // a reader in the gap sees ABSENT (None), never torn. If the
+          // rename then FAILS, restore the old pin from `prior` (its
+          // content is reconstructible: version + consumerId) instead
+          // of leaving the consumer with NO pin — an absent pin would
+          // let vacuum sweep its replay window, a worse outcome than
+          // the torn-file state this path exists to avoid.
           f.delete(p, false)
-          if (!f.rename(tmp, p)) f.delete(tmp, false)
+          if (!f.rename(tmp, p)) {
+            f.delete(tmp, false)
+            prior.foreach { old =>
+              val back = f.create(p, true)
+              try back.write(s"$old\t$consumerId".getBytes("UTF-8"))
+              finally back.close()
+            }
+          }
       }
     }
   }

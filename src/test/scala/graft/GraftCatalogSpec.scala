@@ -192,6 +192,65 @@ class GraftCatalogSpec extends SparkSpec {
       e2.getMessage.contains("DROP TABLE"), e2.getMessage)
   }
 
+  test("the IN-list cross-product cap saturates: a Long-wrapping product refuses instead of materializing") {
+    import spark.implicits._
+    ensureCatalog()
+    val t = s"$wh/dml/ofl"
+    SnapshotTable.commit(spark, t,
+      Seq((1L, 1L, 1L, 1L, "x")).toDF("a", "b", "c", "d", "v"))
+    // a modest oversize refuses through SQL (400 × 300 = 120k > 100k)
+    val inA = (0 until 400).mkString(", ")
+    val inB = (0 until 300).mkString(", ")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_test.dml.ofl " +
+        s"WHERE a IN ($inA) AND b IN ($inB)")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // the adversarial shape: 65536^4 = 2^64 ≡ 0 as a wrapping Long
+    // product — the pre-fix `.product <= cap` PASSED it and the driver
+    // materialized the cross product; the saturating fold must refuse.
+    // Asserted at the SupportsDelete seam (the SQL literal list would
+    // be megabytes of text for no extra coverage).
+    val cat = spark.sessionState.catalogManager.catalog("graft_test")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("dml"), "ofl"))
+    val big: Array[Any] = (0 until 65536).map(i => i.toLong: Any).toArray
+    val filters: Array[org.apache.spark.sql.sources.Filter] =
+      Array("a", "b", "c", "d")
+        .map(c => org.apache.spark.sql.sources.In(c, big))
+    assert(!tbl.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+      .canDeleteWhere(filters),
+      "2^64-wrapping IN cross product must refuse, not slip under the cap")
+  }
+
+  test("SQL writes carry the table's stat columns forward: INSERT and OVERWRITE keep envelopes alive") {
+    import spark.implicits._
+    ensureCatalog()
+    val t = s"$wh/dml/stats"
+    SnapshotTable.commit(spark, t,
+      (0L until 100L).map(i => (i, i / 25L, s"v$i")).toDF("k", "day", "v")
+        .repartitionByRange(4, col("day")).sortWithinPartitions("day"),
+      statsCols = Seq("day"))
+    assert(SnapshotTable.statsColsOf(spark, t) == Seq("day"))
+    // INSERT INTO: the appended file must carry a day envelope
+    spark.sql("INSERT INTO graft_test.dml.stats VALUES (999, 9, 'late')")
+    assert(SnapshotTable.statsColsOf(spark, t) == Seq("day"))
+    assert(SnapshotTable.snapshotEntries(spark, t)
+      .forall(_.stats.contains("day")),
+      "every file (incl. the SQL-written one) carries the day envelope")
+    // INSERT OVERWRITE is the dangerous one: statsCols = Nil here
+    // would drop envelopes TABLE-wide in one statement
+    spark.sql("INSERT OVERWRITE graft_test.dml.stats " +
+      "SELECT k, day, v FROM graft_test.dml.stats WHERE day < 9")
+    assert(SnapshotTable.statsColsOf(spark, t) == Seq("day"),
+      "OVERWRITE must not silently disable envelope pruning")
+    assert(SnapshotTable.snapshotEntries(spark, t)
+      .forall(_.stats.contains("day")))
+    // readPruned still works post-OVERWRITE (the behavioral payoff)
+    assert(SnapshotTable.readPruned(spark, t, "day", 2L, 2L).count() == 25)
+  }
+
   test("concurrent INSERTs race through the claim protocol: both land, none lost") {
     import spark.implicits._
     ensureCatalog()

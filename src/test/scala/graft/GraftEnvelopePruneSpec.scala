@@ -86,8 +86,8 @@ class GraftEnvelopePruneSpec extends SparkSpec {
 
     // IN-list: hull pruning
     val in = viaFormat(t).filter(col("day").isin(0L, 3L))
-    assert(scannedFiles(in).size == 4 || scannedFiles(in).size <= 4,
-      "IN prunes by hull [0,3] — all files intersect here")
+    assert(scannedFiles(in).size == 4,
+      "IN prunes by hull [0,3] — all four files intersect here")
     assert(in.count() == 100)
 
     // predicate provably outside EVERY envelope: zero files planned,

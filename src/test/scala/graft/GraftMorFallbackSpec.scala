@@ -82,6 +82,57 @@ class GraftMorFallbackSpec extends SparkSpec {
     }
   }
 
+  test("WITH the extension registered, DML on a past-the-ceiling table keeps working: command targets are not rewritten") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("morfb-ext-wh").toString
+    val t = s"$wh/fb/t"
+    SnapshotTable.commit(spark, t,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("k", "tag"))
+    SnapshotTable.deleteWhere(spark, t, (0L until 30L).toDF("k"))
+    val prevSpec = SnapshotTable.deleteSpecMaxRows
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.sources.GraftSnapshotExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      s2.conf.set("spark.sql.catalog.graft_fbx", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft_fbx.warehouse", wh)
+      SnapshotTable.deleteSpecMaxRows = 10L
+      // the extension rule must rewrite READS only: a DeleteFromTable's
+      // target is a plan child of the command, and rewriting it hands
+      // Spark a Project where it expects a table relation
+      // ([INTERNAL_ERROR]) — the pre-fix behavior this pins against
+      s2.sql("DELETE FROM graft_fbx.fb.t WHERE k = 99")
+      assert(SnapshotTable.commitOp(s2, t).contains("delete"))
+      s2.sql("INSERT INTO graft_fbx.fb.t VALUES (500, 'late')")
+      assert(SnapshotTable.commitOp(s2, t).contains("append"))
+      // ...while an INSERT whose QUERY reads the over-ceiling table
+      // still rewrites that read side (V2WriteCommand.query)
+      val t2 = s"$wh/fb/copy"
+      SnapshotTable.commit(s2, t2, Seq((-1L, "seed")).toDF("k", "tag"))
+      s2.sql("INSERT INTO graft_fbx.fb.copy " +
+        "SELECT k, tag FROM graft_fbx.fb.t WHERE k >= 490")
+      assert(SnapshotTable.read(s2, t2).as[(Long, String)].collect().toSet ==
+        Set((-1L, "seed"), (500L, "late")),
+        "the over-ceiling read under INSERT INTO ... SELECT planned " +
+          "through the fallback rewrite")
+      // and a plain read in the same session still degrades to the
+      // shuffled anti-join rather than refusing
+      assert(s2.sql("SELECT count(*) FROM graft_fbx.fb.t").head().getLong(0)
+        == 70L) // 100 - 30 - 1(k=99) + 1(k=500)
+    } finally {
+      SnapshotTable.deleteSpecMaxRows = prevSpec
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("past the ceiling, catalog INSERT and DELETE keep working: writes don't read") {
     import spark.implicits._
     val wh = Files.createTempDirectory("morfb-wh").toString
