@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType,
-  ShortType}
+  ShortType, TimestampType}
 
 /** Manifest-envelope FILE pruning for the DataSourceV2 read doors —
   * the [[SnapshotTable.readPruned]] logic applied to PUSHED filters, so
@@ -35,6 +35,33 @@ private[sources] object GraftPrune {
   def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
+  }
+
+  /** Envelope-PRUNABLE attribute types: the integrals above, plus
+    * timestamps — whose committed envelope is the aggregate path's
+    * `cast(ts as long)` = epoch-SECONDS (floorDiv of the internal
+    * micros by 1e6, Spark's timestamp→long cast). Pruning only needs
+    * the envelope map to be MONOTONE in the column, which floor
+    * division is; SQL DELETE's range translation needs exact
+    * equivalence and so stays on [[integral]]. DateType is absent
+    * because the commit side cannot write date envelopes at all
+    * (date→long is not a valid Spark cast — the aggregate fails
+    * loudly at commit, so there is nothing to prune against).
+    */
+  def prunable(dt: DataType): Boolean =
+    integral(dt) || dt == TimestampType
+
+  private val MicrosPerSec = 1000000L
+
+  /** Map a bound from the column's raw literal domain (the value
+    * itself for integrals; internal MICROS for timestamps) into the
+    * committed envelope domain. Monotone nondecreasing, so applying
+    * it to both endpoints of a raw interval yields a sound envelope
+    * interval: x ∈ [lo, hi] ⟹ env(x) ∈ [env(lo), env(hi)].
+    */
+  private def envOf(dt: DataType, v: Long): Long = dt match {
+    case TimestampType => Math.floorDiv(v, MicrosPerSec)
+    case _ => v
   }
 
   /** A plain integral JVM value widened to Long (the shared literal
@@ -77,36 +104,46 @@ private[sources] object GraftPrune {
     case LessThanOrEqual(l: Literal, a: Attribute) => above(a, l, open = false)
     // IN is a disjunction of equalities: its hull [min, max] is a
     // SUPERSET of the allowed set — conservative, still sound
-    case In(a: Attribute, ls) if integral(a.dataType) &&
+    case In(a: Attribute, ls) if prunable(a.dataType) &&
         ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
       val vs = ls.map(l => litLong(l.asInstanceOf[Literal]))
       if (vs.exists(_.isEmpty)) Nil
-      else Seq((a.name.toLowerCase, vs.flatten.min, vs.flatten.max))
-    case InSet(a: Attribute, hset) if integral(a.dataType) && hset.nonEmpty =>
+      else Seq((a.name.toLowerCase,
+        envOf(a.dataType, vs.flatten.min), envOf(a.dataType, vs.flatten.max)))
+    case InSet(a: Attribute, hset) if prunable(a.dataType) && hset.nonEmpty =>
       val vs = hset.toSeq.map(asLong)
       if (vs.exists(_.isEmpty)) Nil
-      else Seq((a.name.toLowerCase, vs.flatten.min, vs.flatten.max))
+      else Seq((a.name.toLowerCase,
+        envOf(a.dataType, vs.flatten.min), envOf(a.dataType, vs.flatten.max)))
     case _ => Nil
   }
 
   private def eq(a: Attribute, l: Literal): Seq[(String, Long, Long)] =
-    if (!integral(a.dataType)) Nil
-    else litLong(l).map(v => (a.name.toLowerCase, v, v)).toSeq
+    if (!prunable(a.dataType)) Nil
+    else litLong(l).map(v =>
+      (a.name.toLowerCase, envOf(a.dataType, v), envOf(a.dataType, v))).toSeq
 
+  // open bounds close by ±1 in the RAW domain (micros for timestamps:
+  // ts > L means micros ≥ L+1), THEN map into the envelope domain —
+  // which is exactly the conservative rounding the envelope needs
+  // (floor for the lower bound of `>`, since floorDiv(L+1, 1e6) is the
+  // smallest envelope value any satisfying row can have)
   private def above(a: Attribute, l: Literal,
                     open: Boolean): Seq[(String, Long, Long)] =
-    if (!integral(a.dataType)) Nil
+    if (!prunable(a.dataType)) Nil
     else litLong(l).flatMap { v =>
       if (open && v == Long.MaxValue) None // col > MAX: nothing to bound
-      else Some((a.name.toLowerCase, if (open) v + 1 else v, Long.MaxValue))
+      else Some((a.name.toLowerCase,
+        envOf(a.dataType, if (open) v + 1 else v), Long.MaxValue))
     }.toSeq
 
   private def below(a: Attribute, l: Literal,
                     open: Boolean): Seq[(String, Long, Long)] =
-    if (!integral(a.dataType)) Nil
+    if (!prunable(a.dataType)) Nil
     else litLong(l).flatMap { v =>
       if (open && v == Long.MinValue) None
-      else Some((a.name.toLowerCase, Long.MinValue, if (open) v - 1 else v))
+      else Some((a.name.toLowerCase, Long.MinValue,
+        envOf(a.dataType, if (open) v - 1 else v)))
     }.toSeq
 
   /** Does a file with these committed stats possibly hold a surviving

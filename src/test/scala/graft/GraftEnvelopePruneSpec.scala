@@ -101,6 +101,65 @@ class GraftEnvelopePruneSpec extends SparkSpec {
       "no envelope on k: every file conservatively kept")
   }
 
+  test("a TimestampType-clustered table prunes through the SQL door with floor-cast rounding") {
+    import spark.implicits._
+    val t = mkTable()
+    // hour-clustered: 4 files, file d holds integer-second timestamps
+    // [d*3600, d*3600+49]; statsCols = ts rides the AGGREGATE commit
+    // path (cast-to-long = epoch-seconds, not footer micros)
+    (0 to 3).foreach { d =>
+      SnapshotTable.append(spark, t,
+        (0 until 50).map(i => (d * 100L + i, d * 3600L + i, s"v$d-$i"))
+          .toDF("k", "s", "v")
+          .withColumn("ts", timestamp_seconds(col("s"))).drop("s")
+          .select("k", "ts", "v").coalesce(1),
+        statsCols = Seq("ts"))
+    }
+    assert(scannedFiles(viaFormat(t)).size == 4, "baseline: one file per hour")
+
+    // point: ts = hour-2 start plans exactly the hour-2 file
+    val eq = viaFormat(t).filter(col("ts") === timestamp_seconds(lit(7200L)))
+    assert(scannedFiles(eq).size == 1, "ts = 02:00:00 plans one file")
+    assert(eq.count() == 1)
+
+    // range: second half
+    val ge = viaFormat(t)
+      .filter(col("ts") >= timestamp_seconds(lit(7200L)))
+    assert(scannedFiles(ge).size == 2, "ts >= 02:00 plans the two upper files")
+    assert(ge.count() == 100)
+
+    // SUB-SECOND open bound: ts > 01:00:00.5 → lower envelope bound
+    // floors to 3600, keeping the hour-1 file (envelope [3600,3649])
+    // while still pruning hour 0; the residual filter trims the rows
+    val sub = viaFormat(t)
+      .filter(col("ts") > timestamp_seconds(lit(3600.5)))
+    assert(scannedFiles(sub).size == 3,
+      "ts > 01:00:00.5 prunes only the hour-0 file (floor rounding keeps hour 1)")
+    assert(sub.count() == 149, "residual filter drops 01:00:00 itself")
+
+    // open upper bound at an exact boundary: ts < 01:00:00 → upper
+    // envelope bound is floorDiv(3600e6 - 1, 1e6) = 3599 → hour 0 only
+    val lt = viaFormat(t).filter(col("ts") < timestamp_seconds(lit(3600L)))
+    assert(scannedFiles(lt).size == 1, "ts < 01:00 plans only the hour-0 file")
+    assert(lt.count() == 50)
+
+    // provably outside every envelope: zero files planned
+    val none = viaFormat(t)
+      .filter(col("ts") > timestamp_seconds(lit(100 * 3600L)))
+    assert(scannedFiles(none).isEmpty && none.count() == 0)
+
+    // row parity with the Scala door on a box predicate
+    val box = viaFormat(t).filter(
+      col("ts") >= timestamp_seconds(lit(3600L)) &&
+        col("ts") <= timestamp_seconds(lit(7249L)))
+    assert(scannedFiles(box).size == 2)
+    assert(box.select("k").as[Long].collect().toSet ==
+      SnapshotTable.read(spark, t).filter(
+        col("ts") >= timestamp_seconds(lit(3600L)) &&
+          col("ts") <= timestamp_seconds(lit(7249L)))
+        .select("k").as[Long].collect().toSet, "row parity (timestamp box)")
+  }
+
   test("merge-on-read reads prune files the same way (deletes only remove rows)") {
     import spark.implicits._
     val t = mkDayTable()
