@@ -38,11 +38,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - compact / rewriteManifests → NOTHING: rewritten rows are not
   *                  changes, and without this a maintenance pass would
   *                  re-deliver the whole table;
-  *  - merge / replace / deleteRange → loud refusal: those commits
-  *                  rewrite rows in place, which a feed of
-  *                  inserts+retractions cannot express without
-  *                  pre-images; consume such tables via the plain
-  *                  stream (net post-state) or restart the feed.
+  *  - deleteRange  → ONE `delete_range` event row: data columns null,
+  *                  `_range_col`/`_range_lo`/`_range_hi` carry the
+  *                  commit's recorded parameters — a downstream
+  *                  materialization deletes every held row with a
+  *                  LOWER `_commit_version` whose `cast(col as long)`
+  *                  falls in [lo, hi] (null/non-castable values
+  *                  survive — SQL DELETE semantics, the table's own
+  *                  rule). The commit's boundary-file rewrite is
+  *                  purely physical (surviving rows keep their
+  *                  identity), so the rewritten files are NOT
+  *                  re-emitted as inserts. A retention sweep on a
+  *                  time-clustered table thus costs the feed one row,
+  *                  not a restart. Pre-`#range`-header range commits
+  *                  still refuse (the parameters are unrecoverable);
+  *  - merge / replace → loud refusal: those commits rewrite rows in
+  *                  place, which a feed of inserts+retractions cannot
+  *                  express without pre-images; consume such tables
+  *                  via the plain stream (net post-state) or restart
+  *                  the feed.
   *
   * Apply CDF events in `_commit_version` order (a single micro-batch
   * may span several versions). The bootstrap (no `startingVersion`)
@@ -57,17 +71,26 @@ private[sources] object GraftCdf {
 
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+  val RangeColCol = "_range_col"
+  val RangeLoCol = "_range_lo"
+  val RangeHiCol = "_range_hi"
 
   /** The feed's schema: the data columns FORCED NULLABLE — a delete
     * retraction populates only its key columns, and advertising the
     * committed non-null flags would let the optimizer constant-fold
     * `IS NULL` on the nulled-out columns to false — plus the two
-    * change stamps (genuinely non-null: every row carries literals).
+    * change stamps (genuinely non-null: every row carries literals)
+    * and the three range-retraction columns (populated only on
+    * `delete_range` rows, appended LAST so positional consumers of
+    * the original shape keep their ordinals).
     */
   def schemaOf(data: StructType): StructType =
     StructType(data.fields.map(_.copy(nullable = true)))
       .add(ChangeTypeCol, StringType, nullable = false)
       .add(CommitVersionCol, LongType, nullable = false)
+      .add(RangeColCol, StringType, nullable = true)
+      .add(RangeLoCol, LongType, nullable = true)
+      .add(RangeHiCol, LongType, nullable = true)
 
   def requested(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("readChangeFeed", false)
@@ -96,6 +119,7 @@ private[sources] object GraftCdf {
       else SnapshotTable.deleteFileInfos(spark, root, from).map(_.path).toSet
     var bootstrap = from == 0L
     val slices = Seq.newBuilder[Slice]
+    val rangeEvents = Seq.newBuilder[CdfRangePartition]
     versions.foreach { v =>
       val files = SnapshotTable.snapshotFiles(spark, root, v)
       val delInfos = SnapshotTable.deleteFileInfos(spark, root, v)
@@ -139,6 +163,18 @@ private[sources] object GraftCdf {
           case "delete" => newDeletes.foreach(d =>
             slices += Slice(Seq(d.path), None, "delete", v))
           case "compact" | "rewriteManifests" => () // not changes
+          case "deleteRange" =>
+            // one event row; the boundary rewrite's new files are
+            // purely physical and intentionally NOT re-emitted as
+            // inserts (downstream already holds the surviving rows)
+            val (rc, lo, hi) = SnapshotTable.commitRange(spark, root, v)
+              .getOrElse(throw new UnsupportedOperationException(
+                s"$root v$v is a deleteRange commit without a #range " +
+                  "header (pre-dates range-retraction support): its " +
+                  "parameters are unrecoverable, so the change feed " +
+                  "cannot express it — restart the feed from a fresh " +
+                  "startingVersion"))
+            rangeEvents += CdfRangePartition(rc, lo, hi, v)
           case other => throw new UnsupportedOperationException(
             s"$root v$v is a '$other' commit: the change feed cannot " +
               "express in-place rewrites as inserts+retractions. " +
@@ -149,7 +185,7 @@ private[sources] object GraftCdf {
       prevFiles = files.toSet
       prevDeletes = delInfos.map(_.path).toSet
     }
-    lower(spark, root, pinned, options, slices.result())
+    lower(spark, root, pinned, options, slices.result(), rangeEvents.result())
   }
 
   /** Lower slices onto stock parquet scans. Insert slices decode under
@@ -159,10 +195,15 @@ private[sources] object GraftCdf {
     * composite factory's readers.
     */
   private def lower(spark: SparkSession, root: String, pinned: StructType,
-                    options: CaseInsensitiveStringMap, slices: Seq[Slice])
+                    options: CaseInsensitiveStringMap, slices: Seq[Slice],
+                    ranges: Seq[CdfRangePartition])
       : (Array[InputPartition], PartitionReaderFactory) = {
-    if (slices.isEmpty) return (Array.empty, EmptyReaderFactory)
+    if (slices.isEmpty && ranges.isEmpty)
+      return (Array.empty, EmptyReaderFactory)
     val parts = Array.newBuilder[InputPartition]
+    ranges.foreach(parts += _)
+    if (slices.isEmpty)
+      return (parts.result(), new CdfCompositeFactory(Array.empty, pinned))
     val facs = slices.zipWithIndex.map { case (s, idx) =>
       val pt = ParquetTable(s"graft-cdf $root@${s.version}/${s.changeType}",
         spark, options, s.files.map(rel => s"$root/$rel"), s.decode,
@@ -191,6 +232,13 @@ private[sources] case class CdfPartition(inner: InputPartition, slice: Int)
     extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
+
+/** A deleteRange commit's single synthetic event: no files — the
+  * reader emits ONE row with the data columns null and the range
+  * columns carrying the commit's recorded parameters.
+  */
+private[sources] case class CdfRangePartition(col: String, lo: Long,
+    hi: Long, version: Long) extends InputPartition
 
 /** One slice's reader inputs: the stock parquet factory, the schema
   * its rows decode under, and the change-type/version stamps.
@@ -226,13 +274,30 @@ private[sources] class CdfCompositeFactory(slices: Array[CdfSliceFactory],
           }
         } ++ Seq(
           Literal(UTF8String.fromString(s.changeType), StringType),
-          Literal(s.version, LongType))
+          Literal(s.version, LongType),
+          Literal(null, StringType), // _range_col: file rows carry none
+          Literal(null, LongType), Literal(null, LongType))
         val inner0 = s.delegate.createReader(inner)
         new PartitionReader[InternalRow] {
           private lazy val project = UnsafeProjection.create(exprs)
           override def next(): Boolean = inner0.next()
           override def get(): InternalRow = project(inner0.get())
           override def close(): Unit = inner0.close()
+        }
+      case CdfRangePartition(rc, lo, hi, v) =>
+        // one literal row: data columns null, range columns populated
+        val exprs: Seq[Expression] =
+          pinned.fields.toSeq.map(f => Literal(null, f.dataType)) ++ Seq(
+            Literal(UTF8String.fromString("delete_range"), StringType),
+            Literal(v, LongType),
+            Literal(UTF8String.fromString(rc), StringType),
+            Literal(lo, LongType), Literal(hi, LongType))
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow =
+            UnsafeProjection.create(exprs)(InternalRow.empty)
+          override def close(): Unit = ()
         }
       case other => throw new IllegalStateException(
         s"unexpected partition type: ${other.getClass}")

@@ -184,6 +184,16 @@ object SnapshotTable {
   private val SchemaHeader = "#schema\t"
   private val TsHeader = "#ts\t"
   private val OpHeader = "#op\t"
+  /** `#range\t<col>\t<lo>\t<hi>`: the parameters of a [[deleteRange]]
+    * commit, recorded so the change-data-feed can express the commit
+    * as ONE range-retraction event instead of refusing — a retention
+    * sweep is the single most likely maintenance op on exactly the
+    * time-clustered tables people stream from, and without this header
+    * it would permanently kill every downstream feed. The boundary
+    * rewrite is purely physical (surviving rows keep their identity),
+    * so the range IS the commit's complete logical change.
+    */
+  private val RangeHeader = "#range\t"
   private val LedgerTag = "#ledger"
   private val IncludeTag = "@include"
   private val DeleteTag = "@delete"
@@ -447,6 +457,27 @@ object SnapshotTable {
       .takeWhile(_.startsWith("#"))
       .find(_.startsWith(OpHeader))
       .map(_.stripPrefix(OpHeader).trim)
+    finally in.close()
+  }
+
+  /** The `(column, lo, hi)` a [[deleteRange]] commit recorded in its
+    * `#range` manifest header — the commit's complete logical change
+    * (delete every row whose `cast(col as long)` falls in [lo, hi];
+    * null and non-castable values survive, SQL DELETE semantics).
+    * None for non-range commits and for pre-header range manifests,
+    * where the change feed falls back to its refusal.
+    */
+  def commitRange(spark: SparkSession, table: String,
+                  version: Long = 0L): Option[(String, Long, Long)] = {
+    val v = resolve(spark, table, version)
+    val in = fs(spark, table).open(hp(table, MetaDir, f"manifest-$v%05d"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .takeWhile(_.startsWith("#"))
+      .find(_.startsWith(RangeHeader))
+      .map { l =>
+        val parts = l.stripPrefix(RangeHeader).split("\t")
+        (parts(0), parts(1).toLong, parts(2).toLong)
+      }
     finally in.close()
   }
 
@@ -1604,8 +1635,12 @@ object SnapshotTable {
       }
       val edges = boundary.result()
       if (dropped == 0 && edges.isEmpty) return 0L // provably a no-op
+      // the #range header records the commit's complete logical
+      // change, letting the change feed emit ONE range-retraction
+      // event instead of refusing ([[commitRange]])
       val headersOf = (schema: org.apache.spark.sql.types.StructType) =>
-        schemaLine(schema) +: ledgerLines(ledgerOf(f, table, base))
+        schemaLine(schema) +: (RangeHeader + s"$col\t$lo\t$hi") +:
+          ledgerLines(ledgerOf(f, table, base))
       val schema = snapshotSchema(spark, table, base)
       if (edges.isEmpty) {
         // the pure retention case: no boundary files — the commit is

@@ -16,7 +16,10 @@ class GraftChangeFeedSpec extends SparkSpec {
     Files.createTempDirectory("snapcdf").toString + "/t"
 
   private case class Evt(k: Option[Long], tag: Option[String],
-                         change: String, version: Long)
+                         change: String, version: Long,
+                         rangeCol: Option[String] = None,
+                         rangeLo: Option[Long] = None,
+                         rangeHi: Option[Long] = None)
 
   private def collectFeed(t: String, extra: (String, String)*): Seq[Evt] = {
     val got = new scala.collection.mutable.ArrayBuffer[Evt]()
@@ -30,7 +33,10 @@ class GraftChangeFeedSpec extends SparkSpec {
         val rows = df.collect().map { row =>
           Evt(if (row.isNullAt(0)) None else Some(row.getLong(0)),
             Option(row.getString(1)),
-            row.getString(2), row.getLong(3))
+            row.getString(2), row.getLong(3),
+            Option(row.getString(4)),
+            if (row.isNullAt(5)) None else Some(row.getLong(5)),
+            if (row.isNullAt(6)) None else Some(row.getLong(6)))
         }
         got.synchronized { got ++= rows }; ()
       }
@@ -40,18 +46,27 @@ class GraftChangeFeedSpec extends SparkSpec {
     got.toSeq
   }
 
-  /** Apply events in commit-version order: inserts add (row, stamp);
-    * a retraction at version v removes matching rows with stamp < v —
-    * the table's own sequence-number rule.
+  /** Apply events in commit-version order: inserts add (row, stamp); a
+    * key retraction at version v removes matching rows with stamp < v;
+    * a range retraction at v removes rows with stamp < v whose range
+    * column falls in [lo, hi] — each the table's own rule.
     */
   private def materialize(evts: Seq[Evt],
                           upTo: Long = Long.MaxValue): Set[(Long, String)] = {
     val live = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
-    evts.filter(_.version <= upTo).sortBy(_.version).foreach {
-      case Evt(Some(k), Some(tag), "insert", v) => live += ((k, tag, v))
-      case Evt(Some(k), _, "delete", v) =>
-        live.filterInPlace { case (lk, _, lv) => !(lk == k && lv < v) }
-      case other => fail(s"unexpected event shape: $other")
+    evts.filter(_.version <= upTo).sortBy(_.version).foreach { e =>
+      e.change match {
+        case "insert" => live += ((e.k.get, e.tag.get, e.version))
+        case "delete" =>
+          live.filterInPlace { case (lk, _, lv) =>
+            !(lk == e.k.get && lv < e.version) }
+        case "delete_range" =>
+          assert(e.rangeCol.contains("k"),
+            s"this spec's tables range-delete on k only: $e")
+          live.filterInPlace { case (lk, _, lv) =>
+            !(lk >= e.rangeLo.get && lk <= e.rangeHi.get && lv < e.version) }
+        case other => fail(s"unexpected event shape: $e")
+      }
     }
     live.map { case (k, tag, _) => (k, tag) }.toSet
   }
@@ -95,10 +110,71 @@ class GraftChangeFeedSpec extends SparkSpec {
     // `tag IS NULL` on them to false
     val sch = spark.readStream.format("graft-snapshot")
       .option("readChangeFeed", "true").load(t).schema
-    assert(sch.fields.dropRight(2).forall(_.nullable),
+    assert(sch.fields.dropRight(5).forall(_.nullable),
       s"feed data columns must be nullable: $sch")
-    assert(!sch.fields.takeRight(2).exists(_.nullable),
+    assert(!sch.fields.slice(sch.size - 5, sch.size - 3).exists(_.nullable),
       "the change stamps are genuinely non-null")
+    assert(sch.fields.takeRight(3).forall(_.nullable),
+      "the range columns populate only on delete_range rows")
+  }
+
+  test("a deleteRange mid-sequence emits ONE range event; the feed survives and matches the recompute at every version") {
+    import spark.implicits._
+    val t = mkTable()
+    SnapshotTable.append(spark, t,
+      ((0L until 10L).map(i => (Some(i), "b1")) :+ ((None: Option[Long]), "bnull"))
+        .toDF("k", "tag"), statsCols = Seq("k"))                    // v1
+    SnapshotTable.append(spark, t,
+      (10L until 15L).map(i => (i, "b2")).toDF("k", "tag"),
+      statsCols = Seq("k"))                                         // v2
+    assert(SnapshotTable.deleteRange(spark, t, "k", 3L, 11L) == 3L) // v3
+    SnapshotTable.append(spark, t,
+      Seq((3L, "reborn"), (20L, "b4")).toDF("k", "tag"),
+      statsCols = Seq("k"))                                         // v4
+    SnapshotTable.deleteWhere(spark, t, Seq(20L).toDF("k"))         // v5
+    val evts = collectFeed(t)
+    // v3 is exactly one delete_range row: data null, parameters carried
+    val v3 = evts.filter(_.version == 3L)
+    assert(v3.size == 1 && v3.head.change == "delete_range" &&
+      v3.head.k.isEmpty && v3.head.tag.isEmpty &&
+      v3.head.rangeCol.contains("k") && v3.head.rangeLo.contains(3L) &&
+      v3.head.rangeHi.contains(11L),
+      s"one range-retraction event with the commit's parameters: $v3")
+    // the boundary rewrite's new files are NOT re-emitted as inserts
+    assert(evts.count(_.change == "insert") == 18, // 11 + 5 + 2
+      s"inserts are v1+v2+v4 only — no physical-rewrite re-delivery: " +
+        s"${evts.count(_.change == "insert")}")
+    // file rows carry null range columns
+    assert(evts.filter(_.change != "delete_range")
+      .forall(e => e.rangeCol.isEmpty && e.rangeLo.isEmpty))
+    // materialization (with the null-k row, which SQL DELETE keeps)
+    // equals the table at every version
+    def mat(upTo: Long): Set[(Option[Long], String)] = {
+      val live =
+        scala.collection.mutable.ArrayBuffer[(Option[Long], String, Long)]()
+      evts.filter(_.version <= upTo).sortBy(_.version).foreach { e =>
+        e.change match {
+          case "insert" => live += ((e.k, e.tag.get, e.version))
+          case "delete" => live.filterInPlace { case (lk, _, lv) =>
+            !(lk == e.k && lv < e.version) }
+          case "delete_range" => live.filterInPlace { case (lk, _, lv) =>
+            // null range values SURVIVE — SQL DELETE semantics
+            !(lk.exists(v => v >= e.rangeLo.get && v <= e.rangeHi.get) &&
+              lv < e.version) }
+        }
+      }
+      live.map { case (k, tag, _) => (k, tag) }.toSet
+    }
+    (1L to 5L).foreach { v =>
+      val table = SnapshotTable.read(spark, t, v).collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getString(1))).toSet
+      assert(mat(v) == table,
+        s"feed-maintained state diverges from the table at v$v")
+    }
+    assert(mat(5L).contains((None, "bnull")) &&
+      mat(5L).contains((Some(3L), "reborn")) &&
+      !mat(5L).exists(e => e._1.exists(k => k >= 4L && k <= 11L)))
   }
 
   test("the CDF bootstrap pins the LOWEST retained version: vacuum cannot outrun the replay") {
