@@ -4,11 +4,17 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException,
-  NoSuchNamespaceException, NoSuchTableException}
+  NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
-  SupportsNamespaces, Table, TableCatalog, TableChange}
+  StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsWrite, Table,
+  TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write,
+  WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A Spark SQL CATALOG over a warehouse of snapshot tables — the
@@ -50,7 +56,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * directories: SHOW NAMESPACES / CREATE NAMESPACE / DROP NAMESPACE
   * work against the warehouse tree.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -137,15 +144,108 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       fsOf(p).delete(new org.apache.hadoop.fs.Path(p), true)
   }
 
+  /** Plain `CREATE TABLE` (no AS SELECT) still refuses, BY DESIGN: a
+    * snapshot table's first commit must carry real data (the format
+    * refuses empty snapshots), so a data-less CREATE could only stage
+    * an empty directory that every read would then refuse anyway. CTAS
+    * ([[stageCreate]]) and `df.write` are the creation doors — both
+    * land version 1 with data through the claim protocol.
+    */
   override def createTable(ident: Identifier,
                            schema: org.apache.spark.sql.types.StructType,
                            partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
                            properties: JMap[String, String]): Table =
     throw new UnsupportedOperationException(
-      s"$catalogName is read-focused: create tables by WRITING to them — " +
-        "df.write.format(\"graft-snapshot\").mode(\"append\")" +
-        s".save(\"${pathOf(ident)}\") — so the first commit carries real " +
-        "data and a real schema through the claim protocol")
+      s"$catalogName: a snapshot table's first commit must carry data " +
+        "(the format refuses empty snapshots) — use CREATE TABLE ... AS " +
+        "SELECT, or df.write.format(\"graft-snapshot\").mode(\"append\")" +
+        s".save(\"${pathOf(ident)}\")")
+
+  // ---------------------------------------------------------------- //
+  // CTAS / RTAS: the staged table's write IS the snapshot commit —    //
+  // SnapshotTable.commit with the claim protocol, so "atomic" here is //
+  // the format's own manifest-publication atomicity. A concurrent     //
+  // rival CTAS loses at the claim (expectedBase), not by overwrite.   //
+  // ---------------------------------------------------------------- //
+
+  /** `statsCols` TBLPROPERTY (comma-separated column names): the stat
+    * columns the CTAS commit records envelopes for, restricted to
+    * long-castable columns the query actually produces. On REPLACE,
+    * defaults to the stat columns the table already carries — an RTAS
+    * must not silently disable the file pruning the table's readers
+    * rely on.
+    */
+  private def statsColsFor(path: String, schema: StructType,
+                           properties: JMap[String, String],
+                           carryForward: Boolean): Seq[String] = {
+    val declared = properties.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("statscols") => v
+    }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    declared.getOrElse(
+      if (carryForward) SnapshotTable.statsColsOf(spark, path) else Nil)
+      .filter { c =>
+        schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+          org.apache.spark.sql.catalyst.expressions.Cast
+            .canCast(f.dataType, LongType))
+      }
+  }
+
+  private def requireUnpartitioned(partitions: Array[Transform]): Unit =
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      s"$catalogName tables do not take PARTITIONED BY — cluster with " +
+        "a sorted/z-ordered write plus the statsCols TBLPROPERTY " +
+        "(manifest envelope pruning), or Layout.writePartitioned for " +
+        "directory layout")
+
+  /** `CREATE TABLE ... AS SELECT`: lands version 1 through
+    * [[SnapshotTable.commit]] with `expectedBase = 0` — of two racing
+    * CTAS, exactly one wins the claim; the loser fails with
+    * [[ConcurrentCommitException]] and commits nothing.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    requireUnpartitioned(partitions)
+    val p = pathOf(ident)
+    new GraftStagedTable(p, ident.toString, schema,
+      statsColsFor(p, schema, properties, carryForward = false),
+      expectedBase = Some(0L), op = "append", createDir = true)
+  }
+
+  /** `REPLACE TABLE ... AS SELECT`: a whole-snapshot replace committed
+    * against the version observed at stage time — a rival commit in
+    * between refuses rather than silently clobbering it. Old versions
+    * stay readable (time travel, retention, pins all unchanged).
+    */
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: JMap[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    requireUnpartitioned(partitions)
+    val p = pathOf(ident)
+    new GraftStagedTable(p, ident.toString, schema,
+      statsColsFor(p, schema, properties, carryForward = true),
+      expectedBase = Some(SnapshotTable.currentVersion(spark, p)),
+      op = "replace", createDir = false)
+  }
+
+  /** `CREATE OR REPLACE TABLE ... AS SELECT`: replace-or-create
+    * against the stage-time version (0 on a fresh path — where this
+    * is exactly [[stageCreate]]).
+    */
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: JMap[String, String])
+      : StagedTable = {
+    requireUnpartitioned(partitions)
+    val p = pathOf(ident)
+    val base = SnapshotTable.currentVersion(spark, p)
+    new GraftStagedTable(p, ident.toString, schema,
+      statsColsFor(p, schema, properties, carryForward = base > 0L),
+      expectedBase = Some(base),
+      op = if (base > 0L) "replace" else "append", createDir = base == 0L)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -248,5 +348,61 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "— stop the consumers or drop the tables with PURGE first")
     }
     f.delete(p, true)
+  }
+}
+
+/** The CTAS/RTAS staging veneer: a write-only [[StagedTable]] whose V1
+  * write runs [[SnapshotTable.commit]] against `expectedBase` — the
+  * manifest publication is the real commit point, so
+  * [[commitStagedChanges]] has nothing left to do and
+  * [[abortStagedChanges]] only sweeps a still-empty directory a failed
+  * CREATE may have left (it NEVER deletes a committed snapshot: once
+  * the manifest landed, the data is durable by contract, and the
+  * post-write window where Spark could still "abort" must not destroy
+  * it). A write failure before the manifest landed is already cleaned
+  * by the claim machinery (withClaim releases the claim and its staged
+  * artifacts).
+  */
+private class GraftStagedTable(path: String, tableName: String,
+    pinnedSchema: StructType, statsCols: Seq[String],
+    expectedBase: Option[Long], op: String, createDir: Boolean)
+    extends Table with SupportsWrite with StagedTable {
+
+  @volatile private var committed = 0L
+
+  override def name(): String = tableName
+  override def schema(): StructType = pinnedSchema
+  override def partitioning(): Array[Transform] = Array.empty
+  // TRUNCATE is advertised because RTAS plans as OverwriteByExpression
+  // (truncate-then-write); the "truncate" is vacuous here — the commit
+  // is a whole-snapshot replace regardless, against expectedBase
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              committed = SnapshotTable.commit(data.sparkSession, path, data,
+                statsCols = statsCols, expectedBase = expectedBase, op = op)
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = ()
+
+  override def abortStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    if (committed == 0L && createDir &&
+        SnapshotTable.currentVersion(spark, path) == 0L) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+    }
   }
 }

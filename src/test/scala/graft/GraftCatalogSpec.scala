@@ -271,6 +271,128 @@ class GraftCatalogSpec extends SparkSpec {
       "four appends after the base = five versions")
   }
 
+  test("CTAS lands version 1 through the claim protocol; statsCols TBLPROPERTY records envelopes") {
+    ensureCatalog()
+    spark.sql(
+      """CREATE TABLE graft_test.ctas.t1
+        |TBLPROPERTIES ('statsCols' = 'id')
+        |AS SELECT id, id % 4 AS bucket, concat('r', id) AS tag
+        |FROM range(0, 100)""".stripMargin)
+    val t = s"$wh/ctas/t1"
+    assert(SnapshotTable.currentVersion(spark, t) == 1L, "CTAS lands v1")
+    assert(spark.sql("SELECT count(*) FROM graft_test.ctas.t1")
+      .head().getLong(0) == 100)
+    assert(SnapshotTable.commitOp(spark, t).contains("append"))
+    assert(SnapshotTable.statsColsOf(spark, t) == Seq("id"),
+      "the TBLPROPERTY became real manifest envelopes")
+    // CTAS onto an existing table refuses; plain CREATE TABLE refuses
+    // toward the data-carrying doors
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_test.ctas.t1 AS SELECT 1 AS x")
+    }
+    val plain = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_test.ctas.t2 (x BIGINT)")
+    }
+    def rootMsg(x: Throwable): String =
+      if (x.getCause == null) x.getMessage
+      else x.getMessage + rootMsg(x.getCause)
+    assert(rootMsg(plain).contains("AS SELECT"),
+      s"the refusal names the CTAS door: ${rootMsg(plain)}")
+  }
+
+  test("REPLACE TABLE AS SELECT commits against the observed base; history and envelopes survive") {
+    ensureCatalog()
+    spark.sql(
+      """CREATE TABLE graft_test.ctas.rt
+        |TBLPROPERTIES ('statsCols' = 'k')
+        |AS SELECT id AS k, 'old' AS tag FROM range(0, 10)""".stripMargin)
+    val t = s"$wh/ctas/rt"
+    spark.sql(
+      """REPLACE TABLE graft_test.ctas.rt
+        |AS SELECT id AS k, 'new' AS tag FROM range(0, 5)""".stripMargin)
+    assert(SnapshotTable.currentVersion(spark, t) == 2L)
+    assert(spark.sql("SELECT count(*) FROM graft_test.ctas.rt")
+      .head().getLong(0) == 5)
+    assert(spark.table("graft_test.ctas.rt").select("tag")
+      .distinct().head().getString(0) == "new")
+    // the replaced version stays readable (time travel unchanged)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_test.ctas.rt VERSION AS OF 1")
+      .head().getLong(0) == 10)
+    assert(SnapshotTable.commitOp(spark, t).contains("replace"))
+    // RTAS without the property carries the stat columns FORWARD
+    assert(SnapshotTable.statsColsOf(spark, t) == Seq("k"),
+      "an RTAS must not silently disable the table's file pruning")
+    // REPLACE of a non-existent table refuses; CREATE OR REPLACE works
+    // on both fresh and existing paths
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft_test.ctas.nope AS SELECT 1 AS x")
+    }
+    spark.sql(
+      "CREATE OR REPLACE TABLE graft_test.ctas.cor AS SELECT 1L AS x")
+    assert(SnapshotTable.currentVersion(spark, s"$wh/ctas/cor") == 1L)
+    spark.sql(
+      "CREATE OR REPLACE TABLE graft_test.ctas.cor AS SELECT 2L AS x")
+    assert(SnapshotTable.currentVersion(spark, s"$wh/ctas/cor") == 2L &&
+      spark.table("graft_test.ctas.cor").head().getLong(0) == 2L)
+  }
+
+  test("concurrent CTAS race: exactly one wins the claim, the loser commits nothing") {
+    ensureCatalog()
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      Either[Throwable, Unit]]()
+    (1 to 2).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          results.add(
+            try Right(spark.sql(
+              s"""CREATE TABLE graft_test.ctas.race
+                 |AS SELECT id, $i AS writer FROM range(0, 50)"""
+                .stripMargin).collect() match { case _ => () })
+            catch { case e: Throwable => Left(e) })
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = results.asScala.toSeq.partition(_.isLeft)
+    assert(winners.size == 1 && losers.size == 1,
+      s"exactly one CTAS wins: $results")
+    val t = s"$wh/ctas/race"
+    assert(SnapshotTable.currentVersion(spark, t) == 1L,
+      "the loser must not have minted a second version")
+    // the surviving contents are ONE writer's, wholesale
+    val ws = spark.table("graft_test.ctas.race")
+      .select("writer").distinct().collect().map(_.getInt(0)).toSeq
+    assert(ws.size == 1 && spark.table("graft_test.ctas.race").count() == 50)
+  }
+
+  test("a failing CTAS query leaves NOTHING: no table, no directory, no claim debris") {
+    ensureCatalog()
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft_test.ctas.boom AS
+          |SELECT id, CASE WHEN id = 8 THEN raise_error('midwrite')
+          |  ELSE 'ok' END AS tag
+          |FROM range(0, 10)""".stripMargin).collect()
+    }
+    val t = s"$wh/ctas/boom"
+    assert(SnapshotTable.currentVersion(spark, t) == 0L)
+    val p = new org.apache.hadoop.fs.Path(t)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(p), "the aborted CREATE swept its empty directory")
+    // and the identifier is immediately reusable
+    spark.sql(
+      "CREATE TABLE graft_test.ctas.boom AS SELECT 1L AS x")
+    assert(spark.table("graft_test.ctas.boom").count() == 1)
+  }
+
   test("DROP TABLE respects live consumer pins; PURGE overrides") {
     import spark.implicits._
     ensureCatalog()
