@@ -154,13 +154,17 @@ private[sources] class GraftMorFallbackRule(session: SparkSession)
 }
 
 /** Session extension completing the snapshot connector's SQL story
-  * past the merge-on-read ceiling:
+  * past the merge-on-read ceiling AND for `MERGE INTO`:
   * `--conf spark.sql.extensions=graft.sources.GraftSnapshotExtensions`
   * (also wired into graft.functions.GraftExactExtensions). Bit-exact:
-  * the injected rule only ever replaces a relation that would
-  * otherwise REFUSE, with a plan producing identical rows.
+  * each injected rule only ever replaces a plan that would otherwise
+  * REFUSE — the fallback rule with a read producing identical rows,
+  * the merge rule ([[GraftSqlMergeRule]]) with the command that
+  * executes the MERGE through the claim protocol.
   */
 class GraftSnapshotExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => new GraftMorFallbackRule(s))
+    ext.injectPostHocResolutionRule(s => new GraftSqlMergeRule(s))
+  }
 }

@@ -99,6 +99,14 @@ private[sources] trait GraftSqlDelete extends SupportsDelete {
     */
   private val MaxKeyRows = 100000
 
+  /** The table root, exposed when SQL DML is enabled — the hook the
+    * MERGE INTO rewrite ([[GraftSqlMergeRule]]) resolves its target
+    * through, shared by all three table veneers (delete-free, MoR,
+    * past-ceiling marker) because they all mix in this trait.
+    */
+  private[sources] final def sqlDmlRoot: Option[String] =
+    if (dmlEnabled) Some(deleteRoot) else None
+
   private sealed trait Translated
   private case class Keys(cols: Seq[String], rows: Seq[Seq[Any]])
       extends Translated

@@ -1453,6 +1453,36 @@ object SnapshotTable {
       }
     }
 
+  /** SQL `MERGE INTO`'s commit half ([[GraftMergeCommand]]): read the
+    * current snapshot, build the merged frame under full SQL clause
+    * semantics ([[GraftSqlMergeExec.mergedFrame]]), and replace-commit
+    * against the version read — retried wholesale on a rival commit,
+    * with the table's stat columns carried forward like every SQL
+    * write.
+    */
+  private[sources] def mergeSql(spark: SparkSession, table: String,
+      targetOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      source: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      mergeCondition: org.apache.spark.sql.catalyst.expressions.Expression,
+      matchedActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+      notMatchedActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+      notMatchedBySourceActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction])
+      : Long =
+    retryingCommit(spark, table) { base =>
+      val target = read(spark, table, base)
+      val sourceDf = org.apache.spark.sql.GraftColumnShim.ofRows(spark, source)
+      val out = GraftSqlMergeExec.mergedFrame(table, target, sourceDf,
+        targetOutput, source.output, mergeCondition, matchedActions,
+        notMatchedActions, notMatchedBySourceActions)
+      val stats = statsColsOf(spark, table).filter { c =>
+        out.schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+          org.apache.spark.sql.catalyst.expressions.Cast
+            .canCast(f.dataType, org.apache.spark.sql.types.LongType))
+      }
+      commit(spark, table, out, statsCols = stats,
+        expectedBase = Some(base), op = "merge")
+    }
+
   /** FILE-SCOPED MERGE — the manifest-sharing scale path (the Iceberg
     * posture: rewrite touched files, carry the rest forward): apply
     * `changes` to only the data files whose committed `scopeCol`
