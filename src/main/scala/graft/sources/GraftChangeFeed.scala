@@ -58,6 +58,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *                  via the plain stream (net post-state) or restart
   *                  the feed.
   *
+  * Pre-`#op` manifests (r13 and earlier) classify by INFERENCE where
+  * the shape is unambiguous (pure-append / pure-delete / identical
+  * file set) and refuse otherwise. A one-shot `#op` BACKFILL was
+  * considered and rejected: the ambiguous shapes are ambiguous
+  * precisely because append-with-compaction and replace share a
+  * manifest signature, and a backfill that guessed would turn
+  * today's loud refusal into silently wrong downstream state — the
+  * refusal already names the honest remedy (start the feed from a
+  * later `startingVersion`, which every post-r14 commit satisfies
+  * because commitManifest stamps `#op` unconditionally).
+  *
   * Apply CDF events in `_commit_version` order (a single micro-batch
   * may span several versions). The bootstrap (no `startingVersion`)
   * replays every RETAINED version from the first — inserts stamped
