@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, Cast, EqualTo, Expression, ExprId}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction,
-  InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction}
+  InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction,
+  UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -62,19 +63,40 @@ import org.apache.spark.sql.functions._
 private[sources] class GraftSqlMergeRule(session: SparkSession)
     extends Rule[LogicalPlan] {
 
+  private def graftTarget(p: LogicalPlan)
+      : Option[(DataSourceV2Relation, Option[String])] = p.collectFirst {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlDelete] =>
+      (r, r.table.asInstanceOf[GraftSqlDelete].sqlDmlRoot)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable if m.resolved =>
-      val target = m.targetTable.collectFirst {
-        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlDelete] =>
-          (r, r.table.asInstanceOf[GraftSqlDelete].sqlDmlRoot)
-      }
-      target match {
+      graftTarget(m.targetTable) match {
         case Some((r, Some(root))) => translate(m, r, root)
         case Some((_, None)) => throw new UnsupportedOperationException(
           "MERGE INTO a path-loaded snapshot table: SQL DML is the " +
             "catalog door's surface — load the table through a " +
             "GraftCatalog identifier, or use SnapshotTable.merge")
         case None => plan // not ours
+      }
+    // SQL UPDATE: the same translation family, simpler shape — no
+    // join, just the target read projected through the assignments
+    // under the condition, replace-committed against the version read
+    case u: UpdateTable if u.resolved =>
+      graftTarget(u.table) match {
+        case Some((r, Some(root))) =>
+          u.assignments.foreach { as =>
+            if (!as.key.isInstanceOf[Attribute])
+              throw new UnsupportedOperationException(
+                s"$root: UPDATE of a nested field (${as.key.sql}) is not " +
+                  "supported — update the whole top-level column")
+          }
+          GraftUpdateCommand(root, r.output, u.assignments, u.condition)
+        case Some((_, None)) => throw new UnsupportedOperationException(
+          "UPDATE of a path-loaded snapshot table: SQL DML is the " +
+            "catalog door's surface — load the table through a " +
+            "GraftCatalog identifier")
+        case None => plan
       }
     case other => other
   }
@@ -136,6 +158,26 @@ private[sources] case class GraftMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     SnapshotTable.mergeSql(spark, root, targetOutput, source, mergeCondition,
       matchedActions, notMatchedActions, notMatchedBySourceActions)
+    Seq.empty
+  }
+}
+
+/** SQL `UPDATE t SET ... [WHERE ...]`, the no-join member of the
+  * family: the target read projected through the assignments where
+  * the condition holds (SQL semantics: a NULL condition does not
+  * update), replace-committed against the version read. Rows never
+  * move between evaluation and commit — the projection IS the update.
+  * Commits with op "update"; the change feed refuses such versions
+  * (an in-place rewrite has no insert+retraction expression without
+  * pre-images), exactly as it refuses merge/replace.
+  */
+private[sources] case class GraftUpdateCommand(
+    root: String, targetOutput: Seq[Attribute],
+    assignments: Seq[Assignment], condition: Option[Expression])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotTable.updateSql(spark, root, targetOutput, assignments, condition)
     Seq.empty
   }
 }
@@ -266,6 +308,29 @@ private[sources] object GraftSqlMergeExec {
         when(matched, valM(c)).when(sourceOnly, valI(c)).otherwise(valT(c))
           .cast(target.schema(c).dataType).as(c)
       }: _*)
+  }
+
+  /** The UPDATE projection: assignments applied where the condition
+    * holds (NULL does not update — `when`'s own semantics), everything
+    * else passed through. One frame, no join.
+    */
+  def updatedFrame(target: DataFrame, targetOutput: Seq[Attribute],
+                   assignments: Seq[Assignment],
+                   condition: Option[Expression]): DataFrame = {
+    val tIds: Map[ExprId, String] =
+      targetOutput.map(a => a.exprId -> a.name).toMap
+    def toCol(e: Expression): Column = GraftColumnShim.column(e.transform {
+      case a: AttributeReference if tIds.contains(a.exprId) =>
+        UnresolvedAttribute(Seq(tIds(a.exprId)))
+    })
+    val condCol = condition.map(toCol).getOrElse(lit(true))
+    target.select(target.columns.toSeq.map { c =>
+      assignments.collectFirst {
+        case Assignment(k: Attribute, v) if k.name.equalsIgnoreCase(c) =>
+          when(condCol, toCol(v)).otherwise(col(s"`$c`"))
+            .cast(target.schema(c).dataType).as(c)
+      }.getOrElse(col(s"`$c`"))
+    }: _*)
   }
 
   private def condOf(a: MergeAction): Option[Expression] = a match {

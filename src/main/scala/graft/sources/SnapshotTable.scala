@@ -444,7 +444,8 @@ object SnapshotTable {
 
   /** The OPERATION that committed snapshot `version` (default:
     * current) — the manifest's `#op` header: "append", "replace",
-    * "merge", "delete" (deleteWhere), "deleteRange", "compact",
+    * "merge", "update" (SQL UPDATE), "delete" (deleteWhere),
+    * "deleteRange", "compact",
     * "rewriteManifests". None for pre-header manifests. The
     * change-data-feed classifies versions by this; `history()`
     * surfaces it.
@@ -1481,6 +1482,29 @@ object SnapshotTable {
       }
       commit(spark, table, out, statsCols = stats,
         expectedBase = Some(base), op = "merge")
+    }
+
+  /** SQL `UPDATE`'s commit half ([[GraftUpdateCommand]]): the target
+    * read projected through the assignments where the condition holds
+    * ([[GraftSqlMergeExec.updatedFrame]]), replace-committed against
+    * the version read with stat columns carried forward — the same
+    * retry/carry discipline as every SQL write.
+    */
+  private[sources] def updateSql(spark: SparkSession, table: String,
+      targetOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      assignments: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment],
+      condition: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Long =
+    retryingCommit(spark, table) { base =>
+      val out = GraftSqlMergeExec.updatedFrame(read(spark, table, base),
+        targetOutput, assignments, condition)
+      val stats = statsColsOf(spark, table).filter { c =>
+        out.schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+          org.apache.spark.sql.catalyst.expressions.Cast
+            .canCast(f.dataType, org.apache.spark.sql.types.LongType))
+      }
+      commit(spark, table, out, statsCols = stats,
+        expectedBase = Some(base), op = "update")
     }
 
   /** FILE-SCOPED MERGE — the manifest-sharing scale path (the Iceberg

@@ -145,6 +145,40 @@ class GraftSqlMergeSpec extends SparkSpec {
     }
   }
 
+  test("SQL UPDATE: assignments under the condition, NULL never updates, stats carried") {
+    withMergeSession { s2 =>
+      import s2.implicits._
+      val t = s"$wh/m/update"
+      SnapshotTable.commit(s2, t,
+        (Seq((Some(0L), "a", 1L), (Some(1L), "b", 2L), (Some(2L), "c", 3L),
+          ((None: Option[Long]), "n", 4L))).toDF("k", "tag", "v"),
+        statsCols = Seq("v"))
+      // expression assignment referencing the row's own columns; the
+      // NULL-k row's condition evaluates NULL → not updated
+      s2.sql(
+        """UPDATE graft_m.m.update SET tag = concat(tag, '!'), v = v * 10
+          |WHERE k >= 1""".stripMargin)
+      val got = SnapshotTable.read(s2, t).collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(
+        (Some(0L), "a", 1L), (Some(1L), "b!", 20L), (Some(2L), "c!", 30L),
+        (None, "n", 4L)), s"got: $got")
+      assert(SnapshotTable.commitOp(s2, t).contains("update") &&
+        SnapshotTable.statsColsOf(s2, t) == Seq("v"),
+        "op stamped; stat columns carried forward")
+      // unconditional UPDATE touches every row
+      s2.sql("UPDATE graft_m.m.update SET v = 0")
+      assert(SnapshotTable.read(s2, t).select("v")
+        .as[Long].collect().forall(_ == 0L))
+      // a condition matching nothing still commits a version (SQL
+      // UPDATE semantics: zero rows affected is a success)
+      s2.sql("UPDATE graft_m.m.update SET v = 9 WHERE k = 999")
+      assert(SnapshotTable.read(s2, t).select("v")
+        .as[Long].collect().forall(_ == 0L))
+    }
+  }
+
   test("refusals: non-equi conditions, self-merge, and path-door targets name the Scala doors") {
     withMergeSession { s2 =>
       import s2.implicits._
