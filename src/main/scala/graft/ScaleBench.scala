@@ -926,11 +926,6 @@ object ScaleBench {
           .filter(col("event_id").between(10000L, 19999L))
           .agg(count(lit(1)), sum("value")).collect()(0).getLong(0)
       },
-      // CHANGE FEED under the delete-heavy backlog (r14): replay the
-      // 1M-row table + its ten equality-delete files as
-      // inserts+retractions through readChangeFeed — the price of
-      // MAINTAINING a downstream materialization instead of
-      // recomputing it; returns events delivered (1M + 10×10k keys)
       // CDF BOOTSTRAP over a LONG history (r14 verdict missing #5,
       // priced): 100 append versions + a mid-history deleteRange, all
       // replayed from version 1 with a fresh checkpoint — the planning
@@ -954,6 +949,11 @@ object ScaleBench {
         q.processAllAvailable(); q.stop()
         n
       },
+      // CHANGE FEED under the delete-heavy backlog (r14): replay the
+      // 1M-row table + its ten equality-delete files as
+      // inserts+retractions through readChangeFeed — the price of
+      // MAINTAINING a downstream materialization instead of
+      // recomputing it; returns events delivered (1M + 10×10k keys)
       t("snapshot_cdf_feed_1m") {
         val table = ensureDeleteBacklog()
         var n = 0L

@@ -57,7 +57,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * work against the warehouse tree.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -178,16 +179,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def statsColsFor(path: String, schema: StructType,
                            properties: JMap[String, String],
                            carryForward: Boolean): Seq[String] = {
+    def usable(c: String): Boolean =
+      schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+        org.apache.spark.sql.catalyst.expressions.Cast
+          .canCast(f.dataType, LongType))
     val declared = properties.asScala.collectFirst {
       case (k, v) if k.equalsIgnoreCase("statscols") => v
     }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    declared.getOrElse(
-      if (carryForward) SnapshotTable.statsColsOf(spark, path) else Nil)
-      .filter { c =>
-        schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
-          org.apache.spark.sql.catalyst.expressions.Cast
-            .canCast(f.dataType, LongType))
-      }
+    declared match {
+      case Some(cols) =>
+        // an EXPLICITLY declared stat column the query cannot satisfy
+        // is a mistake (a typo, a string column): silently dropping it
+        // would mint a table with no envelopes and no error — every
+        // read scans every file until someone notices. Refuse loudly,
+        // the posture of everything else on this surface.
+        val bad = cols.filterNot(usable)
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"$path: statsCols TBLPROPERTY names " +
+            s"${bad.mkString("[", ", ", "]")}, which the query does not " +
+            "produce as long-castable column(s) — stat envelopes cover " +
+            s"long-castable columns only; query columns: " +
+            schema.fields.map(f => s"${f.name}: ${f.dataType.simpleString}")
+              .mkString(", "))
+        cols
+      case None =>
+        // the carry-forward path filters SILENTLY by design: an RTAS
+        // that narrows the schema legitimately sheds envelopes for the
+        // columns it dropped
+        if (carryForward) SnapshotTable.carriedStatsCols(spark, path, schema)
+        else Nil
+    }
   }
 
   private def requireUnpartitioned(partitions: Array[Transform]): Unit =
@@ -256,6 +277,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException(
       s"$catalogName does not support RENAME TABLE: a rename would break " +
         "consumers pinned to the old path (pins, checkpoints)")
+
+  // ---------------------------------------------------------------- //
+  // Maintenance procedures: CALL graft.system.<op>(table => 'ns.t')  //
+  // — thin SQL veneers over the SnapshotTable ops (GraftProcedures). //
+  // ---------------------------------------------------------------- //
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array(GraftProcedures.Namespace)))
+      throw unknownProcedure(ident)
+    GraftProcedures.load(warehouse, ident.name())
+      .getOrElse(throw unknownProcedure(ident))
+  }
+
+  private def unknownProcedure(ident: Identifier) =
+    new UnsupportedOperationException(
+      s"$catalogName has no procedure $ident — available: " +
+        GraftProcedures.names.map(n => s"$catalogName.system.$n")
+          .mkString(", "))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+        namespace.sameElements(Array(GraftProcedures.Namespace)))
+      GraftProcedures.names
+        .map(n => Identifier.of(Array(GraftProcedures.Namespace), n)).toArray
+    else Array.empty
 
   // ---------------------------------------------------------------- //
   // Namespaces: directories under the warehouse. A directory that     //
@@ -355,13 +402,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * write runs [[SnapshotTable.commit]] against `expectedBase` — the
   * manifest publication is the real commit point, so
   * [[commitStagedChanges]] has nothing left to do and
-  * [[abortStagedChanges]] only sweeps a still-empty directory a failed
-  * CREATE may have left (it NEVER deletes a committed snapshot: once
-  * the manifest landed, the data is durable by contract, and the
-  * post-write window where Spark could still "abort" must not destroy
-  * it). A write failure before the manifest landed is already cleaned
-  * by the claim machinery (withClaim releases the claim and its staged
-  * artifacts).
+  * [[abortStagedChanges]] only sweeps a still-EMPTY directory tree a
+  * failed CREATE may have left. The sweep is non-recursive,
+  * bottom-up, empty-dirs-only: `delete(dir, recursive = false)` fails
+  * on a non-empty directory, so a rival writer racing onto the same
+  * path (a concurrent path-door commit mid-stage) keeps every file it
+  * has staged or committed — the guarantee "abort never deletes a
+  * committed snapshot, or anyone's data" holds ATOMICALLY at the
+  * filesystem, not via a check-then-delete window. A write failure
+  * before the manifest landed is already cleaned by the claim
+  * machinery (withClaim releases the claim and its staged artifacts).
   */
 private class GraftStagedTable(path: String, tableName: String,
     pinnedSchema: StructType, statsCols: Seq[String],
@@ -398,11 +448,18 @@ private class GraftStagedTable(path: String, tableName: String,
 
   override def abortStagedChanges(): Unit = {
     val spark = SparkSession.active
-    if (committed == 0L && createDir &&
-        SnapshotTable.currentVersion(spark, path) == 0L) {
+    if (committed == 0L && createDir) {
       val p = new org.apache.hadoop.fs.Path(path)
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (f.exists(p)) f.delete(p, true)
+      // post-order: child dirs first, so an all-empty tree collapses;
+      // any FILE anywhere (a rival's claim, data, manifest) makes the
+      // non-recursive deletes fail from that level up — exactly right
+      def sweepEmpty(dir: org.apache.hadoop.fs.Path): Unit = {
+        val children = f.listStatus(dir)
+        children.filter(_.isDirectory).foreach(c => sweepEmpty(c.getPath))
+        if (f.listStatus(dir).isEmpty) f.delete(dir, false)
+      }
+      if (f.exists(p)) sweepEmpty(p)
     }
   }
 }

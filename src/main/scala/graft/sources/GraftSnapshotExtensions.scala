@@ -164,7 +164,13 @@ private[sources] class GraftMorFallbackRule(session: SparkSession)
   */
 class GraftSnapshotExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectPostHocResolutionRule(s => new GraftMorFallbackRule(s))
+    // order matters: the MERGE rule must see the ORIGINAL relations
+    // (its self-read identity check matches a past-the-ceiling source
+    // before the fallback rule dissolves it into a Scala-door plan);
+    // a legitimate past-ceiling source inside a translated merge still
+    // rewrites later — the command re-analyzes its source plan in the
+    // same session when it runs
     ext.injectPostHocResolutionRule(s => new GraftSqlMergeRule(s))
+    ext.injectPostHocResolutionRule(s => new GraftMorFallbackRule(s))
   }
 }

@@ -109,11 +109,14 @@ private[sources] class GraftSqlMergeRule(session: SparkSession)
         "schema), then MERGE")
     // a source that scans the target table would read the very snapshot
     // the commit replaces — the Scala merge takes the changes as a
-    // self-contained frame for exactly this reason
+    // self-contained frame for exactly this reason. Identity check by
+    // ROOT regardless of door (a path-door load of the same table is
+    // just as much a self-read); this rule registers BEFORE the MoR
+    // fallback rule, so a past-ceiling source is still a relation here
     val selfRead = m.sourceTable.collectFirst {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftSqlDelete] &&
-            r.table.asInstanceOf[GraftSqlDelete].sqlDmlRoot.contains(root) => r
+            r.table.asInstanceOf[GraftSqlDelete].sqlTableRoot == root => r
     }
     if (selfRead.isDefined) throw new UnsupportedOperationException(
       s"$root: the MERGE source reads the target table itself — " +
@@ -262,9 +265,18 @@ private[sources] object GraftSqlMergeExec {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(guardKeys.map(GraftColumnShim.column): _*)
     val t = target.withColumn(TPresent, lit(true)).alias(TAlias)
+    // NULL-keyed source rows are exempt from the guard: they can never
+    // match a target row (plain equality), so several of them are
+    // legitimately several independent inserts — only non-null key
+    // duplicates can double-apply to one target row. (Without the
+    // exemption the window's null partition would lump them together
+    // and refuse a legal merge.)
+    val someKeyNull = guardKeys
+      .map(k => GraftColumnShim.column(k).isNull)
+      .reduce(_ || _)
     val s = source
       .withColumn(SPresent, coalesce(
-        assert_true(count(lit(1)).over(w) === 1L,
+        assert_true(someKeyNull || count(lit(1)).over(w) === 1L,
           lit(s"$root MERGE: more than one source row per merge-key " +
             "value — deduplicate the source on the merge keys")),
         lit(true)))

@@ -46,14 +46,8 @@ private[sources] class GraftV1WriteBuilder(root: String,
           // without envelopes is invisible to file pruning, and an
           // INSERT OVERWRITE with statsCols = Nil would drop them
           // TABLE-wide — silently disabling readPruned / the DSv2
-          // pruning this connector advertises. Restricted to columns
-          // the incoming frame still has with a long-castable type
-          // (an OVERWRITE may change the schema).
-          val stats = SnapshotTable.statsColsOf(spark, root).filter { c =>
-            data.schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
-              org.apache.spark.sql.catalyst.expressions.Cast
-                .canCast(f.dataType, LongType))
-          }
+          // pruning this connector advertises
+          val stats = SnapshotTable.carriedStatsCols(spark, root, data.schema)
           if (overwrite || overwriteFlag)
             SnapshotTable.commit(spark, root, data, statsCols = stats)
           else
@@ -106,6 +100,13 @@ private[sources] trait GraftSqlDelete extends SupportsDelete {
     */
   private[sources] final def sqlDmlRoot: Option[String] =
     if (dmlEnabled) Some(deleteRoot) else None
+
+  /** The root unconditionally — for IDENTITY checks (is this relation
+    * the same physical table?), which must see path-door loads too:
+    * a MERGE source reading the target through the path door is just
+    * as much a self-merge as one reading it through the catalog.
+    */
+  private[sources] final def sqlTableRoot: String = deleteRoot
 
   private sealed trait Translated
   private case class Keys(cols: Seq[String], rows: Seq[Seq[Any]])

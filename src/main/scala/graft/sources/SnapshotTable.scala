@@ -1454,6 +1454,21 @@ object SnapshotTable {
       }
     }
 
+  /** The stat columns a SQL write carries FORWARD: the table's
+    * committed stat columns, restricted to the ones the outgoing
+    * frame still has with a long-castable type (an OVERWRITE/RTAS may
+    * change the schema). ONE definition for every SQL door — INSERT,
+    * MERGE, UPDATE, CTAS-replace — so the carry rule cannot silently
+    * diverge between them.
+    */
+  private[sources] def carriedStatsCols(spark: SparkSession, table: String,
+      outSchema: org.apache.spark.sql.types.StructType): Seq[String] =
+    statsColsOf(spark, table).filter { c =>
+      outSchema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+        org.apache.spark.sql.catalyst.expressions.Cast
+          .canCast(f.dataType, org.apache.spark.sql.types.LongType))
+    }
+
   /** SQL `MERGE INTO`'s commit half ([[GraftMergeCommand]]): read the
     * current snapshot, build the merged frame under full SQL clause
     * semantics ([[GraftSqlMergeExec.mergedFrame]]), and replace-commit
@@ -1475,12 +1490,8 @@ object SnapshotTable {
       val out = GraftSqlMergeExec.mergedFrame(table, target, sourceDf,
         targetOutput, source.output, mergeCondition, matchedActions,
         notMatchedActions, notMatchedBySourceActions)
-      val stats = statsColsOf(spark, table).filter { c =>
-        out.schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
-          org.apache.spark.sql.catalyst.expressions.Cast
-            .canCast(f.dataType, org.apache.spark.sql.types.LongType))
-      }
-      commit(spark, table, out, statsCols = stats,
+      commit(spark, table, out,
+        statsCols = carriedStatsCols(spark, table, out.schema),
         expectedBase = Some(base), op = "merge")
     }
 
@@ -1498,12 +1509,8 @@ object SnapshotTable {
     retryingCommit(spark, table) { base =>
       val out = GraftSqlMergeExec.updatedFrame(read(spark, table, base),
         targetOutput, assignments, condition)
-      val stats = statsColsOf(spark, table).filter { c =>
-        out.schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
-          org.apache.spark.sql.catalyst.expressions.Cast
-            .canCast(f.dataType, org.apache.spark.sql.types.LongType))
-      }
-      commit(spark, table, out, statsCols = stats,
+      commit(spark, table, out,
+        statsCols = carriedStatsCols(spark, table, out.schema),
         expectedBase = Some(base), op = "update")
     }
 

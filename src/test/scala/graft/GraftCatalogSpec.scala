@@ -298,6 +298,17 @@ class GraftCatalogSpec extends SparkSpec {
       else x.getMessage + rootMsg(x.getCause)
     assert(rootMsg(plain).contains("AS SELECT"),
       s"the refusal names the CTAS door: ${rootMsg(plain)}")
+    // a DECLARED stat column the query cannot satisfy refuses loudly
+    // (a silent drop would mint an envelope-less table with no error)
+    val typo = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft_test.ctas.typo
+          |TBLPROPERTIES ('statsCols' = 'dya')
+          |AS SELECT id, id % 4 AS day FROM range(10)""".stripMargin)
+    }
+    assert(rootMsg(typo).contains("dya"),
+      s"the refusal names the bad column: ${rootMsg(typo)}")
+    assert(SnapshotTable.currentVersion(spark, s"$wh/ctas/typo") == 0L)
   }
 
   test("REPLACE TABLE AS SELECT commits against the observed base; history and envelopes survive") {

@@ -214,6 +214,35 @@ class GraftSqlMergeSpec extends SparkSpec {
       }
       assert(rootMsg(e2).contains("target table itself"),
         s"self-merge refusal: ${rootMsg(e2)}")
+      // self-merge through the PATH door (a temp view over the format
+      // load) is the same physical table — identity is by root
+      s2.read.format("graft-snapshot").load(s"$wh/m/refuse")
+        .createOrReplaceTempView("self_path")
+      val e3 = intercept[Exception] {
+        s2.sql(
+          """MERGE INTO graft_m.m.refuse t USING self_path s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET tag = s.tag""".stripMargin)
+      }
+      assert(rootMsg(e3).contains("target table itself"),
+        s"path-door self-merge refusal: ${rootMsg(e3)}")
+    }
+  }
+
+  test("several NULL-keyed source rows are independent inserts, not a cardinality violation") {
+    withMergeSession { s2 =>
+      import s2.implicits._
+      val t = s"$wh/m/nullins"
+      SnapshotTable.commit(s2, t, Seq((Some(1L), "x")).toDF("k", "tag"))
+      Seq((None: Option[Long], "n1"), (None: Option[Long], "n2"),
+        (Some(1L), "up")).toDF("k", "tag").createOrReplaceTempView("src")
+      s2.sql(
+        """MERGE INTO graft_m.m.nullins t USING src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET tag = s.tag
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(stateOf(s2, t) ==
+        Set((Some(1L), "up"), (None, "n1"), (None, "n2")),
+        "null keys never match: both null rows insert, the guard is " +
+          s"non-null-only — ${stateOf(s2, t)}")
     }
   }
 }
