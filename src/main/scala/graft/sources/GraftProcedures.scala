@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** The catalog's MAINTENANCE surface through SQL `CALL` — the ops a
+  * SQL-first operator otherwise has to leave SQL for:
+  *
+  * {{{
+  * CALL graft.system.compact(table => 'ns.t')
+  * CALL graft.system.compact_scoped(table => 'ns.t', scope_col => 'day')
+  * CALL graft.system.vacuum(table => 'ns.t', retain => 3)
+  * CALL graft.system.rewrite_manifests(table => 'ns.t', group_size => 64)
+  * CALL graft.system.release_stale_claims(table => 'ns.t',
+  *                                        older_than_ms => 3600000)
+  * CALL graft.system.unpin(table => 'ns.t', consumer_id => '...')
+  * }}}
+  *
+  * Each procedure is a thin SQL veneer over the corresponding
+  * [[SnapshotTable]] op — the semantics, refusals (vacuum respecting
+  * pins, compaction losing races instead of data), and commit
+  * protocol are THEIRS, unchanged; the veneer only resolves the
+  * dotted table name against the catalog's warehouse and returns the
+  * op's result as a one-row result set. Spark's `InvokeProcedures`
+  * runs `call` eagerly and surfaces the returned [[LocalScan]] rows
+  * as the CALL result.
+  */
+private[sources] object GraftProcedures {
+
+  /** The procedure namespace under the catalog: `graft.system.<op>`. */
+  val Namespace = "system"
+
+  private def p(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def pd(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** One maintenance procedure: parameters, a result column, and the
+    * [[SnapshotTable]] op to run. `args` arrive coerced to the
+    * declared parameter types, in declaration order (defaults filled
+    * by Spark's named-argument resolution).
+    */
+  private final class Maintenance(warehouse: String, procName: String,
+      params: Array[ProcedureParameter], resultCol: String,
+      op: (SparkSession, String, InternalRow) => Long)
+      extends UnboundProcedure with BoundProcedure {
+
+    override def name(): String = procName
+    override def description(): String =
+      s"graft maintenance: $procName (see SnapshotTable.$procName)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // it commits
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val table = input.getUTF8String(0).toString
+      val path = (warehouse +: table.split('.').toSeq).mkString("/")
+      require(SnapshotTable.currentVersion(spark, path) > 0L,
+        s"$procName: no committed snapshot at $path (from '$table')")
+      val result = op(spark, path, input)
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType =
+          StructType(Seq(StructField(resultCol, LongType, nullable = false)))
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(Array[Any](result)))
+        override def description(): String = s"graft.$procName result"
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  /** All procedures, keyed by name, bound to one warehouse. */
+  def load(warehouse: String, name: String): Option[UnboundProcedure] = {
+    def m(params: Array[ProcedureParameter], resultCol: String)(
+        op: (SparkSession, String, InternalRow) => Long): UnboundProcedure =
+      new Maintenance(warehouse, name, params, resultCol, op)
+    name match {
+      case "compact" => Some(m(Array(
+        p("table", StringType),
+        pd("target_bytes", LongType, (128L << 20).toString)), "version") {
+        (s, t, in) => SnapshotTable.compactSnapshot(s, t, in.getLong(1))
+      })
+      case "compact_scoped" => Some(m(Array(
+        p("table", StringType),
+        p("scope_col", StringType),
+        pd("max_files_per_scope", IntegerType, "4")), "version") {
+        (s, t, in) => SnapshotTable.compactScoped(s, t,
+          in.getUTF8String(1).toString, in.getInt(2))
+      })
+      case "vacuum" => Some(m(Array(
+        p("table", StringType),
+        pd("retain", IntegerType, "1"),
+        pd("retain_for_ms", LongType, "0"),
+        pd("pin_max_age_ms", LongType, (7L * 24 * 3600 * 1000).toString)),
+        "removed") {
+        (s, t, in) => SnapshotTable.vacuum(s, t, in.getInt(1), in.getLong(2),
+          in.getLong(3))
+      })
+      case "rewrite_manifests" => Some(m(Array(
+        p("table", StringType),
+        pd("group_size", IntegerType, "64")), "version") {
+        (s, t, in) => SnapshotTable.rewriteManifests(s, t, in.getInt(1))
+      })
+      case "release_stale_claims" => Some(m(Array(
+        p("table", StringType),
+        p("older_than_ms", LongType)), "released") {
+        (s, t, in) => SnapshotTable.releaseStaleClaims(s, t, in.getLong(1))
+      })
+      case "unpin" => Some(m(Array(
+        p("table", StringType),
+        p("consumer_id", StringType)), "remaining_pins") {
+        (s, t, in) =>
+          SnapshotTable.unpin(s, t, in.getUTF8String(1).toString)
+          SnapshotTable.pinnedVersions(s, t).size.toLong
+      })
+      case _ => None
+    }
+  }
+
+  val names: Seq[String] = Seq("compact", "compact_scoped", "vacuum",
+    "rewrite_manifests", "release_stale_claims", "unpin")
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Maintenance through SQL `CALL graft.system.<op>(...)`: each
+  * procedure is a veneer over the corresponding [[SnapshotTable]] op —
+  * the semantics (compaction purging deletes, vacuum respecting pins)
+  * are asserted through the SQL door, plus the loud unknown-procedure
+  * refusal and SHOW PROCEDURES.
+  */
+class GraftProceduresSpec extends SparkSpec {
+
+  private lazy val wh = Files.createTempDirectory("graft-wh-proc").toString
+
+  private def ensureCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_p", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_p.warehouse", wh)
+  }
+
+  test("CALL compact purges the delete backlog; vacuum sweeps superseded versions") {
+    import spark.implicits._
+    ensureCatalog()
+    val t = s"$wh/ops/t1"
+    SnapshotTable.commit(spark, t,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("k", "tag"))
+    SnapshotTable.deleteWhere(spark, t, Seq(1L, 2L, 3L).toDF("k"))
+    // a live equality-delete backlog is visible as @delete manifest
+    // lines; compaction must purge them physically
+    def deleteLines(): Int = {
+      val v = SnapshotTable.currentVersion(spark, t)
+      val src = scala.io.Source.fromFile(
+        f"$t/_graft_meta/manifest-$v%05d", "UTF-8")
+      try src.getLines().count(_.startsWith("@delete")) finally src.close()
+    }
+    assert(deleteLines() > 0, "live equality deletes before compaction")
+    val v = spark.sql("CALL graft_p.system.compact(table => 'ops.t1')")
+      .head().getLong(0)
+    assert(v == 3L, s"compaction committed v3, got $v")
+    assert(deleteLines() == 0 &&
+      SnapshotTable.read(spark, t).count() == 97,
+      "the backlog is purged physically, rows intact")
+    val removed = spark
+      .sql("CALL graft_p.system.vacuum(table => 'ops.t1', retain => 1)")
+      .head().getLong(0)
+    assert(removed > 0L, "superseded versions swept")
+    assert(SnapshotTable.read(spark, t).count() == 97)
+  }
+
+  test("CALL rewrite_manifests folds the top manifest; defaults apply; results are one-row frames") {
+    import spark.implicits._
+    ensureCatalog()
+    val t = s"$wh/ops/t2"
+    (1 to 6).foreach { i =>
+      SnapshotTable.append(spark, t, Seq((i.toLong, s"b$i")).toDF("k", "tag"))
+    }
+    val df = spark.sql(
+      "CALL graft_p.system.rewrite_manifests(table => 'ops.t2', group_size => 3)")
+    assert(df.columns.toSeq == Seq("version") && df.count() == 1)
+    assert(SnapshotTable.read(spark, t).count() == 6, "pure metadata commit")
+    // release_stale_claims with nothing stale: 0 released
+    assert(spark.sql(
+      "CALL graft_p.system.release_stale_claims(table => 'ops.t2', older_than_ms => 0)")
+      .head().getLong(0) == 0L)
+  }
+
+  test("unknown procedures and missing tables refuse loudly; SHOW PROCEDURES lists the surface") {
+    ensureCatalog()
+    def rootMsg(x: Throwable): String =
+      if (x.getCause == null) x.getMessage
+      else x.getMessage + "\n" + rootMsg(x.getCause)
+    val e1 = intercept[Exception] {
+      spark.sql("CALL graft_p.system.defragment(table => 'ops.t1')")
+    }
+    assert(rootMsg(e1).contains("compact"),
+      s"the refusal lists the available procedures: ${rootMsg(e1)}")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graft_p.system.compact(table => 'ops.nosuch')")
+    }
+    assert(rootMsg(e2).contains("no committed snapshot"), rootMsg(e2))
+    val listed = spark.sql("SHOW PROCEDURES IN graft_p.system")
+      .collect().map(_.mkString(".")).mkString("\n")
+    assert(listed.contains("compact") && listed.contains("vacuum"),
+      s"SHOW PROCEDURES: $listed")
+  }
+}
