@@ -21,6 +21,8 @@ import org.apache.spark.sql.types._
   * CALL graft.system.release_stale_claims(table => 'ns.t',
   *                                        older_than_ms => 3600000)
   * CALL graft.system.unpin(table => 'ns.t', consumer_id => '...')
+  * CALL graft.system.history(table => 'ns.t')   -- versions/ops/rows
+  * CALL graft.system.pins(table => 'ns.t')      -- live consumer pins
   * }}}
   *
   * Each procedure is a thin SQL veneer over the corresponding
@@ -77,6 +79,41 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** A read-only INSPECTION procedure: no commit, a multi-row result
+    * set (the CALL surface doubles as the SQL door to the operational
+    * metadata the Scala side exposes as frames/case classes).
+    */
+  private final class Inspection(warehouse: String, procName: String,
+      resultSchema: StructType,
+      rowsOf: (SparkSession, String) => Array[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+
+    override def name(): String = procName
+    override def description(): String = s"graft inspection: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType))
+    override def isDeterministic: Boolean = false // reads current state
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val table = input.getUTF8String(0).toString
+      val path = (warehouse +: table.split('.').toSeq).mkString("/")
+      require(SnapshotTable.currentVersion(spark, path) > 0L,
+        s"$procName: no committed snapshot at $path (from '$table')")
+      val out = rowsOf(spark, path)
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = out
+        override def description(): String = s"graft.$procName result"
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  private def utf8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
   /** All procedures, keyed by name, bound to one warehouse. */
   def load(warehouse: String, name: String): Option[UnboundProcedure] = {
     def m(params: Array[ProcedureParameter], resultCol: String)(
@@ -118,13 +155,41 @@ private[sources] object GraftProcedures {
         p("table", StringType),
         p("consumer_id", StringType)), "remaining_pins") {
         (s, t, in) =>
-          SnapshotTable.unpin(s, t, in.getUTF8String(1).toString)
+          val id = in.getUTF8String(1).toString
+          // `pin-…` values straight out of CALL pins release that file;
+          // anything else resolves through the consumer-id hash
+          if (id.startsWith("pin-")) SnapshotTable.unpinByName(s, t, id)
+          else SnapshotTable.unpin(s, t, id)
           SnapshotTable.pinnedVersions(s, t).size.toLong
       })
+      case "history" => Some(new Inspection(warehouse, name,
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("timestamp_ms", LongType, nullable = true),
+          StructField("op", StringType, nullable = true),
+          StructField("files", LongType, nullable = false),
+          StructField("delete_files", LongType, nullable = false),
+          StructField("rows", LongType, nullable = true))),
+        (s, t) => SnapshotTable.history(s, t).map { i =>
+          new GenericInternalRow(Array[Any](i.version,
+            i.timestampMs.map(Long.box).orNull,
+            i.op.map(utf8).orNull, i.files, i.deleteFiles,
+            i.rows.map(Long.box).orNull))
+        }.toArray))
+      case "pins" => Some(new Inspection(warehouse, name,
+        // `pin` is the FILE name (hashed, not the raw consumer id) —
+        // exactly what CALL unpin accepts back
+        StructType(Seq(
+          StructField("pin", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        (s, t) => SnapshotTable.pinnedVersions(s, t).toSeq.sortBy(_._1)
+          .map { case (c, v) =>
+            new GenericInternalRow(Array[Any](utf8(c), v))
+          }.toArray))
       case _ => None
     }
   }
 
   val names: Seq[String] = Seq("compact", "compact_scoped", "vacuum",
-    "rewrite_manifests", "release_stale_claims", "unpin")
+    "rewrite_manifests", "release_stale_claims", "unpin", "history", "pins")
 }

@@ -621,6 +621,18 @@ object SnapshotTable {
   def unpin(spark: SparkSession, table: String, consumerId: String): Unit =
     fs(spark, table).delete(hp(table, MetaDir, pinName(consumerId)), false)
 
+  /** Drop a pin by its FILE NAME — the [[pinnedVersions]] key, which
+    * is hashed and NOT invertible to the consumer id. This is how the
+    * SQL `CALL pins` / `CALL unpin` pair composes: list, then release
+    * what the listing named.
+    */
+  def unpinByName(spark: SparkSession, table: String,
+                  pinFile: String): Boolean = {
+    require(pinFile.startsWith(PinPrefix),
+      s"not a pin file name (expected $PinPrefix*): $pinFile")
+    fs(spark, table).delete(hp(table, MetaDir, pinFile), false)
+  }
+
   /** The sink-commit ledger of snapshot `version`: for each streaming
     * sink identity, the highest micro-batch id whose append COMMITTED —
     * the `#ledger` header lines. This is what turns foreachBatch's

@@ -65,6 +65,41 @@ class GraftProceduresSpec extends SparkSpec {
       .head().getLong(0) == 0L)
   }
 
+  test("CALL history and pins: multi-row inspection result sets through SQL") {
+    import spark.implicits._
+    ensureCatalog()
+    val t = s"$wh/ops/t3"
+    SnapshotTable.append(spark, t, Seq((1L, "a")).toDF("k", "tag"))
+    SnapshotTable.append(spark, t, Seq((2L, "b")).toDF("k", "tag"))
+    SnapshotTable.deleteWhere(spark, t, Seq(1L).toDF("k"))
+    val h = spark.sql("CALL graft_p.system.history(table => 'ops.t3')")
+    assert(h.columns.toSeq == Seq("version", "timestamp_ms", "op",
+      "files", "delete_files", "rows"))
+    val ops = h.select("version", "op").collect()
+      .map(r => (r.getLong(0), r.getString(2 - 1))).toSeq
+    assert(ops == Seq((3L, "delete"), (2L, "append"), (1L, "append")),
+      s"newest first with op stamps: $ops")
+    // pins: a streaming consumer's pin shows up, unpin removes it
+    val got = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-snapshot").load(t)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("proc-pin").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got += df.count() }; ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val pins = spark.sql("CALL graft_p.system.pins(table => 'ops.t3')")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pins.nonEmpty, "the stream left a retention pin")
+    val remaining = spark.sql(
+      s"CALL graft_p.system.unpin(table => 'ops.t3', consumer_id => '${pins.head._1}')")
+      .head().getLong(0)
+    assert(remaining == pins.size - 1L,
+      "unpin returns the remaining pin count")
+  }
+
   test("unknown procedures and missing tables refuse loudly; SHOW PROCEDURES lists the surface") {
     ensureCatalog()
     def rootMsg(x: Throwable): String =
