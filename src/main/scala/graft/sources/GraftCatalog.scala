@@ -453,12 +453,17 @@ private class GraftStagedTable(path: String, tableName: String,
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // post-order: child dirs first, so an all-empty tree collapses;
       // any FILE anywhere (a rival's claim, data, manifest) makes the
-      // non-recursive deletes fail from that level up — exactly right
-      def sweepEmpty(dir: org.apache.hadoop.fs.Path): Unit = {
-        val children = f.listStatus(dir)
-        children.filter(_.isDirectory).foreach(c => sweepEmpty(c.getPath))
-        if (f.listStatus(dir).isEmpty) f.delete(dir, false)
-      }
+      // non-recursive deletes fail from that level up — exactly right.
+      // Best-effort throughout: local fs THROWS (not false) on a
+      // non-empty non-recursive delete, and a rival racing in between
+      // the emptiness check and the delete must surface as "sweep
+      // stops", never as an exception masking the query's own failure
+      def sweepEmpty(dir: org.apache.hadoop.fs.Path): Unit =
+        try {
+          val children = f.listStatus(dir)
+          children.filter(_.isDirectory).foreach(c => sweepEmpty(c.getPath))
+          if (f.listStatus(dir).isEmpty) f.delete(dir, false)
+        } catch { case _: java.io.IOException => () }
       if (f.exists(p)) sweepEmpty(p)
     }
   }

@@ -44,6 +44,24 @@ private[sources] object GraftProcedures {
   private def pd(name: String, dt: DataType, default: String) =
     ProcedureParameter.in(name, dt).defaultValue(default).build()
 
+  /** Resolve the dotted table argument against the warehouse, refusing
+    * path-escape segments: the CALL door must not be MORE permissive
+    * than the identifier door (`vacuum(table => '../../prod/t')` would
+    * otherwise run destructive maintenance outside the warehouse the
+    * catalog was scoped to).
+    */
+  private def resolvePath(warehouse: String, proc: String,
+                          table: String): String = {
+    val parts = table.split('.').toSeq
+    val bad = parts.filter(s => s.isEmpty || s == "." || s == ".." ||
+      s.contains("/") || s.contains("\\"))
+    require(bad.isEmpty,
+      s"$proc: table '$table' contains path-escape segment(s) " +
+        s"${bad.mkString("[", ", ", "]")} — use a plain dotted " +
+        "namespace.table identifier")
+    (warehouse +: parts).mkString("/")
+  }
+
   /** One maintenance procedure: parameters, a result column, and the
     * [[SnapshotTable]] op to run. `args` arrive coerced to the
     * declared parameter types, in declaration order (defaults filled
@@ -51,7 +69,12 @@ private[sources] object GraftProcedures {
     */
   private final class Maintenance(warehouse: String, procName: String,
       params: Array[ProcedureParameter], resultCol: String,
-      op: (SparkSession, String, InternalRow) => Long)
+      op: (SparkSession, String, InternalRow) => Long,
+      // release_stale_claims exists precisely for a table WEDGED at
+      // version 0 by a crashed first commit's claim — requiring a
+      // committed snapshot would block it in the one state it fixes;
+      // it requires the directory instead
+      requiresSnapshot: Boolean = true)
       extends UnboundProcedure with BoundProcedure {
 
     override def name(): String = procName
@@ -64,9 +87,15 @@ private[sources] object GraftProcedures {
     override def call(input: InternalRow): JIterator[Scan] = {
       val spark = SparkSession.active
       val table = input.getUTF8String(0).toString
-      val path = (warehouse +: table.split('.').toSeq).mkString("/")
-      require(SnapshotTable.currentVersion(spark, path) > 0L,
-        s"$procName: no committed snapshot at $path (from '$table')")
+      val path = resolvePath(warehouse, procName, table)
+      if (requiresSnapshot)
+        require(SnapshotTable.currentVersion(spark, path) > 0L,
+          s"$procName: no committed snapshot at $path (from '$table')")
+      else {
+        val hp = new org.apache.hadoop.fs.Path(path)
+        require(hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(hp), s"$procName: no table directory at $path")
+      }
       val result = op(spark, path, input)
       val scan: Scan = new LocalScan {
         override def readSchema(): StructType =
@@ -98,7 +127,7 @@ private[sources] object GraftProcedures {
     override def call(input: InternalRow): JIterator[Scan] = {
       val spark = SparkSession.active
       val table = input.getUTF8String(0).toString
-      val path = (warehouse +: table.split('.').toSeq).mkString("/")
+      val path = resolvePath(warehouse, procName, table)
       require(SnapshotTable.currentVersion(spark, path) > 0L,
         s"$procName: no committed snapshot at $path (from '$table')")
       val out = rowsOf(spark, path)
@@ -129,8 +158,14 @@ private[sources] object GraftProcedures {
         p("table", StringType),
         p("scope_col", StringType),
         pd("max_files_per_scope", IntegerType, "4")), "version") {
-        (s, t, in) => SnapshotTable.compactScoped(s, t,
-          in.getUTF8String(1).toString, in.getInt(2))
+        (s, t, in) =>
+          val scope = in.getUTF8String(1).toString
+          // carry EVERY existing stat column through the rewrite, not
+          // just the scope column — the Scala default would silently
+          // narrow the table's envelope coverage
+          val stats = (SnapshotTable.statsColsOf(s, t)
+            .filterNot(_.equalsIgnoreCase(scope)) :+ scope)
+          SnapshotTable.compactScoped(s, t, scope, in.getInt(2), stats)
       })
       case "vacuum" => Some(m(Array(
         p("table", StringType),
@@ -146,20 +181,27 @@ private[sources] object GraftProcedures {
         pd("group_size", IntegerType, "64")), "version") {
         (s, t, in) => SnapshotTable.rewriteManifests(s, t, in.getInt(1))
       })
-      case "release_stale_claims" => Some(m(Array(
-        p("table", StringType),
-        p("older_than_ms", LongType)), "released") {
-        (s, t, in) => SnapshotTable.releaseStaleClaims(s, t, in.getLong(1))
-      })
+      case "release_stale_claims" => Some(new Maintenance(warehouse, name,
+        Array(p("table", StringType), p("older_than_ms", LongType)),
+        "released",
+        (s, t, in) => SnapshotTable.releaseStaleClaims(s, t, in.getLong(1)),
+        requiresSnapshot = false))
       case "unpin" => Some(m(Array(
         p("table", StringType),
         p("consumer_id", StringType)), "remaining_pins") {
         (s, t, in) =>
           val id = in.getUTF8String(1).toString
           // `pin-…` values straight out of CALL pins release that file;
-          // anything else resolves through the consumer-id hash
-          if (id.startsWith("pin-")) SnapshotTable.unpinByName(s, t, id)
-          else SnapshotTable.unpin(s, t, id)
+          // a consumer id that happens to start with `pin-` still
+          // resolves through the hash as a fallback. Removing NOTHING
+          // refuses loudly — a silently "successful" unpin of a typo'd
+          // name would leave the pin holding vacuum's floor forever
+          val removed =
+            (id.startsWith("pin-") && !id.contains("/") &&
+              !id.contains("\\") && SnapshotTable.unpinByName(s, t, id)) ||
+            SnapshotTable.unpin(s, t, id)
+          require(removed, s"unpin: no pin file or consumer id '$id' on " +
+            s"$t — CALL pins lists the live pin names")
           SnapshotTable.pinnedVersions(s, t).size.toLong
       })
       case "history" => Some(new Inspection(warehouse, name,

@@ -110,13 +110,21 @@ private[sources] class GraftSqlMergeRule(session: SparkSession)
     // a source that scans the target table would read the very snapshot
     // the commit replaces — the Scala merge takes the changes as a
     // self-contained frame for exactly this reason. Identity check by
-    // ROOT regardless of door (a path-door load of the same table is
-    // just as much a self-read); this rule registers BEFORE the MoR
+    // QUALIFIED root regardless of door (a path-door load of the same
+    // table, possibly spelled with a file: scheme or doubled slashes,
+    // is just as much a self-read); this rule registers BEFORE the MoR
     // fallback rule, so a past-ceiling source is still a relation here
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(session.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toString
+    }
+    val qRoot = qualified(root)
     val selfRead = m.sourceTable.collectFirst {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftSqlDelete] &&
-            r.table.asInstanceOf[GraftSqlDelete].sqlTableRoot == root => r
+            qualified(
+              r.table.asInstanceOf[GraftSqlDelete].sqlTableRoot) == qRoot => r
     }
     if (selfRead.isDefined) throw new UnsupportedOperationException(
       s"$root: the MERGE source reads the target table itself — " +

@@ -616,20 +616,27 @@ object SnapshotTable {
     readPin(fs(spark, table), hp(table, MetaDir, pinName(consumerId)))
 
   /** Drop a consumer's pin (a decommissioned consumer releasing its
-    * hold explicitly instead of waiting out `pinMaxAgeMs`).
+    * hold explicitly instead of waiting out `pinMaxAgeMs`). True when
+    * a pin was actually removed.
     */
-  def unpin(spark: SparkSession, table: String, consumerId: String): Unit =
+  def unpin(spark: SparkSession, table: String, consumerId: String): Boolean =
     fs(spark, table).delete(hp(table, MetaDir, pinName(consumerId)), false)
 
   /** Drop a pin by its FILE NAME — the [[pinnedVersions]] key, which
     * is hashed and NOT invertible to the consumer id. This is how the
     * SQL `CALL pins` / `CALL unpin` pair composes: list, then release
-    * what the listing named.
+    * what the listing named. The name must be a bare file name: a
+    * path separator would escape the pin namespace (reachable from
+    * SQL — a crafted `pin-x/../manifest-00003` would delete a
+    * committed manifest through the one surface documented as never
+    * destroying data), so it refuses loudly.
     */
   def unpinByName(spark: SparkSession, table: String,
                   pinFile: String): Boolean = {
-    require(pinFile.startsWith(PinPrefix),
-      s"not a pin file name (expected $PinPrefix*): $pinFile")
+    require(pinFile.startsWith(PinPrefix) && !pinFile.contains("/") &&
+      !pinFile.contains("\\"),
+      s"not a bare pin file name (expected $PinPrefix*, no separators): " +
+        pinFile)
     fs(spark, table).delete(hp(table, MetaDir, pinFile), false)
   }
 
@@ -2127,7 +2134,13 @@ object SnapshotTable {
       val onDisk = referenced.map(rel =>
         f.getFileStatus(hp(table, rel)).getLen).sum
       val nFiles = math.max(1L, (onDisk + targetBytes - 1) / targetBytes)
+      // carry the table's stat columns: a compaction that committed
+      // with statsCols = Nil silently WIPED the envelopes table-wide
+      // (found by the r15 review when CALL compact made it one SQL
+      // statement away), disabling file pruning and every SQL write's
+      // carry-forward until the next Scala-door commit with stats
       commit(spark, table, cur.coalesce(nFiles.toInt),
+        statsCols = carriedStatsCols(spark, table, cur.schema),
         expectedBase = Some(base), op = "compact")
     }
 }

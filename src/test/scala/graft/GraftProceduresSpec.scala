@@ -100,6 +100,62 @@ class GraftProceduresSpec extends SparkSpec {
       "unpin returns the remaining pin count")
   }
 
+  test("CALL compact preserves the table's stat envelopes (the silent-wipe regression)") {
+    import spark.implicits._
+    ensureCatalog()
+    val t = s"$wh/ops/t4"
+    SnapshotTable.commit(spark, t,
+      (0L until 50L).map(i => (i, i / 10, s"r$i")).toDF("k", "day", "v"),
+      statsCols = Seq("k", "day"))
+    spark.sql("CALL graft_p.system.compact(table => 'ops.t4')")
+    assert(SnapshotTable.statsColsOf(spark, t).sorted == Seq("day", "k"),
+      "compaction must carry the stat columns, not wipe them")
+  }
+
+  test("path-escape arguments refuse; unpin of nothing refuses; wedged v0 tables are releasable") {
+    import spark.implicits._
+    ensureCatalog()
+    def rootMsg(x: Throwable): String =
+      if (x.getCause == null) x.getMessage
+      else x.getMessage + "\n" + rootMsg(x.getCause)
+    val t5 = s"$wh/ops/t5"
+    SnapshotTable.commit(spark, t5, Seq((1L, "a")).toDF("k", "tag"))
+    // table args with traversal segments refuse before any fs touch
+    val esc = intercept[Exception] {
+      spark.sql("CALL graft_p.system.vacuum(table => '../../etc/passwd')")
+    }
+    assert(rootMsg(esc).contains("path-escape"), rootMsg(esc))
+    // a pin "name" with separators refuses (it could address a manifest)
+    val trav = intercept[Exception] {
+      spark.sql(
+        "CALL graft_p.system.unpin(table => 'ops.t5', consumer_id => 'pin-x/../manifest-00001')")
+    }
+    assert(rootMsg(trav).contains("no pin file or consumer id"),
+      s"traversal pin name must not delete anything: ${rootMsg(trav)}")
+    assert(SnapshotTable.currentVersion(spark, t5) == 1L,
+      "the manifest survived the traversal attempt")
+    // unpin of an unknown consumer refuses instead of no-opping
+    val none = intercept[Exception] {
+      spark.sql(
+        "CALL graft_p.system.unpin(table => 'ops.t5', consumer_id => 'ghost')")
+    }
+    assert(rootMsg(none).contains("no pin file or consumer id"), rootMsg(none))
+    // a table wedged at v0 by a stale claim: release_stale_claims works
+    // without a committed snapshot (the state it exists to fix)
+    val wedged = s"$wh/ops/wedged"
+    val f = new org.apache.hadoop.fs.Path(wedged)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$wedged/_graft_meta"))
+    val claim = new org.apache.hadoop.fs.Path(s"$wedged/_graft_meta/claim-00001")
+    f.create(claim, true).close()
+    Thread.sleep(20)
+    val released = spark.sql(
+      "CALL graft_p.system.release_stale_claims(table => 'ops.wedged', older_than_ms => 1)")
+      .head().getLong(0)
+    assert(released == 1L && !f.exists(claim),
+      "the stale first-commit claim is released through SQL")
+  }
+
   test("unknown procedures and missing tables refuse loudly; SHOW PROCEDURES lists the surface") {
     ensureCatalog()
     def rootMsg(x: Throwable): String =
