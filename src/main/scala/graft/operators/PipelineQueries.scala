@@ -145,12 +145,16 @@ object PipelineQueries extends QueryPack {
     */
   private def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    // the probe's self-norm is a constant: hoist it into the 1-row
+    // broadcast (r15; identical double, one fewer 64-float dot per
+    // corpus row — the corpus row's own self-norm is per-row anyway)
     val probe = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("probe"))
+      .select(col("embedding").as("probe"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("probe_norm"))
     emb.crossJoin(broadcast(probe))
       .withColumn("cos",
         dot(col("embedding"), col("probe")) /
-          (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("probe"), col("probe")))))
+          (sqrt(dot(col("embedding"), col("embedding"))) * col("probe_norm")))
       .select(col("vec_id"), round(col("cos"), 4).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
@@ -183,16 +187,24 @@ object PipelineQueries extends QueryPack {
     * cost independently of probe-set size (ScaleBench's posture).
     */
   def knnLabelAgainst(probes: DataFrame, corpus: DataFrame): DataFrame = {
-    val emb = probes
+    // self-norms are per-vector: hoist them to per-row projections on
+    // EACH SIDE of the join (the dedup_embedding discipline, r15 —
+    // sqrt(dot(v,v)) computed once per row instead of once per PAIR;
+    // the IEEE double is identical, only the evaluation count drops).
+    // Per pair this leaves ONE 64-float dot + a multiply + a divide
+    // where there were three dots + two sqrts — ~3× less flops in the
+    // O(|block|²) hot loop, the only quadratic stage of the key.
+    val emb = probes.select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("p_norm"))
     val nbrs = corpus.select(col("vec_id").as("nbr_id"),
-      col("label").as("nbr_label"), col("embedding").as("nbr_emb"))
+      col("label").as("nbr_label"), col("embedding").as("nbr_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nbr_norm"))
     val pairs = emb
       .join(broadcast(nbrs),
         col("label") === col("nbr_label") && col("vec_id") =!= col("nbr_id"))
       .withColumn("cos",
         dot(col("embedding"), col("nbr_emb")) /
-          (sqrt(dot(col("embedding"), col("embedding"))) *
-            sqrt(dot(col("nbr_emb"), col("nbr_emb")))))
+          (col("p_norm") * col("nbr_norm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(desc("cos"), asc("nbr_id"))
     pairs.withColumn("rnk", row_number().over(w))
@@ -221,14 +233,20 @@ object PipelineQueries extends QueryPack {
       Tables.embeddings(s, dir))
 
   def hardNegativesCore(probes: DataFrame, corpus: DataFrame): DataFrame = {
+    // norm hoist, as in knnLabelAgainst: the corpus row's self-norm
+    // computes once per row (not once per probe pair) and the probe's
+    // once inside the 200-row broadcast — identical doubles, ~3× less
+    // flops in the BNLJ's O(|corpus|·|probes|) loop
     val p = probes.select(col("vec_id").as("probe_id"),
-      col("label").as("p_label"), col("embedding").as("p_emb"))
+      col("label").as("p_label"), col("embedding").as("p_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("p_norm"))
     val pairs = corpus
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"))
       .join(broadcast(p), col("label") =!= col("p_label"))
       .withColumn("cos",
         dot(col("embedding"), col("p_emb")) /
-          (sqrt(dot(col("embedding"), col("embedding"))) *
-            sqrt(dot(col("p_emb"), col("p_emb")))))
+          (col("c_norm") * col("p_norm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(desc("cos"), asc("vec_id"))
     pairs.withColumn("rnk", row_number().over(w))
@@ -351,6 +369,9 @@ object PipelineQueries extends QueryPack {
         collect_list(when(col("vec_id") < 8,
           struct(col("vec_id").as("cid"), col("embedding").as("c")))).as("cands"),
         max(when(col("vec_id") === 0, col("embedding"))).as("p"))
+      // probe self-norm hoisted into the same 1-row broadcast (r15):
+      // one fewer 64-float dot per corpus row, identical double
+      .withColumn("pn", sqrt(dot(col("p"), col("p"))))
     emb.crossJoin(broadcast(art))
       .withColumn("best", array_min(transform(col("cands"), cc => struct(
         distSq(col("embedding"), cc.getField("c")).as("d2"),
@@ -363,7 +384,7 @@ object PipelineQueries extends QueryPack {
       .filter(array_contains(col("pcids"), col("best.cid")))
       .withColumn("cos",
         dot(col("embedding"), col("p")) /
-          (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("p"), col("p")))))
+          (sqrt(dot(col("embedding"), col("embedding"))) * col("pn")))
       .select(col("vec_id"), col("best.cid").as("cluster_id"), col("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(10)

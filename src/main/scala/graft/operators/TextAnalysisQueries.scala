@@ -295,38 +295,51 @@ object TextAnalysisQueries extends QueryPack {
     val terms = Seq("join", "vector", "scan")
     val k1 = 1.2
     val b = 0.75
-    val docs = documents.select(col("doc_id"), words.as("w"))
-    val dl = docs.select(col("doc_id"),
-      size(filter(col("w"), w => w =!= "")).cast("long").as("dl"))
-    val consts = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = docs
-      .select(col("doc_id"), explode_outer(col("w")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(df), "tok")
-      .join(dl, "doc_id")
+    // r15 rework (guide §2.4 — remove shuffles outright): the query has
+    // THREE FIXED terms, so per-doc term frequencies are scan-level
+    // array expressions (tf_i = occurrences of term_i in the token
+    // array), not an explode + (doc, term) aggregate. The old plan paid
+    // an explode, a (doc, tok) hash aggregate, a df re-aggregate, a
+    // dl-side join and a final per-doc re-aggregate — five wide/stage
+    // edges, measured 9 scheduled jobs at sf0.1 for ~0.2 s of task
+    // work. Now: one stats pass (N, Σdl, df per term — ONE tiny
+    // broadcast row), one scoring pass with zero exchanges before the
+    // top-k. At 100 TB both passes stream the corpus once each and
+    // nothing token-shaped ever crosses the fabric.
+    // Arithmetic is operand-for-operand the old expression (idf, the
+    // tf-saturation denominator, the fixed w0+w1+w2 sum), so every
+    // double — and the oracle hash — is bit-identical.
+    val perDoc = documents.select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"),
+        size(filter(col("w"), w => w =!= "")).cast("long").as("dl"),
+        size(filter(col("w"), w => w === terms(0))).cast("long").as("tf0"),
+        size(filter(col("w"), w => w === terms(1))).cast("long").as("tf1"),
+        size(filter(col("w"), w => w === terms(2))).cast("long").as("tf2"))
+    val consts = perDoc.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+      sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+    // idf = ln(1 + (N − df + 0.5)/(df + 0.5)); tf-sat denominator uses
+    // dl/avgdl = dl·N/Σdl — every operand an exact integer, promoted
+    // in the same order both engines replay
+    def idf(dfc: Column): Column =
+      log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+    def wgt(tf: Column, dfc: Column): Column =
+      idf(dfc) * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") * col("n_docs") / col("sum_dl")))
+    perDoc
+      .filter(col("tf0") > 0 || col("tf1") > 0 || col("tf2") > 0)
       .crossJoin(broadcast(consts))
-      // idf = ln(1 + (N − df + 0.5)/(df + 0.5)); tf-sat denominator uses
-      // dl/avgdl = dl·N/Σdl — every operand an exact integer, promoted
-      // in the same order both engines replay
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("wgt",
-        col("idf") * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) +
-            lit(b) * col("dl").cast("double") * col("n_docs") / col("sum_dl"))))
-    scored
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("tok") === terms(0), col("wgt"))).as("w0"),
-        sum(when(col("tok") === terms(1), col("wgt"))).as("w1"),
-        sum(when(col("tok") === terms(2), col("wgt"))).as("w2"),
-        count(lit(1)).as("n_terms_hit"))
-      .select(col("doc_id"), col("n_terms_hit"),
-        round(coalesce(col("w0"), lit(0.0)) + coalesce(col("w1"), lit(0.0)) +
-          coalesce(col("w2"), lit(0.0)), 4).as("score"))
+      .select(col("doc_id"),
+        ((col("tf0") > 0).cast("long") + (col("tf1") > 0).cast("long") +
+          (col("tf2") > 0).cast("long")).as("n_terms_hit"),
+        round(
+          coalesce(when(col("tf0") > 0, wgt(col("tf0"), col("df0"))), lit(0.0)) +
+          coalesce(when(col("tf1") > 0, wgt(col("tf1"), col("df1"))), lit(0.0)) +
+          coalesce(when(col("tf2") > 0, wgt(col("tf2"), col("df2"))), lit(0.0)),
+          4).as("score"))
   }
 
   /** Corpus-level BOILERPLATE detection: word-3-grams shared by ≥ 3
