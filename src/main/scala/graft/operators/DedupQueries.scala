@@ -37,7 +37,7 @@ object DedupQueries extends QueryPack {
     val toks = filter(array_distinct(split(col("text"), " ")), w => w =!= "")
     val hashed = Tables.documents(s, dir)
       .filter(col("doc_id") < 300)
-      .select(col("doc_id"), toks.as("toks"),
+      .select(col("doc_id"),
         transform(toks, w => md5(w.cast("binary"))).as("h0"),
         transform(toks, w => md5(concat(lit("#"), w).cast("binary"))).as("h1"))
     val sig = (0 until K).map { k =>
@@ -45,20 +45,38 @@ object DedupQueries extends QueryPack {
       array_min(transform(h, d => substring(d, (k % 4) * 8 + 1, 8)))
     }
     val bucketCols = (0 until BANDS).map(b => concat(sig(2 * b), sig(2 * b + 1)))
+    // r15 (guide §2.3 — shuffle keys, not payloads): bucket rows carry
+    // ONLY (doc_id, band, bucket). The previous form dragged both token
+    // ARRAYS through the bucket join and the pair-distinct, which (a)
+    // shuffled 30 MiB where 8-byte ids suffice and (b) forced the
+    // distinct into a SortAggregate (array-typed first() buffers can't
+    // hash-aggregate). Token sets re-attach to the confirmed candidate
+    // ids afterwards — the LSH-candidate/confirm split every scale
+    // consumer of this family already uses (pipeline.Dedup).
     val docs = hashed
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id"),
         // posexplode_outer: array(...) is fixed-length-4 non-null, so
         // identical — but plain posexplode triggers an inferred filter
         // that re-evaluates all 8 chunk-min signature expressions
         posexplode_outer(array(bucketCols: _*)).as(Seq("band", "bucket")))
-    val cand = docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
-        col("band"), col("bucket"))
-      .join(docs.select(col("doc_id").as("b_id"), col("toks").as("tb"),
-        col("band"), col("bucket")), Seq("band", "bucket"))
+    // SHUFFLE_HASH, not broadcast: both sides exchange on the identical
+    // hash(band, bucket) subtree, so ReuseExchange serves the right side
+    // from the left's shuffle files and the md5 signature pass runs ONCE
+    // (the broadcast plan built the signatures twice — once per side).
+    // At corpus scale the bucket table never fits a broadcast anyway.
+    val cand = docs.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+      .hint("shuffle_hash")
+      .join(docs.select(col("doc_id").as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("ta"), col("tb"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+    val tokSets = Tables.documents(s, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), toks.as("t"))
     cand
+      .join(tokSets.select(col("doc_id").as("a_id"), col("t").as("ta")), "a_id")
+      .join(tokSets.select(col("doc_id").as("b_id"), col("t").as("tb")), "b_id")
       .withColumn("n_inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jac",
         col("n_inter") / (size(col("ta")) + size(col("tb")) - col("n_inter")))
@@ -168,9 +186,19 @@ object DedupQueries extends QueryPack {
       .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
     val a = docs.select(col("doc_id").as("a_id"), col("head").as("ha"))
     val b = docs.select(col("doc_id").as("b_id"), col("head").as("hb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("dist", levenshtein(col("ha"), col("hb")).cast("long"))
-      .filter(col("dist") <= 20)
+    // r15: both distance evaluations state the ≤ 20 bound as the
+    // THRESHOLD form — Spark's banded Wagner–Fischer computes O(len·k)
+    // cells with a length-difference early exit instead of the full
+    // O(len²) table, and returns the EXACT distance whenever it is
+    // within the bound (−1 past it), so kept rows are bit-identical.
+    // The bound predicate is stated INSIDE the join condition AFTER the
+    // id inequality: the previous filter-pushdown plan evaluated the
+    // unbounded levenshtein FIRST, paying the DP on all n² ordered
+    // pairs; And short-circuits, so the cheap id conjunct now halves
+    // the DP count before a single cell is computed.
+    a.join(b, col("a_id") < col("b_id") &&
+        levenshtein(col("ha"), col("hb"), 20) >= 0)
+      .withColumn("dist", levenshtein(col("ha"), col("hb"), 20).cast("long"))
       .select(col("a_id"), col("b_id"), col("dist"))
       .orderBy(col("a_id"), col("b_id"))
   }

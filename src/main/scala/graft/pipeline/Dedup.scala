@@ -293,7 +293,17 @@ object Dedup {
     // construction) and round 1 references it from several independent
     // shuffle-map stages — a lazy cache would let those stages race and
     // each recompute the uncached partitions (measured 2× the key)
+    // hash(dst)-partitioned BEFORE the checkpoint (r15, guide §2.4):
+    // every round's neighbor-min join keys edges on dst, and
+    // localCheckpoint preserves the physical partitioning in the
+    // LogicalRDD — so the edge table shuffles ONCE here instead of once
+    // per round (at 100 TB the edge list is the big side of the loop;
+    // O(rounds) edge shuffles was the loop's dominant fabric cost). The
+    // seed below additionally leaves round 1's labels side pre-hashed:
+    // groupBy(src) emits hash(src) = hash(id) partitioning, so round
+    // 1's join plans ZERO exchanges.
     val edges = (if (dedupEdges) directed.distinct() else directed)
+      .repartition(col("dst"))
       .localCheckpoint(true)
     // seed with the first neighbor-min round folded into initialization:
     // label(x) = min(x, neighbors(x)) — one aggregate instead of an
@@ -353,6 +363,11 @@ object Dedup {
     // reaches the component minimum in O(log diameter) rounds, so
     // maxIter=50 accepts any realistic graph and non-convergence
     // signals something pathological, not merely a deep chain
+    // dev instrument (r15): SPARK_GRAFT_CC_LOG=true prints the round
+    // count — the loop's job cost is rounds × stage-materializations,
+    // invisible in Bench's wall numbers
+    if (sys.env.get("SPARK_GRAFT_CC_LOG").contains("true"))
+      System.err.println(s"[clusters] converged=$converged rounds=$i")
     if (!converged)
       throw new IllegalStateException(
         s"Dedup.clusters did not converge in $maxIter rounds (covers " +
