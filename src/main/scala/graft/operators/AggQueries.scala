@@ -385,13 +385,23 @@ object AggQueries extends QueryPack {
   def robustOutliersCore(events: DataFrame): DataFrame = {
     val stats = madInts(events)
       .select(col("event_type").as("st"), col("s2"), col("ds2"))
+    // r15 (guide §1.1 first-principles — one pass where one suffices):
+    // the outlier predicate |4·v_c − 2·s2| > 3·ds2 depends only on the
+    // BIN value v_c, so the count folds over the histogram — n = Σ cnt,
+    // n_out = Σ cnt over qualifying bins, exact integers either way.
+    // The previous form re-scanned the whole corpus for the count; this
+    // reads the (type, v_c) histogram the stats side already built (its
+    // exchange is reused), so the corpus is scanned ONCE — at 100 TB
+    // the key's input bytes halve.
     events
       .select(col("event_type"), round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("event_type"), col("v_c"))
+      .agg(count(lit(1)).as("cnt"))
       .join(broadcast(stats), col("event_type") === col("st"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        count(when(abs(col("v_c") * 4 - col("s2") * 2) > col("ds2") * 3, 1))
-          .as("n_out"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(when(abs(col("v_c") * 4 - col("s2") * 2) > col("ds2") * 3,
+          col("cnt")).otherwise(0L)).as("n_out"))
       .select(col("event_type"), col("n"), col("n_out"),
         round(col("n_out").cast("double") / col("n"), 4).as("out_rate"))
   }

@@ -124,16 +124,22 @@ object SamplingQueries extends QueryPack {
   def tokenBudgetCore(documents: DataFrame): DataFrame = {
     val d = documents.select(col("doc_id"), col("n_chars"))
       .withColumn("bucket", expr("n_chars DIV 64"))
-    val tot = d.agg(sum(col("n_chars")).as("total_chars"))
+    // r15 (the revenue_deciles discipline, guide §2.4): total_chars =
+    // Σ bsum rides the offsets table's OWN single-partition window stage
+    // instead of a separate corpus-scan aggregate + its broadcast —
+    // integer-exact (Σ over buckets of Σ n_chars ≡ Σ n_chars), one
+    // corpus scan, two fewer jobs.
     val offsets = d.groupBy("bucket").agg(sum(col("n_chars")).as("bsum"))
       .withColumn("off",
         sum(col("bsum")).over(org.apache.spark.sql.expressions.Window
           .orderBy(desc("bucket"))) - col("bsum"))
-      .select(col("bucket").as("ob"), col("off"))
+      .withColumn("total_chars",
+        sum(col("bsum")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .select(col("bucket").as("ob"), col("off"), col("total_chars"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy(desc("n_chars"), col("doc_id"))
     d.join(broadcast(offsets), col("bucket") === col("ob"))
-      .crossJoin(broadcast(tot))
       .withColumn("cum", sum(col("n_chars")).over(w) + col("off"))
       .filter(col("cum") * 5 <= col("total_chars") * 2)
       .select(col("doc_id"), col("n_chars"), col("cum"))
@@ -182,6 +188,12 @@ object SamplingQueries extends QueryPack {
     val d = documents.select(col("doc_id"), col("source"))
       .withColumn("bucket", expr("doc_id DIV 4096"))
     val srcW = org.apache.spark.sql.expressions.Window.orderBy("source")
+    // probed r15: deriving the source index from the (source, bucket)
+    // aggregate does NOT reuse its exchange — column pruning strips the
+    // unused bn from the derived branch, so the subtrees stop being
+    // canonically equal and the plan re-scans anyway. The separate
+    // lang-free groupBy(source) scan is the cheaper of the two shapes;
+    // keep it.
     val sources = d.groupBy(col("source")).agg(count(lit(1)).as("__n"))
       .select(col("source").as("s_src"),
         row_number().over(srcW).cast("long").as("sidx"))
@@ -224,15 +236,29 @@ object SamplingQueries extends QueryPack {
     * per-class window; the hash compare certifies the decomposition.
     */
   def balancedCore(documents: DataFrame): DataFrame = {
+    // explicit isnotnull(lang) at the base (r15): the equi-join below
+    // infers this exact filter onto ITS branch of the shared (lang,
+    // bucket) aggregate during optimization; stating it once here keeps
+    // both branches canonically identical so the exchange is REUSED
+    // instead of re-scanned. Null-lang rows never reach the output
+    // either way (the equi-join drops them), so this is plan hygiene,
+    // not a semantic change.
     val h = documents
+      .filter(col("lang").isNotNull)
       .select(col("doc_id"), col("lang"),
         md5(concat(lit("bal"), col("doc_id").cast("string")).cast("binary")).as("h"))
       .withColumn("bucket", substring(col("h"), 1, 2))
-    val target = documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      .agg(min(col("n")).as("t"))
     val offW = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("bucket")
-    val offsets = h.groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("bn"))
+    val offsets0 = h.groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("bn"))
+    // r15 (guide §2.4): the class target min(count per lang) derives
+    // from the SAME (lang, bucket) aggregate the offsets use — Σ bn per
+    // lang is exactly count per lang — so ReuseExchange serves both
+    // consumers from one shuffle and the separate documents scan +
+    // groupBy(lang) subtree disappears (one corpus scan, not two).
+    val target = offsets0.groupBy(col("lang")).agg(sum(col("bn")).as("n"))
+      .agg(min(col("n")).as("t"))
+    val offsets = offsets0
       .withColumn("off", sum(col("bn")).over(offW) - col("bn"))
       .select(col("lang").as("ol"), col("bucket").as("ob"), col("off"))
     val rnW = org.apache.spark.sql.expressions.Window
