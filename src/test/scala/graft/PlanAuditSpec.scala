@@ -225,10 +225,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "the distinct agg must partial-aggregate map-side")
   }
 
-  test("evt_rolling_active broadcasts the observed-days table; no day-by-day self-join") {
+  test("evt_rolling_active: one events scan, bounded expansion, no day self-join") {
+    // r15: observed-days membership is the active_1d >= 1 filter on the
+    // aggregate itself — no distinct-days subtree, no join of any kind,
+    // exactly one scan of the fact
     val p = plan("evt_rolling_active")
-    assert(p.contains("BroadcastHashJoin"), p.take(600))
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+    assert(!p.contains("Join"), p.take(600))
+    assert("Scan parquet".r.findAllIn(finalPlanSection(p)).size == 1,
+      "the observed-days list must come from the aggregate, not a second scan")
+    assert(!p.contains("CartesianProduct"),
       "the 7-day window must come from bounded expansion, not a range self-join")
   }
 
