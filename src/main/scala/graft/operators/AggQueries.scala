@@ -348,16 +348,24 @@ object AggQueries extends QueryPack {
       .groupBy(col("event_type"), col("v_c"))
       .agg(count(lit(1)).as("cnt"))
     val m = histMid(hist, "v_c")
+    // r15: the median rides the deviation histogram as a carried column
+    // (m2 is constant per type, so max() over either aggregate is the
+    // identity) and the deviation histogram's total count IS the value
+    // histogram's n — so the deviation-side order statistics return
+    // everything madInts emits and the old m ⋈ d rejoin (plus its
+    // broadcast build) disappears from the plan.
     val hist2 = hist
       .join(broadcast(m.select(col("event_type").as("mt"), col("s2").as("m2"))),
         col("event_type") === col("mt"))
-      .select(col("event_type"), abs(col("v_c") * 2 - col("m2")).as("d2"), col("cnt"))
+      .select(col("event_type"), abs(col("v_c") * 2 - col("m2")).as("d2"),
+        col("cnt"), col("m2"))
       .groupBy(col("event_type"), col("d2"))
-      .agg(sum(col("cnt")).as("cnt"))
-    val d = histMid(hist2, "d2")
-    m.join(d.select(col("event_type").as("dt"), col("s2").as("ds2")),
-        col("event_type") === col("dt"))
-      .select(col("event_type"), col("n"), col("s2"), col("ds2"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("m2")).as("m2"))
+    graft.pipeline.HistogramQuantiles
+      .orderStats(hist2, "event_type", "d2", 2, Seq(1),
+        Seq(max(col("m2")).as("m2")))
+      .select(col("event_type"), col("n"), col("m2").as("s2"),
+        (col("lo1") + col("hi1")).as("ds2"))
   }
 
   def madCore(events: DataFrame): DataFrame =
