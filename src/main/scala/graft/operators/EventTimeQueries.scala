@@ -235,7 +235,10 @@ object EventTimeQueries extends QueryPack {
     // activity edge aggregate a handful of rows and are dropped by the
     // filter). Identical rows: countDistinct skips nulls on both
     // engines, and user_id is non-null in every events fixture (0 nulls
-    // at all three SFs, checked), so day ∈ days ⇔ active_1d ≥ 1.
+    // at all three SFs — ENFORCED by TablesContractSpec's fixture-
+    // invariant test, r16, so a testdata regen that introduces null
+    // user_ids fails there instead of silently diverging here), so
+    // day ∈ days ⇔ active_1d ≥ 1.
     expanded
       .groupBy(col("day"))
       .agg(

@@ -241,8 +241,12 @@ object SamplingQueries extends QueryPack {
     // bucket) aggregate during optimization; stating it once here keeps
     // both branches canonically identical so the exchange is REUSED
     // instead of re-scanned. Null-lang rows never reach the output
-    // either way (the equi-join drops them), so this is plan hygiene,
-    // not a semantic change.
+    // either way (the equi-join drops them). The class TARGET below is
+    // derived from this null-filtered aggregate, while the oracle's
+    // min(count per lang) would see a NULL-lang group — equivalence
+    // rests on lang being non-null in the fixtures (0 nulls at all
+    // three SFs — ENFORCED by TablesContractSpec's fixture-invariant
+    // test, r16).
     val h = documents
       .filter(col("lang").isNotNull)
       .select(col("doc_id"), col("lang"),

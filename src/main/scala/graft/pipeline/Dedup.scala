@@ -333,7 +333,11 @@ object Dedup {
       // the convergence statistic rides the CHECKPOINT job itself via
       // observe() (r15): CollectMetrics accumulates the changed-row
       // count while the round materializes, so the test costs ZERO
-      // extra jobs. The old filter(chg).isEmpty probe — cheap but a
+      // extra jobs. n_chg is consumed ONLY as a > 0 signal — observe()
+      // reads accumulators, which can over-count when tasks re-execute
+      // after fetch failures, so it must never be reused as an exact
+      // count (a retry can only inflate a nonzero count, and a zero
+      // count means no task saw a change, so the boolean is retry-safe). The old filter(chg).isEmpty probe — cheap but a
       // scheduled job per round — stays as the fallback if the metric
       // is ever absent (defensive: observedMetrics is populated by the
       // checkpoint action; an empty map here would mean an engine

@@ -58,6 +58,28 @@ class TablesContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"testdata drift — missing columns: $missing")
   }
 
+  test("fixture invariants two r15 plan equivalences rest on: no null user_id / lang") {
+    // Two r15 rewrites are equivalent only under these data facts (both
+    // checked by hand then; pinned here so a testdata regen cannot
+    // silently diverge from the oracle):
+    //  - evt_rolling_active replaced the observed-days join with
+    //    filter(active_1d >= 1); a day observed ONLY by null-user_id
+    //    events would be kept by the old shape and dropped by the new.
+    //  - sample_balanced derives its class target from the
+    //    isnotnull(lang)-filtered (lang, bucket) aggregate; the oracle's
+    //    min(count per lang) would include a NULL-lang group.
+    val nullUsers = Tables.events(spark, sf)
+      .filter(col("user_id").isNull).count()
+    assert(nullUsers == 0,
+      s"$nullUsers events rows with null user_id — evt_rolling_active's " +
+        "observed-days-from-the-aggregate rewrite no longer matches the oracle")
+    val nullLangs = Tables.documents(spark, sf)
+      .filter(col("lang").isNull).count()
+    assert(nullLangs == 0,
+      s"$nullLangs documents rows with null lang — sample_balanced's " +
+        "shared-aggregate class target no longer matches the oracle")
+  }
+
   test("normalizeEventsTs is identity on an already-long ts and exact on timestamps") {
     import spark.implicits._
     val longDf = Seq((1L, 1700000000123456789L)).toDF("event_id", "ts")
