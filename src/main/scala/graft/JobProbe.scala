@@ -37,12 +37,19 @@ object JobProbe {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val taskMs = new AtomicLong(0L)
+    val shufWr = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
-        if (t.taskMetrics != null) taskMs.addAndGet(t.taskMetrics.executorRunTime)
+        if (t.taskMetrics != null) {
+          taskMs.addAndGet(t.taskMetrics.executorRunTime)
+          // shuffle bytes WRITTEN: the per-key fabric cost a cluster
+          // pays (r16 — the PPJoin and components A/Bs are
+          // shuffle-volume claims, so the probe must show the volume)
+          shufWr.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
       }
     })
     val keys =
@@ -56,13 +63,13 @@ object JobProbe {
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
     val rows = keys.map { k =>
       var bestWall = Double.MaxValue
-      var (nj, ns, nt, tm) = (0, 0, 0, 0L)
+      var (nj, ns, nt, tm, sw) = (0, 0, 0, 0L, 0L)
       (1 to iters).foreach { _ =>
         // settle the async listener queue so counts attribute to this key
         // (listenerBus is private[spark]; a short sleep is close enough
         // for a dev instrument — counts are plan-determined and coarse)
         Thread.sleep(120)
-        jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0L)
+        jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0L); shufWr.set(0L)
         val t0 = System.nanoTime()
         try SparkEntry.queries(k)(spark, sfDir).count()
         catch { case _: Throwable => () }
@@ -70,12 +77,13 @@ object JobProbe {
         Thread.sleep(120)
         if (wall < bestWall) bestWall = wall
         nj = jobs.get(); ns = stages.get(); nt = tasks.get(); tm = taskMs.get()
+        sw = shufWr.get()
       }
-      (k, bestWall, nj, ns, nt, tm)
+      (k, bestWall, nj, ns, nt, tm, sw)
     }
-    println(f"${"key"}%-32s ${"wall_ms"}%8s ${"jobs"}%5s ${"stages"}%7s ${"tasks"}%6s ${"taskms"}%7s")
-    rows.sortBy(-_._2).foreach { case (k, w, j, s, t, tm) =>
-      println(f"$k%-32s ${w}%8.1f ${j}%5d ${s}%7d ${t}%6d ${tm}%7d")
+    println(f"${"key"}%-32s ${"wall_ms"}%8s ${"jobs"}%5s ${"stages"}%7s ${"tasks"}%6s ${"taskms"}%7s ${"shufKB"}%8s")
+    rows.sortBy(-_._2).foreach { case (k, w, j, s, t, tm, sw) =>
+      println(f"$k%-32s ${w}%8.1f ${j}%5d ${s}%7d ${t}%6d ${tm}%7d ${sw / 1024}%8d")
     }
     val totW = rows.map(_._2).sum
     val totJ = rows.map(_._3).sum

@@ -178,6 +178,10 @@ object ScaleBench {
     val events = Tables.normalizeEventsTs(
       replicate(spark, src, "events", copies, Seq("event_id", "user_id"), out))
     val documents = replicate(spark, src, "documents", copies, Seq("doc_id"), out)
+    // the UNREPLICATED corpus, for rows where replication would distort
+    // the distribution being tested (the ngram A/B: every copy repeats
+    // the same texts, so df scales ×copies and pair fan-out ×copies²)
+    val documents1x = spark.read.parquet(s"$src/documents.parquet")
     val embeddings = replicate(spark, src, "embeddings", copies, Seq("vec_id"), out)
     // the materialized int8 store (the ETL write): built on first use —
     // i.e. inside the warm pass — so the timed pass probes it alone
@@ -627,6 +631,28 @@ object ScaleBench {
       t("minhash_pairs_5k_slice") {
         pipeline.Dedup.nearDuplicates(
           documents.filter(col("doc_id") < 5000), "doc_id", "text", 0.8, 16, 4).count()
+      },
+      // r16 PPJoin A/B on the UNREPLICATED 1× corpus — already the
+      // skewed validation corpus the prefix filter exists for (5000
+      // docs; the hottest 3-gram sits in 96% of them, so the gram-join
+      // fan-out is Σ df² = 1.10 G ordered pairs at 1× and 110 G at the
+      // 10× replica — replication multiplies every df by 10 and the
+      // fan-out by 100, so 1× unbounded is the largest size where BOTH
+      // shapes still run; the prefix fan-out is 22× smaller, 49.8 M).
+      // Both rows run the exact code of the dedup_ngram oracle key and
+      // its r15 predecessor; A/B on a 2000-doc prefix keeps the old
+      // shape's row under control (~176 M pairs), the 5000-doc row
+      // runs the new shape where the old one is already infeasible.
+      t("ngram_pairs_gramjoin_2k_docs") {
+        operators.DedupQueries.ngramJaccardGramJoin(
+          documents1x.filter(col("doc_id") < 2000)).count()
+      },
+      t("ngram_pairs_ppjoin_2k_docs") {
+        operators.DedupQueries.ngramJaccardPpjoin(
+          documents1x.filter(col("doc_id") < 2000)).count()
+      },
+      t("ngram_pairs_ppjoin_5k_docs") {
+        operators.DedupQueries.ngramJaccardPpjoin(documents1x).count()
       },
       // same code paths as the oracle keys (core extraction), so the
       // benchmarked plans can never drift from the verified ones

@@ -510,6 +510,12 @@ object ComposedQueries extends QueryPack {
     // the repartition is deliberately forgone — orders carry ~1 line per
     // (order, supplier), so pre-collapse combining would shrink the
     // shuffle by ~nothing while costing the shared partitioning.
+    // Probed r16 (MetricsProbe showed the near-identity collapse costs
+    // ~490 ms aggTime): replacing the groupBy with a row_number +
+    // group-sum window chain over the per-LINE rows measured WORSE —
+    // 512 → 607 ms wall, 347 → 432 task-ms (JobProbe iters=6,
+    // back-to-back) — the third window pass and the 3-key sort cost
+    // more than the two hash aggregates they remove. Kept the collapse.
     val perOrderSupp = lineitem
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -522,9 +528,16 @@ object ComposedQueries extends QueryPack {
     val byOrder = Window.partitionBy(col("o_orderkey"))
     val supp = broadcast(supplier.select(col("s_suppkey"), col("s_name")))
     perOrderSupp
-      .withColumn("n_supp", count(lit(1)).over(byOrder))
-      .withColumn("n_late_supp",
-        sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).over(byOrder))
+      // ONE select, not two withColumns: both profile expressions share
+      // the byOrder spec, and stating them in a single projection lets
+      // ExtractWindowExpressions plan ONE Window node (the withColumn
+      // form interposed a Project that defeated CollapseWindow — the
+      // r15 plan ran two window passes over the same sort for no
+      // reason; r16, ~280 ms of the key's 719 ms window-stage time).
+      .select(col("o_orderkey"), col("l_suppkey"), col("n_late_lines"),
+        count(lit(1)).over(byOrder).as("n_supp"),
+        sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).over(byOrder)
+          .as("n_late_supp"))
       .filter(col("n_late_lines") > 0 &&
         col("n_supp") >= 2 && col("n_late_supp") === 1)
       .join(supp, col("l_suppkey") === col("s_suppkey"))

@@ -121,22 +121,42 @@ object DedupQueries extends QueryPack {
   /** Character-3-gram Jaccard ≥ 0.8 on doc_id < 150 — catches
     * near-identical strings that word-level Jaccard misses.
     *
-    * The gram set is built per row with array expressions (transform over
-    * a position sequence + array_distinct), then exploded into a gram
-    * equi-join: |A∩B| = count of shared grams per pair. The earlier
-    * array_intersect-per-pair form looked cheaper but Catalyst pushes the
-    * jaccard filter INTO the nested-loop join condition, recomputing the
-    * intersect twice for every ordered pair before even the id check; the
-    * equi-join shape shuffles on gram instead — no cartesian, and the
-    * same machinery scales to the full corpus at 100 TB.
+    * r16: PPJoin-style PREFIX FILTERING (Xiao et al. 2008, the
+    * literature-standard exact similarity join). The r15 shape exploded
+    * every gram into a self-equi-join, whose fan-out is Σ df² over ALL
+    * grams — bounded by HOT-gram occupancy (measured: 1.02M ordered
+    * pairs on the 150-doc slice, 1.10 BILLION on the unbounded 5000-doc
+    * corpus where the hottest gram sits in 96% of docs). Prefix
+    * filtering joins only each doc's (1−t)·|A|+1 globally-RAREST grams:
+    * two sets with J ≥ t must share a gram inside both prefixes (the
+    * globally-smallest common gram is in each side's prefix — if all of
+    * A's prefix were non-common, |A∩B| ≤ |A| − prefLen < t·|A|, contra
+    * J ≥ t ⟹ |A∩B| ≥ t·max(|A|,|B|)), so the candidate join's fan-out
+    * is bounded by RARE-gram occupancy instead (measured 22× smaller:
+    * 45k on the slice, 49.8M unbounded). Candidates then confirm
+    * exactly via array_intersect on the full gram sets — arithmetic
+    * identical to the old per-pair count, so rows are bit-identical.
+    * Correctness needs only a CONSISTENT total gram order; (df, gram)
+    * rarity order is what makes the prefix fan-out small, not what
+    * makes it exact.
     */
-  private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val gramSet = array_distinct(transform(
-      sequence(lit(1), length(col("text")) - 2),
-      i => expr("text").substr(i, lit(3))))
-    val grams = Tables.documents(s, dir)
-      .filter(col("doc_id") < 150 && length(col("text")) >= 3)
-      .select(col("doc_id"), gramSet.as("grams"))
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPpjoin(Tables.documents(s, dir).filter(col("doc_id") < 150))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private def gramSetCol = array_distinct(transform(
+    sequence(lit(1), length(col("text")) - 2),
+    i => expr("text").substr(i, lit(3))))
+
+  /** The r15 gram-equi-join shape, kept verbatim as the ScaleBench A/B
+    * baseline for [[ngramJaccardPpjoin]]: exact, but its fan-out is
+    * Σ df² over all grams — hot-gram-occupancy-bounded, infeasible on a
+    * corpus with boilerplate grams (110 G pairs at 10× unbounded).
+    */
+  def ngramJaccardGramJoin(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), gramSetCol.as("grams"))
       .select(col("doc_id"), size(col("grams")).as("n_grams"),
         explode_outer(col("grams")).as("gram"))
     val a = grams.select(col("doc_id").as("a_id"), col("n_grams").as("na"), col("gram"))
@@ -149,7 +169,85 @@ object DedupQueries extends QueryPack {
         col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= 0.8)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** PPJoin prefix-filtered char-3-gram Jaccard ≥ 0.8 (exact; see
+    * [[dedupNgram]] for the bound proof). Stages:
+    *   1. gram df counts (hash aggregate — map-side partials make it
+    *      hot-gram-safe);
+    *   2. per-doc rarity sort, keep the (1−t)·|A|+1 rarest grams
+    *      (prefLen = n − ⌈4n/5⌉ + 1 in exact integers: (4n+4) DIV 5);
+    *   3. candidate join on PREFIX grams only, with the exact size
+    *      filter 4·max(|A|,|B|) ≤ 5·min (J ≥ 0.8 ⟹ |A∩B| ≥ (4/9)(a+b)
+    *      and |A∩B| ≤ min ⟹ 5·min ≥ 4·max);
+    *   4. exact confirm: array_intersect over the full gram sets of
+    *      candidate ids only — the LSH-candidate/confirm split of
+    *      dedup_minhash_lsh.
+    * The SHUFFLE_HASH hint on the self-join makes both sides exchange
+    * on the identical hash(gram) subtree so ReuseExchange runs the
+    * prefix construction once (the minhash discipline).
+    */
+  def ngramJaccardPpjoin(docs: DataFrame): DataFrame = {
+    // The tokenize-once step of every PPJoin implementation: the gram
+    // sets materialize ONCE (eager localCheckpoint). The per-position
+    // substr lambda is INTERPRETED (higher-order functions don't
+    // codegen), and this subtree is referenced four times — the df
+    // count, the rarity ranking, and both confirm sides; left lazy it
+    // re-runs per consumer (measured ~200 ms per pass on the 150-doc
+    // slice — 4× the cost of everything else in the key). At corpus
+    // scale this is the materialized tokenized-record table the
+    // literature assumes; downstream passes read it instead of
+    // re-scanning text.
+    val base = docs
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), gramSetCol.as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"), col("grams"))
+      .localCheckpoint(true)
+    // explode_outer (the minhash posexplode_outer trick): a plain
+    // explode adds an inferred size(...) > 0 filter; the array is
+    // non-empty by construction (length ≥ 3 ⟹ ≥ 1 gram)
+    val gx = base.select(col("doc_id"), col("n_grams"),
+      explode_outer(col("grams")).as("gram"))
+    val dfs = gx.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    // rarity rank as a per-doc WINDOW (docs are bounded, so the window
+    // partition is too — no skew surface; and no collect_list, whose
+    // ObjectHashAggregate fell back to sort-based at 150 groups/task)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val pref = gx.join(dfs, "gram")
+      .withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") <=
+        col("n_grams") - expr("(4 * n_grams + 4) DIV 5") + lit(1))
+      .select(col("doc_id"), col("n_grams"), col("gram"))
+    val pa = pref.select(col("doc_id").as("a_id"), col("n_grams").as("na"), col("gram"))
+    val pb = pref.select(col("doc_id").as("b_id"), col("n_grams").as("nb"), col("gram"))
+    // na/nb ride the dedup key like the gram-join shape's grouping —
+    // they are functions of the ids, so the distinct result is the same
+    val cand = pa
+      .hint("shuffle_hash")
+      .join(pb, "gram")
+      .filter(col("a_id") < col("b_id") &&
+        col("nb") * 4 <= col("na") * 5 && col("na") * 4 <= col("nb") * 5)
+      .select(col("a_id"), col("na"), col("b_id"), col("nb"))
+      .dropDuplicates("a_id", "b_id")
+    // confirm = count shared grams per candidate: attach a's grams as
+    // rows, keep those b also has (an equi-join on (b_id, gram)), one
+    // hash aggregate. All codegen equi-joins — the array_intersect
+    // per-pair form measured 4× slower because the jac FILTER pushes
+    // through the projection and re-evaluates the intersect (and its
+    // per-row hash-set build) twice per pair; here the filter sits
+    // above an aggregate, where it cannot push (the gram-join shape's
+    // own discipline). n_inter = |A∩B| exactly (gram sets are
+    // distinct), so jac is the same integer ratio.
+    cand
+      .join(gx.select(col("doc_id").as("a_id"), col("gram")), "a_id")
+      .join(gx.select(col("doc_id").as("b_id"), col("gram")), Seq("b_id", "gram"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).cast("int").as("n_inter"))
+      .withColumn("jac",
+        col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
   }
 
   /** Embedding-cosine near-dup pairs (vec_id < 300, cos ≥ 0.40 — the
