@@ -218,6 +218,37 @@ object ScaleBench {
 
     val dupDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "100000").toLong
 
+    // r16: the hot-gram corpus for the window-skew A/B rows (see their
+    // comments). 500k docs of "a b c uniqN": word-3-grams are "a b c"
+    // (df = 500k — ONE gram owns half the 1M-row gram stream) and
+    // "b c uniqN" (unique); the token stream's hot words a/b/c own 3/4
+    // of 2M rows. Deterministic, generated in-plan (16 scan-range
+    // partitions so the EXPLODE side is parallel; the skew under test
+    // is the post-shuffle key skew, not input skew).
+    val hotDocs = sys.env.getOrElse("SPARK_GRAFT_HOT_DOCS", "500000").toLong
+    val hotGramDocs = spark.range(0, hotDocs, 1, 16)
+      .select(col("id").as("doc_id"),
+        concat(lit("a b c uniq"), col("id")).as("text"))
+
+    /** Scoped AQE skew-split confs for the window-skew A/B pair: the
+      * 256 MB default threshold is cluster-sized, so for the local
+      * corpus it must drop for skew splitting to be OBSERVABLE at all.
+      * Applied to BOTH shapes (the window cannot use it by
+      * construction — that asymmetry is the thing being measured).
+      */
+    def withSkewSplit[A](body: => A): A = {
+      val confs = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2m")
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+
     /** Generate (once) the 10-boat fleet corpus; both the batch fleet row
       * and the streaming NMEA row read the SAME directory, so their
       * lines/s compare on identical input. Completion is marked by a
@@ -1163,6 +1194,36 @@ object ScaleBench {
       // turned on the corpus itself.
       t("boilerplate_50k_docs") {
         operators.TextAnalysisQueries.boilerplateCore(documents).count()
+      },
+      // r16 window-skew pricing (verdict item 2): the df-count WINDOW of
+      // boilerplate/tfidf/unigram_logprob pins every row of a hot
+      // gram/word to ONE task, and AQE skew handling never applies to
+      // windows — only to joins. The fixtures cannot show it (their
+      // hottest gram holds ~2% of gram rows), so these rows run both
+      // shapes on a SYNTHETIC hot-gram corpus where one gram owns HALF
+      // the gram stream (hotDocs docs of "a b c uniqN": grams "a b c"
+      // [df = hotDocs] + "b c uniqN" [unique]). Both rows run under the
+      // same scoped skew-split confs (thresholds are cluster-tuned;
+      // locally they must drop for the 256 MB default to be emulable) —
+      // the window CANNOT use the splitting, the rejoin can.
+      t("boilerplate_window_hotgram_500k") {
+        withSkewSplit { operators.TextAnalysisQueries
+          .boilerplateCore(hotGramDocs).count() }
+      },
+      t("boilerplate_rejoin_hotgram_500k") {
+        withSkewSplit { operators.TextAnalysisQueries
+          .boilerplateRejoinCore(hotGramDocs).count() }
+      },
+      // same A/B one shape over: unigram_logprob's corpus word-count
+      // window vs the groupBy+rejoin twin, on a stream where the three
+      // hot words own 3/4 of all token rows
+      t("unigram_window_hotword_500k") {
+        withSkewSplit { operators.TextAnalysisQueries
+          .unigramLogprobCore(hotGramDocs).count() }
+      },
+      t("unigram_rejoin_hotword_500k") {
+        withSkewSplit { operators.TextAnalysisQueries
+          .unigramLogprobRejoinCore(hotGramDocs).count() }
       },
       // bigram-LM scoring at 10× (50k docs): the w1-window shape must
       // stay linear in bigram volume — one bigram agg + one w1 exchange

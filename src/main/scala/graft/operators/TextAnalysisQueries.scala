@@ -386,6 +386,36 @@ object TextAnalysisQueries extends QueryPack {
           .as("boiler_frac"))
   }
 
+  /** The SKEW-ROBUST twin of [[boilerplateCore]], for ScaleBench's
+    * hot-gram A/B (r16, verdict item 2): df via groupBy(gram) — whose
+    * map-side partials collapse a hot gram BEFORE the exchange — then a
+    * rejoin that AQE's skew-join splitting can break up at runtime. The
+    * count WINDOW of the oracle key puts every row of a hot gram in ONE
+    * task, and skew-join handling never applies to windows (guide
+    * §2.5). Same rows by construction (count per gram attached to each
+    * (doc, gram) row either way); NOT the declared key because the
+    * second gram exchange measured 3× worse at sf0.1 (r15 probe) and
+    * the fixtures' hottest gram holds ~2% of gram rows — no straggler
+    * to pay for. On a corpus where one gram owns half the rows, this is
+    * the shape that survives; see the ScaleBench rows.
+    */
+  def boilerplateRejoinCore(documents: DataFrame): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), filter(words, w => w =!= "").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr("transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3)))"))).as("gram"))
+    val dfs = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(dfs, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 3, 1)).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_grams"), 4)
+          .as("boiler_frac"))
+  }
+
   /** Gopher-style QUALITY-FILTER RULE BATTERY: the boolean gates of a
     * pre-training cleaning pass (Rae et al. 2021's document filters,
     * adapted to this corpus's scale) — token count in [30, 100k], mean
@@ -481,6 +511,41 @@ object TextAnalysisQueries extends QueryPack {
     dwc
       .withColumn("n", sum(col("c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("word")))
+      .crossJoin(broadcast(total))
+      .withColumn("term",
+        col("c").cast("double") *
+          log(col("n").cast("double") / col("t").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        collect_list(struct(col("word"), col("term"))).as("terms"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("aggregate(array_sort(terms), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x.term)").as("logp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("logp"), 4).as("sum_logp"),
+        round(col("logp") / col("n_tokens"), 4).as("avg_logp"))
+  }
+
+  /** The SKEW-ROBUST twin of [[unigramLogprobCore]] (r16, ScaleBench
+    * hot-word A/B — see [[boilerplateRejoinCore]] for the rationale):
+    * corpus word counts via groupBy (map-side partials collapse hot
+    * words) + an AQE-splittable rejoin, instead of the sum window that
+    * pins every row of a hot word to one task. Identical rows: n per
+    * (doc, word) is the same integer either way, and the per-doc sorted
+    * fold is untouched.
+    */
+  def unigramLogprobRejoinCore(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        explode(filter(words, w => w =!= "")).as("word"))
+    val total = documents
+      .agg(sum(size(filter(words, w => w =!= "")).cast("long")).as("t"))
+    val dwc = toks
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val wc = dwc.groupBy(col("word")).agg(sum(col("c")).as("n"))
+    dwc
+      .join(wc, "word")
       .crossJoin(broadcast(total))
       .withColumn("term",
         col("c").cast("double") *
