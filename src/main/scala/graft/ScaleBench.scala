@@ -230,6 +230,25 @@ object ScaleBench {
       .select(col("id").as("doc_id"),
         concat(lit("a b c uniq"), col("id")).as("text"))
 
+    // r16: deep chain graph for the components-loop shuffle A/B — 1M
+    // strict a<b edges in 62.5k chains of 17 nodes (edges within a
+    // chain; every 17th id starts a new one), diameter 16
+    val chainPairs = spark.range(0, 1062500, 1, 32)
+      .filter(pmod(col("id") + 1, lit(17)) =!= 0)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+
+    // r16: pathological-document corpus for the bigram_logprob memory
+    // rows — 16 docs × 200k tokens each, adjacent pairs ~all distinct
+    // (word_i = w<(i² + 31·doc) mod 99991>, a quadratic walk over a
+    // 100k-word vocab), so each doc contributes ~200k distinct (w1, w2)
+    // structs to its per-doc aggregation buffer. Deterministic,
+    // generated in-plan.
+    val longDocTokens = sys.env.getOrElse("SPARK_GRAFT_LONGDOC_TOKENS", "200000").toLong
+    val longDocs = spark.range(0, 16, 1, 16)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", expr(s"transform(sequence(1, $longDocTokens), " +
+          "i -> concat('w', pmod(CAST(i AS BIGINT) * i + 31 * id, 99991)))")).as("text"))
+
     /** Scoped AQE skew-split confs for the window-skew A/B pair: the
       * 256 MB default threshold is cluster-sized, so for the local
       * corpus it must drop for skew splitting to be OBSERVABLE at all.
@@ -300,11 +319,34 @@ object ScaleBench {
       ensure(ordersK, "o_orderkey", "orders_b32")
     }
 
-    def t(label: String)(f: => Long): (String, () => (Double, Long)) =
+    // r16: per-row MEMORY telemetry beside the wall time — max per-task
+    // peak execution memory and summed spill bytes over the TIMED pass
+    // (guide §5: a shape whose buffers cannot spill is an OOM at scale,
+    // not a slowdown; the bigram_logprob long-doc rows exist to measure
+    // exactly that). Listener-based, reset per row like JobProbe.
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufWr = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) {
+            peakMem.getAndAccumulate(e.taskMetrics.peakExecutionMemory, math.max)
+            spilled.addAndGet(e.taskMetrics.memoryBytesSpilled)
+            shufWr.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          }
+      })
+
+    def t(label: String)(f: => Long): (String, () => (Double, Long, Long, Long, Long)) =
       label -> { () =>
         f // warm
+        Thread.sleep(100) // settle the async listener queue
+        peakMem.set(0L); spilled.set(0L); shufWr.set(0L)
         val t0 = System.nanoTime(); val n = f
-        ((System.nanoTime() - t0) / 1e9, n)
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(100)
+        (sec, n, peakMem.get(), spilled.get(), shufWr.get())
       }
 
     /** Scoped runtime-bloom-filter config for the A/B pair below: the
@@ -649,6 +691,22 @@ object ScaleBench {
       // dedup at scale returns CLUSTERS/SURVIVORS, never the all-pairs
       // list: this corpus is so duplicated that pairs are quadratic
       // (2× corpus → 11M pairs from 10k docs; 10× would be ~300M)
+      // r16 (verdict item 4): the components loop's edges-shuffle-once
+      // claim, measured on a DEEP synthetic graph (62.5k chains × 17
+      // nodes → 1M edges, diameter 16 → the loop runs ~5 pointer-jump
+      // rounds, not the fixture's 2). A/B: prePartitionEdges=false is
+      // the pre-r15 shape whose neighbor-min join re-shuffles the edge
+      // table EVERY round; compare shuffle_written (rounds × edge bytes
+      // vs O(1) in rounds) and wall. dedupEdges=false as at both
+      // product call sites (strict a<b unique edges).
+      t("cc_chain_1m_edges_prepart") {
+        pipeline.Dedup.clusters(chainPairs, "a_id", "b_id",
+          dedupEdges = false).count()
+      },
+      t("cc_chain_1m_edges_noprepart") {
+        pipeline.Dedup.clusters(chainPairs, "a_id", "b_id",
+          dedupEdges = false, prePartitionEdges = false).count()
+      },
       t("lsh_clusters_50k_docs") {
         pipeline.Dedup.lshClusters(documents, "doc_id", "text").count()
       },
@@ -1232,6 +1290,18 @@ object ScaleBench {
       t("bigram_logprob_50k_docs") {
         operators.TextAnalysisQueries.bigramLogprobCore(documents).count()
       },
+      // r16 (verdict item 3): the long-document MEMORY bound of the
+      // per-doc collect_list. 16 docs × 200k tokens whose bigrams are
+      // ~all distinct: each doc's (w1, w2, term) stream lands in ONE
+      // TypedImperativeAggregate buffer (~unspillable) in the collect
+      // form, vs a spillable window sort + O(1) running sum in the
+      // stream twin. Read peak_task_mem / spilled in the row output.
+      t("bigram_logprob_collect_longdocs") {
+        operators.TextAnalysisQueries.bigramLogprobCore(longDocs).count()
+      },
+      t("bigram_logprob_stream_longdocs") {
+        operators.TextAnalysisQueries.bigramLogprobStreamCore(longDocs).count()
+      },
       // BPE pair counting at 10× (50k docs): the pair fan-out runs over
       // the VOCAB (types), so past the word aggregate the cost is
       // scale-INVARIANT — corpus growth only deepens the word counts.
@@ -1734,8 +1804,9 @@ object ScaleBench {
     // sweeps, e.g. the shuffle-width series on the star shape) — same
     // knob name as Bench/Verify
     val results = ops.filter { case (k, _) => EnvOnly.keep(k) }
-      .map { case (k, run) => val (s, n) = run(); (k, s, n) }
-    val qs = results.map { case (k, s, n) => s""""$k":{"sec":$s,"rows":$n}""" }
+      .map { case (k, run) => val (s, n, pk, sp, sw) = run(); (k, s, n, pk, sp, sw) }
+    val qs = results.map { case (k, s, n, pk, sp, sw) =>
+      s""""$k":{"sec":$s,"rows":$n,"peak_task_mem":$pk,"spilled":$sp,"shuffle_written":$sw}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val shuffle = spark.conf.get("spark.sql.shuffle.partitions")

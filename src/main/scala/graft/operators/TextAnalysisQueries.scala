@@ -638,6 +638,61 @@ object TextAnalysisQueries extends QueryPack {
         round(col("logp") / col("n_bigrams"), 4).as("avg_logp"))
   }
 
+  /** The BOUNDED-MEMORY twin of [[bigramLogprobCore]] (r16, verdict
+    * item 3 — guide §5): the per-doc `collect_list` + `array_sort`
+    * buffers a whole document's distinct-bigram stream in ONE
+    * aggregation buffer, and a TypedImperativeAggregate buffer cannot
+    * spill — a pathological document at corpus scale is an OOM, not a
+    * slowdown. Here the same left-to-right fold streams instead: rows
+    * sort by (doc, w1, w2) inside a window (UnsafeExternalSorter —
+    * SPILLABLE), a running-frame sum adds the terms one by one in
+    * exactly the array fold's order (running aggregation evaluates
+    * incrementally per row; 0.0-init left fold ≡ null-skipping sum here
+    * since terms are non-null), and the last row per doc carries the
+    * total. Bit-identical outputs: (w1, w2) is unique per doc, struct
+    * array_sort orders by (w1, w2) before ever reaching term, and both
+    * engines compare strings as binary UTF-8 — same order, same adds.
+    */
+  def bigramLogprobStreamCore(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), filter(words, w => w =!= "").as("ws"))
+    val vocab = toks.select(explode(array_distinct(col("ws"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val dbc = toks
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(ws) - 1), " +
+          "i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .repartition(col("w1"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val wPre = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    val wBg = org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")
+    val byDocOrdered = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("w1"), col("w2"))
+    val byDocRun = byDocOrdered
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val byDocAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    dbc
+      .withColumn("pn", sum(col("c")).over(wPre))
+      .withColumn("cnt", sum(col("c")).over(wBg))
+      .crossJoin(broadcast(vocab))
+      .withColumn("term", col("c").cast("double") *
+        log((col("cnt") + 1).cast("double") / (col("pn") + col("v")).cast("double")))
+      .select(col("doc_id"), col("w1"), col("w2"), col("c"), col("term"))
+      .withColumn("logp", sum(col("term")).over(byDocRun))
+      .withColumn("rn", row_number().over(byDocOrdered))
+      .withColumn("n_rows", count(lit(1)).over(byDocAll))
+      .withColumn("n_bigrams", sum(col("c")).over(byDocAll))
+      .filter(col("rn") === col("n_rows"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("logp"), 4).as("sum_logp"),
+        round(col("logp") / col("n_bigrams"), 4).as("avg_logp"))
+  }
+
   /** BPE tokenizer training's inner step: corpus-wide adjacent
     * character-pair frequencies, top-50. The scale discipline is WHERE
     * the pair explode happens: first collapse the token stream to the

@@ -286,7 +286,16 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
                maxIter: Int = 50, dedupEdges: Boolean = true,
-               probeSeed: Boolean = false): DataFrame = {
+               probeSeed: Boolean = false,
+               prePartitionEdges: Boolean = true): DataFrame = {
+    // prePartitionEdges is the r15 edges-shuffle-once lever, exposed as
+    // a parameter ONLY so ScaleBench can A/B it honestly (false =
+    // the pre-r15 shape where every round re-shuffles the edge table
+    // into its neighbor-min join); every product call site keeps the
+    // default. SPARK_GRAFT_CC_PLAN=true additionally prints each
+    // round's EXECUTED plan to stderr — the committed evidence
+    // (plans/r16) that the edges side of the neighbor-min join carries
+    // no Exchange: the checkpoint preserves hash(dst) partitioning.
     val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     // eager: edges is the expensive subtree (the caller's whole pair
@@ -302,9 +311,45 @@ object Dedup {
     // seed below additionally leaves round 1's labels side pre-hashed:
     // groupBy(src) emits hash(src) = hash(id) partitioning, so round
     // 1's join plans ZERO exchanges.
-    val edges = (if (dedupEdges) directed.distinct() else directed)
-      .repartition(col("dst"))
-      .localCheckpoint(true)
+    val deduped = if (dedupEdges) directed.distinct() else directed
+    // r16 plan audit: the r15 "edges shuffle once" claim did NOT hold —
+    // every round re-exchanged the checkpointed edges (Exchange
+    // hashpartitioning(dst) over Scan ExistingRDD), for two stacked
+    // reasons: (a) repartition(col) without N is AQE-coalescible, and
+    // (b) under AQE the checkpoint reads its partitioning from
+    // AdaptiveSparkPlanExec, which reports UNKNOWN — so the LogicalRDD
+    // never advertises hash(dst) at all. Fix: EXPLICIT partition count
+    // (session shuffle width — scale-parameterized, not a local
+    // constant) and the checkpoint MATERIALIZED with AQE scoped off,
+    // so the physical top is the plain Exchange and the LogicalRDD
+    // carries HashPartitioning(dst, N). The loop body still runs under
+    // the session's AQE; only this one already-width-pinned shuffle
+    // loses (nothing — a repartition to an explicit N is exactly what
+    // AQE would not touch anyway). Conf is saved/restored; the loop is
+    // driver-side single-threaded.
+    // The width is SCALE-ADAPTIVE (guide §2.2/§2.5): an explicit N is
+    // mandatory for the partitioning to survive, but pinning it to the
+    // session width would run every round's stages N-wide even on a
+    // 20k-edge fixture graph (measured +450 ms at sf0.1 from pure task
+    // floor). So: materialize the directed edge list once (the eager
+    // checkpoint the loop already needs), count it DURING that job via
+    // observe(), and size N at ~256k edges (~4-8 MB) per partition,
+    // capped at the session shuffle width — fixture graphs get 1, the
+    // chain ScaleBench graph ~9, a cluster corpus the full width.
+    val sess = pairs.sparkSession
+    val shufflePartitions = sess.sessionState.conf.numShufflePartitions
+    val edges = if (prePartitionEdges) {
+      val observed = deduped.observe("cc_edges", count(lit(1)).as("n"))
+      val raw = observed.localCheckpoint(true)
+      val n = observed.queryExecution.observedMetrics.get("cc_edges")
+        .map(_.getAs[Long]("n")).getOrElse(raw.count())
+      val width = math.max(1L,
+        math.min(shufflePartitions.toLong, n / 262144L + 1L)).toInt
+      val saved = sess.conf.get("spark.sql.adaptive.enabled", "true")
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      try raw.repartition(width, col("dst")).localCheckpoint(true)
+      finally sess.conf.set("spark.sql.adaptive.enabled", saved)
+    } else deduped.localCheckpoint(true)
     // seed with the first neighbor-min round folded into initialization:
     // label(x) = min(x, neighbors(x)) — one aggregate instead of an
     // identity round, saving a full iteration on every graph
@@ -348,6 +393,9 @@ object Dedup {
           (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
         .observe(s"cc_round_$i", count(when(col("chg"), lit(1))).as("n_chg"))
       val steppedCk = stepped.localCheckpoint(true)
+      if (sys.env.get("SPARK_GRAFT_CC_PLAN").contains("true"))
+        System.err.println(s"===== cc round $i stepped plan =====\n" +
+          stepped.queryExecution.executedPlan.toString)
       val changed = stepped.queryExecution.observedMetrics.get(s"cc_round_$i") match {
         case Some(row) => row.getAs[Long]("n_chg") > 0L
         case None => !steppedCk.filter(col("chg")).isEmpty
