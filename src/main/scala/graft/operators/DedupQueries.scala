@@ -71,15 +71,30 @@ object DedupQueries extends QueryPack {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val tokSets = Tables.documents(s, dir)
-      .filter(col("doc_id") < 300)
-      .select(col("doc_id"), toks.as("t"))
+    // confirm = count shared words per candidate via equi-joins + one
+    // hash aggregate (r16, the ngram PPJoin confirm discipline): the
+    // previous array_intersect-per-pair confirm was the key's dominant
+    // stage (759 of ~900 pipeline-ms) because the jac filter pushes
+    // through the projection and re-evaluates the intersect — and its
+    // per-row hash-set build over ~100-token arrays — twice per pair;
+    // above an aggregate the filter cannot push, and the joins are all
+    // codegen. n_inter = |A∩B| exactly (token sets are distinct), jac
+    // is the same integer ratio, and a pair whose intersection is
+    // empty is dropped by the inner join exactly as the old NULL/0 jac
+    // was dropped by the filter.
+    val docsSliced = Tables.documents(s, dir).filter(col("doc_id") < 300)
+    val tok = docsSliced
+      .select(col("doc_id"), explode_outer(toks).as("word"))
+    val sizes = docsSliced.select(col("doc_id"), size(toks).as("nw"))
     cand
-      .join(tokSets.select(col("doc_id").as("a_id"), col("t").as("ta")), "a_id")
-      .join(tokSets.select(col("doc_id").as("b_id"), col("t").as("tb")), "b_id")
-      .withColumn("n_inter", size(array_intersect(col("ta"), col("tb"))))
+      .join(tok.select(col("doc_id").as("a_id"), col("word")), "a_id")
+      .join(tok.select(col("doc_id").as("b_id"), col("word")), Seq("b_id", "word"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("int").as("n_inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("nw").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("nw").as("nb")), "b_id")
       .withColumn("jac",
-        col("n_inter") / (size(col("ta")) + size(col("tb")) - col("n_inter")))
+        col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= 0.8)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
