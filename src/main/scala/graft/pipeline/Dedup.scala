@@ -131,6 +131,18 @@ object Dedup {
 
   /** End-to-end near-dup: LSH candidates + exact Jaccard confirm.
     * The confirm joins token sets ONLY for candidate pairs.
+    *
+    * Probed r16 and REVERTED: the count-confirm that fixed the
+    * dedup_minhash_lsh key (shared-word equi-joins + aggregate instead
+    * of per-pair array_intersect) measured 2.3× WORSE here — 13.4 →
+    * 31.4 s on the 5k ScaleBench slice, 24.2 → 44.4 s on
+    * incremental_dedup_50k — because this corpus's candidate volume is
+    * ~2.8M pairs and the confirm's token fan-out becomes pairs×|A|
+    * ≈ 280M join+aggregate rows, dwarfing the double array_intersect it
+    * removes. Count-confirm pays only when candidates are few relative
+    * to tokens-per-doc (the oracle key's ~36k); per-pair arrays win on
+    * high-duplication corpora. Peak task memory was IDENTICAL both ways
+    * (the 529 MB sits in the bucket-join distinct, not the arrays).
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
